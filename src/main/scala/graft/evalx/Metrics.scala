@@ -1,0 +1,80 @@
+package graft.evalx
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranking / classification evaluation operators, relational form
+  * (reference: `lightgcn/utils.py:157-231` Precision/Recall/NDCG@K,
+  * `din/utils.py:286-316` AUC/log-loss/accuracy,
+  * `ranknet/utils.py:333-375` pairwise accuracy).
+  *
+  * Each metric is a plain aggregation plan — partial-aggregated map-side,
+  * no driver-side loops — so they run unchanged at 100 TB.
+  */
+object Metrics {
+
+  /** Per-user Precision@K / Recall@K / NDCG@K.
+    *
+    * Input: `ranked` (user, item, rank 1-based) and `relevant` (user, item).
+    * NDCG uses binary gain 1/log2(rank+1), ideal = best achievable for the
+    * user's #positives — exactly the reference arithmetic
+    * (`lightgcn/utils.py:205-222`, incl. idcg=0 → ndcg=0).
+    */
+  def rankingAtK(ranked: DataFrame, relevant: DataFrame,
+      user: String, item: String, rank: String, k: Int): DataFrame = {
+    val topk = ranked.where(col(rank) <= k)
+    val hits = topk.join(relevant, Seq(user, item), "left_semi")
+      .groupBy(col(user))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(lit(1.0) / log2(col(rank) + 1.0)).as("dcg"))
+    val nRel = relevant.groupBy(col(user)).agg(count(lit(1)).as("n_rel"))
+    nRel.join(hits, Seq(user), "left")
+      .na.fill(0, Seq("n_hits")).na.fill(0.0, Seq("dcg"))
+      .withColumn("ideal_n", least(col("n_rel"), lit(k)))
+      // idcg = Σ_{i=1..min(nRel,k)} 1/log2(i+1), via a sequence fold
+      .withColumn("idcg",
+        aggregate(sequence(lit(1), col("ideal_n")), lit(0.0),
+          (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1.0)))
+      .withColumn("precision", col("n_hits").cast("double") / k)
+      .withColumn("recall", col("n_hits").cast("double") / col("n_rel"))
+      .withColumn("ndcg",
+        when(col("idcg") === 0.0, 0.0).otherwise(col("dcg") / col("idcg")))
+      .select(col(user), col("precision"), col("recall"), col("ndcg"))
+  }
+
+  /** Corpus-level AUC via the rank-sum (Mann-Whitney) identity:
+    * AUC = (Σ ranks(pos) − nPos(nPos+1)/2) / (nPos·nNeg); ties get average
+    * rank. Two shuffles (rank window + final scalar agg), no O(n²) pairs.
+    */
+  def auc(scored: DataFrame, score: String, label: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // NOTE: the global rank window is a single-partition sort; for 100 TB
+    // replace with a two-pass histogram rank (per-partition sort + offset
+    // join). Fine at bench scale; the identity itself is O(n log n).
+    val ranked = scored
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(col(score))).cast("double"))
+      .withColumn("__r", avg(col("__rn")).over(Window.partitionBy(col(score))))
+    ranked.agg(
+      ((sum(when(col(label) === 1, col("__r"))) -
+        (sum(col(label).cast("double")) * (sum(col(label).cast("double")) + 1)) / 2.0) /
+        (sum(col(label).cast("double")) *
+          sum(when(col(label) === 0, 1.0).otherwise(0.0)))).as("auc"))
+  }
+
+  /** Log-loss + accuracy@0.5 (reference `din/utils.py:286-316`), with the
+    * standard 1e-15 clip. */
+  def classification(scored: DataFrame, score: String, label: String): DataFrame = {
+    val p = least(greatest(col(score), lit(1e-15)), lit(1.0 - 1e-15))
+    val y = col(label).cast("double")
+    scored.agg(
+      avg(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))).as("logloss"),
+      avg(when((col(score) >= 0.5) === (y === 1.0), 1.0).otherwise(0.0)).as("accuracy"))
+  }
+
+  /** Pairwise accuracy: fraction of (pos, neg) rows with pos_score >
+    * neg_score (reference `ranknet/utils.py:333-375`). */
+  def pairwiseAccuracy(pairs: DataFrame, posScore: String, negScore: String): DataFrame =
+    pairs.agg(avg(when(col(posScore) > col(negScore), 1.0).otherwise(0.0))
+      .as("pairwise_accuracy"))
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering scalar operators (reference
+  * `generate_training_data.py:27-78`).
+  */
+object Features {
+
+  /** Stable categorical hash feature in [0, 1).
+    *
+    * The reference uses Python `hash(s) % 100 / 100`
+    * (`generate_training_data.py:54-61`) which is salted per process
+    * (PYTHONHASHSEED) and therefore NOT reproducible across runs; we define
+    * the canonical form as xxhash64 — deterministic, distributed-safe,
+    * codegen'd (SURVEY §7.4.1 documents the divergence).
+    */
+  def stableHash01(c: Column, buckets: Int = 100): Column =
+    pmod(xxhash64(c), lit(buckets.toLong)).cast("double") / buckets
+
+  /** Cleanse a dirty price string ("$1,299.00 ") and cast, yielding null on
+    * unparseable input (the reference's skip-on-ValueError,
+    * `generate_training_data.py:35-41`). try_cast ≙ `float()` + except.
+    */
+  def cleansePrice(c: Column): Column = {
+    val cleaned = trim(regexp_replace(c, "[$,]", ""))
+    when(cleaned.rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)$"), cleaned.cast("double"))
+  }
+
+  /** Min-max scale `valueCol` into [0,1] over the whole frame — the
+    * reference's two-pass MinMaxScaler (`generate_training_data.py:27-45`).
+    * Pass 1 is a 2-double scalar aggregate broadcast to pass 2 (no shuffle
+    * of the main table).
+    */
+  def minMaxScale(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val stats = df.agg(
+      min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(outCol,
+        when(col("__mx") === col("__mn"), lit(0.0))
+          .otherwise((col(valueCol) - col("__mn")) / (col("__mx") - col("__mn"))))
+      .drop("__mn", "__mx")
+  }
+
+  /** Last element of a category path (reference `path[-1]`,
+    * `generate_training_data.py:55`). */
+  def lastCategory(path: Column): Column = element_at(path, -1)
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar operators for the LLM-data-pipeline surface
+  * (charter extension; SURVEY §7.4.6): tokenization, quality scoring,
+  * language-ID heuristic, fingerprinting, shingling.
+  *
+  * Everything is a pure Catalyst expression tree (split / filter /
+  * transform / regexp_count) — codegen'd, no UDFs, and each has an exact
+  * ANSI-SQL equivalent so the DuckDB oracle can verify it.
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-chunks + digits + punctuation, the usual
+    * pre-tokenizer regex family. */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(lower(text), "([^a-z0-9]+)"),
+      t => length(t) > 0)) + regexp_count(text, lit("[^a-zA-Z0-9\\s]"))
+
+  /** Fraction of tokens that are in `stopwords` (duplicates counted). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    val tk = tokens(text)
+    when(size(tk) === 0, lit(0.0))
+      .otherwise(size(filter(tk, t => array_contains(sw, t))).cast("double") / size(tk))
+  }
+
+  /** Punctuation density per character. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast("double") / length(text))
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs, penalizes
+    * punctuation soup and ultra-short tokens — the standard cheap pre-filter
+    * for LLM corpus cleaning (cf. C4/Gopher rules). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val meanTokLen = when(nTok === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / nTok)
+    val lenScore = least(nTok.cast("double") / 50.0, lit(1.0))
+    val tokScore = when(meanTokLen >= 3.0 && meanTokLen <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    round((lenScore * 0.4 + tokScore * 0.3 + punctScore * 0.3), 6)
+  }
+
+  /** Language-ID by stopword-hit voting: argmax over per-language stopword
+    * hit counts; falls back to `fallback` when nothing matches. */
+  def langIdHeuristic(text: Column,
+      profiles: Map[String, Seq[String]],
+      fallback: String = "und"): Column = {
+    val tk = tokens(text)
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, sws) =>
+      val sw = array(sws.map(lit): _*)
+      struct(size(filter(tk, t => array_contains(sw, t))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit(fallback))
+  }
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token set — dedups re-ordered/duplicated boilerplate. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]); empty when the
+    * doc has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val tk = tokens(text)
+    when(size(tk) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+  }
+}

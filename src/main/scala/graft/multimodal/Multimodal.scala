@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (charter extension).
+  *
+  * Media assets travel as opaque `binary` columns plus typed metadata — the
+  * lakehouse-standard layout for image/audio/video at 100 TB (content in the
+  * row, never on the driver; partition by content hash so decode fans out
+  * evenly). The decode kernels themselves are STUBBED (no image/audio libs
+  * in this container, marked DETERMINISTIC-FAKE below); everything Spark
+  * cares about — schema, batching, partitioning, the mapPartitions
+  * contract — is real and tested.
+  */
+object Multimodal {
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType, nullable = false),
+    StructField("width", IntegerType), // image/video metadata
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType))) // audio/video metadata
+
+  /** Wrap any table into asset rows by treating a string column as the raw
+    * payload — gives the fixture tables a binary column to exercise the
+    * pipeline with. */
+  def assetsFromText(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(
+      col(id).cast("long").as("asset_id"),
+      lit("image").as("media_type"),
+      encode(col(text), "UTF-8").as("content"),
+      (length(col(text)) % 640 + 1).cast("int").as("width"),
+      (length(col(text)) % 480 + 1).cast("int").as("height"),
+      lit(null).cast("long").as("duration_ms"))
+
+  private val featDim = 8
+
+  /** DETERMINISTIC-FAKE decode: a real implementation would JNI/FFI into an
+    * image codec here; the fake derives `featDim` floats from a rolling hash
+    * of the bytes so results are stable for tests. The mapPartitions shape
+    * (iterator→iterator, batched, no driver traffic) is the real contract.
+    */
+  private def fakeDecode(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](featDim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) {
+      h = 31L * h + bytes(i)
+      out(i % featDim) += (Math.floorMod(h, 1000L) / 1000.0f)
+      i += 1
+    }
+    out
+  }
+
+  /** Decode + feature-extract: binary content → fixed-dim feature vector.
+    * Runs partition-parallel; the per-partition loop is the batch boundary
+    * an external codec would amortize setup over. */
+  def extractFeatures(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("media_type", StringType),
+      StructField("feature", ArrayType(FloatType))))
+    val enc = RowEncoder.encoderFor(outSchema)
+    assets.select(col("asset_id"), col("media_type"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), r.getString(1),
+            fakeDecode(r.getAs[Array[Byte]](2)).toSeq)
+        }
+      }(enc)
+  }
+
+  /** Resize stub: metadata-only transform (real impl would re-encode
+    * content); demonstrates pushdown-friendly metadata handling. */
+  def resize(assets: DataFrame, w: Int, h: Int): DataFrame =
+    assets.withColumn("width", lit(w)).withColumn("height", lit(h))
+
+  /** Frame-sample stub for video: emit one row per sampled frame index at
+    * `fps`; content decode is faked, the explode+binary plumbing is real. */
+  def sampleFrames(assets: DataFrame, everyMs: Long): DataFrame =
+    assets.where(col("duration_ms").isNotNull)
+      .withColumn("frame_ms",
+        explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))))
+      .select(col("asset_id"), col("frame_ms"),
+        xxhash64(col("content"), col("frame_ms")).as("frame_digest"))
+}

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time ("as-of") operators.
+  *
+  * Re-expresses the reference's per-user `bisect_right(timestamps, t)` lookup
+  * (reference: `api_service/behavior_lookup.py:34-41`) as a distributed plan.
+  *
+  * Scale design: the naive lowering is a range join (`b.ts <= q.ts`) which
+  * explodes to O(|B| × |Q|) per user before the per-query max is taken. We
+  * instead UNION the query rows into the behavior stream and take a running
+  * `last(payload, ignoreNulls)` window — one shuffle on the user key, one
+  * sort, O(|B| + |Q|) work, no explosion. Skewed power-users are handled by
+  * AQE skew splitting on the single shuffle; at 100 TB the behaviors table
+  * should additionally be bucketed + sorted within partitions on
+  * (key, ts) so the window sort is a no-op merge.
+  */
+object AsOf {
+
+  /** For each row of `queries`, attach `payload` of the most recent row of
+    * `behaviors` with the same `key` and behavior ts <= query ts
+    * (bisect_right semantics: a behavior at exactly the query ts is visible).
+    *
+    * Output: all columns of `queries` plus `outCol` (null when no behavior
+    * precedes the query).
+    */
+  def lastAsOf(
+      queries: DataFrame,
+      behaviors: DataFrame,
+      key: String,
+      qTs: String,
+      bTs: String,
+      payload: Column,
+      outCol: String,
+      tieBreak: Column = lit(0L)): DataFrame = {
+    val qCols = queries.columns
+    val qSide = queries
+      .withColumn("__ts", col(qTs))
+      .withColumn("__isq", lit(true))
+      .withColumn("__payload", lit(null).cast(
+        behaviors.select(payload.as("p")).schema("p").dataType))
+      .withColumn("__tb", lit(null).cast("long"))
+    val bSide = behaviors
+      .select(col(key), col(bTs).as("__ts"), lit(false).as("__isq"),
+        payload.as("__payload"), tieBreak.cast("long").as("__tb"))
+    // align schemas: behaviors side gets null query columns
+    val bAligned = qCols.foldLeft(bSide) { (df, c) =>
+      if (c == key) df
+      else df.withColumn(c, lit(null).cast(qSide.schema(c).dataType))
+    }.select(qSide.columns.map(col).toSeq: _*)
+
+    // behaviors sort before queries at equal ts (false < true) => inclusive
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__isq"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    qSide.unionByName(bAligned)
+      .withColumn(outCol, last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__isq"))
+      .drop("__ts", "__isq", "__payload", "__tb")
+  }
+
+  /** As-of *history*: for each query row, the list of the last `n` behavior
+    * payloads at or before the query ts, oldest→newest (reference's
+    * last-50 history contract, `behavior_lookup.py:34-41` +
+    * `generate_training_data.py:121`).
+    */
+  def historyAsOf(
+      queries: DataFrame,
+      behaviors: DataFrame,
+      key: String,
+      qTs: String,
+      bTs: String,
+      payload: Column,
+      outCol: String,
+      n: Int,
+      tieBreak: Column = lit(0L)): DataFrame = {
+    val qSide = queries
+      .withColumn("__ts", col(qTs))
+      .withColumn("__isq", lit(true))
+      .withColumn("__payload", lit(null).cast(
+        behaviors.select(payload.as("p")).schema("p").dataType))
+      .withColumn("__tb", lit(null).cast("long"))
+    val bSide = behaviors
+      .select(col(key), col(bTs).as("__ts"), lit(false).as("__isq"),
+        payload.as("__payload"), tieBreak.cast("long").as("__tb"))
+    val bAligned = queries.columns.foldLeft(bSide) { (df, c) =>
+      if (c == key) df
+      else df.withColumn(c, lit(null).cast(qSide.schema(c).dataType))
+    }.select(qSide.columns.map(col).toSeq: _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__isq"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // collect_list drops the nulls contributed by query rows, so the running
+    // list contains exactly the preceding behaviors; slice keeps the last n.
+    val full = collect_list(col("__payload")).over(w)
+    qSide.unionByName(bAligned)
+      .withColumn(outCol,
+        slice(full, greatest(lit(1), size(full) - (n - 1)), lit(n)))
+      .where(col("__isq"))
+      .drop("__ts", "__isq", "__payload", "__tb")
+  }
+
+  /** Interval/range join: rows of `right` whose ts falls within
+    * [left.ts - radius, left.ts + radius] for the same key (reference QPS
+    * window simulation, `behavior_lookup.py:44-54`).
+    *
+    * Lowered to an *equi*-join on a bucketized ts (bucket width = radius) so
+    * Spark plans a shuffled hash join instead of a broadcast-nested-loop:
+    * each left row probes its own bucket and the two adjacent ones, then the
+    * exact band predicate filters. |output| is the true match count, never
+    * the cross product.
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      lTs: String,
+      rTs: String,
+      radiusMicros: Long,
+      joinType: String = "inner"): DataFrame = {
+    val l = left.withColumn("__lus", unix_micros(col(lTs)))
+      .withColumn("__bucket",
+        explode(array((-1L to 1L).map(d =>
+          floor(col("__lus") / radiusMicros) + lit(d)): _*)))
+    val r = right.withColumn("__rus", unix_micros(col(rTs)))
+      .withColumn("__bucket", floor(col("__rus") / radiusMicros))
+    val joined = l.join(r,
+      l(key) === r(key) && l("__bucket") === r("__bucket") &&
+        r("__rus") >= l("__lus") - radiusMicros &&
+        r("__rus") <= l("__lus") + radiusMicros,
+      joinType)
+    joined.drop("__bucket", "__lus", "__rus")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph / linear-algebra operators for the LightGCN recall path
+  * (reference `model_training/lightgcn/model.py:15-95`): bipartite edge
+  * normalization and the layer-propagation SpMM, lowered to
+  * join + groupBy-sum — the standard GNN-on-DataFrames form. Each layer is
+  * one shuffle on the destination id; embeddings travel as `array<double>`
+  * rows, never through the driver.
+  */
+object Graph {
+
+  /** Symmetric degree normalization: weight(src,dst) =
+    * deg(src)^-0.5 · deg(dst)^-0.5 (reference `model.py:15-26`).
+    * Input edges (src, dst); output (src, dst, w). */
+  def normalizeEdges(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val degS = edges.groupBy(col(src)).agg(count(lit(1)).as("__ds"))
+    val degD = edges.groupBy(col(dst)).agg(count(lit(1)).as("__dd"))
+    edges.join(degS, src).join(degD, dst)
+      .withColumn("w", pow(col("__ds"), -0.5) * pow(col("__dd"), -0.5))
+      .select(col(src), col(dst), col("w"))
+  }
+
+  /** One propagation round: x'(dst) = Σ_{(src,dst)∈E} w · x(src).
+    * `nodes`: (id, emb array<double>); returns (id, emb) for every node
+    * that has ≥1 in-edge. */
+  def propagate(normEdges: DataFrame, nodes: DataFrame,
+      src: String, dst: String, id: String, emb: String): DataFrame = {
+    normEdges
+      .join(nodes.withColumnRenamed(id, src), src)
+      .withColumn("__scaled", VectorOps.vecScale(col(emb), col("w")))
+      .select(col(dst).as(id), posexplode(col("__scaled")).as(Seq("__pos", "__v")))
+      .groupBy(col(id), col("__pos"))
+      .agg(sum(col("__v")).as("__s"))
+      .groupBy(col(id))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__s")))).as("__pairs"))
+      .withColumn(emb, transform(col("__pairs"), p => p.getField("__s")))
+      .drop("__pairs")
+  }
+
+  /** Full LightGCN forward: `layers` propagation rounds, output = mean of
+    * layer-0..layers embeddings (the reference's skip-connection average,
+    * `model.py:60-95`). */
+  def lightGcn(normEdges: DataFrame, nodes: DataFrame, layers: Int,
+      src: String, dst: String, id: String, emb: String): DataFrame = {
+    var acc = nodes.select(col(id), col(emb).as("__sum"))
+    var cur = nodes
+    for (_ <- 1 to layers) {
+      cur = propagate(normEdges, cur, src, dst, id, emb)
+      acc = acc.join(cur.withColumnRenamed(emb, "__l"), Seq(id), "left")
+        .withColumn("__sum",
+          when(col("__l").isNull, col("__sum"))
+            .otherwise(VectorOps.vecAdd(col("__sum"), col("__l"))))
+        .drop("__l")
+    }
+    acc.withColumn(emb,
+      VectorOps.vecScale(col("__sum"), lit(1.0 / (layers + 1)))).drop("__sum")
+  }
+}

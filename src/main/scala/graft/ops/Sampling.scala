@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sampling operators (reference §2.8: `split_users.py:22-32`,
+  * `generate_training_data.py:117-178`, `lightgcn/utils.py:278-373`).
+  *
+  * Two families:
+  *  - *seeded-random*: thin wrappers over Spark's `randomSplit` / `sampleBy`
+  *    — statistically faithful to the reference's `random.*` calls.
+  *  - *deterministic-hash*: the 100 TB-safe rewrite. Membership is a pure
+  *    function of the row key (xxhash64), so the sample is reproducible
+  *    across runs, retries and re-partitions — no driver-side RNG state,
+  *    no `collect()`, and an oracle can recompute it exactly.
+  */
+object Sampling {
+
+  /** Deterministic split: assign each row to a bucket 0..buckets-1 by
+    * key hash; `keepBelow` buckets form the "train" side. 80/20 ≙
+    * (10, 8). Replaces `split_users.py`'s shuffle-and-slice.
+    */
+  def hashBucket(key: Column, buckets: Int, seed: Long = 42L): Column =
+    pmod(xxhash64(key, lit(seed)), lit(buckets.toLong))
+
+  def hashSplit(df: DataFrame, key: Column, buckets: Int, keepBelow: Int,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    val b = hashBucket(key, buckets, seed)
+    (df.where(b < keepBelow), df.where(b >= keepBelow))
+  }
+
+  /** Seeded random 80/20 row split (reference `train_test_split(..., 42)`). */
+  def randomSplit(df: DataFrame, trainFrac: Double, seed: Long): (DataFrame, DataFrame) = {
+    val Array(a, b) = df.randomSplit(Array(trainFrac, 1 - trainFrac), seed)
+    (a, b)
+  }
+
+  /** Activity-stratified sampling (reference keeps a user w.p. 0.5 if ≥10
+    * interactions else 0.1, `generate_training_data.py:119-147`).
+    * Deterministic-hash form: hash(user) mod 100 < rate*100 per stratum.
+    */
+  def stratifiedByActivity(
+      perKeyCounts: DataFrame, // (key, cnt)
+      key: String,
+      cnt: String,
+      hiThreshold: Long,
+      hiRate: Double,
+      loRate: Double,
+      seed: Long = 42L): DataFrame = {
+    val h = pmod(xxhash64(col(key), lit(seed)), lit(100L))
+    perKeyCounts.where(
+      when(col(cnt) >= hiThreshold, h < (hiRate * 100).toLong)
+        .otherwise(h < (loRate * 100).toLong))
+  }
+
+  /** Deterministic negative sampling: for each positive (user, item), emit
+    * up to `k` candidate negatives drawn pseudo-randomly from the id space
+    * [minId, maxId], then drop candidates that collide with the user's own
+    * positives (collision-skip, the scalable rewrite of the reference's
+    * rejection loop `ranknet/utils.py:135-149`).
+    *
+    * `mix` is a deterministic mixing function of (user, positive item,
+    * attempt#) — defaults to a Knuth multiplicative mix so the DuckDB oracle
+    * can reproduce it with plain arithmetic; pass
+    * `(u,i,n) => xxhash64(u,i,n)` for production-strength mixing.
+    *
+    * No per-user pool materialization (the reference builds
+    * `all_items − user_items` per user = O(U×I)); this is O(positives × k)
+    * with one broadcast-able anti-join.
+    */
+  def negatives(
+      positives: DataFrame, // (user, item) + anything else
+      user: String,
+      item: String,
+      k: Int,
+      minId: Long,
+      maxId: Long,
+      mix: (Column, Column, Column) => Column = defaultMix): DataFrame = {
+    val span = maxId - minId + 1
+    val cands = positives
+      .withColumn("__n", explode(array((1 to k).map(lit): _*)))
+      .withColumn("neg_item",
+        pmod(mix(col(user), col(item), col("__n")), lit(span)) + minId)
+      .drop("__n")
+    cands.join(
+      positives.select(col(user), col(item).as("neg_item")).distinct(),
+      Seq(user, "neg_item"), "left_anti")
+  }
+
+  /** Oracle-friendly mixing: (u*2654435761 + i*40503 + n*69069) mod span —
+    * fixed-point arithmetic identical in Spark and ANSI SQL. */
+  def defaultMix(u: Column, i: Column, n: Column): Column =
+    u.cast("long") * 2654435761L + i.cast("long") * 40503L + n.cast("long") * 69069L
+}

