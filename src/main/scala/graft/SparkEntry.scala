@@ -154,6 +154,126 @@ object SparkEntry {
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** P4: semi join — customers with ≥1 finished order. */
+  private val p4SemiJoin: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  /** P7: dirty-price cleanse + cast with skip-on-unparseable semantics
+    * (dirt is synthesized deterministically from part since the fixtures
+    * are clean). */
+  private val p7PriceCleanse: Q = (s, dir) =>
+    Tables.part(s, dir)
+      .withColumn("dirty",
+        when(col("p_partkey") % 10 === 0, lit("N/A"))
+          .when(col("p_partkey") % 7 === 0,
+            concat(lit("$1,"), format_string("%.2f", col("p_retailprice"))))
+          .otherwise(concat(lit("$"), format_string("%.2f", col("p_retailprice")))))
+      .select(col("p_partkey"),
+        round(Features.cleansePrice(col("dirty")), 2).as("price_clean"))
+
+  /** P8: threshold predicate → conditional count (no sum-of-int to keep
+    * DuckDB's HUGEINT out of the schema). */
+  private val p8Threshold: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(when(col("value") >= 250.0, 1)).as("n_hi"),
+        count(lit(1)).as("n"))
+
+  /** J2: id → dense index dictionary (deterministic StringIndexer). */
+  private val j2DictIndex: Q = (s, dir) =>
+    Tables.events(s, dir).select(col("user_id")).distinct()
+      .withColumn("user_idx",
+        (row_number().over(Window.orderBy(col("user_id"))) - 1).cast("long"))
+
+  /** J4: range join — events of the same user within ±1 h of each purchase
+    * (bucketized-equi lowering, SURVEY §2.3 J4). */
+  private val j4RangeJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val oneHourNs = 3600L * 1000 * 1000 * 1000
+    val queries = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("query_id"), col("ts"))
+    val others = ev.select(col("user_id"), col("event_id").as("beh_id"),
+      col("ts").as("bts"))
+    AsOf.rangeJoin(queries, others, "user_id", "ts", "bts", oneHourNs, "left")
+      .where(col("beh_id").isNull || col("beh_id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(count(col("beh_id")).as("n_nearby"))
+  }
+
+  /** A1: distinct keys. */
+  private val a1Distinct: Q = (s, dir) =>
+    Tables.events(s, dir).select(col("user_id")).distinct()
+
+  /** A2: distinct pairs (interaction dedup). */
+  private val a2DistinctPairs: Q = (s, dir) =>
+    Tables.events(s, dir).dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
+  /** A5: top-N most-active keys (global top-k = TakeOrderedAndProject). */
+  private val a5TopUsers: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(10)
+
+  /** A7: group-wise mean-pool of embedding vectors (scalar-shuffle form). */
+  private val a7MeanPool: Q = (s, dir) =>
+    VectorOps.meanPool(Tables.embeddings(s, dir), Seq("label"),
+        col("embedding"), "mean_emb")
+      .select(col("label"), posexplode(col("mean_emb")).as(Seq("pos", "v")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+        round(col("v"), 9).as("mean_v"))
+
+  /** A9: exact interpolated percentiles per group. */
+  private val a9Percentiles: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.75)), 6).as("p75"))
+
+  /** SO1: union + distinct. */
+  private val so1Union: Q = (s, dir) =>
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(s, dir).select(col("s_nationkey")))
+      .distinct()
+
+  /** SO3: intersection. */
+  private val so3Intersect: Q = (s, dir) =>
+    Tables.customer(s, dir).where(col("c_acctbal") > 9000)
+      .select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, dir).where(col("s_acctbal") > 5000)
+        .select(col("s_nationkey")))
+
+  /** X1: deterministic engine-portable 75/25 split (md5 bucket). */
+  private val x1HashSplit: Q = (s, dir) =>
+    Tables.events(s, dir).select(col("user_id")).distinct()
+      .withColumn("split",
+        when(Sampling.md5Keep(col("user_id"), 12), "train").otherwise("holdout"))
+
+  /** X2: deterministic negative sampling with collision-skip (scalable
+    * rewrite of the reference's per-user rejection loop). */
+  private val x2Negatives: Q = (s, dir) => {
+    val pos = Tables.events(s, dir)
+      .select(col("user_id"), (col("event_id") % 100).as("item")).distinct()
+    Sampling.negatives(pos, "user_id", "item", k = 2, minId = 0, maxId = 99)
+      .select(col("user_id"), col("item"), col("attempt"), col("neg_item"))
+  }
+
+  /** X3: activity-stratified deterministic sampling (hi ≥ 70 events kept
+    * at 8/16, lo at 1/16). */
+  private val x3Stratified: Q = (s, dir) => {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    Sampling.stratifiedPortable(counts, "user_id", "n_events",
+      hiThreshold = 70, hiSixteenths = 8, loSixteenths = 1)
+  }
+
   def queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "p1_project_filter" -> p1ProjectFilter,
@@ -167,6 +287,21 @@ object SparkEntry {
     "d1_exact_dedup" -> d1ExactDedup,
     "t3_token_stats" -> t3TokenStats,
     "m1_cosine_topk" -> m1CosineTopk,
+    "p4_semi_join" -> p4SemiJoin,
+    "p7_price_cleanse" -> p7PriceCleanse,
+    "p8_threshold" -> p8Threshold,
+    "j2_dict_index" -> j2DictIndex,
+    "j4_range_join" -> j4RangeJoin,
+    "a1_distinct" -> a1Distinct,
+    "a2_distinct_pairs" -> a2DistinctPairs,
+    "a5_top_users" -> a5TopUsers,
+    "a7_mean_pool" -> a7MeanPool,
+    "a9_percentiles" -> a9Percentiles,
+    "so1_union" -> so1Union,
+    "so3_intersect" -> so3Intersect,
+    "x1_hash_split" -> x1HashSplit,
+    "x2_negatives" -> x2Negatives,
+    "x3_stratified" -> x3Stratified,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -254,5 +389,88 @@ object SparkEntry {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
         |WHERE rank <= 5""".stripMargin,
+    "p4_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "p7_price_cleanse" ->
+      """SELECT p_partkey,
+        |  round(CASE WHEN dirty IS NULL THEN NULL
+        |    WHEN regexp_matches(trim(regexp_replace(dirty, '[$,]', '', 'g')),
+        |      '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)$')
+        |    THEN CAST(trim(regexp_replace(dirty, '[$,]', '', 'g')) AS DOUBLE)
+        |    ELSE NULL END, 2) AS price_clean
+        |FROM (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 10 = 0 THEN 'N/A'
+        |      WHEN p_partkey % 7 = 0 THEN '$1,' || printf('%.2f', p_retailprice)
+        |      ELSE '$' || printf('%.2f', p_retailprice) END AS dirty
+        |  FROM part)""".stripMargin,
+    "p8_threshold" ->
+      """SELECT event_type,
+        |  count(*) FILTER (WHERE value >= 250.0) AS n_hi,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "j2_dict_index" ->
+      """SELECT user_id,
+        |  row_number() OVER (ORDER BY user_id) - 1 AS user_idx
+        |FROM (SELECT DISTINCT user_id FROM events)""".stripMargin,
+    "j4_range_join" ->
+      """SELECT q.event_id AS query_id, count(b.event_id) AS n_nearby
+        |FROM events q LEFT JOIN events b
+        |  ON b.user_id = q.user_id AND b.event_id <> q.event_id
+        |  AND epoch_ns(b.ts) BETWEEN epoch_ns(q.ts) - 3600000000000
+        |                         AND epoch_ns(q.ts) + 3600000000000
+        |WHERE q.event_type = 'purchase'
+        |GROUP BY q.event_id""".stripMargin,
+    "a1_distinct" ->
+      "SELECT DISTINCT user_id FROM events",
+    "a2_distinct_pairs" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "a5_top_users" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
+    "a7_mean_pool" ->
+      """SELECT label, pos, round(avg(v), 9) AS mean_v FROM (
+        |  SELECT label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    unnest(generate_series(1, len(embedding))) AS pos
+        |  FROM embeddings)
+        |GROUP BY label, pos""".stripMargin,
+    "a9_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 6) AS p75
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "so1_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier""".stripMargin,
+    "so3_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000""".stripMargin,
+    "x1_hash_split" ->
+      """SELECT user_id,
+        |  CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < 'c'
+        |    THEN 'train' ELSE 'holdout' END AS split
+        |FROM (SELECT DISTINCT user_id FROM events)""".stripMargin,
+    "x2_negatives" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT user_id, event_id % 100 AS item FROM events)
+        |SELECT user_id, item, attempt,
+        |  (user_id * 2654435761 + item * 40503 + attempt * 69069) % 100 AS neg_item
+        |FROM pos CROSS JOIN (SELECT unnest(CAST([1, 2] AS BIGINT[])) AS attempt) t
+        |WHERE NOT EXISTS (SELECT 1 FROM pos p2
+        |  WHERE p2.user_id = pos.user_id
+        |    AND p2.item = (pos.user_id * 2654435761 + pos.item * 40503
+        |      + attempt * 69069) % 100)""".stripMargin,
+    "x3_stratified" ->
+      """SELECT user_id, n_events FROM (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+        |WHERE CASE WHEN n_events >= 70
+        |  THEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |  ELSE substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '1' END""".stripMargin,
   )
 }

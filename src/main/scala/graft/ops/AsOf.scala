@@ -120,19 +120,27 @@ object AsOf {
       key: String,
       lTs: String,
       rTs: String,
-      radiusMicros: Long,
+      radius: Long,
       joinType: String = "inner"): DataFrame = {
-    val l = left.withColumn("__lus", unix_micros(col(lTs)))
+    val l = left.withColumn("__lts", numericTs(left, lTs))
       .withColumn("__bucket",
         explode(array((-1L to 1L).map(d =>
-          floor(col("__lus") / radiusMicros) + lit(d)): _*)))
-    val r = right.withColumn("__rus", unix_micros(col(rTs)))
-      .withColumn("__bucket", floor(col("__rus") / radiusMicros))
+          floor(col("__lts") / radius).cast("long") + lit(d)): _*)))
+    val r = right.withColumn("__rts", numericTs(right, rTs))
+      .withColumn("__bucket", floor(col("__rts") / radius).cast("long"))
     val joined = l.join(r,
       l(key) === r(key) && l("__bucket") === r("__bucket") &&
-        r("__rus") >= l("__lus") - radiusMicros &&
-        r("__rus") <= l("__lus") + radiusMicros,
+        r("__rts") >= l("__lts") - radius &&
+        r("__rts") <= l("__lts") + radius,
       joinType)
-    joined.drop("__bucket", "__lus", "__rus")
+    joined.drop("__bucket", "__lts", "__rts")
   }
+
+  /** Timestamp columns → epoch micros; numeric columns pass through (the
+    * events fixture carries epoch-nanos longs). */
+  private def numericTs(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
 }

@@ -78,10 +78,9 @@ object Sampling {
       mix: (Column, Column, Column) => Column = defaultMix): DataFrame = {
     val span = maxId - minId + 1
     val cands = positives
-      .withColumn("__n", explode(array((1 to k).map(lit): _*)))
+      .withColumn("attempt", explode(array((1 to k).map(i => lit(i.toLong)): _*)))
       .withColumn("neg_item",
-        pmod(mix(col(user), col(item), col("__n")), lit(span)) + minId)
-      .drop("__n")
+        pmod(mix(col(user), col(item), col("attempt")), lit(span)) + minId)
     cands.join(
       positives.select(col(user), col(item).as("neg_item")).distinct(),
       Seq(user, "neg_item"), "left_anti")
@@ -91,4 +90,18 @@ object Sampling {
     * fixed-point arithmetic identical in Spark and ANSI SQL. */
   def defaultMix(u: Column, i: Column, n: Column): Column =
     u.cast("long") * 2654435761L + i.cast("long") * 40503L + n.cast("long") * 69069L
+
+  /** Engine-portable deterministic sampling predicate: keep a key iff the
+    * first hex digit of md5(key) is below `sixteenths` (rate granularity
+    * 1/16). Any engine with md5 reproduces it exactly. */
+  def md5Keep(key: Column, sixteenths: Int): Column =
+    substring(md5(key.cast("string")), 1, 1) < lit("0123456789abcdef".charAt(sixteenths).toString)
+
+  /** Portable form of [[stratifiedByActivity]] built on [[md5Keep]]:
+    * hi-activity keys kept at hiSixteenths/16, others at loSixteenths/16. */
+  def stratifiedPortable(perKeyCounts: DataFrame, key: String, cnt: String,
+      hiThreshold: Long, hiSixteenths: Int, loSixteenths: Int): DataFrame =
+    perKeyCounts.where(
+      when(col(cnt) >= hiThreshold, md5Keep(col(key), hiSixteenths))
+        .otherwise(md5Keep(col(key), loSixteenths)))
 }
