@@ -1,8 +1,9 @@
 package graft
 
+import graft.evalx.Metrics
 import graft.functions.{Features, TextFunctions, VectorOps}
 import graft.llmops.{Dedup, SimSearch, TextAnalysis}
-import graft.ops.{AsOf, PrefixWindow, Sampling, TopK}
+import graft.ops.{AsOf, Graph, PrefixWindow, Sampling, TopK}
 import graft.recall.Cascade
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -274,6 +275,161 @@ object SparkEntry {
       hiThreshold = 70, hiSixteenths = 8, loSixteenths = 1)
   }
 
+  /** A10: classification metrics (log-loss, accuracy, rank-sum AUC) over a
+    * deterministic synthetic scoring of events. */
+  private val a10Classification: Q = (s, dir) => {
+    val scored = Tables.events(s, dir).select(
+      (col("value") / 500.0).as("score"),
+      when(col("event_type") === "purchase", 1.0).otherwise(0.0).as("y"))
+    Metrics.classification(scored, "score", "y")
+      .crossJoin(Metrics.auc(scored, "score", "y"))
+      .select(round(col("logloss"), 6).as("logloss"),
+        round(col("accuracy"), 6).as("accuracy"),
+        round(col("auc"), 6).as("auc"))
+  }
+
+  /** A11: per-user Precision/Recall/NDCG@5 (reference arithmetic,
+    * `lightgcn/utils.py:205-222`). */
+  private val a11RankingMetrics: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val ranked = TopK.perGroup(o, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 5)
+      .select(col("o_custkey"), col("o_orderkey"), col("rank"))
+    val relevant = o.where(col("o_orderstatus") === "F")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Metrics.rankingAtK(ranked, relevant, "o_custkey", "o_orderkey", "rank", 5)
+      .select(col("o_custkey"),
+        round(col("precision"), 6).as("prec_k"),
+        round(col("recall"), 6).as("recall_k"),
+        round(col("ndcg"), 6).as("ndcg_k"))
+  }
+
+  /** A12: pairwise ranking accuracy (pos beats neg). */
+  private val a12Pairwise: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val pos = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("value").as("pos_score"))
+    val neg = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("value").as("neg_score"))
+    Metrics.pairwiseAccuracy(pos.join(neg, "user_id"), "pos_score", "neg_score")
+      .select(round(col("pairwise_accuracy"), 6).as("pairwise_accuracy"))
+  }
+
+  /** G2: bipartite degree normalization (supplier—part edges). */
+  private val g2DegreeNorm: Q = (s, dir) => {
+    val edges = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")).distinct()
+    Graph.normalizeEdges(edges, "src", "dst")
+      .select(col("src"), col("dst"), round(col("w"), 9).as("w"))
+  }
+
+  /** G3: one LightGCN propagation round (SpMM as join + groupBy-sum) with
+    * supplier account balance as a 1-dim node feature. */
+  private val g3Propagate: Q = (s, dir) => {
+    val edges = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")).distinct()
+    val nodes = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("id"), array(col("s_acctbal")).as("emb"))
+    Graph.propagate(Graph.normalizeEdges(edges, "src", "dst"), nodes,
+        "src", "dst", "id", "emb")
+      .select(col("id").as("p_partkey"),
+        round(element_at(col("emb"), 1), 6).as("score"))
+  }
+
+  /** §2.12: event-time tumbling-window activity aggregation (same plan
+    * batch/stream; the design-doc operator the reference never built). */
+  private val streamWindowCounts: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    streaming.BehaviorIngest.windowedActivity(ev, "ts_t", "1 hour", "1 hour")
+      .select(unix_timestamp(col("w_start")).as("w_start"),
+        col("user_id"), col("n_events"))
+  }
+
+  /** S2: JSON value parse (the Kafka-payload contract, batch form). */
+  private val s2JsonParse: Q = (s, dir) =>
+    Tables.events(s, dir).select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** LLM-D4: exact n-gram Jaccard near-dup pairs via inverted shingle
+    * index (skew-capped hot shingles). */
+  private val d4NgramJaccard: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, minJaccard = 0.15, maxBucket = 10000)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** LLM-T1: language-ID heuristic + quality + stopword ratio. */
+  private val t1TextAnalysis: Q = (s, dir) =>
+    TextAnalysis.analyze(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("lang_guess"), col("quality"),
+        col("stopword_ratio"))
+
+  // ---- rows-only checks (no ANSI-SQL-expressible oracle: xxhash64/LSH/
+  // ---- binary-codec internals); correctness pinned by ScalaTest instead.
+
+  /** LLM-D3: 64-bit SimHash signatures (pure expression tree). */
+  private val d3SimHash: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.simHash64(col("text")).as("simhash"))
+
+  /** LLM-D2: MinHash-LSH near-dup candidate pairs. */
+  private val d2MinHashPairs: Q = (s, dir) =>
+    Dedup.minHashPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.3)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+
+  /** LLM-S2: LSH-bucketed ANN top-k (scale path of m1_cosine_topk). */
+  private val sim2LshTopk: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.lshTopK(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, dim = 64, nBits = 8)
+      .select(col("query_id"), col("item_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** MM1: multimodal binary-column pipeline (stub codec, real plumbing). */
+  private val mm1MediaFeatures: Q = (s, dir) => {
+    val assets = multimodal.Multimodal.assetsFromText(
+      Tables.documents(s, dir), "doc_id", "text")
+    multimodal.Multimodal.extractFeatures(assets)
+  }
+
+  /** G4: full LightGCN forward (2 layers + skip-connection average) on the
+    * bidirectional supplier↔part graph. */
+  private val g4LightGcn: Q = (s, dir) => {
+    val e = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+    // bipartite: offset part ids, add reverse edges (reference
+    // `lightgcn/utils.py:86-100`)
+    val edges = e.select(col("s").as("src"), (col("p") + 1000000L).as("dst"))
+      .union(e.select((col("p") + 1000000L).as("src"), col("s").as("dst")))
+    val nodes = Tables.supplier(s, dir)
+      .select(col("s_suppkey").cast("long").as("id"), array(col("s_acctbal")).as("emb"))
+      .union(Tables.part(s, dir)
+        .select((col("p_partkey") + 1000000L).as("id"), array(col("p_retailprice")).as("emb")))
+    Graph.lightGcn(Graph.normalizeEdges(edges, "src", "dst"), nodes,
+        layers = 2, "src", "dst", "id", "emb")
+      .select(col("id"), round(element_at(col("emb"), 1), 6).as("score"))
+  }
+
+  /** M4: the full cascade as a dir-parameterized query (bench surface for
+    * the flagship). */
+  private val m4Cascade: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val users = emb.where(col("vec_id") < 50)
+      .select(col("vec_id").as("user_id"), col("embedding").as("user_emb"),
+        array(lit(100L), lit(101L)).as("history"))
+    val items = emb.where(col("vec_id") >= 50)
+      .select(col("vec_id").as("item_id"), col("embedding").as("item_emb"))
+    Cascade.recommend(users, items,
+      Cascade.stubScorer("user_id", "item_id"),
+      Cascade.stubScorer("item_id", "user_id"),
+      n1 = 100, n2 = 50, n3 = 10)
+  }
+
   def queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "p1_project_filter" -> p1ProjectFilter,
@@ -302,6 +458,21 @@ object SparkEntry {
     "x1_hash_split" -> x1HashSplit,
     "x2_negatives" -> x2Negatives,
     "x3_stratified" -> x3Stratified,
+    "a10_classification" -> a10Classification,
+    "a11_ranking_metrics" -> a11RankingMetrics,
+    "a12_pairwise" -> a12Pairwise,
+    "g2_degree_norm" -> g2DegreeNorm,
+    "g3_propagate" -> g3Propagate,
+    "stream_window_counts" -> streamWindowCounts,
+    "s2_json_parse" -> s2JsonParse,
+    "d4_ngram_jaccard" -> d4NgramJaccard,
+    "t1_text_analysis" -> t1TextAnalysis,
+    "d3_simhash" -> d3SimHash,
+    "d2_minhash_pairs" -> d2MinHashPairs,
+    "sim2_lsh_topk" -> sim2LshTopk,
+    "mm1_media_features" -> mm1MediaFeatures,
+    "g4_lightgcn" -> g4LightGcn,
+    "m4_cascade" -> m4Cascade,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -472,5 +643,130 @@ object SparkEntry {
         |WHERE CASE WHEN n_events >= 70
         |  THEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
         |  ELSE substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '1' END""".stripMargin,
+    "a10_classification" ->
+      """WITH s AS (SELECT value / 500.0 AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events),
+        |r AS (SELECT score, y,
+        |    CAST(row_number() OVER (ORDER BY score) AS DOUBLE) AS rn FROM s),
+        |r2 AS (SELECT score, y, avg(rn) OVER (PARTITION BY score) AS rr FROM r),
+        |ag AS (SELECT sum(CASE WHEN y = 1.0 THEN rr END) AS sp,
+        |    sum(y) AS np, sum(1.0 - y) AS nn FROM r2),
+        |cls AS (SELECT
+        |    avg(-(y * ln(least(greatest(score, 1e-15), 1 - 1e-15))
+        |      + (1.0 - y) * ln(1.0 - least(greatest(score, 1e-15), 1 - 1e-15)))) AS logloss,
+        |    avg(CASE WHEN (score >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END) AS acc
+        |  FROM s)
+        |SELECT round(logloss, 6) AS logloss, round(acc, 6) AS accuracy,
+        |  round((sp - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
+        |FROM cls, ag""".stripMargin,
+    "a11_ranking_metrics" ->
+      """WITH ranked AS (SELECT o_custkey AS u, o_orderkey AS item,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders),
+        |rel AS (SELECT o_custkey AS u, o_orderkey AS item FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |hits AS (SELECT r.u, count(*) AS n_hits,
+        |    sum(1.0 / log2(r.rank + 1)) AS dcg
+        |  FROM ranked r JOIN rel ON r.u = rel.u AND r.item = rel.item
+        |  WHERE r.rank <= 5 GROUP BY r.u),
+        |nrel AS (SELECT u, count(*) AS n_rel FROM rel GROUP BY u)
+        |SELECT nrel.u AS o_custkey,
+        |  round(coalesce(n_hits, 0) / 5.0, 6) AS prec_k,
+        |  round(coalesce(n_hits, 0) * 1.0 / n_rel, 6) AS recall_k,
+        |  round(coalesce(dcg, 0) / list_sum(list_transform(
+        |    generate_series(1, least(n_rel, 5)), i -> 1.0 / log2(i + 1))), 6) AS ndcg_k
+        |FROM nrel LEFT JOIN hits ON nrel.u = hits.u""".stripMargin,
+    "a12_pairwise" ->
+      """SELECT round(avg(CASE WHEN p.value > n.value THEN 1.0 ELSE 0.0 END), 6)
+        |    AS pairwise_accuracy
+        |FROM (SELECT user_id, value FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, value FROM events WHERE event_type = 'click') n
+        |  USING (user_id)""".stripMargin,
+    "g2_degree_norm" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |ds AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |dd AS (SELECT dst, count(*) AS d FROM e GROUP BY dst)
+        |SELECT e.src, e.dst, round(pow(ds.d, -0.5) * pow(dd.d, -0.5), 9) AS w
+        |FROM e JOIN ds USING (src) JOIN dd USING (dst)""".stripMargin,
+    "g3_propagate" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |ds AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |dd AS (SELECT dst, count(*) AS d FROM e GROUP BY dst)
+        |SELECT e.dst AS p_partkey,
+        |  round(sum(pow(ds.d, -0.5) * pow(dd.d, -0.5) * s.s_acctbal), 6) AS score
+        |FROM e JOIN ds USING (src) JOIN dd USING (dst)
+        |JOIN supplier s ON s.s_suppkey = e.src
+        |GROUP BY e.dst""".stripMargin,
+    "stream_window_counts" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS w_start,
+        |  user_id, count(*) AS n_events
+        |FROM events GROUP BY 1, user_id""".stripMargin,
+    "s2_json_parse" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "d4_ngram_jaccard" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS shingles FROM tk),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |capped AS (SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS c
+        |    FROM inv) WHERE c <= 10000),
+        |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS i
+        |  FROM capped l JOIN capped r
+        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(i * 1.0 / (na.n + nb.n - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes na ON na.doc_id = doc_a
+        |JOIN sizes nb ON nb.doc_id = doc_b
+        |WHERE i * 1.0 / (na.n + nb.n - i) >= 0.15""".stripMargin,
+    "t1_text_analysis" ->
+      """WITH tk AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |h AS (SELECT doc_id, text, toks,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['the','a','of','and','to','in','is','it'], t))) AS h_en,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['el','la','de','que','y','en','un','es'], t))) AS h_es,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['der','die','das','und','ist','von','ein','zu'], t))) AS h_de,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['le','la','de','et','un','est','que','en'], t))) AS h_fr,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['的','了','是','我','不','在','有','人'], t))) AS h_zh
+        |  FROM tk),
+        |m AS (SELECT doc_id, text, toks,
+        |    greatest(h_en, h_es, h_de, h_fr, h_zh) AS best,
+        |    h_en, h_es, h_de, h_fr, h_zh FROM h)
+        |SELECT doc_id,
+        |  CASE WHEN best = 0 THEN 'und'
+        |    WHEN h_zh = best THEN 'zh' WHEN h_fr = best THEN 'fr'
+        |    WHEN h_es = best THEN 'es' WHEN h_en = best THEN 'en'
+        |    ELSE 'de' END AS lang_guess,
+        |  round(
+        |    least(len(toks) / 50.0, 1.0) * 0.4
+        |    + (CASE WHEN len(toks) > 0
+        |        AND len(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(toks)
+        |          BETWEEN 3.0 AND 10.0
+        |        THEN 1.0 ELSE 0.5 END) * 0.3
+        |    + (1.0 - least(
+        |        (CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+        |           / length(text) END) * 5.0, 1.0)) * 0.3, 6) AS quality,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE len(list_filter(toks, t -> list_contains(
+        |      ['the','a','of','and','to','in','is','it'], t))) * 1.0 / len(toks)
+        |    END, 6) AS stopword_ratio
+        |FROM m""".stripMargin,
   )
 }

@@ -1,0 +1,79 @@
+package graft
+
+import graft.llmops.{Dedup, SimSearch}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("simhash: identical text → identical signature; perturbation → small hamming") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox leaps over the lazy dog again and again today"),
+      (4L, "completely different content about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val sig = docs.select($"doc_id", Dedup.simHash64($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
+  }
+
+  test("exact dedup keeps lowest id and counts copies") {
+    val docs = Seq((5L, "aaa"), (3L, "aaa"), (9L, "bbb")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 2L), (9L, 1L)))
+    assert(Dedup.exactRows(docs, "doc_id", "text").count() == 2)
+  }
+
+  test("minhash estimated jaccard correlates with exact jaccard") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val est = Dedup.minHashPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.0)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.0)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    val common = est.keySet.intersect(exact.keySet)
+    assert(common.nonEmpty)
+    val mae = common.toSeq.map(k => math.abs(est(k) - exact(k))).sum / common.size
+    assert(mae < 0.3, s"minhash MAE $mae")
+  }
+
+  test("LSH top-k finds most of brute-force top-1") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.where($"vec_id" < 20)
+    val c = emb.where($"vec_id" >= 20)
+    val brute = SimSearch.bruteForceTopK(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", 1)
+      .select($"query_id", $"item_id").as[(Long, Long)].collect().toMap
+    val lsh = SimSearch.lshTopK(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", 5, dim = 64, nBits = 4)
+      .select($"query_id", $"item_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the fixture embeddings are iid-random (no cluster structure), the
+    // worst case for LSH — a third of exact top-1 recalled while probing
+    // only ~5/16 of the corpus is the expected operating point here
+    val recalled = brute.count { case (qid, top1) =>
+      lsh.getOrElse(qid, Set.empty).contains(top1) }
+    assert(recalled >= brute.size / 3, s"top-1 recall $recalled/${brute.size}")
+  }
+
+  test("embedding cosine pairs are symmetric-free and above threshold") {
+    val emb = Tables.embeddings(spark, TestSpark.sf).limit(100)
+    val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding", -1.0)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, c) =>
+      assert(a < b); assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+}

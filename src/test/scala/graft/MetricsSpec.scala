@@ -1,0 +1,68 @@
+package graft
+
+import graft.evalx.Metrics
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MetricsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ranking@K matches hand-computed fixture incl. idcg edge cases") {
+    // user A: ranked (i1,i2,i3), relevant {i1,i3} →
+    //   P@3 = 2/3, R@3 = 1, dcg = 1/log2(2) + 1/log2(4) = 1.5,
+    //   idcg = 1/log2(2) + 1/log2(3) ≈ 1.6309, ndcg ≈ 0.9197
+    // user B: ranked (i1), relevant {i9} → all zeros
+    val ranked = Seq(("A", "i1", 1), ("A", "i2", 2), ("A", "i3", 3),
+      ("B", "i1", 1)).toDF("u", "i", "rank")
+    val rel = Seq(("A", "i1"), ("A", "i3"), ("B", "i9")).toDF("u", "i")
+    val got = Metrics.rankingAtK(ranked, rel, "u", "i", "rank", 3)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (pA, rA, nA) = got("A")
+    assert(math.abs(pA - 2.0 / 3) < 1e-9)
+    assert(math.abs(rA - 1.0) < 1e-9)
+    assert(math.abs(nA - 1.5 / (1.0 + 1.0 / (math.log(3) / math.log(2)))) < 1e-9)
+    assert(got("B") == ((0.0, 0.0, 0.0)))
+  }
+
+  test("AUC matches hand-computed rank-sum incl. ties") {
+    // scores: pos {0.9, 0.5}, neg {0.5, 0.1} → pairs: (0.9>0.5)=1, (0.9>0.1)=1,
+    // (0.5=0.5)=0.5, (0.5>0.1)=1 → AUC = 3.5/4 = 0.875
+    val df = Seq((0.9, 1), (0.5, 1), (0.5, 0), (0.1, 0)).toDF("score", "y")
+    val auc = Metrics.auc(df, "score", "y").as[Double].head()
+    assert(math.abs(auc - 0.875) < 1e-9)
+  }
+
+  test("log-loss and accuracy match hand computation") {
+    val df = Seq((0.9, 1), (0.2, 0)).toDF("score", "y")
+    val (ll, acc) = Metrics.classification(df, "score", "y")
+      .as[(Double, Double)].head()
+    val expect = -(math.log(0.9) + math.log(0.8)) / 2
+    assert(math.abs(ll - expect) < 1e-9)
+    assert(acc == 1.0)
+  }
+
+  test("pairwise accuracy") {
+    val df = Seq((2.0, 1.0), (1.0, 3.0), (5.0, 0.0)).toDF("p", "n")
+    assert(math.abs(Metrics.pairwiseAccuracy(df, "p", "n")
+      .as[Double].head() - 2.0 / 3) < 1e-9)
+  }
+
+  test("multimodal feature extraction is deterministic with fixed shape") {
+    val assets = Multimodal.assetsFromText(
+      Tables.documents(spark, TestSpark.sf), "doc_id", "text")
+    val f1 = Multimodal.extractFeatures(assets)
+      .as[(Long, String, Seq[Float])].collect().sortBy(_._1)
+    val f2 = Multimodal.extractFeatures(assets)
+      .as[(Long, String, Seq[Float])].collect().sortBy(_._1)
+    assert(f1.length == 500)
+    assert(f1.forall(_._3.length == 8))
+    assert(f1.toSeq == f2.toSeq)
+    // frame sampling plumbing
+    val vids = assets.withColumn("duration_ms", lit(2500L))
+    val frames = Multimodal.sampleFrames(vids, 1000L)
+    assert(frames.count() == 500 * 3) // 0,1000,2000
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.ops.{AsOf, PrefixWindow, Sampling, TopK}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("historyAsOf equals the naive filter+sort+lastN per query") {
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select($"user_id", $"event_id", $"ts")
+    val queries = ev.where($"event_id" % 7 === 0)
+      .select($"user_id", $"event_id".as("query_id"), $"ts")
+    val got = AsOf.historyAsOf(queries, ev.where($"event_id" % 7 =!= 0),
+        "user_id", "ts", "ts", $"event_id", "hist", n = 5,
+        tieBreak = $"event_id")
+      .select($"query_id", $"hist").as[(Long, Seq[Long])].collect().toMap
+
+    val behaviors = ev.where($"event_id" % 7 =!= 0)
+      .as[(Long, Long, Long)].collect()
+    val qs = queries.as[(Long, Long, Long)].collect()
+    qs.foreach { case (u, qid, qts) =>
+      val expect = behaviors.filter(b => b._1 == u && b._3 <= qts)
+        .sortBy(b => (b._3, b._2)).map(_._2).takeRight(5).toSeq
+      assert(got(qid) == expect, s"query $qid")
+    }
+  }
+
+  test("prefix-window histories are strict time-prefixes capped at maxHistory") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val out = PrefixWindow.samples(ev, "user_id", "ts", $"event_id",
+        minHistory = 3, stride = 2, maxHistory = 5, tieBreak = Seq($"event_id"))
+      .select($"user_id", $"idx", $"history")
+      .as[(Long, Int, Seq[Long])].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, idx, h) =>
+      assert(h.size == math.min(idx - 1, 5))
+      assert(idx > 3 && (idx - 4) % 2 == 0)
+    }
+  }
+
+  test("padded pads to fixed length and reports true length") {
+    val df = Seq(Seq("a", "b"), Seq("a", "b", "c", "d", "e", "f")).toDF("s")
+    val (p, n) = PrefixWindow.padded($"s", 4, lit("UNK"))
+    val rows = df.select(p.as("p"), n.as("n")).as[(Seq[String], Int)].collect()
+    assert(rows(0) == ((Seq("a", "b", "UNK", "UNK"), 2)))
+    assert(rows(1) == ((Seq("a", "b", "c", "d"), 4)))
+  }
+
+  test("hashSplit is disjoint, exhaustive and ~80/20") {
+    val users = Tables.events(spark, TestSpark.sf).select($"user_id").distinct()
+    val (tr, te) = Sampling.hashSplit(users, $"user_id", 10, 8)
+    val nTr = tr.count(); val nTe = te.count()
+    assert(nTr + nTe == users.count())
+    assert(tr.join(te, "user_id").count() == 0)
+    assert(nTr.toDouble / (nTr + nTe) > 0.6 && nTr.toDouble / (nTr + nTe) < 0.95)
+  }
+
+  test("negative samples never collide with positives") {
+    val pos = Tables.events(spark, TestSpark.sf)
+      .select($"user_id", ($"event_id" % 50).as("item")).distinct()
+    val negs = Sampling.negatives(pos, "user_id", "item", 3, 0, 49)
+    val bad = negs.join(
+      pos.select($"user_id", $"item".as("neg_item")),
+      Seq("user_id", "neg_item"), "left_semi")
+    assert(bad.count() == 0)
+    assert(negs.count() > 0)
+    // deterministic across runs
+    assert(Sampling.negatives(pos, "user_id", "item", 3, 0, 49).count() == negs.count())
+  }
+
+  test("global topK equals sort-limit") {
+    val o = Tables.orders(spark, TestSpark.sf)
+    val got = TopK.global(o, Seq($"o_totalprice".desc, $"o_orderkey"), 5)
+      .select($"o_orderkey").as[Long].collect().toSeq
+    val expect = o.orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(5).select($"o_orderkey").as[Long].collect().toSeq
+    assert(got == expect)
+  }
+
+  test("rangeJoin matches naive band predicate") {
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select($"user_id", $"event_id", $"ts")
+    val radius = 3600L * 1000 * 1000 * 1000
+    val q = ev.where($"event_id" % 11 === 0)
+      .select($"user_id", $"event_id".as("qid"), $"ts")
+    val b = ev.select($"user_id", $"event_id".as("bid"), $"ts".as("bts"))
+    val got = AsOf.rangeJoin(q, b, "user_id", "ts", "bts", radius)
+      .where($"qid" =!= $"bid")
+      .select($"qid", $"bid").as[(Long, Long)].collect().toSet
+    val naive = q.as("q").join(b.as("b"),
+        $"q.user_id" === $"b.user_id" && $"qid" =!= $"bid" &&
+          $"bts" >= $"q.ts" - radius && $"bts" <= $"q.ts" + radius)
+      .select($"qid", $"bid").as[(Long, Long)].collect().toSet
+    assert(got == naive && got.nonEmpty)
+  }
+}

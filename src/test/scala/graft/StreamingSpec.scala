@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming.BehaviorIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val msgs = Seq(
+    """{"user_id":"u1","history_items":["i1","i2"],"timestamp":100}""",
+    """{"user_id":"u2","history_items":["i3"],"timestamp":200}""",
+    """{"user_id":"u1","history_items":["i1","i2","i4"],"timestamp":300}""",
+    """not json at all""",
+    """{"user_id":null,"history_items":["x"],"timestamp":1}""")
+
+  test("parse applies the reference schema and null guards") {
+    val parsed = BehaviorIngest.parse(msgs.toDF("value"))
+    val rows = parsed.as[(String, Seq[String], Long)].collect().sortBy(_._3)
+    assert(rows.map(_._1).toSeq == Seq("u1", "u2", "u1"))
+    assert(rows.head._2 == Seq("i1", "i2"))
+  }
+
+  test("profileSink writes versioned user_profile keys executor-side") {
+    BehaviorIngest.InMemoryKV.clear()
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(msgs: _*)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val q = BehaviorIngest.profileSink(
+      BehaviorIngest.parse(mem.toDF()), BehaviorIngest.InMemoryKV, ckpt).start()
+    q.processAllAvailable(); q.stop()
+    val kv = BehaviorIngest.InMemoryKV.data
+    assert(kv.get("user_profile:u1:100") == """["i1","i2"]""")
+    assert(kv.get("user_profile:u1:300") == """["i1","i2","i4"]""")
+    assert(kv.get("user_profile:u2:200") == """["i3"]""")
+    assert(kv.size() == 3) // malformed + null rows dropped
+  }
+
+  test("latestProfiles keeps the max-timestamp profile per user across batches") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[String]
+    val profiles = BehaviorIngest.latestProfiles(
+      BehaviorIngest.parse(mem.toDF()))
+    val q = profiles.writeStream.outputMode("update")
+      .format("memory").queryName("latest_profiles").start()
+    mem.addData(msgs(0), msgs(1))
+    q.processAllAvailable()
+    mem.addData(msgs(2)) // newer u1
+    q.processAllAvailable()
+    val out = spark.table("latest_profiles")
+      .groupBy($"user_id").agg(max($"timestamp").as("ts"))
+      .as[(String, Long)].collect().toMap
+    q.stop()
+    assert(out("u1") == 300L && out("u2") == 200L)
+  }
+
+  test("windowedActivity on a stream equals the batch plan") {
+    implicit val sql = spark.sqlContext
+    val ev = Tables.events(spark, TestSpark.sf)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .select($"user_id", $"ts_t")
+    val batch = BehaviorIngest.windowedActivity(ev, "ts_t", "1 hour", "1 hour")
+      .select($"w_start", $"user_id", $"n_events")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    mem.addData(ev.as[(Long, java.sql.Timestamp)].collect().toSeq: _*)
+    val sdf = mem.toDF().toDF("user_id", "ts_t")
+    val q = BehaviorIngest.windowedActivity(sdf, "ts_t", "1 hour", "1 hour",
+        watermark = "0 seconds")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("win_counts").start()
+    q.processAllAvailable()
+    val streamed = spark.table("win_counts")
+      .select($"w_start", $"user_id", $"n_events")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+}
