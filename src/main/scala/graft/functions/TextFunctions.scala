@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Evaluate `value` exactly once per row and reference it as a lambda
+    * variable inside `f`. Without this, Catalyst re-inlines a subexpression
+    * into every use site — a tokenization referenced inside a per-element
+    * lambda would re-run for EVERY element (measured 25× slowdown on the
+    * shingle pipeline). */
+  def bind(value: Column)(f: Column => Column): Column =
+    element_at(transform(array(value), f), 1)
+
   /** Lowercased whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
@@ -29,9 +37,10 @@ object TextFunctions {
   /** Fraction of tokens that are in `stopwords` (duplicates counted). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val sw = array(stopwords.map(lit): _*)
-    val tk = tokens(text)
-    when(size(tk) === 0, lit(0.0))
-      .otherwise(size(filter(tk, t => array_contains(sw, t))).cast("double") / size(tk))
+    bind(tokens(text)) { tk =>
+      when(size(tk) === 0, lit(0.0))
+        .otherwise(size(filter(tk, t => array_contains(sw, t))).cast("double") / size(tk))
+    }
   }
 
   /** Punctuation density per character. */
@@ -42,30 +51,30 @@ object TextFunctions {
   /** Heuristic quality score in [0,1]: rewards mid-length docs, penalizes
     * punctuation soup and ultra-short tokens — the standard cheap pre-filter
     * for LLM corpus cleaning (cf. C4/Gopher rules). */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text)
-    val meanTokLen = when(nTok === 0, lit(0.0))
-      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / nTok)
-    val lenScore = least(nTok.cast("double") / 50.0, lit(1.0))
-    val tokScore = when(meanTokLen >= 3.0 && meanTokLen <= 10.0, lit(1.0)).otherwise(lit(0.5))
-    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    round((lenScore * 0.4 + tokScore * 0.3 + punctScore * 0.3), 6)
-  }
+  def qualityScore(text: Column): Column =
+    bind(tokenCount(text)) { nTok =>
+      val meanTokLen = when(nTok === 0, lit(0.0))
+        .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / nTok)
+      val lenScore = least(nTok.cast("double") / 50.0, lit(1.0))
+      val tokScore = when(meanTokLen >= 3.0 && meanTokLen <= 10.0, lit(1.0)).otherwise(lit(0.5))
+      val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+      round((lenScore * 0.4 + tokScore * 0.3 + punctScore * 0.3), 6)
+    }
 
   /** Language-ID by stopword-hit voting: argmax over per-language stopword
     * hit counts; falls back to `fallback` when nothing matches. */
   def langIdHeuristic(text: Column,
       profiles: Map[String, Seq[String]],
-      fallback: String = "und"): Column = {
-    val tk = tokens(text)
-    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, sws) =>
-      val sw = array(sws.map(lit): _*)
-      struct(size(filter(tk, t => array_contains(sw, t))).as("hits"),
-        lit(lang).as("lang"))
+      fallback: String = "und"): Column =
+    bind(tokens(text)) { tk =>
+      val scored = profiles.toSeq.sortBy(_._1).map { case (lang, sws) =>
+        val sw = array(sws.map(lit): _*)
+        struct(size(filter(tk, t => array_contains(sw, t))).as("hits"),
+          lit(lang).as("lang"))
+      }
+      val best = array_max(array(scored: _*))
+      when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit(fallback))
     }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit(fallback))
-  }
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set — dedups re-ordered/duplicated boilerplate. */
@@ -74,11 +83,11 @@ object TextFunctions {
 
   /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]); empty when the
     * doc has fewer than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val tk = tokens(text)
-    when(size(tk) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(tk) - n),
-        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    bind(tokens(text)) { tk =>
+      when(size(tk) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(tk) - n),
+          i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+    }
 }

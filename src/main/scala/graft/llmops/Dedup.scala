@@ -82,19 +82,19 @@ object Dedup {
 
   /** MinHash signature: `numHashes` independent permutations via seeded
     * xxhash64 over the shingle set; pure expression tree. */
-  def minHashSig(text: Column, shingleN: Int, numHashes: Int): Column = {
-    val sh = array_distinct(TextFunctions.shingles(text, shingleN))
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => aggregate(sh, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(s, seed))))
-  }
+  def minHashSig(text: Column, shingleN: Int, numHashes: Int): Column =
+    TextFunctions.bind(array_distinct(TextFunctions.shingles(text, shingleN))) { sh =>
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        seed => aggregate(sh, lit(Long.MaxValue),
+          (acc, s) => least(acc, xxhash64(s, seed))))
+    }
 
   /** MinHash LSH near-dup pairs: signature → `bands` bands of
     * `numHashes/bands` rows → bucket join on (band, bandHash) → verify with
     * the signature-estimated Jaccard ≥ `minJaccard`. */
   def minHashPairs(docs: DataFrame, id: String, text: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, maxBucket: Int = 200): DataFrame = {
     val rows = numHashes / bands
     val sig = docs.select(col(id).as("doc"),
       minHashSig(col(text), shingleN, numHashes).as("sig"))
@@ -103,15 +103,22 @@ object Dedup {
         struct(lit(b).as("band"),
           xxhash64(concat_ws(",",
             transform(slice(col("sig"), b * rows + 1, rows), _.cast("string")))).as("key"))): _*)).as("bk"))
-    val l = banded.as("l"); val r = banded.as("r")
+    // Degenerate buckets (every member pairwise-joins every other) are
+    // boilerplate clusters; cap them to keep the candidate join linear in
+    // the bucket cap instead of quadratic in the hottest bucket — without
+    // the cap a single hot band key makes the whole job O(bucket²).
+    val capped = banded.withColumn("__c",
+        count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .where(col("__c") <= maxBucket).drop("__c")
+    val l = capped.as("l"); val r = capped.as("r")
     val estJaccard =
       size(filter(zip_with(col("l.sig"), col("r.sig"), (a, b) => a === b), x => x))
         .cast("double") / numHashes
     l.join(r, col("l.bk") === col("r.bk") && col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
         estJaccard.as("est_jaccard"))
-      .distinct()
       .where(col("est_jaccard") >= minJaccard)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs sharing ≥ 1
@@ -124,19 +131,19 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val sets = docs.select(col(id).as("doc"),
       array_distinct(TextFunctions.shingles(col(text), shingleN)).as("sh"))
-    val sizes = sets.select(col("doc"), size(col("sh")).as("n"))
-    val inv = sets.select(col("doc"), explode(col("sh")).as("shingle"))
+    // set size rides along each inverted-index row so the final jaccard
+    // needs no extra join back to a sizes table (each join-back would
+    // recompute the whole tokenize+shingle pipeline)
+    val inv = sets.select(col("doc"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
     val capped = inv.withColumn("__bucket",
         count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .where(col("__bucket") <= maxBucket).drop("__bucket")
-    val l = capped.as("l"); val r = capped.as("r")
-    val inter = l.join(r,
-        col("l.shingle") === col("r.shingle") && col("l.doc") < col("r.doc"))
-      .groupBy(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+    val l = capped.select(col("doc").as("doc_a"), col("n").as("na"), col("shingle"))
+    val r = capped.select(col("doc").as("doc_b"), col("n").as("nb"), col("shingle"))
+    l.join(r, Seq("shingle")).where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= minJaccard)
