@@ -91,6 +91,12 @@ object Sampling {
   def defaultMix(u: Column, i: Column, n: Column): Column =
     u.cast("long") * 2654435761L + i.cast("long") * 40503L + n.cast("long") * 69069L
 
+  /** X4: seeded random fan-out — pick `n` rows pseudo-randomly (reference
+    * `api_service/main.py:66-68` picks 30-60 random users per request).
+    * Deterministic for a fixed seed + partitioning. */
+  def randomFanout(df: DataFrame, n: Int, seed: Long): DataFrame =
+    df.orderBy(rand(seed)).limit(n)
+
   /** Engine-portable deterministic sampling predicate: keep a key iff the
     * first hex digit of md5(key) is below `sixteenths` (rate granularity
     * 1/16). Any engine with md5 reproduces it exactly. */

@@ -86,6 +86,16 @@ object BehaviorIngest {
         col("user_id"), col("n_events"))
   }
 
+  /** A8: pipeline counters (reference `data_pipeline/metrics.py` — events
+    * consumed, items written) as `observe` metrics: collected per
+    * micro-batch by the engine, surfaced through
+    * `StreamingQueryProgress.observedMetrics` — no second pass, no
+    * driver-side counting loop. */
+  def withCounters(parsed: DataFrame, name: String = "ingest"): DataFrame =
+    parsed.observe(name,
+      count(lit(1)).as("events_consumed"),
+      sum(size(col("history_items"))).as("items_seen"))
+
   case class Behavior(user_id: String, history_items: Seq[String], timestamp: Long)
   case class Profile(user_id: String, history_items: Seq[String], timestamp: Long)
 

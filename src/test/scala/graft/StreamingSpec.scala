@@ -5,6 +5,13 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Top-level object so executor-side deserialization resolves back to this
+  * JVM singleton (an inner object would be cloned and its writes lost). */
+object CountingKV extends BehaviorIngest.KVStore {
+  val puts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  override def put(k: String, v: String): Unit = puts.add(k)
+}
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -55,6 +62,56 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     q.stop()
     assert(out("u1") == 300L && out("u2") == 200L)
+  }
+
+  test("observe counters report per-batch ingest metrics (A8)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(msgs: _*)
+    val counted = BehaviorIngest.withCounters(
+      BehaviorIngest.parse(mem.toDF()))
+    val q = counted.writeStream.outputMode("append")
+      .format("memory").queryName("obs_out").start()
+    q.processAllAvailable()
+    val metrics = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("ingest"))).lastOption
+    q.stop()
+    assert(metrics.isDefined)
+    assert(metrics.get.getAs[Long]("events_consumed") == 3L)
+    assert(metrics.get.getAs[Long]("items_seen") == 6L)
+  }
+
+  test("checkpoint restart resumes offsets without reprocessing (S13)") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt2").toString
+    val puts = CountingKV.puts
+    puts.clear()
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        lines.mkString("\n").getBytes)
+    def run(): Unit = {
+      val src = spark.readStream.text(dir)
+      val q = BehaviorIngest.profileSink(
+        BehaviorIngest.parse(src, "value"), CountingKV, ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    writeFile("a.json", msgs.take(2))
+    run()
+    assert(puts.size() == 2)
+    writeFile("b.json", msgs.drop(2))
+    run() // restart from checkpoint: only the new file is processed
+    val all = puts.toArray.map(_.toString).toSeq
+    assert(all.size == 3, s"reprocessed or lost rows: $all")
+    assert(all.distinct.size == 3)
+  }
+
+  test("seeded random fan-out is deterministic (X4)") {
+    val users = Tables.events(spark, TestSpark.sf).select($"user_id").distinct()
+    val a = ops.Sampling.randomFanout(users, 10, 42L).as[Long].collect().toSet
+    val b = ops.Sampling.randomFanout(users, 10, 42L).as[Long].collect().toSet
+    assert(a == b && a.size == 10)
+    val c = ops.Sampling.randomFanout(users, 10, 7L).as[Long].collect().toSet
+    assert(a != c)
   }
 
   test("windowedActivity on a stream equals the batch plan") {
