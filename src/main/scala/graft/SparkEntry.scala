@@ -346,6 +346,17 @@ object SparkEntry {
         col("user_id"), col("n_events"))
   }
 
+  /** §2.12: sliding-window variant (1 h window, 30 min slide — every event
+    * lands in exactly 2 windows). */
+  private val streamSlidingWindow: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    ev.groupBy(window(col("ts_t"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("w_start"),
+        col("event_type"), col("n"))
+  }
+
   /** S2: JSON value parse (the Kafka-payload contract, batch form). */
   private val s2JsonParse: Q = (s, dir) =>
     Tables.events(s, dir).select(col("event_id"),
@@ -536,6 +547,7 @@ object SparkEntry {
     "g2_degree_norm" -> g2DegreeNorm,
     "g3_propagate" -> g3Propagate,
     "stream_window_counts" -> streamWindowCounts,
+    "stream_sliding_window" -> streamSlidingWindow,
     "s2_json_parse" -> s2JsonParse,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "t1_text_analysis" -> t1TextAnalysis,
@@ -778,6 +790,13 @@ object SparkEntry {
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS w_start,
         |  user_id, count(*) AS n_events
         |FROM events GROUP BY 1, user_id""".stripMargin,
+    "stream_sliding_window" ->
+      """SELECT s AS w_start, event_type, count(*) AS n FROM (
+        |  SELECT event_type, unnest([
+        |    (epoch_ns(ts) // 1800000000000) * 1800,
+        |    (epoch_ns(ts) // 1800000000000) * 1800 - 1800]) AS s
+        |  FROM events)
+        |GROUP BY s, event_type""".stripMargin,
     "s2_json_parse" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -1,0 +1,91 @@
+package graft
+
+import graft.recall.{AlsTrainer, Cascade, ExternalScorer}
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CascadeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def candidates = {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    emb.where($"vec_id" < 10).select($"vec_id".as("user_id"))
+      .crossJoin(emb.where($"vec_id" >= 10 && $"vec_id" < 60)
+        .select($"vec_id".as("item_id")))
+  }
+
+  test("batched external scorer: results independent of batch size, in order") {
+    val kernel = ExternalScorer.stubKernel(0, 1)
+    val s1 = ExternalScorer.batched(7)(kernel)(candidates)
+      .select($"user_id", $"item_id", $"score")
+      .as[(Long, Long, Double)].collect().toSet
+    val s2 = ExternalScorer.batched(1000)(kernel)(candidates)
+      .select($"user_id", $"item_id", $"score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(s1 == s2 && s1.size == 500)
+    // scores equal the row-wise kernel applied directly
+    val direct = candidates.collect().map { r =>
+      (r.getLong(0), r.getLong(1), kernel(Seq(r)).head) }.toSet
+    assert(s1 == direct)
+  }
+
+  test("cascade with batched external scorers keeps per-user top-k contract") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val users = emb.where($"vec_id" < 10)
+      .select($"vec_id".as("user_id"), $"embedding".as("user_emb"),
+        array().cast("array<bigint>").as("history"))
+    val items = emb.where($"vec_id" >= 10)
+      .select($"vec_id".as("item_id"), $"embedding".as("item_emb"))
+    val out = Cascade.recommend(users, items,
+      ExternalScorer.batched(16)(ExternalScorer.stubKernel(0, 1)),
+      ExternalScorer.batched(16)(ExternalScorer.stubKernel(0, 1)),
+      n1 = 50, n2 = 20, n3 = 10)
+    val perUser = out.groupBy($"user_id").agg(count(lit(1)).as("n"),
+      max($"final_rank").as("mx"))
+      .as[(Long, Long, Int)].collect()
+    assert(perUser.length == 10)
+    perUser.foreach { case (_, n, mx) => assert(n == 10 && mx == 10) }
+  }
+
+  test("ALS produces reference-shaped embedding tables consumable by recall") {
+    val inter = Tables.events(spark, TestSpark.sf)
+      .select($"user_id".cast("int").as("u"), ($"event_id" % 50).cast("int").as("i"),
+        $"value".cast("float").as("w"))
+    val (uEmb, iEmb) = AlsTrainer.train(inter, "u", "i", "w",
+      rank = 8, maxIter = 3, seed = 42L)
+    assert(uEmb.count() > 0 && iEmb.count() > 0)
+    val dim = uEmb.select(size($"emb")).as[Int].head()
+    assert(dim == 8)
+    // artifact shape plugs straight into the recall stage
+    val users = uEmb.select($"id".cast("long").as("user_id"), $"emb".as("user_emb"),
+      array().cast("array<bigint>").as("history"))
+    val items = iEmb.select($"id".cast("long").as("item_id"), $"emb".as("item_emb"))
+    val rec = Cascade.recall(users, items, 5)
+    val counts = rec.groupBy($"user_id").count().as[(Long, Long)].collect()
+    assert(counts.nonEmpty && counts.forall(_._2 == 5))
+  }
+
+  test("MLlib BucketedRandomProjectionLSH agrees with brute force on near neighbors") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select($"vec_id", array_to_vector($"embedding").as("v"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("v").setOutputCol("h")
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(emb)
+    val joined = model.approxSimilarityJoin(emb, emb, 8.0, "dist")
+      .select($"datasetA.vec_id".as("a"), $"datasetB.vec_id".as("b"), $"dist")
+      .where($"a" < $"b")
+      .as[(Long, Long, Double)].collect()
+    // every reported pair's distance is correct vs the raw vectors
+    val vecs = Tables.embeddings(spark, TestSpark.sf)
+      .as[(Long, Seq[Float], Int)].collect()
+      .map(r => r._1 -> r._2.map(_.toDouble)).toMap
+    joined.foreach { case (a, b, d) =>
+      val exact = math.sqrt(vecs(a).lazyZip(vecs(b)).map((x, y) => (x - y) * (x - y)).sum)
+      assert(math.abs(exact - d) < 1e-6)
+    }
+  }
+}

@@ -114,6 +114,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(a != c)
   }
 
+  test("session_window groups match manual gap-based sessionization") {
+    val gapNs = 3600L * 1000 * 1000 * 1000
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select($"user_id", $"ts")
+    val got = ev
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window($"ts_t", "1 hour"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"n").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val manual = ev.as[(Long, Long)].collect().groupBy(_._1).map { case (u, rows) =>
+      val ts = rows.map(_._2).sorted.toSeq
+      val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+      var cur = 1L
+      ts.zip(ts.drop(1)).foreach { case (a, b) =>
+        if (b - a >= gapNs) { sizes += cur; cur = 1 } else cur += 1
+      }
+      sizes += cur
+      u -> sizes.sorted.toSeq
+    }
+    assert(got == manual)
+  }
+
   test("windowedActivity on a stream equals the batch plan") {
     implicit val sql = spark.sqlContext
     val ev = Tables.events(spark, TestSpark.sf)
