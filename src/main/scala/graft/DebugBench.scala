@@ -39,6 +39,20 @@ object DebugBench {
     time("pair join+group")(inter.count())
     time("full d4")(SparkEntry.queries("d4_ngram_jaccard")(spark, dir).count())
     time("full d2")(SparkEntry.queries("d2_minhash_pairs")(spark, dir).count())
+
+    // native codegen'd dot product vs higher-order-function form
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("x"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("y")))
+    import graft.functions.{GraftFunctions, VectorOps}
+    time("dot HOF warm")(pairs.select(
+      sum(VectorOps.dot(col("x"), col("y")))).collect())
+    time("dot HOF")(pairs.select(
+      sum(VectorOps.dot(col("x"), col("y")))).collect())
+    time("dot native warm")(pairs.select(
+      sum(graft.functions.GraftFunctions.dot(col("x"), col("y")))).collect())
+    time("dot native")(pairs.select(
+      sum(GraftFunctions.dot(col("x"), col("y")))).collect())
     spark.stop()
   }
 }

@@ -44,6 +44,7 @@ object Features {
   }
 
   /** Last element of a category path (reference `path[-1]`,
-    * `generate_training_data.py:55`). */
-  def lastCategory(path: Column): Column = element_at(path, -1)
+    * `generate_training_data.py:55`); null on empty/missing paths (ANSI
+    * mode makes plain `element_at` error out instead). */
+  def lastCategory(path: Column): Column = try_element_at(path, lit(-1))
 }

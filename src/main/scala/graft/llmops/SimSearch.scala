@@ -27,7 +27,7 @@ object SimSearch {
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
     val c = corpus.select(col(cId).as("item_id"), col(cVec).as("__cv"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cosine", VectorOps.cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", graft.functions.GraftFunctions.cosine(col("__qv"), col("__cv")))
       .drop("__qv", "__cv")
     TopK.perGroup(scored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("item_id")), k)
@@ -41,7 +41,7 @@ object SimSearch {
     val l = embs.select(col(id).as("id_a"), col(vec).as("__va"))
     val r = embs.select(col(id).as("id_b"), col(vec).as("__vb"))
     l.join(broadcast(r), col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorOps.cosine(col("__va"), col("__vb")))
+      .withColumn("cosine", graft.functions.GraftFunctions.cosine(col("__va"), col("__vb")))
       .where(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -79,7 +79,7 @@ object SimSearch {
         col("__b0") +: (0 until nBits).map(b =>
           col("__b0").bitwiseXOR(shiftleft(lit(1L), b))): _*)))
     val scored = c.join(broadcast(q), Seq("__bucket"))
-      .withColumn("cosine", VectorOps.cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", graft.functions.GraftFunctions.cosine(col("__qv"), col("__cv")))
       .select(col("query_id"), col("item_id"), col("cosine"))
     TopK.perGroup(scored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("item_id")), k)

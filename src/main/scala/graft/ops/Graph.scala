@@ -44,17 +44,21 @@ object Graph {
   /** Full LightGCN forward: `layers` propagation rounds, output = mean of
     * layer-0..layers embeddings (the reference's skip-connection average,
     * `model.py:60-95`). */
+  /** `materialize`: persist the normalized edges and each layer for
+    * physical reuse. At bench scale recomputation is FASTER (the whole
+    * lineage pipelines in memory; measured 0.7 s recompute vs 9 s persist
+    * vs 14 s localCheckpoint at sf0.1 / 2 layers), so the default is off.
+    * Turn it on for deep graphs or edge tables that don't fit the page
+    * cache — there the multiplicative lineage regrowth dominates. */
   def lightGcn(normEdges: DataFrame, nodes: DataFrame, layers: Int,
-      src: String, dst: String, id: String, emb: String): DataFrame = {
-    // Iterative jobs must truncate lineage per round or the plan (and its
-    // shuffle count) grows multiplicatively with depth — localCheckpoint
-    // materializes each layer once and frees Catalyst from re-deriving the
-    // whole prefix (audited: 31 shuffles without, ~8 with, at 2 layers).
-    val ne = normEdges.localCheckpoint()
-    var acc = nodes.select(col(id), col(emb).as("__sum")).localCheckpoint()
+      src: String, dst: String, id: String, emb: String,
+      materialize: Boolean = false): DataFrame = {
+    val ne = if (materialize) normEdges.persist() else normEdges
+    var acc = nodes.select(col(id), col(emb).as("__sum"))
     var cur = nodes
     for (_ <- 1 to layers) {
-      cur = propagate(ne, cur, src, dst, id, emb).localCheckpoint()
+      val next = propagate(ne, cur, src, dst, id, emb)
+      cur = if (materialize) next.persist() else next
       acc = acc.join(cur.withColumnRenamed(emb, "__l"), Seq(id), "left")
         .withColumn("__sum",
           when(col("__l").isNull, col("__sum"))

@@ -31,7 +31,7 @@ object Cascade {
   def recall(users: DataFrame, items: DataFrame, n: Int): DataFrame = {
     val scored = users.crossJoin(broadcast(items))
       .where(!array_contains(col("history"), col("item_id")))
-      .withColumn("recall_score", VectorOps.dot(col("user_emb"), col("item_emb")))
+      .withColumn("recall_score", graft.functions.GraftFunctions.dot(col("user_emb"), col("item_emb")))
     TopK.perGroup(scored, Seq(col("user_id")),
       Seq(col("recall_score").desc, col("item_id")), n, "recall_rank")
       .select(col("user_id"), col("item_id"), col("recall_score"))

@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.{GraftFunctions, VectorOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DotProductSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native DotProduct is bit-identical to the higher-order-function form") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val pairs = emb.select($"vec_id".as("a"), $"embedding".as("x"))
+      .crossJoin(emb.where($"vec_id" < 20).select($"vec_id".as("b"), $"embedding".as("y")))
+    val rows = pairs.select(
+        VectorOps.dot($"x", $"y").as("hof"),
+        GraftFunctions.dot($"x", $"y").as("native"),
+        VectorOps.cosine($"x", $"y").as("hof_cos"),
+        GraftFunctions.cosine($"x", $"y").as("native_cos"))
+      .as[(Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (h, n, hc, nc) =>
+      assert(h == n, s"dot mismatch $h vs $n")
+      assert(hc == nc, s"cosine mismatch $hc vs $nc")
+    }
+  }
+
+  test("double arrays and SQL registration work") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("x", "y")
+    assert(df.select(GraftFunctions.dot($"x", $"y")).as[Double].head() == 32.0)
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("dot_test")
+    assert(spark.sql("SELECT graft_dot(x, y) FROM dot_test").as[Double].head() == 32.0)
+  }
+
+  test("nulls propagate; mismatched lengths use min length") {
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f))),
+      (None, Some(Seq(1.0f)))
+    ).toDF("x", "y")
+    val got = df.select(GraftFunctions.dot($"x", $"y")).as[Option[Double]].collect()
+    assert(got(0).contains(3.0))
+    assert(got(1).isEmpty)
+  }
+}
