@@ -107,9 +107,12 @@ object Dedup {
     // boilerplate clusters; cap them to keep the candidate join linear in
     // the bucket cap instead of quadratic in the hottest bucket — without
     // the cap a single hot band key makes the whole job O(bucket²).
-    val capped = banded.withColumn("__c",
-        count(lit(1)).over(Window.partitionBy(col("bk"))))
-      .where(col("__c") <= maxBucket).drop("__c")
+    // Hot-key detection is a map-side-combined groupBy + broadcast
+    // anti-join: the hot list is tiny by definition, and unlike a window
+    // count it needs no full-width sort shuffle per self-join side.
+    val hot = banded.groupBy(col("bk")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > maxBucket).select(col("bk"))
+    val capped = banded.join(broadcast(hot), Seq("bk"), "left_anti")
     val l = capped.as("l"); val r = capped.as("r")
     val estJaccard =
       size(filter(zip_with(col("l.sig"), col("r.sig"), (a, b) => a === b), x => x))
@@ -136,9 +139,9 @@ object Dedup {
     // recompute the whole tokenize+shingle pipeline)
     val inv = sets.select(col("doc"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
-    val capped = inv.withColumn("__bucket",
-        count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .where(col("__bucket") <= maxBucket).drop("__bucket")
+    val hot = inv.groupBy(col("shingle")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > maxBucket).select(col("shingle"))
+    val capped = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
     val l = capped.select(col("doc").as("doc_a"), col("n").as("na"), col("shingle"))
     val r = capped.select(col("doc").as("doc_b"), col("n").as("nb"), col("shingle"))
     l.join(r, Seq("shingle")).where(col("doc_a") < col("doc_b"))

@@ -63,6 +63,48 @@ object SimSearch {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) ANN top-k: the corpus is clustered once with
+    * k-means; each corpus row is assigned to its nearest centroid cell and
+    * a query scores only the rows in its `nProbe` nearest cells — the scan
+    * becomes a partition-pruned fraction (~nProbe/nCells) of the corpus.
+    * Returns (model-assigned) exact cosine over the probed subset.
+    *
+    * At 100 TB the cell id is the physical partition key (write the
+    * corpus bucketed by cell); probing is then partition pruning, not a
+    * filter. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val kmeans = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("__cell")
+    val corpusV = corpus.select(col(cId).as("item_id"), col(cVec).as("__cv"),
+      array_to_vector(col(cVec)).as("__v"))
+    val model = kmeans.fit(corpusV)
+    val assigned = model.transform(corpusV).select(
+      col("item_id"), col("__cv"), col("__cell"))
+    // rank cells per query by centroid distance, keep nProbe
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("__cell", "__centroid")
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("__dist", -graft.functions.GraftFunctions.cosine(
+        col("__qv").cast("array<double>"), col("__centroid")))
+    val probed = TopK.perGroup(q, Seq(col("query_id")),
+        Seq(col("__dist"), col("__cell")), nProbe, "__cellrank")
+      .select(col("query_id"), col("__qv"), col("__cell"))
+    val scored = assigned.join(broadcast(probed), Seq("__cell"))
+      .withColumn("cosine", graft.functions.GraftFunctions.cosine(col("__qv"), col("__cv")))
+      .select(col("query_id"), col("item_id"), col("cosine"))
+    TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("item_id")), k)
+  }
+
   /** LSH-bucketed ANN top-k: query probes only its own signature bucket
     * (plus Hamming-1 neighbors for recall). Falls back to fewer than k
     * results when the bucket runs dry — the standard ANN recall/latency

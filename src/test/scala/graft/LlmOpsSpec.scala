@@ -67,6 +67,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recalled >= brute.size / 3, s"top-1 recall $recalled/${brute.size}")
   }
 
+  test("IVF top-k recall beats its probe fraction and is exact within probed cells") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.where($"vec_id" < 20)
+    val c = emb.where($"vec_id" >= 20)
+    val brute = SimSearch.bruteForceTopK(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", 1)
+      .select($"query_id", $"item_id").as[(Long, Long)].collect().toMap
+    val ivf = SimSearch.ivfTopK(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nCells = 8, nProbe = 4)
+      .select($"query_id", $"item_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.size == 20)
+    val recalled = brute.count { case (qid, top1) =>
+      ivf.getOrElse(qid, Set.empty).contains(top1) }
+    // probing half the cells: expect clearly better than random half
+    assert(recalled >= brute.size / 2, s"IVF top-1 recall $recalled/${brute.size}")
+  }
+
   test("embedding cosine pairs are symmetric-free and above threshold") {
     val emb = Tables.embeddings(spark, TestSpark.sf).limit(100)
     val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding", -1.0)
