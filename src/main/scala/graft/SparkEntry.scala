@@ -369,6 +369,15 @@ object SparkEntry {
         shingleN = 3, minJaccard = 0.15, maxBucket = 10000)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
 
+  /** LLM-D5: engine-portable MinHash near-dup pairs (md5-based signature —
+    * same banding/estimation mechanics as the xxhash64 production path but
+    * reproducible by the DuckDB oracle). */
+  private val d5MinhashPortable: Q = (s, dir) =>
+    Dedup.minHashPairsPortable(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.3)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+
   /** LLM-T1: language-ID heuristic + quality + stopword ratio. */
   private val t1TextAnalysis: Q = (s, dir) =>
     TextAnalysis.analyze(Tables.documents(s, dir), "doc_id", "text")
@@ -550,6 +559,7 @@ object SparkEntry {
     "stream_sliding_window" -> streamSlidingWindow,
     "s2_json_parse" -> s2JsonParse,
     "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d5_minhash_portable" -> d5MinhashPortable,
     "t1_text_analysis" -> t1TextAnalysis,
     "d3_simhash" -> d3SimHash,
     "d2_minhash_pairs" -> d2MinHashPairs,
@@ -824,6 +834,32 @@ object SparkEntry {
         |JOIN sizes na ON na.doc_id = doc_a
         |JOIN sizes nb ON nb.doc_id = doc_b
         |WHERE i * 1.0 / (na.n + nb.n - i) >= 0.15""".stripMargin,
+    "d5_minhash_portable" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
+        |      seed -> list_min(list_transform(s, x -> md5(seed || '§' || x)))) AS sg
+        |  FROM sh WHERE len(s) > 0),
+        |banded AS (SELECT doc_id, sg, b,
+        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+        |hot AS (SELECT b, key FROM banded GROUP BY b, key
+        |  HAVING count(*) > 200),
+        |capped AS (SELECT banded.* FROM banded
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |    WHERE hot.b = banded.b AND hot.key = banded.key)),
+        |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    len(list_filter(list_transform(generate_series(1, 16),
+        |      i -> l.sg[i] = r.sg[i]), x -> x)) / 16.0 AS est_jaccard
+        |  FROM capped l JOIN capped r
+        |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id)
+        |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard
+        |FROM pairs WHERE est_jaccard >= 0.3""".stripMargin,
     "t1_text_analysis" ->
       """WITH tk AS (SELECT doc_id, text,
         |    list_filter(string_split_regex(lower(text), '\s+'),

@@ -89,6 +89,45 @@ object Dedup {
           (acc, s) => least(acc, xxhash64(s, seed))))
     }
 
+  /** Engine-portable MinHash signature: per-seed minimum of md5 digests of
+    * the shingle set — same mechanics as [[minHashSig]] but reproducible in
+    * any engine with md5 (the DuckDB oracle recomputes it exactly).
+    * xxhash64 variant stays the production path (md5 is ~5× the cost). */
+  def minHashSigPortable(text: Column, shingleN: Int, numHashes: Int): Column =
+    TextFunctions.bind(array_distinct(TextFunctions.shingles(text, shingleN))) { sh =>
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        seed => array_min(transform(sh,
+          s => md5(concat(seed.cast("string"), lit("§"), s)))))
+    }
+
+  /** Portable near-dup pairs on the md5 signature: estimated Jaccard =
+    * fraction of agreeing signature positions, pairs pre-filtered by
+    * sharing at least one full band of `numHashes/bands` positions. */
+  def minHashPairsPortable(docs: DataFrame, id: String, text: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      minJaccard: Double, maxBucket: Int = 200): DataFrame = {
+    val rows = numHashes / bands
+    val sig = docs.select(col(id).as("doc"),
+        minHashSigPortable(col(text), shingleN, numHashes).as("sig"))
+      .where(size(col("sig")) > 0 && col("sig")(0).isNotNull)
+    val banded = sig.select(col("doc"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|", slice(col("sig"), b * rows + 1, rows))).as("key"))): _*)).as("bk"))
+    val hot = banded.groupBy(col("bk")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > maxBucket).select(col("bk"))
+    val capped = banded.join(broadcast(hot), Seq("bk"), "left_anti")
+    val l = capped.as("l"); val r = capped.as("r")
+    val estJaccard =
+      size(filter(zip_with(col("l.sig"), col("r.sig"), (a, b) => a === b), x => x))
+        .cast("double") / numHashes
+    l.join(r, col("l.bk") === col("r.bk") && col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
+        estJaccard.as("est_jaccard"))
+      .where(col("est_jaccard") >= minJaccard)
+      .distinct()
+  }
+
   /** MinHash LSH near-dup pairs: signature → `bands` bands of
     * `numHashes/bands` rows → bucket join on (band, bandHash) → verify with
     * the signature-estimated Jaccard ≥ `minJaccard`. */
