@@ -357,6 +357,47 @@ object SparkEntry {
         col("event_type"), col("n"))
   }
 
+  /** S4: JSON serialization (the Kafka producer payload contract,
+    * `producer.py:63-79` — `to_json(struct(...))`). */
+  private val s4JsonRoundtrip: Q = (s, dir) =>
+    Tables.events(s, dir).select(col("event_id"),
+      to_json(struct(col("user_id"), col("event_type"))).as("payload"))
+
+  /** S11: point lookup on the profile table — the engine-side equivalent
+    * of `GET user_profile:{u}:{ts}` (`api_service/main.py:89-107`): with
+    * (user, ts)-bucketed storage this is a partition-pruned point read. */
+  private val s11PointLookup: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .where(col("user_id").isin(1L, 42L, 99L))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("|",
+        transform(array_sort(collect_list(struct(col("ts"), col("event_id")))),
+          p => p.getField("event_id").cast("string"))).as("history"))
+
+  /** §2.12: session windows (1 h inactivity gap) — the third windowing
+    * family; batch plan identical to the streaming one. */
+  private val streamSessionWindow: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    ev.groupBy(session_window(col("ts_t"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("session_window.start")).as("session_start_us"),
+        col("user_id"), col("n_events"))
+  }
+
+  /** LLM-S3: IVF ANN top-k (k-means cells + nProbe probing — the
+    * partition-pruning scale path; rows-only, centroids are model
+    * state). */
+  private val sim3IvfTopk: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.ivfTopK(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 4)
+      .select(col("query_id"), col("item_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   /** S2: JSON value parse (the Kafka-payload contract, batch form). */
   private val s2JsonParse: Q = (s, dir) =>
     Tables.events(s, dir).select(col("event_id"),
@@ -565,6 +606,10 @@ object SparkEntry {
     "stream_window_counts" -> streamWindowCounts,
     "stream_sliding_window" -> streamSlidingWindow,
     "s2_json_parse" -> s2JsonParse,
+    "s4_json_roundtrip" -> s4JsonRoundtrip,
+    "s11_point_lookup" -> s11PointLookup,
+    "stream_session_window" -> streamSessionWindow,
+    "sim3_ivf_topk" -> sim3IvfTopk,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_minhash_portable" -> d5MinhashPortable,
     "t1_text_analysis" -> t1TextAnalysis,
@@ -820,6 +865,26 @@ object SparkEntry {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+    "s4_json_roundtrip" ->
+      """SELECT event_id,
+        |  to_json(struct_pack(user_id := user_id, event_type := event_type))
+        |    AS payload
+        |FROM events""".stripMargin,
+    "s11_point_lookup" ->
+      """SELECT user_id,
+        |  array_to_string(list(event_id ORDER BY ts, event_id), '|') AS history
+        |FROM events WHERE user_id IN (1, 42, 99) GROUP BY user_id""".stripMargin,
+    "stream_session_window" ->
+      """WITH o AS (SELECT user_id, epoch_ns(ts) AS t,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |      OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w >= 3600000000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT min(t) // 1000 AS session_start_us, user_id,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),

@@ -74,10 +74,15 @@ object SimSearch {
     * filter. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
-      k: Int, nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+      k: Int, nCells: Int, nProbe: Int, seed: Long = 42L,
+      kmeansIter: Int = 3): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // cell assignment only needs rough centroids: few iterations, random
+    // init (kmeans|| costs extra passes over the corpus for no recall
+    // benefit here)
     val kmeans = new KMeans().setK(nCells).setSeed(seed)
+      .setMaxIter(kmeansIter).setInitMode("random")
       .setFeaturesCol("__v").setPredictionCol("__cell")
     val corpusV = corpus.select(col(cId).as("item_id"), col(cVec).as("__cv"),
       array_to_vector(col(cVec)).as("__v"))
