@@ -1,0 +1,111 @@
+package graft
+
+import graft.evalx.Metrics
+import graft.functions.Features
+import graft.ops.{AsOf, Sampling}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based tests (SURVEY §5.3): operator laws over generated
+  * inputs, executed through the real Spark plans. Seeded ScalaCheck
+  * generators drive a handful of cases per property (each case is a full
+  * Spark job); no scalatestplus bridge in the offline cache, so sampling
+  * is explicit (and deterministic).  */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cases[T](g: Gen[T], n: Int = 5): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default.withSize(40), Seed(i.toLong)))
+
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    cases(g).foreach(f)
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    cases(g1).zip(cases(g2)).foreach { case (a, b) => f(a, b) }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val behaviorGen: Gen[List[(Long, Long, Long)]] =
+    Gen.listOf(for {
+      u <- Gen.choose(0L, 4L)
+      item <- Gen.choose(0L, 30L)
+      ts <- Gen.choose(0L, 1000L)
+    } yield (u, item, ts))
+
+  test("property: as-of last ≡ naive max over (ts, tiebreak) prefix") {
+    forAll(behaviorGen, behaviorGen) { (qs0, bs0) =>
+      whenever(qs0.nonEmpty && bs0.nonEmpty) {
+        // unique behavior ids as tiebreak
+        val bs = bs0.zipWithIndex.map { case ((u, _, ts), i) => (u, i.toLong, ts) }
+        val qs = qs0.zipWithIndex.map { case ((u, _, ts), i) => (u, 1000L + i, ts) }
+        val qDf = qs.toDF("user_id", "query_id", "ts")
+        val bDf = bs.toDF("user_id", "beh_id", "bts")
+        val got = AsOf.lastAsOf(qDf, bDf, "user_id", "ts", "bts",
+            payload = col("beh_id"), outCol = "beh",
+            tieBreak = col("beh_id"))
+          .select($"query_id", $"beh").as[(Long, Option[Long])]
+          .collect().toMap
+        qs.foreach { case (u, qid, qts) =>
+          val expect = bs.filter(b => b._1 == u && b._3 <= qts)
+            .sortBy(b => (b._3, b._2)).lastOption.map(_._2)
+          assert(got(qid) == expect)
+        }
+      }
+    }
+  }
+
+  test("property: min-max scale lands in [0,1] and preserves order") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))) { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+      val scaled = Features.minMaxScale(df, "v", "s")
+        .select($"id", $"v", $"s").as[(Int, Double, Double)].collect()
+      scaled.foreach { case (_, _, s) => assert(s >= 0.0 && s <= 1.0) }
+      val byV = scaled.sortBy(_._2).map(_._3)
+      assert(byV.zip(byV.drop(1)).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("property: hash split partitions exactly and respects bucket rate bounds") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 100000L))) { ids0 =>
+      val ids = ids0.distinct
+      val df = ids.toDF("k")
+      val (a, b) = Sampling.hashSplit(df, $"k", 10, 8)
+      val na = a.count(); val nb = b.count()
+      assert(na + nb == ids.length)
+      assert(a.join(b, "k").count() == 0)
+    }
+  }
+
+  test("property: NDCG ∈ [0,1]; perfect ranking scores 1") {
+    forAll(Gen.choose(1, 8), Gen.choose(1, 8)) { (nRel, k) =>
+      // perfect ranking: the relevant items occupy the top positions
+      val ranked = (1 to math.max(nRel, k)).map(i => ("u", s"i$i", i)).toDF("u", "i", "rank")
+      val rel = (1 to nRel).map(i => ("u", s"i$i")).toDF("u", "i")
+      val m = Metrics.rankingAtK(ranked, rel, "u", "i", "rank", k)
+        .select($"ndcg").as[Double].head()
+      assert(m >= 0.0 && m <= 1.0 + 1e-9)
+      assert(math.abs(m - 1.0) < 1e-9,
+        s"perfect ranking must give ndcg=1 (nRel=$nRel k=$k got $m)")
+    }
+  }
+
+  test("property: negative samples never collide and stay in range") {
+    forAll(behaviorGen) { bs =>
+      whenever(bs.nonEmpty) {
+        val pos = bs.map(b => (b._1, b._2)).distinct.toDF("user", "item")
+        val negs = Sampling.negatives(pos, "user", "item", 2, 0, 30)
+          .select($"user", $"neg_item").as[(Long, Long)].collect()
+        val posSet = bs.map(b => (b._1, b._2)).toSet
+        negs.foreach { case (u, n) =>
+          assert(n >= 0 && n <= 30)
+          assert(!posSet.contains((u, n)))
+        }
+      }
+    }
+  }
+}
