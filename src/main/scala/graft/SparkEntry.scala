@@ -10,9 +10,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator from
-  * SURVEY.md §2, each with a DuckDB oracle in `oracleSql` (same column
+  * SURVEY.md §2. Most carry a DuckDB oracle in `oracleSql` (same column
   * names, deterministic values; ordering-sensitive ops carry explicit
-  * tie-breaks).
+  * tie-breaks); entries whose internals aren't ANSI-SQL-expressible
+  * (xxhash64 signatures, LSH/IVF model state, binary codecs, the stub
+  * cascade) are rows-only and pinned by ScalaTest instead — COVERAGE.md
+  * lists which is which.
   */
 object SparkEntry {
 
@@ -199,10 +202,13 @@ object SparkEntry {
       .select(col("user_id"), col("event_id").as("query_id"), col("ts"))
     val others = ev.select(col("user_id"), col("event_id").as("beh_id"),
       col("ts").as("bts"))
-    AsOf.rangeJoin(queries, others, "user_id", "ts", "bts", oneHourNs, "left")
-      .where(col("beh_id").isNull || col("beh_id") =!= col("query_id"))
-      .groupBy(col("query_id"))
-      .agg(count(col("beh_id")).as("n_nearby"))
+    // inner range join → per-query counts → left join back so zero-match
+    // queries keep a 0 row (rangeJoin is inner-only by construction)
+    val counts = AsOf.rangeJoin(queries, others, "user_id", "ts", "bts", oneHourNs)
+      .where(col("beh_id") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__n"))
+    queries.join(counts, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("__n"), lit(0L)).as("n_nearby"))
   }
 
   /** A1: distinct keys. */
@@ -507,7 +513,7 @@ object SparkEntry {
       .select(col("user_id"))
     val base = ev.join(broadcast(keep), Seq("user_id"), "left_semi")
     val samples = PrefixWindow.samples(base, "user_id", "ts", col("item"),
-      minHistory = 3, stride = 2, maxHistory = 5)
+      minHistory = 3, stride = 2, maxHistory = 5, tieBreak = Seq(col("item")))
     val pos = samples.where(col("value") >= 250)
       .select(col("user_id"), col("idx").cast("long").as("idx"),
         col("item").as("cand"),
@@ -561,14 +567,12 @@ object SparkEntry {
         round(col("v"), 9).as("mean_v"))
   }
 
-  /** Insertion-ordered so the cheapest query runs first and absorbs the
-    * one-time JVM/codegen warm-up in timed runs. */
-  /** Tiny first query: absorbs one-time JVM / codegen / parquet-reader
-    * warm-up so every other timing reflects the operator, not the
-    * session. */
   private val q0Warmup: Q = (s, dir) =>
     Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
 
+  /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
+    * JVM / codegen / parquet-reader warm-up so every other timing
+    * reflects the operator, not the session. */
   def queries: Map[String, Q] = scala.collection.immutable.ListMap(
     "q0_warmup" -> q0Warmup,
     "p1_project_filter" -> p1ProjectFilter,
@@ -982,8 +986,8 @@ object SparkEntry {
         |    ELSE substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '1' END),
         |base AS (SELECT ev.* FROM ev JOIN keep USING (user_id)),
         |w AS (SELECT user_id, item, value,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS idx,
-        |    list(item) OVER (PARTITION BY user_id ORDER BY ts
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, item) AS idx,
+        |    list(item) OVER (PARTITION BY user_id ORDER BY ts, item
         |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS h
         |  FROM base),
         |samples AS (SELECT * FROM w WHERE idx > 3 AND (idx - 4) % 2 = 0),

@@ -93,8 +93,12 @@ object GraftFunctions {
       DotProduct(GraftSqlShim.expression(x), GraftSqlShim.expression(y)))
 
   /** Cosine via three fused dot products — identical arithmetic to
-    * `VectorOps.cosine` (sequential double folds, sqrt of sums). */
-  def cosine(x: Column, y: Column): Column =
-    dot(x, y) / (org.apache.spark.sql.functions.sqrt(dot(x, x)) *
-      org.apache.spark.sql.functions.sqrt(dot(y, y)))
+    * `VectorOps.cosine` (sequential double folds, sqrt of sums). A zero
+    * vector yields 0/0 = NaN, and NaN sorts as the LARGEST double in a
+    * descending rank — every top-k list would lead with the zero vector —
+    * so NaN is normalized to 0 (similarity of a zero vector is 0). */
+  def cosine(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, nanvl, sqrt}
+    nanvl(dot(x, y) / (sqrt(dot(x, x)) * sqrt(dot(y, y))), lit(0.0))
+  }
 }

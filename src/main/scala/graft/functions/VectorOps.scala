@@ -22,8 +22,9 @@ object VectorOps {
   def l2Norm(x: Column): Column =
     sqrt(aggregate(x.cast("array<double>"), lit(0.0), (acc, v) => acc + v * v))
 
+  /** NaN (zero-vector 0/0) normalized to 0 — see GraftFunctions.cosine. */
   def cosine(x: Column, y: Column): Column =
-    dot(x, y) / (l2Norm(x) * l2Norm(y))
+    nanvl(dot(x, y) / (l2Norm(x) * l2Norm(y)), lit(0.0))
 
   /** Element-wise sum of two vectors (used by the SpMM propagation loop). */
   def vecAdd(x: Column, y: Column): Column =

@@ -119,18 +119,30 @@ object Dedup {
       .distinct()
   }
 
-  /** Shared candidate-pair generation: group band-exploded rows by bucket
-    * key, cap degenerate buckets, and emit all i<j member pairs
-    * *bucket-locally* from the collected member array. One aggregation —
-    * the signature pipeline upstream is evaluated exactly once (a
-    * self-join form re-computes it per side plus once for the hot-key
-    * scan, measured 3× the runtime). Bucket members are bounded by
-    * `maxBucket`, so the per-group pair expansion is bounded memory. */
+  /** Shared candidate-pair generation: drop degenerate (hot) buckets,
+    * then group band-exploded rows by bucket key and emit all i<j member
+    * pairs *bucket-locally* from the collected member array.
+    *
+    * Two passes over the upstream signature pipeline: a count-only
+    * aggregation for hot-key detection (map-side combined — its shuffle
+    * carries one row per distinct key) and the member-collect aggregation.
+    * The hot-key anti-join MUST come before the collect: capping after
+    * collecting (a `where(size(ms) <= cap)` on the aggregated array) would
+    * build the entire hot bucket in a single in-group buffer first —
+    * collect_list cannot spill within one group, so a million-member
+    * boilerplate bucket would OOM the executor even though its rows are
+    * about to be discarded. With the pre-filter, collect buffers are
+    * bounded by `maxBucket`, and the per-group pair expansion is bounded
+    * too. (A 2-sided self-join form costs a third pipeline evaluation —
+    * measured slower than this.) */
   private def bucketLocalPairs(banded: DataFrame, numHashes: Int,
       maxBucket: Int): DataFrame = {
-    val members = banded.groupBy(col("bk"))
+    val hot = banded.groupBy(col("bk")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > maxBucket).select(col("bk"))
+    val members = banded.join(broadcast(hot), Seq("bk"), "left_anti")
+      .groupBy(col("bk"))
       .agg(sort_array(collect_list(struct(col("doc"), col("sig")))).as("ms"))
-      .where(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+      .where(size(col("ms")) >= 2)
     val pairs = members.select(explode(flatten(
       transform(sequence(lit(0), size(col("ms")) - 2), i =>
         transform(sequence(i + 1, size(col("ms")) - 1), j =>
@@ -149,8 +161,13 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.5, maxBucket: Int = 200): DataFrame = {
     val rows = numHashes / bands
+    // docs with < shingleN tokens have an empty shingle set: every seed's
+    // min folds to the Long.MaxValue zero element, so ALL such docs would
+    // share one degenerate signature and be reported as mutual near-dups
+    // with est_jaccard 1.0 — drop them (nothing to compare).
     val sig = docs.select(col(id).as("doc"),
-      minHashSig(col(text), shingleN, numHashes).as("sig"))
+        minHashSig(col(text), shingleN, numHashes).as("sig"))
+      .where(col("sig")(0) =!= Long.MaxValue)
     val banded = sig.select(col("doc"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -180,12 +197,16 @@ object Dedup {
     // recompute the whole tokenize+shingle pipeline)
     val inv = sets.select(col("doc"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
-    // bucket-local pair generation (see bucketLocalPairs): one aggregation
-    // per shingle, members sorted so doc_a < doc_b, degenerate (hot)
-    // shingles capped — the shingle pipeline is evaluated exactly once
-    val members = inv.groupBy(col("shingle"))
+    // bucket-local pair generation (see bucketLocalPairs for the memory
+    // argument): hot shingles are dropped BEFORE the collect so no
+    // aggregation buffer exceeds maxBucket members; members sorted so
+    // doc_a < doc_b
+    val hot = inv.groupBy(col("shingle")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > maxBucket).select(col("shingle"))
+    val members = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .groupBy(col("shingle"))
       .agg(sort_array(collect_list(struct(col("doc"), col("n")))).as("ms"))
-      .where(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+      .where(size(col("ms")) >= 2)
     members.select(explode(flatten(
         transform(sequence(lit(0), size(col("ms")) - 2), i =>
           transform(sequence(i + 1, size(col("ms")) - 1), j =>

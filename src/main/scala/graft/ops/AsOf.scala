@@ -35,32 +35,12 @@ object AsOf {
       bTs: String,
       payload: Column,
       outCol: String,
-      tieBreak: Column = lit(0L)): DataFrame = {
-    val qCols = queries.columns
-    val qSide = queries
-      .withColumn("__ts", col(qTs))
-      .withColumn("__isq", lit(true))
-      .withColumn("__payload", lit(null).cast(
-        behaviors.select(payload.as("p")).schema("p").dataType))
-      .withColumn("__tb", lit(null).cast("long"))
-    val bSide = behaviors
-      .select(col(key), col(bTs).as("__ts"), lit(false).as("__isq"),
-        payload.as("__payload"), tieBreak.cast("long").as("__tb"))
-    // align schemas: behaviors side gets null query columns
-    val bAligned = qCols.foldLeft(bSide) { (df, c) =>
-      if (c == key) df
-      else df.withColumn(c, lit(null).cast(qSide.schema(c).dataType))
-    }.select(qSide.columns.map(col).toSeq: _*)
-
-    // behaviors sort before queries at equal ts (false < true) => inclusive
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__isq"), col("__tb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    qSide.unionByName(bAligned)
-      .withColumn(outCol, last(col("__payload"), ignoreNulls = true).over(w))
-      .where(col("__isq"))
-      .drop("__ts", "__isq", "__payload", "__tb")
-  }
+      tieBreak: Column = lit(0L)): DataFrame =
+    unionWindow(queries, behaviors, key, qTs, bTs, payload, tieBreak) {
+      (unioned, w) =>
+        unioned.withColumn(outCol,
+          last(col("__payload"), ignoreNulls = true).over(w))
+    }
 
   /** As-of *history*: for each query row, the list of the last `n` behavior
     * payloads at or before the query ts, oldest→newest (reference's
@@ -76,7 +56,27 @@ object AsOf {
       payload: Column,
       outCol: String,
       n: Int,
-      tieBreak: Column = lit(0L)): DataFrame = {
+      tieBreak: Column = lit(0L)): DataFrame =
+    unionWindow(queries, behaviors, key, qTs, bTs, payload, tieBreak) {
+      (unioned, w) =>
+        // collect_list drops the nulls contributed by query rows, so the
+        // running list contains exactly the preceding behaviors; slice
+        // keeps the last n.
+        val full = collect_list(col("__payload")).over(w)
+        unioned.withColumn(outCol,
+          slice(full, greatest(lit(1), size(full) - (n - 1)), lit(n)))
+    }
+
+  /** Shared scaffolding for the union + running-window lowering: tag both
+    * sides, null-align the behaviors side to the query schema, order so
+    * behaviors sort before queries at equal ts (false < true ⇒ inclusive,
+    * bisect_right semantics), run `body` over the running frame, keep only
+    * query rows. */
+  private def unionWindow(
+      queries: DataFrame, behaviors: DataFrame, key: String,
+      qTs: String, bTs: String, payload: Column, tieBreak: Column)(
+      body: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame)
+      : DataFrame = {
     val qSide = queries
       .withColumn("__ts", col(qTs))
       .withColumn("__isq", lit(true))
@@ -86,20 +86,15 @@ object AsOf {
     val bSide = behaviors
       .select(col(key), col(bTs).as("__ts"), lit(false).as("__isq"),
         payload.as("__payload"), tieBreak.cast("long").as("__tb"))
+    // align schemas: behaviors side gets null query columns
     val bAligned = queries.columns.foldLeft(bSide) { (df, c) =>
       if (c == key) df
       else df.withColumn(c, lit(null).cast(qSide.schema(c).dataType))
     }.select(qSide.columns.map(col).toSeq: _*)
-
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__isq"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // collect_list drops the nulls contributed by query rows, so the running
-    // list contains exactly the preceding behaviors; slice keeps the last n.
-    val full = collect_list(col("__payload")).over(w)
-    qSide.unionByName(bAligned)
-      .withColumn(outCol,
-        slice(full, greatest(lit(1), size(full) - (n - 1)), lit(n)))
+    body(qSide.unionByName(bAligned), w)
       .where(col("__isq"))
       .drop("__ts", "__isq", "__payload", "__tb")
   }
@@ -120,8 +115,12 @@ object AsOf {
       key: String,
       lTs: String,
       rTs: String,
-      radius: Long,
-      joinType: String = "inner"): DataFrame = {
+      radius: Long): DataFrame = {
+    // INNER only by construction: each left row is exploded into 3 bucket
+    // copies before the join, so an outer join would emit null-extended
+    // rows per unmatched COPY (up to 3 per left row) — wrong multiplicity.
+    // For left semantics, aggregate the inner result and left-join it back
+    // to `left` (see the j4 query).
     val l = left.withColumn("__lts", numericTs(left, lTs))
       .withColumn("__bucket",
         explode(array((-1L to 1L).map(d =>
@@ -132,7 +131,7 @@ object AsOf {
       l(key) === r(key) && l("__bucket") === r("__bucket") &&
         r("__rts") >= l("__lts") - radius &&
         r("__rts") <= l("__lts") + radius,
-      joinType)
+      "inner")
     joined.drop("__bucket", "__lts", "__rts")
   }
 

@@ -53,12 +53,24 @@ object Graph {
   def lightGcn(normEdges: DataFrame, nodes: DataFrame, layers: Int,
       src: String, dst: String, id: String, emb: String,
       materialize: Boolean = false): DataFrame = {
+    // With materialize on, each layer is persisted + eagerly computed and
+    // its PREDECESSOR is released immediately — the cache footprint stays
+    // O(1) layers (plus the edges), not O(depth). The edges and final
+    // layer remain cached for the caller's terminal action; a training
+    // loop should spark.catalog.clearCache() between full passes.
     val ne = if (materialize) normEdges.persist() else normEdges
     var acc = nodes.select(col(id), col(emb).as("__sum"))
     var cur = nodes
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to layers) {
       val next = propagate(ne, cur, src, dst, id, emb)
-      cur = if (materialize) next.persist() else next
+      cur = if (materialize) {
+        val p = next.persist()
+        p.count() // materialize before releasing the parent
+        prev.foreach(_.unpersist(false))
+        prev = Some(p)
+        p
+      } else next
       acc = acc.join(cur.withColumnRenamed(emb, "__l"), Seq(id), "left")
         .withColumn("__sum",
           when(col("__l").isNull, col("__sum"))

@@ -101,7 +101,10 @@ object Sampling {
     * first hex digit of md5(key) is below `sixteenths` (rate granularity
     * 1/16). Any engine with md5 reproduces it exactly. */
   def md5Keep(key: Column, sixteenths: Int): Column =
-    substring(md5(key.cast("string")), 1, 1) < lit("0123456789abcdef".charAt(sixteenths).toString)
+    if (sixteenths >= 16) lit(true)
+    else if (sixteenths <= 0) lit(false)
+    else substring(md5(key.cast("string")), 1, 1) <
+      lit("0123456789abcdef".charAt(sixteenths).toString)
 
   /** Portable form of [[stratifiedByActivity]] built on [[md5Keep]]:
     * hi-activity keys kept at hiSixteenths/16, others at loSixteenths/16. */

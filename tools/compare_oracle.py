@@ -24,7 +24,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                      (hasattr(v, "__len__") and not isinstance(v, str) and not isinstance(v, bytes)),
                      na_action="ignore").any():
             df[c] = df[c].map(lambda v: json.dumps(list(v)) if v is not None and not isinstance(v, (str, bytes, float, int)) else v)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    # sort by non-float columns first: if a float column led the sort key, a
+    # sub-tolerance rounding difference between engines could reorder rows
+    # and misalign the positional comparison
+    keys = sorted(df.columns, key=lambda c: (df[c].dtype.kind == "f", c))
+    return df.sort_values(by=keys, kind="mergesort").reset_index(drop=True)
 
 def cells_equal(a, b):
     if a is None and b is None: return True
