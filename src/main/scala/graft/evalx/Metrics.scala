@@ -48,18 +48,26 @@ object Metrics {
     */
   def auc(scored: DataFrame, score: String, label: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // NOTE: the global rank window is a single-partition sort; for 100 TB
-    // replace with a two-pass histogram rank (per-partition sort + offset
-    // join). Fine at bench scale; the identity itself is O(n log n).
-    val ranked = scored
-      .withColumn("__rn",
-        row_number().over(Window.orderBy(col(score))).cast("double"))
-      .withColumn("__r", avg(col("__rn")).over(Window.partitionBy(col(score))))
+    // Histogram form of the rank-sum: aggregate to one row per DISTINCT
+    // score (map-side combined), then the only global window runs over the
+    // score histogram — |distinct scores| rows — never over the full
+    // dataset. Ties get the average rank exactly as in the classical
+    // formulation: avg of k consecutive ranks starting after `cumBefore`
+    // is cumBefore + (k+1)/2.
+    val hist = scored.groupBy(col(score).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(label).cast("double")).as("__pos"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist.withColumn("__before",
+        coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__avgRank",
+        col("__before").cast("double") + (col("__n").cast("double") + 1) / 2.0)
     ranked.agg(
-      ((sum(when(col(label) === 1, col("__r"))) -
-        (sum(col(label).cast("double")) * (sum(col(label).cast("double")) + 1)) / 2.0) /
-        (sum(col(label).cast("double")) *
-          sum(when(col(label) === 0, 1.0).otherwise(0.0)))).as("auc"))
+      ((sum(col("__pos") * col("__avgRank")) -
+        (sum(col("__pos")) * (sum(col("__pos")) + 1)) / 2.0) /
+        (sum(col("__pos")) *
+          (sum(col("__n").cast("double")) - sum(col("__pos"))))).as("auc"))
   }
 
   /** Log-loss + accuracy@0.5 (reference `din/utils.py:286-316`), with the
