@@ -50,6 +50,28 @@ class CascadeSpec extends AnyFunSuite {
     perUser.foreach { case (_, n, mx) => assert(n == 10 && mx == 10) }
   }
 
+  test("recall excludes items already in the user's history (P9)") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val excluded = Seq(20L, 21L, 22L)
+    val users = emb.where($"vec_id" < 5)
+      .select($"vec_id".as("user_id"), $"embedding".as("user_emb"),
+        array(excluded.map(lit): _*).as("history"))
+    val items = emb.where($"vec_id" >= 10)
+      .select($"vec_id".as("item_id"), $"embedding".as("item_emb"))
+    val rec = Cascade.recall(users, items, 100)
+      .select($"item_id").as[Long].collect().toSet
+    assert(excluded.forall(i => !rec.contains(i)))
+  }
+
+  test("seeded randomSplit is deterministic and partitions rows (X5)") {
+    val df = Tables.events(spark, TestSpark.sf).select($"event_id")
+    val (a1, b1) = graft.ops.Sampling.randomSplit(df, 0.8, 42L)
+    val (a2, _) = graft.ops.Sampling.randomSplit(df, 0.8, 42L)
+    assert(a1.as[Long].collect().toSet == a2.as[Long].collect().toSet)
+    assert(a1.count() + b1.count() == df.count())
+    assert(a1.join(b1, "event_id").count() == 0)
+  }
+
   test("ALS produces reference-shaped embedding tables consumable by recall") {
     val inter = Tables.events(spark, TestSpark.sf)
       .select($"user_id".cast("int").as("u"), ($"event_id" % 50).cast("int").as("i"),
