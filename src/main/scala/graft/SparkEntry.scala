@@ -425,6 +425,31 @@ object SparkEntry {
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 6).as("est_jaccard"))
 
+  /** LLM-T4: corpus-level statistics (the curation dashboard query):
+    * per-language doc counts, length distribution, distinct sources,
+    * token totals. */
+  private val t4CorpusStats: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    d.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))
+  }
+
+  /** V1: L2-normalize an embedding column (the standard pre-ANN
+    * transform) — norm + first normalized component as scalars the oracle
+    * can check. */
+  private val v1NormalizeEmb: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val norm = VectorOps.l2Norm(col("embedding"))
+    emb.select(col("vec_id"),
+      round(norm, 9).as("l2_norm"),
+      round(element_at(col("embedding"), 1).cast("double") / norm, 9).as("u0"))
+  }
+
   /** LLM-T1: language-ID heuristic + quality + stopword ratio. */
   private val t1TextAnalysis: Q = (s, dir) =>
     TextAnalysis.analyze(Tables.documents(s, dir), "doc_id", "text")
@@ -617,6 +642,8 @@ object SparkEntry {
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_minhash_portable" -> d5MinhashPortable,
     "t1_text_analysis" -> t1TextAnalysis,
+    "t4_corpus_stats" -> t4CorpusStats,
+    "v1_normalize_emb" -> v1NormalizeEmb,
     "d3_simhash" -> d3SimHash,
     "d2_minhash_pairs" -> d2MinHashPairs,
     "sim2_lsh_topk" -> sim2LshTopk,
@@ -977,6 +1004,21 @@ object SparkEntry {
         |      ['the','a','of','and','to','in','is','it'], t))) * 1.0 / len(toks)
         |    END, 6) AS stopword_ratio
         |FROM m""".stripMargin,
+    "t4_corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  round(avg(n_chars), 6) AS avg_chars,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+        |  CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
+    "v1_normalize_emb" ->
+      """SELECT vec_id,
+        |  round(sqrt(nsq), 9) AS l2_norm,
+        |  round(CAST(embedding[1] AS DOUBLE) / sqrt(nsq), 9) AS u0
+        |FROM (SELECT vec_id, embedding,
+        |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS nsq
+        |  FROM embeddings)""".stripMargin,
     "etl_training_data" ->
       """WITH ev AS (SELECT user_id, event_id % 200 AS item, ts, value FROM events),
         |cnt AS (SELECT user_id, count(*) AS n FROM ev GROUP BY user_id),
