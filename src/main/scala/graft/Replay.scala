@@ -71,9 +71,12 @@ object Replay {
       ExternalScorer.batched(64)(ExternalScorer.stubKernel(0, 1)),
       ExternalScorer.batched(64)(ExternalScorer.stubKernel(0, 1)),
       n1 = 50, n2 = 20, n3 = 5)
+    // materialize once; show + count on the collected rows (the cascade
+    // cross-join is the heavy stage — don't run it twice)
+    val out = recs.orderBy($"user_id", $"final_rank").collect()
     println("[replay] top-5 recommendations per user:")
-    recs.orderBy($"user_id", $"final_rank").show(25, truncate = false)
-    require(recs.count() > 0, "no recommendations produced")
+    out.take(25).foreach(r => println(s"[replay]   $r"))
+    require(out.nonEmpty, "no recommendations produced")
     println("[replay] OK")
     spark.stop()
   }

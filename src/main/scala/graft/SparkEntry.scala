@@ -421,7 +421,7 @@ object SparkEntry {
     * reproducible by the DuckDB oracle). */
   private val d5MinhashPortable: Q = (s, dir) =>
     Dedup.minHashPairsPortable(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 8, bands = 4, minJaccard = 0.25)
+        shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.3)
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 6).as("est_jaccard"))
 
@@ -947,11 +947,11 @@ object SparkEntry {
         |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
         |    ELSE list_transform(generate_series(0, len(toks) - 3),
         |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
-        |sig AS (SELECT doc_id, list_transform(generate_series(0, 7),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
         |      seed -> list_min(list_transform(s, x -> md5(seed || '§' || x)))) AS sg
         |  FROM sh WHERE len(s) > 0),
         |banded AS (SELECT doc_id, sg, b,
-        |    md5(array_to_string(sg[b*2+1:b*2+2], '|')) AS key
+        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
         |hot AS (SELECT b, key FROM banded GROUP BY b, key
         |  HAVING count(*) > 200),
@@ -959,12 +959,12 @@ object SparkEntry {
         |  WHERE NOT EXISTS (SELECT 1 FROM hot
         |    WHERE hot.b = banded.b AND hot.key = banded.key)),
         |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-        |    len(list_filter(list_transform(generate_series(1, 8),
-        |      i -> l.sg[i] = r.sg[i]), x -> x)) / 8.0 AS est_jaccard
+        |    len(list_filter(list_transform(generate_series(1, 16),
+        |      i -> l.sg[i] = r.sg[i]), x -> x)) / 16.0 AS est_jaccard
         |  FROM capped l JOIN capped r
         |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id)
         |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard
-        |FROM pairs WHERE est_jaccard >= 0.25""".stripMargin,
+        |FROM pairs WHERE est_jaccard >= 0.3""".stripMargin,
     "t1_text_analysis" ->
       """WITH tk AS (SELECT doc_id, text,
         |    list_filter(string_split_regex(lower(text), '\s+'),

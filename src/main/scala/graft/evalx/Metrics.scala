@@ -54,7 +54,11 @@ object Metrics {
     // dataset. Ties get the average rank exactly as in the classical
     // formulation: avg of k consecutive ranks starting after `cumBefore`
     // is cumBefore + (k+1)/2.
-    val hist = scored.groupBy(col(score).as("__s"))
+    // null-label rows are excluded (both from positives and negatives) —
+    // same contract as the classical formulation where they fell out of
+    // both conditional sums
+    val hist = scored.where(col(label).isNotNull)
+      .groupBy(col(score).as("__s"))
       .agg(count(lit(1)).as("__n"),
         sum(col(label).cast("double")).as("__pos"))
     val w = Window.orderBy(col("__s"))
