@@ -76,6 +76,32 @@ class EtlSpec extends AnyFunSuite {
     assert(f("B004")._3 == 0.0) // missing → null → 0.0
   }
 
+  test("CSV boundary round-trips the reference's artifact contracts (S7/S9/G5)") {
+    val dir = java.nio.file.Files.createTempDirectory("etl_csv").toString
+    // train_data.csv contract: pipe-joined history, explicit schema read
+    val (_, exc) = Etl.splitUsers(reviews)
+    val td = Etl.trainingData(reviews, exc, minHistory = 2, stride = 1,
+      maxHistory = 3, negPerPos = 1)
+    td.write.mode("overwrite").option("header", "true").csv(s"$dir/train")
+    val back = spark.read.option("header", "true")
+      .schema("user_id STRING, history_items STRING, candidate_item STRING, label INT")
+      .csv(s"$dir/train")
+    assert(back.as[(String, String, String, Int)].collect().toSet ==
+      td.as[(String, String, String, Int)].collect().toSet)
+    // wide embedding CSV contract (emb_0..emb_{d-1})
+    val emb = Tables.embeddings(spark, TestSpark.sf).limit(20)
+      .select($"vec_id".cast("string").as("item_id"), $"embedding")
+    graft.recall.EmbeddingIO.writeWideCsv(emb, "item_id", "embedding", 64, s"$dir/emb")
+    val embBack = graft.recall.EmbeddingIO.readWideCsv(spark, s"$dir/emb", "item_id", 64)
+    val orig = emb.select($"item_id", $"embedding".cast("array<double>"))
+      .as[(String, Seq[Double])].collect().toMap
+    val got = embBack.as[(String, Seq[Double])].collect().toMap
+    assert(got.keySet == orig.keySet && got.keySet.size == 20)
+    got.foreach { case (k, v) =>
+      v.lazyZip(orig(k)).foreach((a, b) => assert(math.abs(a - b) < 1e-12))
+    }
+  }
+
   test("trainingData: prefix histories, positive labels rating≥4, negatives never positives") {
     val (_, exc) = Etl.splitUsers(reviews)
     val td = Etl.trainingData(reviews, exc,
