@@ -96,6 +96,21 @@ object BehaviorIngest {
       count(lit(1)).as("events_consumed"),
       sum(size(col("history_items"))).as("items_seen"))
 
+  /** §2.12 late-data handling: the reference's versioned keys make
+    * re-delivery an idempotent upsert; for pipelines that must not emit a
+    * duplicate downstream at all, drop re-deliveries of the same
+    * (user, timestamp) within the watermark — bounded state, exact within
+    * the lateness budget. */
+  def dedupedEvents(parsed: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val withEventTime = parsed.withColumn("__et",
+      to_timestamp(from_unixtime(col("timestamp"))))
+    val src = if (parsed.isStreaming) withEventTime.withWatermark("__et", watermark)
+      else withEventTime
+    (if (parsed.isStreaming)
+      src.dropDuplicatesWithinWatermark("user_id", "timestamp")
+    else src.dropDuplicates("user_id", "timestamp")).drop("__et")
+  }
+
   case class Behavior(user_id: String, history_items: Seq[String], timestamp: Long)
   case class Profile(user_id: String, history_items: Seq[String], timestamp: Long)
 

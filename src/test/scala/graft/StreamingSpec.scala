@@ -105,6 +105,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.distinct.size == 3)
   }
 
+  test("watermarked dedup drops re-delivered (user, ts) events") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = BehaviorIngest.dedupedEvents(
+        BehaviorIngest.parse(mem.toDF()), watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    mem.addData(msgs(0), msgs(0), msgs(1)) // duplicate delivery of msg 0
+    q.processAllAvailable()
+    mem.addData(msgs(0)) // late re-delivery in a later batch
+    q.processAllAvailable()
+    val out = spark.table("dedup_out")
+      .select($"user_id", $"timestamp").as[(String, Long)].collect()
+    q.stop()
+    assert(out.length == 2 && out.toSet == Set(("u1", 100L), ("u2", 200L)))
+  }
+
+  test("salted join equals plain join on skewed keys (scale tool)") {
+    val big = Tables.events(spark, TestSpark.sf)
+      .select($"user_id", $"event_id")
+    val small = Tables.events(spark, TestSpark.sf)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val plain = big.join(small, "user_id")
+      .select($"event_id", $"n").as[(Long, Long)].collect().toSet
+    val salted = ops.Skew.saltedJoin(big, small, "user_id", 8)
+      .select($"event_id", $"n").as[(Long, Long)].collect().toSet
+    assert(salted == plain && salted.nonEmpty)
+  }
+
   test("seeded random fan-out is deterministic (X4)") {
     val users = Tables.events(spark, TestSpark.sf).select($"user_id").distinct()
     val a = ops.Sampling.randomFanout(users, 10, 42L).as[Long].collect().toSet
