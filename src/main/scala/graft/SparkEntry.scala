@@ -439,6 +439,18 @@ object SparkEntry {
         sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))
   }
 
+  /** LLM-T5: rollup aggregation over (lang, source) — subtotal/grand-total
+    * rows for the curation report (beyond the reference's surface; shows
+    * grouping-set lowering). */
+  private val t5CorpusRollup: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("avg_chars"))
+
   /** V1: L2-normalize an embedding column (the standard pre-ANN
     * transform) — norm + first normalized component as scalars the oracle
     * can check. */
@@ -643,6 +655,7 @@ object SparkEntry {
     "d5_minhash_portable" -> d5MinhashPortable,
     "t1_text_analysis" -> t1TextAnalysis,
     "t4_corpus_stats" -> t4CorpusStats,
+    "t5_corpus_rollup" -> t5CorpusRollup,
     "v1_normalize_emb" -> v1NormalizeEmb,
     "d3_simhash" -> d3SimHash,
     "d2_minhash_pairs" -> d2MinHashPairs,
@@ -1012,6 +1025,11 @@ object SparkEntry {
         |  CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
         |    t -> len(t) > 0))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang""".stripMargin,
+    "t5_corpus_rollup" ->
+      """SELECT coalesce(lang, 'ALL') AS lang,
+        |  coalesce(source, 'ALL') AS source,
+        |  count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
     "v1_normalize_emb" ->
       """SELECT vec_id,
         |  round(sqrt(nsq), 9) AS l2_norm,
