@@ -105,6 +105,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.distinct.size == 3)
   }
 
+  test("Trigger.AvailableNow drains a file source and terminates (§2.12)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("avnow_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("avnow_ckpt").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.json"),
+      msgs.take(3).mkString("\n").getBytes)
+    BehaviorIngest.InMemoryKV.clear()
+    val q = BehaviorIngest.profileSink(
+        BehaviorIngest.parse(spark.readStream.text(dir), "value"),
+        BehaviorIngest.InMemoryKV, ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "AvailableNow query did not terminate")
+    assert(BehaviorIngest.InMemoryKV.data.size() == 3)
+  }
+
   test("watermarked dedup drops re-delivered (user, ts) events") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[String]
