@@ -19,22 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Flagship: full 3-stage cascade (recall ▷ rank ▷ rerank) over the
-    * sf0.001 embeddings, deterministic stub scorers for the external-model
-    * stages. Driver smoke-checks rows > 0. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val emb = Tables.embeddings(spark, dir)
-    val users = emb.where(col("vec_id") < 20)
-      .select(col("vec_id").as("user_id"), col("embedding").as("user_emb"),
-        array(lit(100L), lit(101L)).as("history"))
-    val items = emb.where(col("vec_id") >= 20)
-      .select(col("vec_id").as("item_id"), col("embedding").as("item_emb"))
-    Cascade.recommend(users, items,
-      Cascade.stubScorer("user_id", "item_id"),
-      Cascade.stubScorer("item_id", "user_id"),
-      n1 = 50, n2 = 20, n3 = 10)
-  }
+  /** Flagship (driver smoke-checks rows > 0): SURVEY §7.2's end-to-end
+    * slice — real per-user histories → mean-pooled user embeddings →
+    * dot-product recall with history exclusion → top-5 — i.e. the
+    * oracle-checked `m0_recommend_slice` on sf0.001. */
+  def entry(spark: SparkSession): DataFrame =
+    m0RecommendSlice(spark, "/root/testdata/sf0.001")
 
   private type Q = (SparkSession, String) => DataFrame
 
@@ -534,6 +524,38 @@ object SparkEntry {
       n1 = 100, n2 = 50, n3 = 10)
   }
 
+  /** M0 — SURVEY §7.2's minimum end-to-end slice, oracle-checked: per
+    * user, last-10 interaction history (W3) → mean-pooled user embedding
+    * from history-item vectors (J5/A7) → dot-product scoring against the
+    * full item table (J7/M1) → history exclusion (P9) → top-5 (W4). The
+    * reference's cold-start recommendation path (`models.py:66-85`) as one
+    * lazy plan. */
+  private val m0RecommendSlice: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val nItems = emb.count()
+    val beh = Tables.events(s, dir).where(col("user_id") < 5)
+      .select(col("user_id"), (col("event_id") % nItems).as("item_id"), col("ts"))
+    val recent = TopK.perGroup(beh, Seq(col("user_id")),
+        Seq(col("ts").desc, col("item_id").desc), 10)
+      .select(col("user_id"), col("item_id"))
+    val fetched = recent.join(
+      broadcast(emb.select(col("vec_id").as("item_id"), col("embedding"))),
+      "item_id")
+    val userVecs = VectorOps.meanPool(fetched, Seq("user_id"),
+      col("embedding"), "uemb")
+    val scored = userVecs.crossJoin(broadcast(
+        emb.select(col("vec_id").as("item_id"), col("embedding").as("iemb"))))
+      .join(recent.withColumnRenamed("item_id", "item_id"),
+        Seq("user_id", "item_id"), "left_anti")
+      .withColumn("score",
+        graft.functions.GraftFunctions.dot(col("uemb"),
+          col("iemb").cast("array<double>")))
+    TopK.perGroup(scored, Seq(col("user_id")),
+        Seq(col("score").desc, col("item_id")), 5)
+      .select(col("user_id"), col("item_id"),
+        round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
+  }
+
   /** §3.3 flagship: the reference's training-data ETL chain as ONE lazy
     * plan — activity-stratified user sampling (X3) ▷ prefix-window samples
     * (W2/W3) ▷ rating-threshold positives (P2) ▷ deterministic negative
@@ -664,6 +686,7 @@ object SparkEntry {
     "g4_lightgcn" -> g4LightGcn,
     "m4_cascade" -> m4Cascade,
     "etl_training_data" -> etlTrainingData,
+    "m0_recommend_slice" -> m0RecommendSlice,
     "p5_isin" -> p5Isin,
     "p9_history_contains" -> p9HistoryContains,
     "j5_history_fetch" -> j5HistoryFetch,
@@ -1065,6 +1088,32 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS attempt, history FROM pos
         |UNION ALL
         |SELECT user_id, idx, cand_neg AS item, 0, attempt, history FROM negs""".stripMargin,
+    "m0_recommend_slice" ->
+      """WITH beh AS (SELECT user_id,
+        |    event_id % (SELECT count(*) FROM embeddings) AS item_id, ts
+        |  FROM events WHERE user_id < 5),
+        |recent AS (SELECT user_id, item_id FROM (
+        |    SELECT user_id, item_id, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, item_id DESC) AS rn FROM beh)
+        |  WHERE rn <= 10),
+        |uvec AS (SELECT user_id, pos, avg(v) AS uv FROM (
+        |    SELECT r.user_id,
+        |      unnest(CAST(e.embedding AS DOUBLE[])) AS v,
+        |      unnest(generate_series(1, len(e.embedding))) AS pos
+        |    FROM recent r JOIN embeddings e ON e.vec_id = r.item_id)
+        |  GROUP BY user_id, pos),
+        |uarr AS (SELECT user_id, list(uv ORDER BY pos) AS uemb
+        |  FROM uvec GROUP BY user_id),
+        |scored AS (SELECT u.user_id, e.vec_id AS item_id,
+        |    list_dot_product(u.uemb, CAST(e.embedding AS DOUBLE[])) AS score
+        |  FROM uarr u CROSS JOIN embeddings e
+        |  WHERE NOT EXISTS (SELECT 1 FROM recent r
+        |    WHERE r.user_id = u.user_id AND r.item_id = e.vec_id))
+        |SELECT user_id, item_id, round(score, 6) AS score, rank FROM (
+        |  SELECT user_id, item_id, score, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY score DESC, item_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
     "p5_isin" ->
       """SELECT l_returnflag, l_linenumber, count(*) AS n FROM lineitem
         |WHERE l_returnflag IN ('A', 'R') AND l_linenumber IN (1, 2)
