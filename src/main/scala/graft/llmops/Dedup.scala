@@ -61,17 +61,30 @@ object Dedup {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
-  /** SimHash near-dup candidate pairs: docs whose signatures agree on at
-    * least one of 4 16-bit bands (≙ Hamming distance ≲ 3 w.h.p.), verified
-    * by exact Hamming distance ≤ `maxHamming`. */
+  /** SimHash near-dup candidate pairs: the 64-bit signature is cut into
+    * `bands` equal bit-bands; docs sharing any full band become candidates
+    * and are verified by exact Hamming distance ≤ `maxHamming`.
+    *
+    * Pigeonhole guarantee: a pair with Hamming distance < `bands` always
+    * shares at least one clean band, so detection is EXACT below `bands`
+    * differing bits and probabilistic above — pick `bands` > the
+    * `maxHamming` you care about (default 8 bands ⇒ exact through 7).
+    * Degenerate buckets (boilerplate clusters) are capped like the other
+    * dedup variants. */
   def simHashPairs(docs: DataFrame, id: String, text: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sig = docs.select(col(id).as("doc"), simHash64(col(text)).as("sig"))
     val banded = sig.select(col("doc"), col("sig"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
-    val l = banded.as("l"); val r = banded.as("r")
+          shiftright(col("sig"), b * width).bitwiseAND(mask).as("key"))): _*)).as("bk"))
+    val hot = banded.groupBy(col("bk")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > maxBucket).select(col("bk"))
+    val capped = banded.join(broadcast(hot), Seq("bk"), "left_anti")
+    val l = capped.as("l"); val r = capped.as("r")
     val hamming = bit_count(col("l.sig").bitwiseXOR(col("r.sig")))
     l.join(r, col("l.bk") === col("r.bk") && col("l.doc") < col("r.doc"))
       .where(hamming <= maxHamming)
