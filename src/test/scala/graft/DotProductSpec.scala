@@ -25,6 +25,15 @@ class DotProductSpec extends AnyFunSuite {
     }
   }
 
+  test("fused cosine: zero vectors score 0, never NaN") {
+    val df = Seq(
+      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)),
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("x", "y")
+    val got = df.select(GraftFunctions.cosine($"x", $"y")).as[Double].collect()
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+
   test("double arrays and SQL registration work") {
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("x", "y")
     assert(df.select(GraftFunctions.dot($"x", $"y")).as[Double].head() == 32.0)

@@ -43,6 +43,17 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("ORC round-trip preserves the events table (alternate columnar source)") {
+    val dir = java.nio.file.Files.createTempDirectory("orc_out").toString
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+    ev.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == ev.schema)
+    assert(back.as[(Long, Long, Long, String, Double)].collect().toSet ==
+      ev.as[(Long, Long, Long, String, Double)].collect().toSet)
+  }
+
   test("bucketed+sorted layout serves per-user aggregation without exchange") {
     val agg = spark.table("ev_left").groupBy($"user_id")
       .agg(count(lit(1)).as("n"))
