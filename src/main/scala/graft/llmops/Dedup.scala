@@ -108,9 +108,11 @@ object Dedup {
     * xxhash64 variant stays the production path (md5 is ~5× the cost). */
   def minHashSigPortable(text: Column, shingleN: Int, numHashes: Int): Column =
     TextFunctions.bind(array_distinct(TextFunctions.shingles(text, shingleN))) { sh =>
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        seed => array_min(transform(sh,
-          s => md5(concat(seed.cast("string"), lit("§"), s)))))
+      // seed prefixes are literals ("0§", "1§", …): one concat per hash
+      // instead of cast+concat+concat — md5 input strings are identical
+      // to `seed || '§' || shingle`, so the oracle is unaffected
+      transform(array((0 until numHashes).map(i => lit(s"$i§")): _*),
+        prefix => array_min(transform(sh, s => md5(concat(prefix, s)))))
     }
 
   /** Portable near-dup pairs on the md5 signature: estimated Jaccard =
