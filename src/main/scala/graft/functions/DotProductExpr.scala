@@ -159,10 +159,14 @@ case class CosineSim(left: Expression, right: Expression)
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.GraftSqlShim
 
-  /** Register SQL names (`graft_dot`) in the session's function registry. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register SQL names (`graft_dot`, `graft_cosine`) in the session's
+    * function registry. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftSqlShim.registerFunction(spark, "graft_dot",
       exprs => DotProduct(exprs.head, exprs(1)))
+    GraftSqlShim.registerFunction(spark, "graft_cosine",
+      exprs => CosineSim(exprs.head, exprs(1)))
+  }
 
   def dot(x: Column, y: Column): Column =
     GraftSqlShim.column(

@@ -40,6 +40,8 @@ class DotProductSpec extends AnyFunSuite {
     GraftFunctions.register(spark)
     df.createOrReplaceTempView("dot_test")
     assert(spark.sql("SELECT graft_dot(x, y) FROM dot_test").as[Double].head() == 32.0)
+    val c = spark.sql("SELECT graft_cosine(x, x) FROM dot_test").as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
   }
 
   test("nulls propagate; mismatched lengths use min length") {
