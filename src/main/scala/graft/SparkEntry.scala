@@ -3,7 +3,7 @@ package graft
 import graft.evalx.Metrics
 import graft.functions.{Features, TextFunctions, VectorOps}
 import graft.llmops.{Dedup, SimSearch, TextAnalysis}
-import graft.ops.{AsOf, Graph, PrefixWindow, Sampling, TopK}
+import graft.ops.{AsOf, DictIndex, Graph, PrefixWindow, Sampling, TopK}
 import graft.recall.Cascade
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -177,11 +177,10 @@ object SparkEntry {
       .agg(count(when(col("value") >= 250.0, 1)).as("n_hi"),
         count(lit(1)).as("n"))
 
-  /** J2: id → dense index dictionary (deterministic StringIndexer). */
+  /** J2: id → dense index dictionary (deterministic StringIndexer) via
+    * the two-level zipWithIndex lowering — no single-partition window. */
   private val j2DictIndex: Q = (s, dir) =>
-    Tables.events(s, dir).select(col("user_id")).distinct()
-      .withColumn("user_idx",
-        (row_number().over(Window.orderBy(col("user_id"))) - 1).cast("long"))
+    DictIndex.denseIds(Tables.events(s, dir), "user_id", "user_idx")
 
   /** J4: range join — events of the same user within ±1 h of each purchase
     * (bucketized-equi lowering, SURVEY §2.3 J4). */
@@ -484,11 +483,19 @@ object SparkEntry {
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
-  /** MM1: multimodal binary-column pipeline (stub codec, real plumbing). */
+  /** MM1: multimodal binary-column pipeline (stub codec, real plumbing).
+    * Output is flattened to scalars — the driver's comparison sorts every
+    * column, and a raw `array<float>` column is unsortable/unhashable on
+    * its side (round-1 `unhashable type: numpy.ndarray` failure). */
   private val mm1MediaFeatures: Q = (s, dir) => {
     val assets = multimodal.Multimodal.assetsFromText(
       Tables.documents(s, dir), "doc_id", "text")
     multimodal.Multimodal.extractFeatures(assets)
+      .select(col("asset_id"), col("media_type"),
+        size(col("feature")).as("feat_dim"),
+        round(aggregate(col("feature").cast("array<double>"),
+          lit(0.0), (acc, v) => acc + v), 4).as("feat_sum"),
+        round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
   }
 
   /** G4: full LightGCN forward (2 layers + skip-connection average) on the
@@ -581,7 +588,7 @@ object SparkEntry {
     val negs = pos
       .withColumn("attempt", explode(array(lit(1L), lit(2L))))
       .withColumn("cand_neg", pmod(
-        col("user_id") * 2654435761L + col("cand") * 40503L + col("attempt") * 69069L,
+        Sampling.defaultMix(col("user_id"), col("cand"), col("attempt")),
         lit(200L)))
       .join(userItems.select(col("user_id"), col("item").as("cand_neg")),
         Seq("user_id", "cand_neg"), "left_anti")
@@ -850,12 +857,14 @@ object SparkEntry {
       """WITH pos AS (
         |  SELECT DISTINCT user_id, event_id % 100 AS item FROM events)
         |SELECT user_id, item, attempt,
-        |  (user_id * 2654435761 + item * 40503 + attempt * 69069) % 100 AS neg_item
+        |  ((user_id % 1000000000) * 2654435761 + (item % 1000000000) * 40503
+        |    + (attempt % 1000000000) * 69069) % 100 AS neg_item
         |FROM pos CROSS JOIN (SELECT unnest(CAST([1, 2] AS BIGINT[])) AS attempt) t
         |WHERE NOT EXISTS (SELECT 1 FROM pos p2
         |  WHERE p2.user_id = pos.user_id
-        |    AND p2.item = (pos.user_id * 2654435761 + pos.item * 40503
-        |      + attempt * 69069) % 100)""".stripMargin,
+        |    AND p2.item = ((pos.user_id % 1000000000) * 2654435761
+        |      + (pos.item % 1000000000) * 40503
+        |      + (attempt % 1000000000) * 69069) % 100)""".stripMargin,
     "x3_stratified" ->
       """SELECT user_id, n_events FROM (
         |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
@@ -1079,7 +1088,8 @@ object SparkEntry {
         |  FROM samples WHERE value >= 250),
         |ui AS (SELECT DISTINCT user_id, item FROM base),
         |negc AS (SELECT user_id, idx, cand, attempt, history,
-        |    (user_id * 2654435761 + cand * 40503 + attempt * 69069) % 200 AS cand_neg
+        |    ((user_id % 1000000000) * 2654435761 + (cand % 1000000000) * 40503
+        |      + (attempt % 1000000000) * 69069) % 200 AS cand_neg
         |  FROM pos CROSS JOIN
         |    (SELECT unnest(CAST([1, 2] AS BIGINT[])) AS attempt) t),
         |negs AS (SELECT * FROM negc WHERE NOT EXISTS (SELECT 1 FROM ui

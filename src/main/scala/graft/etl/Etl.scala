@@ -1,9 +1,8 @@
 package graft.etl
 
 import graft.functions.Features
-import graft.ops.{PrefixWindow, Sampling}
+import graft.ops.{DictIndex, PrefixWindow, Sampling}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's offline ETL chain (§3.3) as composable
@@ -86,9 +85,7 @@ object Etl {
         concat_ws("|", col("history")).as("history_items"))
     // deterministic negatives over the observed item dictionary: hash-pick
     // an item index, skip collisions with the user's own positives (X2)
-    val itemDict = base.select(col("item_id")).distinct()
-      .withColumn("__idx",
-        (row_number().over(Window.orderBy(col("item_id"))) - 1).cast("long"))
+    val itemDict = DictIndex.denseIds(base, "item_id", "__idx")
     val nItems = itemDict.count()
     val userItems = base.select(col("user_id"), col("item_id")).distinct()
     val negs = samples

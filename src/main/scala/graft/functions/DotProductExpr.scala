@@ -13,14 +13,21 @@ import org.apache.spark.sql.types._
   * allocates an intermediate array and walks lambda-bound expressions per
   * element in interpreted mode; this native expression compiles to a tight
   * primitive loop inside the generated code — the hot kernel of recall
-  * scoring (J7/M1) and ANN search. Accumulation order and widening match
-  * `VectorOps.dot` exactly (sequential fold, elements widened to double
-  * before multiply), so results are bit-identical and oracle-safe.
+  * scoring (J7/M1) and ANN search. Semantics match `VectorOps.dot`
+  * exactly, including edges: sequential fold, elements widened to double
+  * before multiply, and NULL out on length mismatch or a null element
+  * (`zip_with` pads the shorter side with nulls and `null * x` poisons the
+  * fold) — so results are bit-identical and oracle-safe on ANY input, not
+  * just well-formed embeddings.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // null is produced on length mismatch / null elements even when the
+  // array columns themselves are non-nullable
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType = e.dataType match {
     case ArrayType(et, _) => et
@@ -47,10 +54,15 @@ case class DotProduct(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val (ta, tb) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var sum = 0.0
     var i = 0
-    while (i < n) { sum += get(a, i, ta) * get(b, i, tb); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      sum += get(a, i, ta) * get(b, i, tb)
+      i += 1
+    }
     sum
   }
 
@@ -64,12 +76,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += (${getter(elemType(left), a, i)}) * (${getter(elemType(right), b, i)});
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += (${getter(elemType(left), a, i)}) * (${getter(elemType(right), b, i)});
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
   }
@@ -82,12 +99,15 @@ case class DotProduct(left: Expression, right: Expression)
 /** Fused cosine similarity: Σxy, Σx², Σy² accumulated in ONE pass over the
   * arrays (the 3-dot-product composition walks them three times), then
   * xy / (√x² · √y²) with NaN (zero vector) normalized to 0. Accumulation
-  * order per sum matches [[DotProduct]] exactly, so results are
-  * bit-identical to the composed form. */
+  * order per sum and the null edges (length mismatch / null element →
+  * NULL) match [[DotProduct]] / the composed form exactly, so results are
+  * bit-identical. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType = e.dataType match {
     case ArrayType(et, _) => et
@@ -113,10 +133,12 @@ case class CosineSim(left: Expression, right: Expression)
       case _ => x.getDouble(i)
     }
     val (ta, tb) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var xy = 0.0; var xx = 0.0; var yy = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = get(a, i, ta); val y = get(b, i, tb)
       xy += x * y; xx += x * x; yy += y * y
       i += 1
@@ -137,15 +159,22 @@ case class CosineSim(left: Expression, right: Expression)
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val c = ctx.freshName("c")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $xy = 0.0, $xx = 0.0, $yy = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = ${getter(elemType(left), a, i)};
-         |  double $y = ${getter(elemType(right), b, i)};
-         |  $xy += $x * $y; $xx += $x * $x; $yy += $y * $y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $xy = 0.0, $xx = 0.0, $yy = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $x = ${getter(elemType(left), a, i)};
+         |    double $y = ${getter(elemType(right), b, i)};
+         |    $xy += $x * $y; $xx += $x * $x; $yy += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $c = $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
+         |    ${ev.value} = java.lang.Double.isNaN($c) ? 0.0 : $c;
+         |  }
          |}
-         |double $c = $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
-         |${ev.value} = java.lang.Double.isNaN($c) ? 0.0 : $c;
        """.stripMargin
     })
   }

@@ -121,6 +121,9 @@ object Dedup {
   def minHashPairsPortable(docs: DataFrame, id: String, text: String,
       shingleN: Int, numHashes: Int, bands: Int,
       minJaccard: Double, maxBucket: Int = 200): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — a remainder " +
+        "would silently exclude trailing signature positions from every band")
     val rows = numHashes / bands
     val sig = docs.select(col(id).as("doc"),
         minHashSigPortable(col(text), shingleN, numHashes).as("sig"))
@@ -175,6 +178,9 @@ object Dedup {
   def minHashPairs(docs: DataFrame, id: String, text: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.5, maxBucket: Int = 200): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — a remainder " +
+        "would silently exclude trailing signature positions from every band")
     val rows = numHashes / bands
     // docs with < shingleN tokens have an empty shingle set: every seed's
     // min folds to the Long.MaxValue zero element, so ALL such docs would

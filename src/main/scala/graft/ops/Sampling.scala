@@ -87,9 +87,17 @@ object Sampling {
   }
 
   /** Oracle-friendly mixing: (u*2654435761 + i*40503 + n*69069) mod span —
-    * fixed-point arithmetic identical in Spark and ANSI SQL. */
+    * fixed-point arithmetic identical in Spark and ANSI SQL. Inputs are
+    * pre-reduced mod 1e9 so the largest term stays ≤ ~2.7e18 < Long.Max:
+    * arbitrary 64-bit ids (e.g. hashed user ids) can't overflow the
+    * multiply, which under this engine's ANSI mode would otherwise throw
+    * at runtime. Values are unchanged for ids < 1e9, and the reduction is
+    * plain `% 1000000000` in any SQL engine (ids are non-negative; for
+    * production-strength mixing pass `(u,i,n) => xxhash64(u,i,n)`). */
   def defaultMix(u: Column, i: Column, n: Column): Column =
-    u.cast("long") * 2654435761L + i.cast("long") * 40503L + n.cast("long") * 69069L
+    pmod(u.cast("long"), lit(1000000000L)) * 2654435761L +
+      pmod(i.cast("long"), lit(1000000000L)) * 40503L +
+      pmod(n.cast("long"), lit(1000000000L)) * 69069L
 
   /** X4: seeded random fan-out — pick `n` rows pseudo-randomly (reference
     * `api_service/main.py:66-68` picks 30-60 random users per request).

@@ -74,16 +74,23 @@ object BehaviorIngest {
 
   /** Event-time sliding-window activity aggregation — the design-doc
     * operator the reference never implemented (`README.md:503-507`):
-    * per (window, user) distinct item count + event count, with a
-    * watermark bounding state. Works identically on a batch DataFrame
-    * (used by the DuckDB oracle). */
+    * per (window, user) event count, plus a distinct item count
+    * (`n_distinct_items`) when `itemCol` names a scalar item column —
+    * `approx_count_distinct` (HLL++) because exact distinct isn't
+    * streaming-safe; deterministic for a given input SET, so the
+    * stream≡batch parity contract still holds. Watermark bounds state.
+    * Works identically on a batch DataFrame (used by the DuckDB oracle). */
   def windowedActivity(events: DataFrame, tsCol: String,
-      width: String, slide: String, watermark: String = "1 hour"): DataFrame = {
+      width: String, slide: String, watermark: String = "1 hour",
+      itemCol: Option[String] = None): DataFrame = {
     val src = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    val aggs = count(lit(1)).as("n_events") ::
+      itemCol.map(c => approx_count_distinct(col(c)).as("n_distinct_items")).toList
     src.groupBy(window(col(tsCol), width, slide), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
-        col("user_id"), col("n_events"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("user_id"), col("n_events")) ++
+        itemCol.map(_ => col("n_distinct_items")): _*)
   }
 
   /** A8: pipeline counters (reference `data_pipeline/metrics.py` — events

@@ -44,13 +44,21 @@ class DotProductSpec extends AnyFunSuite {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
-  test("nulls propagate; mismatched lengths use min length") {
+  test("null/mismatch edges are identical to the composed HOF form") {
     val df = Seq(
-      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f))),
-      (None, Some(Seq(1.0f)))
+      (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(3.0f)))), // len mismatch
+      (None, Some(Seq(Some(1.0f)))), // null array
+      (Some(Seq(Some(1.0f), None)), Some(Seq(Some(2.0f), Some(3.0f)))), // null elem
+      (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(3.0f), Some(4.0f)))) // clean
     ).toDF("x", "y")
-    val got = df.select(GraftFunctions.dot($"x", $"y")).as[Option[Double]].collect()
-    assert(got(0).contains(3.0))
-    assert(got(1).isEmpty)
+    val native = df.select(
+        GraftFunctions.dot($"x", $"y"), GraftFunctions.cosine($"x", $"y"))
+      .as[(Option[Double], Option[Double])].collect()
+    val composed = df.select(
+        VectorOps.dot($"x", $"y"), VectorOps.cosine($"x", $"y"))
+      .as[(Option[Double], Option[Double])].collect()
+    assert(native.toSeq == composed.toSeq)
+    assert(native(0)._1.isEmpty && native(1)._1.isEmpty && native(2)._1.isEmpty)
+    assert(native(3)._1.contains(11.0))
   }
 }

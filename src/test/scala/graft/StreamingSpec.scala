@@ -185,23 +185,32 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sql = spark.sqlContext
     val ev = Tables.events(spark, TestSpark.sf)
       .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
-      .select($"user_id", $"ts_t")
-    val batch = BehaviorIngest.windowedActivity(ev, "ts_t", "1 hour", "1 hour")
-      .select($"w_start", $"user_id", $"n_events")
-      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+      .select($"user_id", $"ts_t", ($"event_id" % 7).as("item"))
+    val batch = BehaviorIngest.windowedActivity(ev, "ts_t", "1 hour", "1 hour",
+        itemCol = Some("item"))
+      .select($"w_start", $"user_id", $"n_events", $"n_distinct_items")
+      .as[(java.sql.Timestamp, Long, Long, Long)].collect().toSet
 
-    val mem = MemoryStream[(Long, java.sql.Timestamp)]
-    mem.addData(ev.as[(Long, java.sql.Timestamp)].collect().toSeq: _*)
-    val sdf = mem.toDF().toDF("user_id", "ts_t")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    mem.addData(ev.as[(Long, java.sql.Timestamp, Long)].collect().toSeq: _*)
+    val sdf = mem.toDF().toDF("user_id", "ts_t", "item")
     val q = BehaviorIngest.windowedActivity(sdf, "ts_t", "1 hour", "1 hour",
-        watermark = "0 seconds")
+        watermark = "0 seconds", itemCol = Some("item"))
       .writeStream.outputMode("complete").format("memory")
       .queryName("win_counts").start()
     q.processAllAvailable()
     val streamed = spark.table("win_counts")
-      .select($"w_start", $"user_id", $"n_events")
-      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+      .select($"w_start", $"user_id", $"n_events", $"n_distinct_items")
+      .as[(java.sql.Timestamp, Long, Long, Long)].collect().toSet
     q.stop()
     assert(streamed == batch)
+    // HLL++ is near-exact at these tiny cardinalities (≤ 7 distinct);
+    // sanity-pin the estimate against true distinct within ±1
+    val exact = ev.groupBy(window($"ts_t", "1 hour"), $"user_id")
+      .agg(countDistinct($"item").as("d"))
+      .select($"window.start", $"user_id", $"d")
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(batch.forall(t => math.abs(t._4 - exact((t._1, t._2))) <= 1))
   }
 }
