@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time selected queries (cold + 2 warm runs each) — the
+  * per-query drill-down companion to [[Bench]].
+  *
+  * Usage: `runMain graft.BenchOne q1_agg d2_minhash_pairs` (env
+  * `SPARK_GRAFT_SF_DIR`, `SPARK_GRAFT_CPUS` as in Bench). */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val cold = time { fn(spark, sfDir).count(): Unit }
+      val w1 = time { fn(spark, sfDir).count(): Unit }
+      val w2 = time { fn(spark, sfDir).count(): Unit }
+      println(f"[benchone] $name cold=$cold%.2f warm=$w1%.2f/$w2%.2f")
+    }
+    spark.stop()
+  }
+}

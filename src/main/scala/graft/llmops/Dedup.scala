@@ -1,6 +1,6 @@
 package graft.llmops
 
-import graft.functions.TextFunctions
+import graft.functions.{MinHashFunctions, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -94,8 +94,17 @@ object Dedup {
   }
 
   /** MinHash signature: `numHashes` independent permutations via seeded
-    * xxhash64 over the shingle set; pure expression tree. */
+    * xxhash64 over the shingle set — the native one-pass kernel
+    * ([[graft.functions.MinHashSig]]; one string hash per shingle, cheap
+    * per-seed int mixes). Bit-identical to [[minHashSigHof]]. */
   def minHashSig(text: Column, shingleN: Int, numHashes: Int): Column =
+    MinHashFunctions.minHash(
+      array_distinct(TextFunctions.shingles(text, shingleN)), numHashes)
+
+  /** Composed-HOF reference form of [[minHashSig]] (numHashes interpreted
+    * passes over the shingle array) — kept as the spec the native kernel
+    * is pinned against. */
+  def minHashSigHof(text: Column, shingleN: Int, numHashes: Int): Column =
     TextFunctions.bind(array_distinct(TextFunctions.shingles(text, shingleN))) { sh =>
       transform(sequence(lit(0), lit(numHashes - 1)),
         seed => aggregate(sh, lit(Long.MaxValue),
@@ -104,9 +113,18 @@ object Dedup {
 
   /** Engine-portable MinHash signature: per-seed minimum of md5 digests of
     * the shingle set — same mechanics as [[minHashSig]] but reproducible in
-    * any engine with md5 (the DuckDB oracle recomputes it exactly).
-    * xxhash64 variant stays the production path (md5 is ~5× the cost). */
+    * any engine with md5 (the DuckDB oracle recomputes it exactly; inputs
+    * are `"<seed>§" || shingle`). Native one-pass kernel
+    * ([[graft.functions.MinHashSigMd5]]), bit-identical to
+    * [[minHashSigPortableHof]]. xxhash64 variant stays the production path
+    * (md5 is ~5× the cost). */
   def minHashSigPortable(text: Column, shingleN: Int, numHashes: Int): Column =
+    MinHashFunctions.minHashMd5(
+      array_distinct(TextFunctions.shingles(text, shingleN)), numHashes)
+
+  /** Composed-HOF reference form of [[minHashSigPortable]] — kept as the
+    * spec the native kernel is pinned against. */
+  def minHashSigPortableHof(text: Column, shingleN: Int, numHashes: Int): Column =
     TextFunctions.bind(array_distinct(TextFunctions.shingles(text, shingleN))) { sh =>
       // seed prefixes are literals ("0§", "1§", …): one concat per hash
       // instead of cast+concat+concat — md5 input strings are identical
@@ -141,23 +159,23 @@ object Dedup {
     * then group band-exploded rows by bucket key and emit all i<j member
     * pairs *bucket-locally* from the collected member array.
     *
-    * Two passes over the upstream signature pipeline: a count-only
-    * aggregation for hot-key detection (map-side combined — its shuffle
-    * carries one row per distinct key) and the member-collect aggregation.
-    * The hot-key anti-join MUST come before the collect: capping after
-    * collecting (a `where(size(ms) <= cap)` on the aggregated array) would
-    * build the entire hot bucket in a single in-group buffer first —
+    * ONE pass over the upstream signature pipeline and ONE shuffle: a
+    * window `count` over the bucket key sizes every bucket, the filter
+    * drops hot (boilerplate) buckets, and the member-collect groupBy on
+    * the SAME key reuses the window's hash partitioning (no second
+    * exchange). The hot-bucket cap MUST be enforced before the collect:
     * collect_list cannot spill within one group, so a million-member
-    * boilerplate bucket would OOM the executor even though its rows are
-    * about to be discarded. With the pre-filter, collect buffers are
-    * bounded by `maxBucket`, and the per-group pair expansion is bounded
-    * too. (A 2-sided self-join form costs a third pipeline evaluation —
-    * measured slower than this.) */
+    * boilerplate bucket would OOM the executor; WindowExec, by contrast,
+    * buffers each bucket in a spillable sorter, so the sizing pass itself
+    * is safe on arbitrarily hot keys. (Earlier form — count-aggregate +
+    * broadcast anti-join — had the same memory bound but evaluated the
+    * whole signature pipeline twice; measured ~2× slower on the minhash
+    * variants.) */
   private def bucketLocalPairs(banded: DataFrame, numHashes: Int,
       maxBucket: Int): DataFrame = {
-    val hot = banded.groupBy(col("bk")).agg(count(lit(1)).as("__c"))
-      .where(col("__c") > maxBucket).select(col("bk"))
-    val members = banded.join(broadcast(hot), Seq("bk"), "left_anti")
+    val members = banded
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .where(col("__bc") <= maxBucket)
       .groupBy(col("bk"))
       .agg(sort_array(collect_list(struct(col("doc"), col("sig")))).as("ms"))
       .where(size(col("ms")) >= 2)
@@ -219,12 +237,12 @@ object Dedup {
     val inv = sets.select(col("doc"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
     // bucket-local pair generation (see bucketLocalPairs for the memory
-    // argument): hot shingles are dropped BEFORE the collect so no
-    // aggregation buffer exceeds maxBucket members; members sorted so
-    // doc_a < doc_b
-    val hot = inv.groupBy(col("shingle")).agg(count(lit(1)).as("__c"))
-      .where(col("__c") > maxBucket).select(col("shingle"))
-    val members = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // argument): hot shingles are dropped BEFORE the collect — via the
+    // same single-pass spillable window count — so no aggregation buffer
+    // exceeds maxBucket members; members sorted so doc_a < doc_b
+    val members = inv
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .where(col("__bc") <= maxBucket)
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(struct(col("doc"), col("n")))).as("ms"))
       .where(size(col("ms")) >= 2)

@@ -30,6 +30,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.exactRows(docs, "doc_id", "text").count() == 2)
   }
 
+  test("native minhash kernels are bit-identical to the composed HOF forms") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .unionByName(Seq((900001L, ""), (900002L, "one two")) // empty / < n tokens
+        .toDF("doc_id", "text"), allowMissingColumns = true)
+    val xx = docs.select(
+        Dedup.minHashSig($"text", 3, 16).as("native"),
+        Dedup.minHashSigHof($"text", 3, 16).as("hof"))
+      .where(not($"native" <=> $"hof")).count()
+    assert(xx == 0, s"$xx xxhash signature mismatches")
+    val md = docs.select(
+        Dedup.minHashSigPortable($"text", 3, 8).as("native"),
+        Dedup.minHashSigPortableHof($"text", 3, 8).as("hof"))
+      .where(not($"native" <=> $"hof")).count()
+    assert(md == 0, s"$md md5 signature mismatches")
+  }
+
   test("minhash estimated jaccard correlates with exact jaccard") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val est = Dedup.minHashPairs(docs, "doc_id", "text",
