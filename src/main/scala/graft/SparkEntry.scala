@@ -457,6 +457,81 @@ object SparkEntry {
       .select(col("doc_id"), col("lang_guess"), col("quality"),
         col("stopword_ratio"))
 
+  /** LLM-D6: embedding-cosine near-dup pairs (brute-force baseline; LSH
+    * path = sim2). 0.4 sits at the top ~0.1% of the synthetic corpus's
+    * pair-cosine distribution (max ≈ 0.51 — no planted dups). */
+  private val d6EmbeddingDedup: Q = (s, dir) =>
+    Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        minCosine = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+
+  /** LLM-D7: duplicate clusters — near-dup pairs (exact n-gram Jaccard
+    * ≥ 0.6) closed transitively into components; cluster_id = min member
+    * (oracle: DuckDB recursive CTE over the same pairs). */
+  private val d7DupClusters: Q = (s, dir) =>
+    Dedup.dupClusters(Tables.documents(s, dir), "doc_id", "text",
+      shingleN = 3, minJaccard = 0.6, maxBucket = 10000)
+
+  /** LLM-T6: PII redaction — deterministic synthetic PII injected on both
+    * engine and oracle sides (the fixture corpus has none), then counted
+    * and scrubbed with the shared RE2-safe patterns. */
+  private val t6PiiScrub: Q = (s, dir) => {
+    val injected = Tables.documents(s, dir).select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(lit(" call 555-"),
+        format_string("%03d", col("doc_id") % 1000), lit("-1234"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, concat(lit(" host 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".1"))).otherwise(lit("")))
+      .as("text"))
+    injected.select(col("doc_id"),
+      regexp_count(col("text"), lit(TextFunctions.emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(TextFunctions.phoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(TextFunctions.ipv4Re)).cast("long").as("n_ips"),
+      TextFunctions.redactPii(col("text")).as("redacted"))
+  }
+
+  /** LLM-T7: train→test n-gram contamination scan (eval-leak check):
+    * every 10th doc is the "eval set", the rest the training corpus. */
+  private val t7Contamination: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.contamination(
+      docs.where(col("doc_id") % 10 === 0),
+      docs.where(col("doc_id") % 10 =!= 0),
+      "doc_id", "text", shingleN = 3)
+  }
+
+  /** LLM-X6: concat-and-chunk sequence packing — per source stream, docs
+    * in id order are laid into fixed token-budget training blocks; output
+    * = which block each doc starts in and at what offset (the standard
+    * "concatenate then split every N tokens" LLM pretraining layout).
+    * Window is partitioned by source — no global single-partition scan. */
+  private val x6PackSequences: Q = (s, dir) => {
+    val budget = 512L
+    val toks = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("__cum") / budget).cast("long").as("block_id"),
+        (col("__cum") % budget).as("block_offset"))
+  }
+
+  /** LLM-A13: quality-quantile filter — drop the bottom 25% by quality
+    * score WITHIN each language (per-group percentile filtering, the
+    * standard corpus-mix curation step). Ranks on the 6-dp-rounded score
+    * so engine and oracle sort identical keys. */
+  private val a13QuantileFilter: Q = (s, dir) => {
+    val t = TextAnalysis.analyze(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("lang_guess"),
+        round(col("quality"), 6).as("quality"))
+    val w = Window.partitionBy(col("lang_guess")).orderBy(col("quality"))
+    t.withColumn("q_rank", round(percent_rank().over(w), 6))
+      .where(col("q_rank") >= 0.25)
+  }
+
   // ---- rows-only checks (no ANSI-SQL-expressible oracle: xxhash64/LSH/
   // ---- binary-codec internals); correctness pinned by ScalaTest instead.
 
@@ -682,6 +757,12 @@ object SparkEntry {
     "sim3_ivf_topk" -> sim3IvfTopk,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_minhash_portable" -> d5MinhashPortable,
+    "d6_embedding_dedup" -> d6EmbeddingDedup,
+    "d7_dup_clusters" -> d7DupClusters,
+    "t6_pii_scrub" -> t6PiiScrub,
+    "t7_contamination" -> t7Contamination,
+    "x6_pack_sequences" -> x6PackSequences,
+    "a13_quantile_filter" -> a13QuantileFilter,
     "t1_text_analysis" -> t1TextAnalysis,
     "t4_corpus_stats" -> t4CorpusStats,
     "t5_corpus_rollup" -> t5CorpusRollup,
@@ -961,6 +1042,156 @@ object SparkEntry {
         |SELECT min(t) // 1000 AS session_start_us, user_id,
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "d6_embedding_dedup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+    "d7_dup_clusters" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS shingles FROM tk),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |capped AS (SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS c
+        |    FROM inv) WHERE c <= 10000),
+        |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS i
+        |  FROM capped l JOIN capped r
+        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes na ON na.doc_id = doc_a
+        |  JOIN sizes nb ON nb.doc_id = doc_b
+        |  WHERE i * 1.0 / (na.n + nb.n - i) >= 0.6),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b)
+        |SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+    "t6_pii_scrub" ->
+      """WITH injected AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0
+        |    THEN ' call 555-' || printf('%03d', doc_id % 1000) || '-1234'
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN ' host 10.0.' || (doc_id % 256) || '.1' ELSE '' END AS text
+        |FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS n_phones,
+        |  len(regexp_extract_all(text,
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS redacted
+        |FROM injected""".stripMargin,
+    "t7_contamination" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS shingles FROM tk),
+        |vocab AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+        |  WHERE doc_id % 10 <> 0),
+        |test AS (SELECT doc_id, len(shingles) AS n_shingles, shingles FROM sh
+        |  WHERE doc_id % 10 = 0),
+        |ts AS (SELECT doc_id, unnest(shingles) AS shingle FROM test),
+        |hits AS (SELECT ts.doc_id, count(*) AS n_hit
+        |  FROM ts JOIN vocab USING (shingle) GROUP BY ts.doc_id)
+        |SELECT t.doc_id, t.n_shingles,
+        |  coalesce(h.n_hit, 0) AS n_contaminated,
+        |  round(CASE WHEN t.n_shingles > 0
+        |    THEN coalesce(h.n_hit, 0) * 1.0 / t.n_shingles
+        |    ELSE 0.0 END, 6) AS containment
+        |FROM test t LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "x6_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      s -> len(s) > 0)) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  cum // 512 AS block_id, cum % 512 AS block_offset FROM c""".stripMargin,
+    "a13_quantile_filter" ->
+      """WITH tk AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |h AS (SELECT doc_id, text, toks,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['the','a','of','and','to','in','is','it'], t))) AS h_en,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['el','la','de','que','y','en','un','es'], t))) AS h_es,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['der','die','das','und','ist','von','ein','zu'], t))) AS h_de,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['le','la','de','et','un','est','que','en'], t))) AS h_fr,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['的','了','是','我','不','在','有','人'], t))) AS h_zh
+        |  FROM tk),
+        |m AS (SELECT doc_id, text, toks,
+        |    greatest(h_en, h_es, h_de, h_fr, h_zh) AS best,
+        |    h_en, h_es, h_de, h_fr, h_zh FROM h),
+        |scored AS (SELECT doc_id,
+        |  CASE WHEN best = 0 THEN 'und'
+        |    WHEN h_zh = best THEN 'zh' WHEN h_fr = best THEN 'fr'
+        |    WHEN h_es = best THEN 'es' WHEN h_en = best THEN 'en'
+        |    ELSE 'de' END AS lang_guess,
+        |  round(
+        |    least(len(toks) / 50.0, 1.0) * 0.4
+        |    + (CASE WHEN len(toks) > 0
+        |        AND len(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(toks)
+        |          BETWEEN 3.0 AND 10.0
+        |        THEN 1.0 ELSE 0.5 END) * 0.3
+        |    + (1.0 - least(
+        |        (CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+        |           / length(text) END) * 5.0, 1.0)) * 0.3, 6) AS quality
+        |FROM m),
+        |ranked AS (SELECT doc_id, lang_guess, quality,
+        |    round(percent_rank() OVER (PARTITION BY lang_guess
+        |      ORDER BY quality), 6) AS q_rank
+        |  FROM scored)
+        |SELECT doc_id, lang_guess, quality, q_rank FROM ranked
+        |WHERE q_rank >= 0.25""".stripMargin,
+    "g4_lightgcn" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |ed AS (SELECT s AS src, p + 1000000 AS dst FROM e
+        |  UNION ALL SELECT p + 1000000, s FROM e),
+        |n0 AS (SELECT CAST(s_suppkey AS BIGINT) AS id, s_acctbal AS v
+        |    FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(p_partkey + 1000000 AS BIGINT), p_retailprice FROM part),
+        |ds AS (SELECT src, count(*) AS d FROM ed GROUP BY src),
+        |dd AS (SELECT dst, count(*) AS d FROM ed GROUP BY dst),
+        |w AS (SELECT src, dst, pow(ds.d, -0.5) * pow(dd.d, -0.5) AS w
+        |  FROM ed JOIN ds USING (src) JOIN dd USING (dst)),
+        |l1 AS (SELECT w.dst AS id, sum(w.w * n0.v) AS v
+        |  FROM w JOIN n0 ON n0.id = w.src GROUP BY w.dst),
+        |l2 AS (SELECT w.dst AS id, sum(w.w * l1.v) AS v
+        |  FROM w JOIN l1 ON l1.id = w.src GROUP BY w.dst)
+        |SELECT n0.id,
+        |  round((n0.v + coalesce(l1.v, 0) + coalesce(l2.v, 0)) * (1.0 / 3), 6)
+        |    AS score
+        |FROM n0 LEFT JOIN l1 USING (id) LEFT JOIN l2 USING (id)""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),

@@ -81,6 +81,32 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  // ---- PII redaction (charter: corpus curation). Patterns deliberately
+  // ---- use only the regex subset common to Java and RE2 (no lookaround,
+  // ---- no backrefs) so any engine — including the DuckDB oracle —
+  // ---- reproduces matches exactly.
+
+  /** Email address pattern. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NANP-style phone pattern (ddd-ddd-dddd). */
+  val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** Dotted-quad IPv4 pattern. */
+  val ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** Scrub emails, phone numbers and IPv4 addresses with typed
+    * placeholders. Emails are replaced FIRST: their local/domain parts can
+    * contain dotted digit runs that the IPv4 pattern would otherwise eat
+    * mid-address; the placeholders themselves contain no digits or dots,
+    * so later passes can't touch earlier replacements. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+
   /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]); empty when the
     * doc has fewer than n tokens. */
   def shingles(text: Column, n: Int): Column =

@@ -264,4 +264,19 @@ object Dedup {
   def embeddingPairs(embs: DataFrame, id: String, vec: String,
       minCosine: Double): DataFrame =
     SimSearch.cosinePairs(embs, id, vec, minCosine)
+
+  /** Duplicate clusters: exact n-gram-Jaccard near-dup pairs grouped into
+    * connected components (transitive closure — A≈B, B≈C ⇒ {A,B,C} even
+    * when A,C aren't directly similar, the usual fuzzy-dedup contract).
+    * Output: (id, cluster_id = min doc id of the component), one row per
+    * doc that has ≥ 1 near-dup. Keep-one dedup = keep rows where
+    * id == cluster_id (or join quality and keep the best per cluster). */
+  def dupClusters(docs: DataFrame, id: String, text: String,
+      shingleN: Int, minJaccard: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, id, text, shingleN, minJaccard,
+      maxBucket)
+    graft.ops.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("doc_a").as(id), col("component").as("cluster_id"))
+  }
 }

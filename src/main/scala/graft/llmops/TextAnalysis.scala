@@ -20,6 +20,34 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "en"),
     "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "人"))
 
+  /** Train→test n-gram contamination check (the standard eval-set leak
+    * scan in LLM data pipelines): for each test doc, the fraction of its
+    * distinct word `shingleN`-grams that occur ANYWHERE in the train
+    * corpus. One shuffle on the shingle string (inverted-vocabulary
+    * semi-join) + one per-doc aggregation; the train vocabulary is
+    * distinct-deduped before the join so hot boilerplate shingles don't
+    * skew it. Docs with fewer than `shingleN` tokens have no shingles and
+    * report containment 0. */
+  def contamination(test: DataFrame, train: DataFrame, id: String,
+      text: String, shingleN: Int): DataFrame = {
+    val testSh = test.select(col(id),
+        array_distinct(TextFunctions.shingles(col(text), shingleN)).as("__sh"))
+      .select(col(id), size(col("__sh")).as("n_shingles"),
+        explode_outer(col("__sh")).as("__shingle"))
+    val vocab = train.select(
+        explode(TextFunctions.shingles(col(text), shingleN)).as("__shingle"))
+      .distinct()
+    val hits = testSh.join(vocab, Seq("__shingle"), "left_semi")
+      .groupBy(col(id)).agg(count(lit(1)).as("__hit"))
+    testSh.select(col(id), col("n_shingles")).distinct()
+      .join(hits, Seq(id), "left")
+      .select(col(id), col("n_shingles").cast("long").as("n_shingles"),
+        coalesce(col("__hit"), lit(0L)).as("n_contaminated"),
+        round(when(col("n_shingles") > 0,
+            coalesce(col("__hit"), lit(0L)).cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)), 6).as("containment"))
+  }
+
   /** Per-doc analysis record: token counts, quality, lang guess,
     * fingerprint. */
   def analyze(docs: DataFrame, id: String, text: String): DataFrame =

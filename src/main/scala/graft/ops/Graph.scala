@@ -41,6 +41,53 @@ object Graph {
       .drop("__pairs")
   }
 
+  /** Connected components by iterative min-label propagation: every node
+    * starts labeled with its own id; each round a node takes the minimum
+    * label among itself and its neighbors; fixpoint = each component
+    * labeled with its minimum member id.
+    *
+    * Converges in O(component diameter) rounds — for near-dup clusters
+    * (the intended use: grouping [[graft.llmops.Dedup]] candidate pairs
+    * into duplicate clusters) diameters are tiny, so this beats the
+    * O(log n) large-star/small-star scheme that pays more per round.
+    * Each round is one shuffle (groupBy node); labels are persisted per
+    * round and the predecessor released, so cache footprint is O(1)
+    * rounds and the convergence-check action doesn't regrow lineage.
+    *
+    * Input: undirected edge list (pairs, either orientation). Output:
+    * (node, component) for every node appearing in ≥ 1 edge. */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 25): DataFrame = {
+    // persist the symmetrized edges: the upstream pair pipeline (often an
+    // expensive near-dup candidate generation) must not re-run per round
+    val sym = edges.select(col(src).as("__n"), col(dst).as("__m"))
+      .union(edges.select(col(dst).as("__n"), col(src).as("__m")))
+      .persist()
+    var labels = sym.select(col("__n")).distinct()
+      .select(col("__n"), col("__n").as("__lbl")).persist()
+    labels.count()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = sym.join(labels.withColumnRenamed("__n", "__m"), "__m")
+        .groupBy(col("__n")).agg(min(col("__lbl")).as("__nbr"))
+        .join(labels, "__n")
+        .select(col("__n"), least(col("__lbl"), col("__nbr")).as("__lbl"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("__lbl", "__old"), "__n")
+        .where(col("__lbl") =!= col("__old")).count()
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist(false)
+    // the final labels stay persisted: the caller's action reads the cached
+    // fixpoint instead of recomputing every iteration's lineage; once the
+    // result goes unreferenced the ContextCleaner reclaims the blocks
+    labels.select(col("__n").as(src), col("__lbl").as("component"))
+  }
+
   /** Full LightGCN forward: `layers` propagation rounds, output = mean of
     * layer-0..layers embeddings (the reference's skip-connection average,
     * `model.py:60-95`). */

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llmops.{Dedup, SimSearch}
+import graft.llmops.{Dedup, SimSearch, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -109,5 +109,63 @@ class LlmOpsSpec extends AnyFunSuite {
     pairs.foreach { case (a, b, c) =>
       assert(a < b); assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
     }
+  }
+
+  test("connected components close a chain transitively and split components") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.ops.Graph.connectedComponents(edges, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dupClusters groups transitive near-dups under the min doc id") {
+    // A≈B and B≈C by construction; A vs C are still similar enough via
+    // shared shingles, but the contract under test is the transitive
+    // closure producing ONE cluster labeled with the min id
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (7L, base),
+      (3L, base + " lambda"),
+      (9L, "lambda " + base),
+      (20L, "totally different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupClusters(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(3L, 7L, 9L))
+    assert(got.values.toSet == Set(3L))
+  }
+
+  test("PII redaction scrubs emails, phones and IPs; counts match") {
+    val df = Seq(
+      (1L, "mail a.user+x@sub.example.org or b@c.io, call 415-555-0199, host 10.1.2.3"),
+      (2L, "no pii here")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      graft.functions.TextFunctions.redactPii($"text").as("r"),
+      regexp_count($"text", lit(graft.functions.TextFunctions.emailRe)).as("e"),
+      regexp_count($"text", lit(graft.functions.TextFunctions.phoneRe)).as("p"),
+      regexp_count($"text", lit(graft.functions.TextFunctions.ipv4Re)).as("i"))
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1)
+    assert(got(0)._2 == "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP>")
+    assert((got(0)._3, got(0)._4, got(0)._5) == (2, 1, 1))
+    assert(got(1)._2 == "no pii here")
+  }
+
+  test("contamination: fully-contained test doc scores 1, fresh doc 0") {
+    val train = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "one two three four"), // every 3-shingle in train
+      (11L, "seven eight nine ten"), // none
+      (12L, "xx") // too short: 0 shingles
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.contamination(test, train, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) == ((2L, 2L, 1.0)))
+    assert(got(11L) == ((2L, 0L, 0.0)))
+    assert(got(12L) == ((0L, 0L, 0.0)))
   }
 }
