@@ -233,9 +233,13 @@ object Dedup {
       array_distinct(TextFunctions.shingles(col(text), shingleN)).as("sh"))
     // set size rides along each inverted-index row so the final jaccard
     // needs no extra join back to a sizes table (each join-back would
-    // recompute the whole tokenize+shingle pipeline)
+    // recompute the whole tokenize+shingle pipeline); the shingle string
+    // is hashed to 64 bits BEFORE the shuffle — the window/groupBy keys
+    // carry 8-byte longs instead of ~30-byte strings, and a 64-bit
+    // collision (≈ n²/2⁶⁵) is negligible against the estimate itself
     val inv = sets.select(col("doc"), size(col("sh")).as("n"),
-      explode(col("sh")).as("shingle"))
+      explode(col("sh")).as("__s"))
+      .select(col("doc"), col("n"), xxhash64(col("__s")).as("shingle"))
     // bucket-local pair generation (see bucketLocalPairs for the memory
     // argument): hot shingles are dropped BEFORE the collect — via the
     // same single-pass spillable window count — so no aggregation buffer

@@ -30,12 +30,19 @@ object TextAnalysis {
     * report containment 0. */
   def contamination(test: DataFrame, train: DataFrame, id: String,
       text: String, shingleN: Int): DataFrame = {
+    // shingles are hashed to 64 bits before the shuffle (8-byte join keys;
+    // collision odds ≈ |vocab|²/2⁶⁵ — noise against the containment ratio)
     val testSh = test.select(col(id),
         array_distinct(TextFunctions.shingles(col(text), shingleN)).as("__sh"))
       .select(col(id), size(col("__sh")).as("n_shingles"),
-        explode_outer(col("__sh")).as("__shingle"))
+        explode_outer(col("__sh")).as("__s"))
+      .select(col(id), col("n_shingles"),
+        // xxhash64(null) yields the seed, not null — keep the no-shingle
+        // placeholder row null so it can't spuriously match the vocab
+        when(col("__s").isNotNull, xxhash64(col("__s"))).as("__shingle"))
     val vocab = train.select(
-        explode(TextFunctions.shingles(col(text), shingleN)).as("__shingle"))
+        explode(TextFunctions.shingles(col(text), shingleN)).as("__s"))
+      .select(xxhash64(col("__s")).as("__shingle"))
       .distinct()
     val hits = testSh.join(vocab, Seq("__shingle"), "left_semi")
       .groupBy(col(id)).agg(count(lit(1)).as("__hit"))
