@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output normally goes through sbt's logger, which prefixes
+// every line with "[info] " — that breaks machine parsing of Bench's
+// single JSON result line. Pass the child's stdout through untouched.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 64 queries of whole-stage codegen in one JVM overflow the default
+  // 240 MB code cache; once full the JIT shuts off and late queries run
+  // interpreted (observed: d2_minhash_pairs 2 s isolated → 19 s late in
+  // the bench sequence).
+  "-XX:ReservedCodeCacheSize=1g",
 )
