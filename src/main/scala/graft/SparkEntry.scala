@@ -591,8 +591,11 @@ object SparkEntry {
       .select(col("id"), round(element_at(col("emb"), 1), 6).as("score"))
   }
 
-  /** M4: the full cascade as a dir-parameterized query (bench surface for
-    * the flagship). */
+  /** M4: the full 3-stage cascade as a dir-parameterized query. Wired with
+    * the portable [[Cascade.mixScorer]] stubs (asymmetric per stage) so the
+    * recall → rank → re-rank pipeline is hash-checkable end-to-end against
+    * the DuckDB oracle; external neural scorers drop in via the same
+    * `Scorer` seam. */
   private val m4Cascade: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val users = emb.where(col("vec_id") < 50)
@@ -601,9 +604,10 @@ object SparkEntry {
     val items = emb.where(col("vec_id") >= 50)
       .select(col("vec_id").as("item_id"), col("embedding").as("item_emb"))
     Cascade.recommend(users, items,
-      Cascade.stubScorer("user_id", "item_id"),
-      Cascade.stubScorer("item_id", "user_id"),
+      Cascade.mixScorer("user_id", "item_id"),
+      Cascade.mixScorer("item_id", "user_id"),
       n1 = 100, n2 = 50, n3 = 10)
+      .withColumn("final_rank", col("final_rank").cast("long"))
   }
 
   /** M0 — SURVEY §7.2's minimum end-to-end slice, oracle-checked: per
@@ -1355,6 +1359,30 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY score DESC, item_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    "m4_cascade" ->
+      """WITH users AS (SELECT vec_id AS user_id,
+        |    CAST(embedding AS DOUBLE[]) AS uemb
+        |  FROM embeddings WHERE vec_id < 50),
+        |items AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS iemb
+        |  FROM embeddings WHERE vec_id >= 50),
+        |recalled AS (SELECT user_id, item_id,
+        |    list_dot_product(uemb, iemb) AS rscore
+        |  FROM users CROSS JOIN items WHERE item_id NOT IN (100, 101)),
+        |r1 AS (SELECT user_id, item_id FROM (
+        |    SELECT user_id, item_id, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY rscore DESC, item_id) AS rn FROM recalled)
+        |  WHERE rn <= 100),
+        |r2 AS (SELECT user_id, item_id FROM (
+        |    SELECT user_id, item_id, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY (user_id*2654435761 + item_id*40503) % 1000000 DESC,
+        |        item_id) AS rn FROM r1)
+        |  WHERE rn <= 50)
+        |SELECT user_id, item_id, final_rank FROM (
+        |  SELECT user_id, item_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY (item_id*2654435761 + user_id*40503) % 1000000 DESC,
+        |      item_id) AS final_rank FROM r2)
+        |WHERE final_rank <= 10""".stripMargin,
     "p5_isin" ->
       """SELECT l_returnflag, l_linenumber, count(*) AS n FROM lineitem
         |WHERE l_returnflag IN ('A', 'R') AND l_linenumber IN (1, 2)

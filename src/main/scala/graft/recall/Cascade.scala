@@ -24,6 +24,17 @@ object Cascade {
     df.withColumn("score",
       Features.stableHash01(concat_ws("§", scoreOf.map(col): _*), 1000000))
 
+  /** Portable stub scorer: a Knuth/LCG modular mix of two id columns,
+    * bit-replicable in ANSI SQL (`(a*2654435761 + b*40503) % 1000000`) so a
+    * cascade wired with it can be hash-checked end-to-end against an
+    * external oracle. Same contract as [[stubScorer]]; ids must stay below
+    * ~2^32 so the ANSI-mode multiply cannot overflow Long.
+    */
+  def mixScorer(aCol: String, bCol: String): Scorer = df =>
+    df.withColumn("score",
+      pmod(col(aCol) * lit(2654435761L) + col(bCol) * lit(40503L),
+        lit(1000000L)))
+
   /** Stage 1 — recall: per-user dot-product top-N against the item
     * embedding table, excluding items already in the user's history
     * (reference `models.py:61,83`). `users`: (user_id, user_emb, history
