@@ -540,6 +540,12 @@ object SparkEntry {
     Tables.documents(s, dir)
       .select(col("doc_id"), Dedup.simHash64(col("text")).as("simhash"))
 
+  /** LLM-D8: md5-portable 32-bit SimHash (oracle twin of d3 — proves the
+    * vote/sign-bit math against an independent engine). */
+  private val d8SimhashPortable: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.simHash32Portable(col("text")).as("sig"))
+
   /** LLM-D2: MinHash-LSH near-dup candidate pairs. */
   private val d2MinHashPairs: Q = (s, dir) =>
     Dedup.minHashPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -772,6 +778,7 @@ object SparkEntry {
     "t5_corpus_rollup" -> t5CorpusRollup,
     "v1_normalize_emb" -> v1NormalizeEmb,
     "d3_simhash" -> d3SimHash,
+    "d8_simhash_portable" -> d8SimhashPortable,
     "d2_minhash_pairs" -> d2MinHashPairs,
     "sim2_lsh_topk" -> sim2LshTopk,
     "mm1_media_features" -> mm1MediaFeatures,
@@ -1383,6 +1390,20 @@ object SparkEntry {
         |    ORDER BY (item_id*2654435761 + user_id*40503) % 1000000 DESC,
         |      item_id) AS final_rank FROM r2)
         |WHERE final_rank <= 10""".stripMargin,
+    "d8_simhash_portable" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list(md5(t)) AS hs FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0)) AS t
+        |    FROM documents)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(0, 31), b ->
+        |    CASE WHEN list_sum(list_transform(hs, h ->
+        |      CASE WHEN substring(h, b+1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+        |    THEN (1::BIGINT << b) ELSE 0 END)), 0) AS BIGINT) AS sig
+        |FROM documents d LEFT JOIN toks USING (doc_id)""".stripMargin,
     "p5_isin" ->
       """SELECT l_returnflag, l_linenumber, count(*) AS n FROM lineitem
         |WHERE l_returnflag IN ('A', 'R') AND l_linenumber IN (1, 2)

@@ -61,6 +61,31 @@ object Dedup {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** Portable 32-bit SimHash: bit b of each token's hash is the top bit of
+    * hex digit b+1 of `md5(token)` (digit ≥ '8'), so the whole signature —
+    * tokenize → per-token hash → ±1 votes → sign bits — is replicable in
+    * ANSI SQL by any engine with an md5 function (the oracle twin of
+    * [[simHash64]], same relationship as `minHashSigPortable` to
+    * `minHashSig`). 32 positions because md5 yields 32 hex digits; use
+    * [[simHash64]] as the fast path where cross-engine parity is not
+    * needed. Empty token streams yield signature 0.
+    */
+  def simHash32Portable(text: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => md5(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(
+        acc,
+        array((0 until 32).map(b =>
+          when(substring(h, b + 1, 1) >= "8", lit(1L)).otherwise(lit(-1L))): _*),
+        (a, v) => a + v))
+    val bitValues = array((0 until 32).map(b => lit(1L << b)): _*)
+    aggregate(
+      zip_with(votes, bitValues, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
   /** SimHash near-dup candidate pairs: the 64-bit signature is cut into
     * `bands` equal bit-bands; docs sharing any full band become candidates
     * and are verified by exact Hamming distance ≤ `maxHamming`.

@@ -22,6 +22,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
   }
 
+  test("portable 32-bit simhash: determinism, near-dup ordering, md5 bit recipe") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox leaps over the lazy dog again and again today"),
+      (4L, "completely different content about spark query engines and shuffles"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val sig = docs.select($"doc_id", Dedup.simHash32Portable($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    assert((sig(1L) & ~0xffffffffL) == 0L, "signature must fit in 32 bits")
+    assert(sig(5L) == 0L, "empty token stream → signature 0")
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
+    // single-token doc: signature = top bit of each md5 hex digit, directly
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("fox".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0 until 32).map { b =>
+      if (Character.digit(md5hex(b), 16) >= 8) 1L << b else 0L
+    }.reduce(_ | _)
+    val one = Seq((9L, "fox")).toDF("doc_id", "text")
+      .select(Dedup.simHash32Portable($"text")).as[Long].head()
+    assert(one == expected)
+  }
+
   test("exact dedup keeps lowest id and counts copies") {
     val docs = Seq((5L, "aaa"), (3L, "aaa"), (9L, "bbb")).toDF("doc_id", "text")
     val got = Dedup.exact(docs, "doc_id", "text")
