@@ -573,7 +573,7 @@ object SparkEntry {
       Tables.documents(s, dir), "doc_id", "text")
     multimodal.Multimodal.extractFeatures(assets)
       .select(col("asset_id"), col("media_type"),
-        size(col("feature")).as("feat_dim"),
+        size(col("feature")).cast("long").as("feat_dim"),
         round(aggregate(col("feature").cast("array<double>"),
           lit(0.0), (acc, v) => acc + v), 4).as("feat_sum"),
         round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
@@ -1404,6 +1404,24 @@ object SparkEntry {
         |      CASE WHEN substring(h, b+1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
         |    THEN (1::BIGINT << b) ELSE 0 END)), 0) AS BIGINT) AS sig
         |FROM documents d LEFT JOIN toks USING (doc_id)""".stripMargin,
+    "mm1_media_features" ->
+      """WITH vals AS (
+        |  SELECT doc_id, (i-1) % 8 AS slot,
+        |    ((ord(substring(text, i, 1)) * 2654435761
+        |      + (i-1) * 40503) % 1000) / 1000.0 AS v
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)))
+        |      AS i FROM documents)),
+        |slots AS (
+        |  SELECT d.doc_id, s.slot, CAST(coalesce(sum(v), 0) AS FLOAT) AS f
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS slot) s
+        |  LEFT JOIN vals ON vals.doc_id = d.doc_id AND vals.slot = s.slot
+        |  GROUP BY d.doc_id, s.slot)
+        |SELECT doc_id AS asset_id, 'image' AS media_type,
+        |  CAST(8 AS BIGINT) AS feat_dim,
+        |  round(sum(CAST(f AS DOUBLE)), 4) AS feat_sum,
+        |  round(CAST(min(CASE WHEN slot = 0 THEN f END) AS DOUBLE), 4) AS f0
+        |FROM slots GROUP BY doc_id""".stripMargin,
     "p5_isin" ->
       """SELECT l_returnflag, l_linenumber, count(*) AS n FROM lineitem
         |WHERE l_returnflag IN ('A', 'R') AND l_linenumber IN (1, 2)

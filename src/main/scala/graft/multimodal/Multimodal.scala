@@ -40,20 +40,23 @@ object Multimodal {
   private val featDim = 8
 
   /** DETERMINISTIC-FAKE decode: a real implementation would JNI/FFI into an
-    * image codec here; the fake derives `featDim` floats from a rolling hash
-    * of the bytes so results are stable for tests. The mapPartitions shape
+    * image codec here; the fake derives `featDim` floats from a per-byte
+    * position mix `((byte·2654435761 + pos·40503) mod 1000)/1000` summed
+    * into slot `pos mod featDim` (double accumulate, float at the end).
+    * Position-independent by design — unlike a rolling hash it is
+    * replicable in ANSI SQL, so the whole binary→feature path is
+    * oracle-checkable end-to-end. The mapPartitions shape
     * (iterator→iterator, batched, no driver traffic) is the real contract.
     */
   private def fakeDecode(bytes: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](featDim)
-    var h = 1125899906842597L
+    val acc = new Array[Double](featDim)
     var i = 0
     while (i < bytes.length) {
-      h = 31L * h + bytes(i)
-      out(i % featDim) += (Math.floorMod(h, 1000L) / 1000.0f)
+      val b = bytes(i) & 0xff
+      acc(i % featDim) += ((b * 2654435761L + i.toLong * 40503L) % 1000L) / 1000.0
       i += 1
     }
-    out
+    acc.map(_.toFloat)
   }
 
   /** Decode + feature-extract: binary content → fixed-dim feature vector.
