@@ -393,6 +393,30 @@ object SparkEntry {
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** LLM-S4: md5-portable LSH top-k (oracle twin of sim2 — proves bucket
+    * signing + Hamming-1 probing + in-bucket exact ranking). */
+  private val sim4LshPortable: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.lshTopKPortable(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, dim = 64, nBits = 8)
+      .select(col("query_id"), col("item_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** LLM-S5: portable IVF top-k (oracle twin of sim3 — md5-picked centroid
+    * rows, literal-centroid assignment, nProbe cell pruning). */
+  private val sim5IvfPortable: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.ivfTopKPortable(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 4)
+      .select(col("query_id"), col("item_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   /** S2: JSON value parse (the Kafka-payload contract, batch form). */
   private val s2JsonParse: Q = (s, dir) =>
     Tables.events(s, dir).select(col("event_id"),
@@ -781,6 +805,8 @@ object SparkEntry {
     "d8_simhash_portable" -> d8SimhashPortable,
     "d2_minhash_pairs" -> d2MinHashPairs,
     "sim2_lsh_topk" -> sim2LshTopk,
+    "sim4_lsh_portable" -> sim4LshPortable,
+    "sim5_ivf_portable" -> sim5IvfPortable,
     "mm1_media_features" -> mm1MediaFeatures,
     "g4_lightgcn" -> g4LightGcn,
     "m4_cascade" -> m4Cascade,
@@ -1422,6 +1448,64 @@ object SparkEntry {
         |  round(sum(CAST(f AS DOUBLE)), 4) AS feat_sum,
         |  round(CAST(min(CASE WHEN slot = 0 THEN f END) AS DOUBLE), 4) AS f0
         |FROM slots GROUP BY doc_id""".stripMargin,
+    "sim4_lsh_portable" ->
+      """WITH hyper AS (
+        |  SELECT b, list_transform(generate_series(0, 63), d ->
+        |    CASE WHEN substring(md5(d::VARCHAR || '§' || b::VARCHAR), 1, 1)
+        |      >= '8' THEN 1.0 ELSE -1.0 END) AS h
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS b)),
+        |corpus AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |queries AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |sigc AS (SELECT item_id, v,
+        |    CAST(sum(CASE WHEN list_dot_product(v, h) >= 0
+        |      THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM corpus CROSS JOIN hyper GROUP BY item_id, v),
+        |sigq AS (SELECT query_id, v,
+        |    CAST(sum(CASE WHEN list_dot_product(v, h) >= 0
+        |      THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS b0
+        |  FROM queries CROSS JOIN hyper GROUP BY query_id, v),
+        |probes AS (SELECT query_id, v, unnest(list_prepend(b0,
+        |    list_transform(generate_series(0, 7),
+        |      b -> xor(b0, 1::BIGINT << b)))) AS bucket
+        |  FROM sigq),
+        |scored AS (SELECT p.query_id, c.item_id,
+        |    list_cosine_similarity(p.v, c.v) AS cosine
+        |  FROM probes p JOIN sigc c USING (bucket))
+        |SELECT query_id, item_id, round(cosine, 6) AS cosine, rank FROM (
+        |  SELECT query_id, item_id, cosine, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    "sim5_ivf_portable" ->
+      """WITH corpus AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |queries AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |cent AS (SELECT rn - 1 AS cell, v AS cv FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |    FROM corpus) WHERE rn <= 8),
+        |assigned AS (SELECT item_id, v, cell FROM (
+        |    SELECT c.item_id, c.v, ct.cell, row_number() OVER (
+        |      PARTITION BY c.item_id
+        |      ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+        |probed AS (SELECT query_id, v, cell FROM (
+        |    SELECT q.query_id, q.v, ct.cell, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM queries q CROSS JOIN cent ct) WHERE rn <= 4),
+        |scored AS (SELECT p.query_id, a.item_id,
+        |    list_cosine_similarity(p.v, a.v) AS cosine
+        |  FROM probed p JOIN assigned a USING (cell))
+        |SELECT query_id, item_id, round(cosine, 6) AS cosine, rank FROM (
+        |  SELECT query_id, item_id, cosine, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
     "p5_isin" ->
       """SELECT l_returnflag, l_linenumber, count(*) AS n FROM lineitem
         |WHERE l_returnflag IN ('A', 'R') AND l_linenumber IN (1, 2)

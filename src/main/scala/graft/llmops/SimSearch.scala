@@ -63,6 +63,32 @@ object SimSearch {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** md5-derived Rademacher (±1) hyperplane for bit `b`: component `d` is
+    * +1 when the first hex digit of `md5("d§b")` is ≥ '8'. Computed on the
+    * driver and embedded as literals, and replicable in ANSI SQL by any
+    * engine with an md5 function — the portable twin of [[lshBucket]]'s
+    * xxhash64 planes. */
+  def portablePlane(b: Int, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { d =>
+      val h = md.digest(s"$d§$b".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+    }
+  }
+
+  /** Portable LSH bucket key: sign bits of projections onto
+    * [[portablePlane]] hyperplanes. Projections run through the native
+    * codegen dot kernel against literal arrays — no per-row hashing. */
+  def lshBucketPortable(vec: org.apache.spark.sql.Column, dim: Int,
+      nBits: Int): org.apache.spark.sql.Column = {
+    val bits = (0 until nBits).map { b =>
+      val plane = array(portablePlane(b, dim).map(lit): _*)
+      val proj = graft.functions.GraftFunctions.dot(vec.cast("array<double>"), plane)
+      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
   /** IVF (inverted-file) ANN top-k: the corpus is clustered once with
     * k-means; each corpus row is assigned to its nearest centroid cell and
     * a query scores only the rows in its `nProbe` nearest cells — the scan
@@ -116,17 +142,76 @@ object SimSearch {
     * trade. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
-      k: Int, dim: Int, nBits: Int = 8): DataFrame = {
+      k: Int, dim: Int, nBits: Int = 8): DataFrame =
+    lshTopKImpl(queries, corpus, qId, qVec, cId, cVec, k, nBits,
+      v => lshBucket(v, dim, nBits))
+
+  /** [[lshTopK]] over the md5-portable planes — same plan, bucket key
+    * replicable in ANSI SQL (oracle twin). */
+  def lshTopKPortable(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, dim: Int, nBits: Int = 8): DataFrame =
+    lshTopKImpl(queries, corpus, qId, qVec, cId, cVec, k, nBits,
+      v => lshBucketPortable(v, dim, nBits))
+
+  private def lshTopKImpl(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nBits: Int,
+      bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val c = corpus.select(col(cId).as("item_id"), col(cVec).as("__cv"),
-      lshBucket(col(cVec), dim, nBits).as("__bucket"))
+      bucketOf(col(cVec)).as("__bucket"))
     // query probes its bucket + all Hamming-1 buckets
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
-        lshBucket(col(qVec), dim, nBits).as("__b0"))
+        bucketOf(col(qVec)).as("__b0"))
       .withColumn("__bucket", explode(array(
         col("__b0") +: (0 until nBits).map(b =>
           col("__b0").bitwiseXOR(shiftleft(lit(1L), b))): _*)))
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .withColumn("cosine", graft.functions.GraftFunctions.cosine(col("__qv"), col("__cv")))
+      .select(col("query_id"), col("item_id"), col("cosine"))
+    TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("item_id")), k)
+  }
+
+  /** Portable IVF top-k: centroids are the `nCells` corpus rows with the
+    * lexicographically smallest `md5(id)` — a deterministic pseudo-random
+    * sample standing in for fitted k-means centers — and assignment/probing
+    * use cosine against those centroids as LITERAL arrays, so the whole
+    * index (build + probe) is replicable in ANSI SQL.
+    *
+    * Scale shape: centroids always fit on the driver (that is k-means's own
+    * assumption), so cell assignment is a pure per-row expression — the
+    * corpus is never shuffled to build the index; the only shuffle is the
+    * final per-query top-k. At 100 TB, write the corpus bucketed by the
+    * assigned cell and probing becomes partition pruning (same note as
+    * [[ivfTopK]]).
+    */
+  def ivfTopKPortable(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val c = corpus.select(col(cId).as("item_id"),
+      col(cVec).cast("array<double>").as("__cv"))
+    val cents: Seq[Seq[Double]] = c
+      .orderBy(md5(col("item_id").cast("string")), col("item_id"))
+      .limit(nCells).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    // (−cosine, cell) structs sorted ascending ≙ ORDER BY cosine DESC,
+    // cell — argmax/top-nProbe over literal centroids, zero shuffle
+    def cellsRanked(v: org.apache.spark.sql.Column) = array_sort(array(
+      cents.zipWithIndex.map { case (ct, i) =>
+        struct(
+          -graft.functions.GraftFunctions.cosine(v, array(ct.map(lit): _*))
+            .as("negSim"),
+          lit(i).as("cell"))
+      }: _*))
+    val assigned = c.withColumn("__cell",
+      element_at(cellsRanked(col("__cv")), 1).getField("cell"))
+    val probed = queries.select(col(qId).as("query_id"),
+        col(qVec).cast("array<double>").as("__qv"))
+      .withColumn("__cell", explode(transform(
+        slice(cellsRanked(col("__qv")), 1, nProbe), s => s.getField("cell"))))
+    val scored = assigned.join(broadcast(probed), Seq("__cell"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosine(col("__qv"), col("__cv")))
       .select(col("query_id"), col("item_id"), col("cosine"))
     TopK.perGroup(scored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("item_id")), k)

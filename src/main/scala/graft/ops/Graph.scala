@@ -63,21 +63,26 @@ object Graph {
     val sym = edges.select(col(src).as("__n"), col(dst).as("__m"))
       .union(edges.select(col(dst).as("__n"), col(src).as("__m")))
       .persist()
-    var labels = sym.select(col("__n")).distinct()
+    var cached = sym.select(col("__n")).distinct()
       .select(col("__n"), col("__n").as("__lbl")).persist()
+    var labels = cached
     labels.count()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // one pass per round: carry the old label through the neighbor-min
+      // aggregation so the convergence check is a filter over the same
+      // cached frame instead of a third join + shuffle
       val next = sym.join(labels.withColumnRenamed("__n", "__m"), "__m")
         .groupBy(col("__n")).agg(min(col("__lbl")).as("__nbr"))
         .join(labels, "__n")
-        .select(col("__n"), least(col("__lbl"), col("__nbr")).as("__lbl"))
+        .select(col("__n"), col("__lbl").as("__old"),
+          least(col("__lbl"), col("__nbr")).as("__lbl"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("__lbl", "__old"), "__n")
-        .where(col("__lbl") =!= col("__old")).count()
-      labels.unpersist(false)
-      labels = next
+      val changed = next.where(col("__lbl") =!= col("__old")).count()
+      cached.unpersist(false)
+      cached = next
+      labels = next.select(col("__n"), col("__lbl"))
       converged = changed == 0
       iter += 1
     }

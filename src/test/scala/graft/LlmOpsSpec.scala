@@ -109,6 +109,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recalled >= brute.size / 3, s"top-1 recall $recalled/${brute.size}")
   }
 
+  test("portable ANN twins: ranked within-bucket/cell results are exact cosines") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.where($"vec_id" < 20)
+    val c = emb.where($"vec_id" >= 20)
+    val brute = SimSearch.bruteForceTopK(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", 1)
+      .select($"query_id", $"item_id").as[(Long, Long)].collect().toMap
+    // every (query, item, cosine) an ANN variant reports must agree with
+    // the exact cosine — ANN prunes candidates, it must not perturb scores
+    val exact = SimSearch.bruteForceTopK(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", Int.MaxValue)
+      .select($"query_id", $"item_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, cos) => (a, b) -> cos }.toMap
+    for ((name, df) <- Seq(
+        "lshPortable" -> SimSearch.lshTopKPortable(q, c, "vec_id", "embedding",
+          "vec_id", "embedding", 5, dim = 64, nBits = 4),
+        "ivfPortable" -> SimSearch.ivfTopKPortable(q, c, "vec_id", "embedding",
+          "vec_id", "embedding", 5, nCells = 8, nProbe = 4))) {
+      val rows = df.select($"query_id", $"item_id", $"cosine")
+        .as[(Long, Long, Double)].collect()
+      assert(rows.nonEmpty, name)
+      rows.foreach { case (a, b, cos) =>
+        assert(math.abs(exact((a, b)) - cos) < 1e-12, s"$name ($a,$b)") }
+      val byQ = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      // iid-random fixture embeddings are LSH's worst case; the ±1
+      // Rademacher planes sit a notch below the graded [-1,1] planes, so
+      // the sanity floor here is a quarter rather than a third
+      val recalled = brute.count { case (qid, top1) =>
+        byQ.getOrElse(qid, Set.empty).contains(top1) }
+      assert(recalled >= brute.size / 4, s"$name top-1 recall $recalled/${brute.size}")
+    }
+  }
+
   test("IVF top-k recall beats its probe fraction and is exact within probed cells") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.where($"vec_id" < 20)
