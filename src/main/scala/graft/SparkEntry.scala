@@ -570,6 +570,16 @@ object SparkEntry {
     Tables.documents(s, dir)
       .select(col("doc_id"), Dedup.simHash32Portable(col("text")).as("sig"))
 
+  /** LLM-D9: C4-style corpus-level repeated-chunk scrub (3-token aligned
+    * chunks occurring ≥3× corpus-wide are dropped from every doc). */
+  private val d9ChunkScrub: Q = (s, dir) =>
+    Dedup.scrubRepeatedChunks(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, maxOccurs = 3)
+
+  /** LLM-T8: Gopher-style within-doc repetition signals. */
+  private val t8Repetition: Q = (s, dir) =>
+    TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
+
   /** LLM-D2: MinHash-LSH near-dup candidate pairs. */
   private val d2MinHashPairs: Q = (s, dir) =>
     Dedup.minHashPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -803,6 +813,8 @@ object SparkEntry {
     "v1_normalize_emb" -> v1NormalizeEmb,
     "d3_simhash" -> d3SimHash,
     "d8_simhash_portable" -> d8SimhashPortable,
+    "d9_chunk_scrub" -> d9ChunkScrub,
+    "t8_repetition" -> t8Repetition,
     "d2_minhash_pairs" -> d2MinHashPairs,
     "sim2_lsh_topk" -> sim2LshTopk,
     "sim4_lsh_portable" -> sim4LshPortable,
@@ -1430,6 +1442,55 @@ object SparkEntry {
         |      CASE WHEN substring(h, b+1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
         |    THEN (1::BIGINT << b) ELSE 0 END)), 0) AS BIGINT) AS sig
         |FROM documents d LEFT JOIN toks USING (doc_id)""".stripMargin,
+    "d9_chunk_scrub" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |chunks AS (SELECT doc_id, p, array_to_string(t[(p*3+1):(p*3+3)], ' ') AS c
+        |  FROM (SELECT doc_id, t,
+        |      unnest(generate_series(0, CAST(ceil(len(t)/3.0) AS BIGINT) - 1)) AS p
+        |    FROM tk)),
+        |hot AS (SELECT c FROM chunks GROUP BY c HAVING count(*) >= 3),
+        |kept AS (SELECT * FROM chunks WHERE c NOT IN (SELECT c FROM hot)),
+        |rebuilt AS (SELECT doc_id, count(*) AS kept_n,
+        |    array_to_string(list(c ORDER BY p), ' ') AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |totals AS (SELECT doc_id, count(*) AS total_n FROM chunks GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  coalesce(t.total_n, 0) - coalesce(r.kept_n, 0) AS n_removed
+        |FROM documents d
+        |LEFT JOIN totals t USING (doc_id)
+        |LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+    "t8_repetition" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |words AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS top
+        |  FROM (SELECT doc_id, w, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY doc_id, w)
+        |  GROUP BY doc_id),
+        |grams AS (SELECT doc_id, sum(c) AS gn,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS gdup
+        |  FROM (SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(list_transform(
+        |        generate_series(1, len(t) - 2),
+        |        i -> array_to_string(t[i:i+2], ' '))) AS g
+        |      FROM tk WHERE len(t) >= 3)
+        |    GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |base AS (SELECT DISTINCT doc_id FROM documents)
+        |SELECT b.doc_id,
+        |  CAST(coalesce(w.n, 0) AS BIGINT) AS n_words,
+        |  round(CASE WHEN coalesce(w.n, 0) > 0
+        |    THEN w.d / CAST(w.n AS DOUBLE) ELSE 0.0 END, 6) AS distinct_word_frac,
+        |  round(CASE WHEN coalesce(w.n, 0) > 0
+        |    THEN w.top / CAST(w.n AS DOUBLE) ELSE 0.0 END, 6) AS top_word_frac,
+        |  round(CASE WHEN coalesce(gn, 0) > 0
+        |    THEN gdup / CAST(gn AS DOUBLE) ELSE 0.0 END, 6) AS dup_3gram_frac
+        |FROM base b LEFT JOIN words w USING (doc_id)
+        |LEFT JOIN grams USING (doc_id)""".stripMargin,
     "mm1_media_features" ->
       """WITH vals AS (
         |  SELECT doc_id, (i-1) % 8 AS slot,

@@ -61,6 +61,49 @@ object Dedup {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** C4/RefinedWeb-style corpus-level repeated-span scrub (Raffel et al.
+    * 2020 §2.2 removes lines recurring ≥3× in the corpus; with
+    * newline-free fixtures the unit here is the aligned `n`-token chunk):
+    * every chunk whose exact text occurs at least `maxOccurs` times across
+    * the WHOLE corpus is dropped from every document, and the survivors are
+    * reassembled in order.
+    *
+    * Plan: chunk explode → global chunk-occurrence count (map-side
+    * combined; the count table holds only chunks at/over threshold) →
+    * anti-join → per-doc ordered reassembly. Three shuffles, all on
+    * bounded keys (chunk hash, doc id); no driver-side state. At 100 TB
+    * the hot-chunk table is boilerplate-sized (small) — Spark broadcasts
+    * the anti-join side automatically under AQE when it fits. */
+  def scrubRepeatedChunks(docs: DataFrame, id: String, text: String,
+      n: Int, maxOccurs: Int): DataFrame = {
+    val chunks = docs.select(col(id),
+        TextFunctions.bind(TextFunctions.tokens(col(text))) { tk =>
+          // ceil(|tokens|/n) aligned chunks; sequence() descends when the
+          // stop is below the start, so the empty doc needs its own branch
+          val nChunks = floor((size(tk) + (n - 1)) / lit(n.toDouble)).cast("long")
+          when(size(tk) === 0, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0L), nChunks - 1),
+              p => concat_ws(" ", slice(tk, (p * n + 1).cast("int"), lit(n)))))
+        }.as("__cs"))
+      .select(col(id), posexplode(col("__cs")).as(Seq("__p", "__c")))
+    val hot = chunks.groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= maxOccurs).select(col("__c"))
+    val kept = chunks.join(hot, Seq("__c"), "left_anti")
+    val rebuilt = kept.groupBy(col(id)).agg(
+      count(lit(1)).as("__kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__p"), col("__c")))),
+        s => s.getField("__c"))).as("clean_text"))
+    val totals = chunks.groupBy(col(id)).agg(count(lit(1)).as("__total"))
+    docs.select(col(id)).distinct()
+      .join(totals, Seq(id), "left")
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (coalesce(col("__total"), lit(0L))
+          - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Portable 32-bit SimHash: bit b of each token's hash is the top bit of
     * hex digit b+1 of `md5(token)` (digit ≥ '8'), so the whole signature —
     * tokenize → per-token hash → ±1 votes → sign bits — is replicable in

@@ -55,6 +55,51 @@ object TextAnalysis {
           .otherwise(lit(0.0)), 6).as("containment"))
   }
 
+  /** Gopher-style within-document repetition signals (Rae et al. 2021,
+    * "Scaling Language Models", §A1.1 repetition filters): documents
+    * dominated by a few words or by duplicated n-grams are boilerplate/spam
+    * candidates. Per doc:
+    *  - `distinct_word_frac` — |distinct words| / |words|;
+    *  - `top_word_frac` — occurrences of the most frequent word / |words|;
+    *  - `dup_3gram_frac` — fraction of 3-gram occurrences whose 3-gram
+    *    appears more than once in the doc.
+    *
+    * Lowered relationally (explode → two-level aggregate), not as per-row
+    * array expressions: the per-(doc, word) partial aggregation map-side
+    * combines, so the shuffle carries one row per distinct word per doc —
+    * scale-safe for arbitrarily long documents where an O(|doc|²) HOF
+    * nested loop is not. */
+  def repetitionSignals(docs: DataFrame, id: String, text: String): DataFrame = {
+    val words = docs
+      .select(col(id), explode(TextFunctions.tokens(col(text))).as("__w"))
+      .groupBy(col(id), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(id)).agg(
+        sum(col("__c")).as("__n"),
+        count(lit(1)).as("__d"),
+        max(col("__c")).as("__top"))
+    val grams = docs
+      .select(col(id),
+        explode(TextFunctions.shingles(col(text), 3)).as("__g"))
+      .groupBy(col(id), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(id)).agg(
+        sum(col("__c")).as("__gn"),
+        sum(when(col("__c") > 1, col("__c")).otherwise(lit(0L))).as("__gdup"))
+    docs.select(col(id)).distinct()
+      .join(words, Seq(id), "left")
+      .join(grams, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__n"), lit(0L)).as("n_words"),
+        round(when(col("__n") > 0,
+            col("__d").cast("double") / col("__n")).otherwise(lit(0.0)), 6)
+          .as("distinct_word_frac"),
+        round(when(col("__n") > 0,
+            col("__top").cast("double") / col("__n")).otherwise(lit(0.0)), 6)
+          .as("top_word_frac"),
+        round(when(col("__gn") > 0,
+            col("__gdup").cast("double") / col("__gn")).otherwise(lit(0.0)), 6)
+          .as("dup_3gram_frac"))
+  }
+
   /** Per-doc analysis record: token counts, quality, lang guess,
     * fingerprint. */
   def analyze(docs: DataFrame, id: String, text: String): DataFrame =

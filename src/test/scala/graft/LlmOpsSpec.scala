@@ -198,6 +198,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(3L))
   }
 
+  test("repeated-chunk scrub drops corpus-hot chunks, keeps order") {
+    // "a b c" appears in 3 docs (≥ maxOccurs) → scrubbed everywhere;
+    // each doc's unique tail chunk survives in original order
+    val docs = Seq(
+      (1L, "a b c x1 y1 z1"),
+      (2L, "a b c x2 y2 z2"),
+      (3L, "a b c x3 y3 z3"),
+      (4L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedChunks(docs, "doc_id", "text", n = 3,
+        maxOccurs = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq ==
+      Seq("x1 y1 z1", "x2 y2 z2", "x3 y3 z3", "p q r s t u"))
+    assert(out.map(_._3).toSeq == Seq(1L, 1L, 1L, 0L))
+  }
+
+  test("repetition signals: hand-computed Gopher fractions") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"), // 1 distinct / 4; top 4/4; both 3-grams dup'd
+      (2L, "all words here differ")  // 4/4; top 1/4; 2 distinct 3-grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 4L, 0.25, 1.0, 1.0)))
+    assert(out(1) == ((2L, 4L, 1.0, 0.25, 0.0)))
+  }
+
   test("PII redaction scrubs emails, phones and IPs; counts match") {
     val df = Seq(
       (1L, "mail a.user+x@sub.example.org or b@c.io, call 415-555-0199, host 10.1.2.3"),
