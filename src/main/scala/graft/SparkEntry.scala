@@ -580,6 +580,33 @@ object SparkEntry {
   private val t8Repetition: Q = (s, dir) =>
     TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
 
+  /** LLM-X7: domain-mixture sampling — resample the corpus toward target
+    * per-language weights at ~half the original size. */
+  private val x7SourceMix: Q = (s, dir) =>
+    Sampling.mixtureSample(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15,
+          "zh" -> 0.15), targetFrac = 0.5)
+      .select(col("doc_id"), col("lang"))
+
+  /** LLM-V2: per-vector affine int8 quantization + max reconstruction
+    * error (the 4× storage-reduction path for 100 TB embedding tables). */
+  private val v2QuantizeEmb: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = VectorOps.quantizeInt8(col("embedding"))
+    emb.select(col("vec_id"), q.as("__q"),
+        VectorOps.dequantize(q).as("__r"),
+        col("embedding").cast("array<double>").as("__v"))
+      .select(col("vec_id"),
+        element_at(col("__q").getField("codes"), 1).cast("long").as("q0"),
+        aggregate(col("__q").getField("codes"), lit(0.0), (a, c) => a + c)
+          .cast("long").as("q_sum"),
+        round(col("__q").getField("mn"), 9).as("mn"),
+        round(col("__q").getField("scale"), 9).as("scale"),
+        round(aggregate(zip_with(col("__v"), col("__r"),
+            (x, y) => abs(x - y)), lit(0.0),
+          (a, e) => greatest(a, e)), 9).as("max_err"))
+  }
+
   /** LLM-D2: MinHash-LSH near-dup candidate pairs. */
   private val d2MinHashPairs: Q = (s, dir) =>
     Dedup.minHashPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -815,6 +842,8 @@ object SparkEntry {
     "d8_simhash_portable" -> d8SimhashPortable,
     "d9_chunk_scrub" -> d9ChunkScrub,
     "t8_repetition" -> t8Repetition,
+    "x7_source_mix" -> x7SourceMix,
+    "v2_quantize_emb" -> v2QuantizeEmb,
     "d2_minhash_pairs" -> d2MinHashPairs,
     "sim2_lsh_topk" -> sim2LshTopk,
     "sim4_lsh_portable" -> sim4LshPortable,
@@ -1491,6 +1520,34 @@ object SparkEntry {
         |    THEN gdup / CAST(gn AS DOUBLE) ELSE 0.0 END, 6) AS dup_3gram_frac
         |FROM base b LEFT JOIN words w USING (doc_id)
         |LEFT JOIN grams USING (doc_id)""".stripMargin,
+    "x7_source_mix" ->
+      """WITH rates AS (
+        |  SELECT c.lang, least(1.0,
+        |      (w.wt * ((SELECT count(*) FROM documents) * 0.5)) / c.n) AS r
+        |  FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang) c
+        |  JOIN (SELECT * FROM (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15),
+        |        ('fr', 0.15), ('zh', 0.15)) AS t(lang, wt)) w USING (lang))
+        |SELECT d.doc_id, d.lang FROM documents d JOIN rates USING (lang)
+        |WHERE r >= 1.0 OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |  < printf('%04x', CAST(floor(r * 65536) AS INT))""".stripMargin,
+    "v2_quantize_emb" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_min(CAST(embedding AS DOUBLE[])) AS mn,
+        |    (list_max(CAST(embedding AS DOUBLE[]))
+        |      - list_min(CAST(embedding AS DOUBLE[]))) / 255.0 AS scale
+        |  FROM embeddings),
+        |c AS (SELECT vec_id, v, mn, scale,
+        |    CASE WHEN scale > 0
+        |      THEN list_transform(v, x -> floor((x - mn) / scale + 0.5))
+        |      ELSE list_transform(v, x -> 0.0) END AS codes
+        |  FROM q)
+        |SELECT vec_id, CAST(codes[1] AS BIGINT) AS q0,
+        |  CAST(list_sum(codes) AS BIGINT) AS q_sum,
+        |  round(mn, 9) AS mn, round(scale, 9) AS scale,
+        |  round(list_max(list_transform(generate_series(1, len(v)),
+        |    i -> abs(v[i] - (codes[i] * scale + mn)))), 9) AS max_err
+        |FROM c""".stripMargin,
     "mm1_media_features" ->
       """WITH vals AS (
         |  SELECT doc_id, (i-1) % 8 AS slot,

@@ -33,6 +33,29 @@ object VectorOps {
   def vecScale(x: Column, s: Column): Column =
     transform(x, v => v * s)
 
+  /** Per-vector affine int8 quantization — the standard storage reduction
+    * for 100 TB embedding tables (4 B float → 1 B code + 2 scalars/row).
+    * Codes: `floor((x - mn)/scale + 0.5)` with `scale = (mx - mn)/255`
+    * (explicit floor(+0.5), not `round`, so half-even-rounding engines
+    * replicate it exactly); a constant vector (scale 0) maps to all-zero
+    * codes. Returns struct(codes array<double> of 0..255 ints, mn, scale) —
+    * `dequantize` inverts to `code·scale + mn`. */
+  def quantizeInt8(x: Column): Column = {
+    val v = x.cast("array<double>")
+    val mn = array_min(v)
+    val scale = (array_max(v) - mn) / lit(255.0)
+    struct(
+      when(scale > 0,
+          transform(v, e => floor((e - mn) / scale + lit(0.5))))
+        .otherwise(transform(v, _ => lit(0.0))).as("codes"),
+      mn.as("mn"), scale.as("scale"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `code·scale + mn` per element. */
+  def dequantize(q: Column): Column =
+    transform(q.getField("codes"),
+      c => c * q.getField("scale") + q.getField("mn"))
+
   /** Group-wise mean-pool of a vector column: posexplode → per-dimension
     * avg → reassemble. One shuffle on (groupCols, dim) then one on
     * groupCols; at scale this beats collecting whole vectors per group

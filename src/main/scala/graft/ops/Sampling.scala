@@ -114,6 +114,36 @@ object Sampling {
     else substring(md5(key.cast("string")), 1, 1) <
       lit("0123456789abcdef".charAt(sixteenths).toString)
 
+  /** Domain-mixture sampling (corpus assembly): down-sample each group
+    * (source / language domain) so the sampled corpus approximates the
+    * target mixture `weights`, at overall size ≈ `targetFrac` of the input.
+    *
+    * Per-group keep rate `r_g = min(1, w_g · (N·targetFrac) / n_g)`; a row
+    * is kept iff the first 4 hex digits of `md5(key)` sort below
+    * `floor(r_g · 65536)` formatted as 4-digit hex — a pure row-local
+    * predicate (16-bit rate granularity) that any md5-capable engine
+    * replicates exactly. Group counts are a plan-time aggregate collected
+    * to the driver (|groups| rows — domain taxonomies are small by
+    * construction; the fact table itself is never collected). Groups
+    * absent from `weights` get rate 0 (dropped). */
+  def mixtureSample(docs: DataFrame, key: String, group: String,
+      weights: Map[String, Double], targetFrac: Double): DataFrame = {
+    val counts = docs.groupBy(col(group)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    val keep: Column = counts.foldRight(lit(false): Column) {
+      case ((g, n), acc) =>
+        // association mirrors the oracle SQL exactly: (w · (N·f)) / n
+        val r = math.min(1.0, weights.getOrElse(g, 0.0) * (total * targetFrac) / n)
+        val bound = math.floor(r * 65536).toInt
+        val pred =
+          if (r >= 1.0) lit(true)
+          else substring(md5(col(key).cast("string")), 1, 4) < lit(f"$bound%04x")
+        when(col(group) === g, pred).otherwise(acc)
+    }
+    docs.where(keep)
+  }
+
   /** Portable form of [[stratifiedByActivity]] built on [[md5Keep]]:
     * hi-activity keys kept at hiSixteenths/16, others at loSixteenths/16. */
   def stratifiedPortable(perKeyCounts: DataFrame, key: String, cnt: String,

@@ -58,6 +58,49 @@ class OpsSpec extends AnyFunSuite {
     assert(nTr.toDouble / (nTr + nTe) > 0.6 && nTr.toDouble / (nTr + nTe) < 0.95)
   }
 
+  test("mixtureSample shifts group shares toward the target weights") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val out = Sampling.mixtureSample(docs, "doc_id", "lang",
+      Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15,
+        "zh" -> 0.15), targetFrac = 0.5)
+    val shares = out.groupBy($"lang").count().as[(String, Long)]
+      .collect().toMap
+    val n = shares.values.sum.toDouble
+    // 16-bit rate granularity + md5 noise on a few hundred rows: generous
+    // tolerance, but the en share must land near 0.4 (corpus is ~0.44 en,
+    // so the sampler must actually move it) and no group may vanish
+    assert(shares.keySet == Set("en", "de", "es", "fr", "zh"))
+    assert(math.abs(shares("en") / n - 0.4) < 0.1)
+    // repartitioning must not change membership (pure row-local predicate)
+    val out2 = Sampling.mixtureSample(docs.repartition(7), "doc_id", "lang",
+      Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15,
+        "zh" -> 0.15), targetFrac = 0.5)
+    assert(out2.select($"doc_id").except(out.select($"doc_id")).count() == 0)
+    assert(out.select($"doc_id").except(out2.select($"doc_id")).count() == 0)
+  }
+
+  test("int8 quantization: codes in range, reconstruction within scale/2") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = graft.functions.VectorOps.quantizeInt8($"embedding")
+    val checked = emb.select(
+      aggregate(q.getField("codes"), lit(true),
+        (ok, c) => ok && c >= 0.0 && c <= 255.0).as("in_range"),
+      aggregate(zip_with($"embedding".cast("array<double>"),
+          graft.functions.VectorOps.dequantize(q), (x, y) => abs(x - y)),
+        lit(0.0), (a, e) => greatest(a, e)).as("max_err"),
+      (q.getField("scale") / 2 + lit(1e-12)).as("bound"))
+      .as[(Boolean, Double, Double)].collect()
+    assert(checked.forall(_._1), "codes must stay within 0..255")
+    assert(checked.forall(r => r._2 <= r._3), "|x - dequant| must be <= scale/2")
+    // constant vector → scale 0, all-zero codes, exact reconstruction
+    val const = Seq(Tuple1(Seq(2.5, 2.5, 2.5))).toDF("embedding")
+    val r = const.select(
+      graft.functions.VectorOps.quantizeInt8($"embedding").as("q"))
+      .select($"q.codes", $"q.mn", $"q.scale")
+      .as[(Seq[Double], Double, Double)].head()
+    assert(r == ((Seq(0.0, 0.0, 0.0), 2.5, 0.0)))
+  }
+
   test("negative samples never collide with positives") {
     val pos = Tables.events(spark, TestSpark.sf)
       .select($"user_id", ($"event_id" % 50).as("item")).distinct()
