@@ -9,11 +9,21 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Fork EVERY run-like task (run, runMain, test). The driver invokes
+// `sbt "runMain graft.Bench"`, and task-scoped settings like
+// `run / fork` do NOT delegate to the runMain task scope — round 1's
+// driver bench ran IN-PROCESS: no javaOptions (so the code-cache fix
+// never applied and late queries went interpreted, d2 2 s → 18.6 s) and
+// sbt's "[info] " log prefix on the JSON result line (driver parse
+// failure). Unscoped settings sit at the root of the delegation chain,
+// so run, runMain and test all pick them up.
+fork := true
 Test / fork := true
 run / fork := true
 // Forked-run output normally goes through sbt's logger, which prefixes
 // every line with "[info] " — that breaks machine parsing of Bench's
 // single JSON result line. Pass the child's stdout through untouched.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
