@@ -782,6 +782,59 @@ object SparkEntry {
   private val q0Warmup: Q = (s, dir) =>
     Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
 
+  /** T9: TF-IDF keyword extraction — top-3 most characteristic tokens per
+    * document (explode → two-level agg → broadcast corpus size → per-doc
+    * rank window; ties broken on token for cross-engine determinism). */
+  private val t9Tfidf: Q = (s, dir) =>
+    TextAnalysis.tfidfKeywords(Tables.documents(s, dir), "doc_id", "text", 3)
+
+  /** J6: stream-stream interval join (batch twin of
+    * `BehaviorIngest.purchaseAttribution`, which StreamingSpec pins
+    * stream ≡ batch): per purchase, the same user's views in the
+    * preceding hour. µs-truncated event time on BOTH sides (stream
+    * watermarks need TimestampType; the oracle replicates the
+    * truncation), left-joined back so zero-view purchases keep a row. */
+  private val j6StreamJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_t").as("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_t").as("ts"))
+    val joined = streaming.BehaviorIngest.purchaseAttribution(views, purchases)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("__n"), max(col("v_ts")).as("__last"))
+    purchases.join(joined, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("__n"), lit(0L)).as("n_views"),
+        unix_micros(col("__last")).as("last_view_us"))
+  }
+
+  /** J9: salted join — `ops.Skew.saltedJoin` pushed through the oracle
+    * gate: events (big, skew-prone user key) ⋈ customer (small), salted
+    * 8 ways, then per-nation rollup. The oracle is the PLAIN join — the
+    * whole point is that salting changes the physical shuffle layout and
+    * nothing else. */
+  private val j9SaltedJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("value"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    ops.Skew.saltedJoin(ev, cust, "user_id", salts = 8)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** MM2: video frame sampling — metadata-driven explode of binary assets
+    * into per-frame rows with a portable md5 frame digest
+    * (`Multimodal.sampleFramesPortable`; production digest is xxhash64). */
+  private val mm2FrameSample: Q = (s, dir) => {
+    val assets = multimodal.Multimodal.videoAssetsFromText(
+      Tables.documents(s, dir).where(col("doc_id") % 10 === 0), "doc_id", "text")
+    multimodal.Multimodal.sampleFramesPortable(assets, everyMs = 40)
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -856,6 +909,10 @@ object SparkEntry {
     "p5_isin" -> p5Isin,
     "p9_history_contains" -> p9HistoryContains,
     "j5_history_fetch" -> j5HistoryFetch,
+    "t9_tfidf" -> t9Tfidf,
+    "j6_stream_join" -> j6StreamJoin,
+    "j9_salted_join" -> j9SaltedJoin,
+    "mm2_frame_sample" -> mm2FrameSample,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1644,5 +1701,46 @@ object SparkEntry {
         |  FROM ex JOIN embeddings e ON e.vec_id = ex.item_id)
         |SELECT user_id, pos, round(avg(v), 9) AS mean_v
         |FROM f GROUP BY user_id, pos""".stripMargin,
+    "t9_tfidf" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM tk)
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |scored AS (SELECT doc_id, token, tf, df,
+        |    round(tf * ln(CAST(nd AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, df, tfidf, CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, token) AS rn FROM scored)
+        |WHERE rn <= 3""".stripMargin,
+    "j6_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id, us FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, count(v.us) AS n_views, max(v.us) AS last_view_us
+        |FROM p LEFT JOIN v ON v.user_id = p.user_id
+        |  AND v.us <= p.us AND v.us >= p.us - 3600000000
+        |GROUP BY p.event_id""".stripMargin,
+    "j9_salted_join" ->
+      """SELECT c_nationkey, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
+    "mm2_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, CAST(length(text) AS BIGINT), 40))
+        |      AS frame_ms
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id AS asset_id, frame_ms,
+        |  substring(md5(text || ':' || CAST(frame_ms AS VARCHAR)), 1, 16)
+        |    AS frame_digest
+        |FROM f""".stripMargin,
   )
 }

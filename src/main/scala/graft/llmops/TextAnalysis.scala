@@ -100,6 +100,43 @@ object TextAnalysis {
           .as("dup_3gram_frac"))
   }
 
+  /** TF-IDF keyword extraction: the `topK` most characteristic tokens per
+    * document. The classic corpus-curation signal (topic tagging, near-dup
+    * triage, quality heuristics all consume it).
+    *
+    * Lowered as: explode → per-(doc, token) count (map-side combined, one
+    * shuffle on the doc id) → token document-frequency (second aggregate on
+    * the token — the tf rows are already distinct (doc, token) pairs, so no
+    * extra dedup pass) → broadcast 1-row corpus size → per-doc top-K rank
+    * window. Shuffles carry (id, token) scalars only; no step is
+    * corpus-quadratic, and the rank window partitions on the doc id so the
+    * topmost frame is per-document, never global.
+    *
+    * Ranking uses the ROUNDED score (6 dp) with the token as tie-break, so
+    * the ordering is reproducible bit-exactly in any engine (`ln` may
+    * differ in the last ulp across libms; 6 dp absorbs it).
+    */
+  def tfidfKeywords(docs: DataFrame, id: String, text: String,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(id), explode(TextFunctions.tokens(col(text))).as("token"))
+      .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(id)).as("__n"))
+    val scored = tf
+      .join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col(id), col("token"), col("tf"), col("df"), col("tfidf"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Per-doc analysis record: token counts, quality, lang guess,
     * fingerprint. */
   def analyze(docs: DataFrame, id: String, text: String): DataFrame =

@@ -91,4 +91,28 @@ object Multimodal {
         explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))))
       .select(col("asset_id"), col("frame_ms"),
         xxhash64(col("content"), col("frame_ms")).as("frame_digest"))
+
+  /** Engine-portable twin of [[sampleFrames]]: the per-frame digest is
+    * md5 over `content || ':' || frame_ms` (bytes identical to the SQL
+    * string concat when content is UTF-8 text), so the whole
+    * video→frame-row expansion is replicable in the DuckDB oracle.
+    * Same explode plumbing; xxhash64 stays the production digest. */
+  def sampleFramesPortable(assets: DataFrame, everyMs: Long): DataFrame =
+    assets.where(col("duration_ms").isNotNull)
+      .withColumn("frame_ms",
+        explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))))
+      .select(col("asset_id"), col("frame_ms"),
+        substring(md5(concat(col("content"),
+          encode(concat(lit(":"), col("frame_ms").cast("string")), "UTF-8"))),
+          1, 16).as("frame_digest"))
+
+  /** Give the text fixture a video shape: duration derived from content
+    * length (deterministic, oracle-replicable). */
+  def videoAssetsFromText(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(
+      col(id).cast("long").as("asset_id"),
+      lit("video").as("media_type"),
+      encode(col(text), "UTF-8").as("content"),
+      lit(640).as("width"), lit(480).as("height"),
+      length(col(text)).cast("long").as("duration_ms"))
 }

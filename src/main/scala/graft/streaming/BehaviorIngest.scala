@@ -118,6 +118,34 @@ object BehaviorIngest {
     else src.dropDuplicates("user_id", "timestamp")).drop("__et")
   }
 
+  /** Stream-stream interval join (§2.12 / J4's streaming form): attribute
+    * each purchase to the same user's views in the preceding `gap`.
+    * Both sides carry a watermark, and the join condition bounds the view
+    * time to `[purchase - gap, purchase]` — the two constraints together
+    * let the engine expire buffered rows, so state is O(events within the
+    * watermark), not unbounded.
+    *
+    * Works identically on batch DataFrames (the DuckDB oracle runs the
+    * batch twin): watermarks are skipped, the interval condition is the
+    * same, so stream ≡ batch on any finite input (StreamingSpec pins it).
+    * Inputs need `user_id` and a TimestampType `tsCol`; purchases also
+    * need `event_id`.
+    */
+  def purchaseAttribution(views: DataFrame, purchases: DataFrame,
+      tsCol: String = "ts", gap: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val v = wm(views).select(col("user_id").as("v_user"),
+      col(tsCol).as("v_ts"))
+    val p = wm(purchases).select(col("event_id"),
+      col("user_id").as("p_user"), col(tsCol).as("p_ts"))
+    p.join(v,
+      col("v_user") === col("p_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $gap"))
+  }
+
   case class Behavior(user_id: String, history_items: Seq[String], timestamp: Long)
   case class Profile(user_id: String, history_items: Seq[String], timestamp: Long)
 

@@ -38,6 +38,43 @@ class MiscApiSpec extends AnyFunSuite {
     assert(math.abs(rep.head._3 - 0.6) < 1e-9)
   }
 
+  test("tfidfKeywords ranks by rounded score with token tie-break (T9)") {
+    val docs = Seq(
+      (1L, "spark spark spark shuffle join"),
+      (2L, "shuffle join join scan scan scan scan"),
+      (3L, "vector vector spark scan")).toDF("doc_id", "text")
+    val out = graft.llmops.TextAnalysis.tfidfKeywords(docs, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == Set(1L, 2L, 3L))
+    assert(out.forall(r => r._6 >= 1 && r._6 <= 2))
+    // recompute tf·ln(N/df) from the reported tf/df and corpus size 3
+    out.foreach { case (_, _, tf, df, tfidf, _) =>
+      val expect = BigDecimal(tf * math.log(3.0 / df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(tfidf - expect) < 1e-9)
+    }
+    // "spark" is doc 1's defining token (tf 3, df 2)
+    assert(byDoc(1L).minBy(_._6)._2 == "spark")
+    // within a doc, ranks follow (tfidf desc, token asc)
+    byDoc.values.foreach { rows =>
+      val sorted = rows.sortBy(_._6)
+      assert(sorted.zip(sorted.drop(1)).forall { case (a, b) =>
+        a._5 > b._5 || (a._5 == b._5 && a._2 < b._2) })
+    }
+  }
+
+  test("sampleFramesPortable expands duration/40ms + 1 frames per asset (MM2)") {
+    val docs = Seq((1L, "a" * 85), (2L, "xyz")).toDF("doc_id", "text")
+    val assets = graft.multimodal.Multimodal.videoAssetsFromText(docs, "doc_id", "text")
+    val frames = graft.multimodal.Multimodal.sampleFramesPortable(assets, 40L)
+      .as[(Long, Long, String)].collect()
+    val perAsset = frames.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perAsset == Map(1L -> 3, 2L -> 1)) // 0,40,80 | 0
+    assert(frames.map(_._3).distinct.length == frames.length) // digests differ
+    assert(frames.forall(_._3.length == 16))
+  }
+
   test("stratifiedByActivity (xxhash64 variant) keeps hi stratum at a higher rate") {
     val counts = Tables.events(spark, "/root/testdata/sf0.01")
       .groupBy($"user_id").agg(count(lit(1)).as("n"))

@@ -149,6 +149,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(salted == plain && salted.nonEmpty)
   }
 
+  test("purchaseAttribution stream-stream join equals the batch twin (J6)") {
+    implicit val sql = spark.sqlContext
+    val ev = Tables.events(spark, TestSpark.sf)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val views = ev.where($"event_type" === "view")
+      .select($"user_id", $"ts_t".as("ts"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_t".as("ts"))
+    val batch = BehaviorIngest.purchaseAttribution(views, purchases)
+      .select($"event_id", $"v_ts")
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    assert(batch.nonEmpty)
+
+    val vMem = MemoryStream[(Long, java.sql.Timestamp)]
+    val pMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    vMem.addData(views.as[(Long, java.sql.Timestamp)].collect().toSeq: _*)
+    pMem.addData(purchases.as[(Long, Long, java.sql.Timestamp)].collect().toSeq: _*)
+    val q = BehaviorIngest.purchaseAttribution(
+        vMem.toDF().toDF("user_id", "ts"),
+        pMem.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_out").start()
+    q.processAllAvailable()
+    val streamed = spark.table("attr_out").select($"event_id", $"v_ts")
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("seeded random fan-out is deterministic (X4)") {
     val users = Tables.events(spark, TestSpark.sf).select($"user_id").distinct()
     val a = ops.Sampling.randomFanout(users, 10, 42L).as[Long].collect().toSet
