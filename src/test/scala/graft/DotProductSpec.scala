@@ -44,6 +44,43 @@ class DotProductSpec extends AnyFunSuite {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("GraftExtensions injects SQL functions at session build") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force the shared context to exist first
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // same SparkContext, fresh session state with the extensions applied
+      // — the spark.sql.extensions/withExtensions path libraries ship with
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions()(_)).getOrCreate()
+      assert(s2 ne base)
+      val dot = s2.sql(
+        "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+        .collect()(0).getDouble(0)
+      assert(dot == 11.0)
+      val cos = s2.sql(
+        "SELECT graft_cosine(array(0.0D, 0.0D), array(1.0D, 2.0D))")
+        .collect()(0).getDouble(0)
+      assert(cos == 0.0) // zero vector normalized, not NaN
+      val sig = s2.sql(
+        "SELECT graft_minhash(array('a', 'b', 'c'), 4) AS s")
+        .collect()(0).getSeq[Long](0)
+      assert(sig.length == 4)
+      val sigMd5 = s2.sql(
+        "SELECT graft_minhash_md5(array('a', 'b', 'c'), 4) AS s")
+        .collect()(0).getSeq[String](0)
+      assert(sigMd5.length == 4 && sigMd5.forall(_.length == 32))
+      // non-literal hash count is rejected at analysis, not in codegen
+      intercept[Exception] {
+        s2.sql("SELECT graft_minhash(array('a'), CAST(rand()*4 AS INT))").collect()
+      }
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("null/mismatch edges are identical to the composed HOF form") {
     val df = Seq(
       (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(3.0f)))), // len mismatch
