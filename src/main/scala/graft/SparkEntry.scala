@@ -835,6 +835,13 @@ object SparkEntry {
     multimodal.Multimodal.sampleFramesPortable(assets, everyMs = 40)
   }
 
+  /** T10: unigram-LM corpus quality scoring (CCNet-style perplexity
+    * proxy): corpus-estimated token probabilities → per-doc mean
+    * -log p(token), tf-weighted so the join carries distinct (doc, token)
+    * rows only. */
+  private val t10LmScore: Q = (s, dir) =>
+    TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -913,6 +920,7 @@ object SparkEntry {
     "j6_stream_join" -> j6StreamJoin,
     "j9_salted_join" -> j9SaltedJoin,
     "mm2_frame_sample" -> mm2FrameSample,
+    "t10_lm_score" -> t10LmScore,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1733,6 +1741,27 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_nationkey""".stripMargin,
+    "t10_lm_score" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM tk)
+        |  GROUP BY doc_id, token),
+        |c AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf
+        |  GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM c),
+        |scored AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    round(sum(tf * -ln(CAST(c AS DOUBLE) / tt)) / sum(tf), 6)
+        |      AS avg_neg_logp
+        |  FROM tf JOIN c USING (token) CROSS JOIN tot
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  coalesce(s.avg_neg_logp, 0.0) AS avg_neg_logp
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN scored s USING (doc_id)""".stripMargin,
     "mm2_frame_sample" ->
       """WITH f AS (SELECT doc_id, text,
         |    unnest(generate_series(0, CAST(length(text) AS BIGINT), 40))

@@ -137,6 +137,39 @@ object TextAnalysis {
         col("rank").cast("long").as("rank"))
   }
 
+  /** CCNet-style unigram language-model scoring: token probabilities are
+    * estimated from the corpus itself, then each document is scored by its
+    * mean negative log-probability — high = rare/gibberish phrasing, the
+    * standard cheap perplexity proxy for corpus quality filtering (CCNet,
+    * Wenzek et al. 2020 trains a small LM on a reference corpus; the
+    * relational lowering is identical with a second `train` frame).
+    *
+    * One shuffle on (doc, token) with map-side combine, a vocabulary-sized
+    * aggregate, a 1-row total broadcast, then a shuffle join back on the
+    * token. Per-doc duplicates ride the `tf` weight (the score join
+    * carries distinct (doc, token) rows only, so a long repetitive doc
+    * doesn't inflate the join). Token-less docs keep a row with score 0.
+    */
+  def unigramLogProb(docs: DataFrame, id: String, text: String): DataFrame = {
+    val tf = docs
+      .select(col(id), explode(TextFunctions.tokens(col(text))).as("token"))
+      .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
+    val total = counts.agg(sum(col("c")).as("__t"))
+    val scored = tf
+      .join(counts, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(id))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf") * -log(col("c").cast("double") / col("__t"))) /
+          sum(col("tf")), 6).as("avg_neg_logp"))
+    docs.select(col(id)).distinct()
+      .join(scored, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("avg_neg_logp"), lit(0.0)).as("avg_neg_logp"))
+  }
+
   /** Per-doc analysis record: token counts, quality, lang guess,
     * fingerprint. */
   def analyze(docs: DataFrame, id: String, text: String): DataFrame =

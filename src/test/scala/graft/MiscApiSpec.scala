@@ -64,6 +64,23 @@ class MiscApiSpec extends AnyFunSuite {
     }
   }
 
+  test("unigramLogProb scores rare phrasing above common phrasing (T10)") {
+    val docs = Seq(
+      (1L, "the the the the"), // most common token only
+      (2L, "the zzz"),         // half rare
+      (3L, "")).toDF("doc_id", "text")
+    val out = graft.llmops.TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == 4 && out(2L)._1 == 2 && out(3L) == ((0L, 0.0)))
+    assert(out(2L)._2 > out(1L)._2)
+    // doc 1: p(the)=5/6 → -ln(5/6); doc 2: mean of -ln(5/6), -ln(1/6)
+    val pThe = -math.log(5.0 / 6); val pZzz = -math.log(1.0 / 6)
+    assert(math.abs(out(1L)._2 - BigDecimal(pThe).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(out(2L)._2 - BigDecimal((pThe + pZzz) / 2).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("sampleFramesPortable expands duration/40ms + 1 frames per asset (MM2)") {
     val docs = Seq((1L, "a" * 85), (2L, "xyz")).toDF("doc_id", "text")
     val assets = graft.multimodal.Multimodal.videoAssetsFromText(docs, "doc_id", "text")
