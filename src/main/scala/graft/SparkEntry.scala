@@ -842,6 +842,12 @@ object SparkEntry {
   private val t10LmScore: Q = (s, dir) =>
     TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
 
+  /** T11: BPE merge-pair counting — the distributed inner loop of
+    * byte-pair-encoding tokenizer training (first merge iteration over a
+    * word-frequency dictionary; top-20 candidate merges). */
+  private val t11BpePairs: Q = (s, dir) =>
+    TextAnalysis.bpePairCounts(Tables.documents(s, dir), "doc_id", "text", 20)
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -921,6 +927,7 @@ object SparkEntry {
     "j9_salted_join" -> j9SaltedJoin,
     "mm2_frame_sample" -> mm2FrameSample,
     "t10_lm_score" -> t10LmScore,
+    "t11_bpe_pairs" -> t11BpePairs,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1762,6 +1769,22 @@ object SparkEntry {
         |  coalesce(s.avg_neg_logp, 0.0) AS avg_neg_logp
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN scored s USING (doc_id)""".stripMargin,
+    "t11_bpe_pairs" ->
+      """WITH w AS (SELECT word, count(*) AS wc
+        |  FROM (SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS word FROM documents)
+        |  GROUP BY word),
+        |p AS (SELECT substring(word, i, 2) AS pair, wc
+        |  FROM (SELECT word, wc,
+        |      unnest(generate_series(1, length(word) - 1)) AS i
+        |    FROM w WHERE length(word) >= 2)),
+        |agg AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+        |  FROM p GROUP BY pair)
+        |SELECT pair, n, CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT pair, n,
+        |    row_number() OVER (ORDER BY n DESC, pair) AS rn FROM agg)
+        |WHERE rn <= 20""".stripMargin,
     "mm2_frame_sample" ->
       """WITH f AS (SELECT doc_id, text,
         |    unnest(generate_series(0, CAST(length(text) AS BIGINT), 40))

@@ -170,6 +170,39 @@ object TextAnalysis {
         coalesce(col("avg_neg_logp"), lit(0.0)).as("avg_neg_logp"))
   }
 
+  /** BPE merge-pair counting — the inner loop of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016): count adjacent symbol
+    * pairs across the corpus and rank candidates for the next merge.
+    * This computes the FIRST merge iteration over characters, the
+    * map-reduce-heavy step a 100 TB corpus actually distributes (later
+    * iterations work on the tiny merged vocabulary driver-side in every
+    * practical trainer).
+    *
+    * Lowering: word-frequency table first (groupBy word — BPE's standard
+    * dictionary compression: each distinct word is processed once and
+    * carries its count), then per-word adjacent character pairs weighted
+    * by the word count. Shuffle keys are (word) then (pair) scalars.
+    */
+  def bpePairCounts(docs: DataFrame, id: String, text: String,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(text))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val pairs = words
+      .where(length(col("word")) >= 2)
+      .select(col("wc"), explode(TextFunctions.bind(col("word")) { w =>
+        transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2)))
+      }).as("pair"))
+    // global top-K via TakeOrderedAndProject (per-partition heaps — never
+    // a full sort); the rank window then runs over the K surviving rows
+    // only, so its single partition is constant-bounded, not data-sized
+    val top = pairs.groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(topK)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("pair"))).cast("long"))
+  }
+
   /** Per-doc analysis record: token counts, quality, lang guess,
     * fingerprint. */
   def analyze(docs: DataFrame, id: String, text: String): DataFrame =

@@ -64,6 +64,15 @@ class MiscApiSpec extends AnyFunSuite {
     }
   }
 
+  test("bpePairCounts weights adjacent char pairs by word frequency (T11)") {
+    val docs = Seq((1L, "abab ab"), (2L, "abab")).toDF("doc_id", "text")
+    // dictionary: abab(wc 2) → pairs ab,ba,ab; ab(wc 1) → ab
+    // totals: ab = 2·2 + 1 = 5, ba = 2·1 = 2
+    val out = graft.llmops.TextAnalysis.bpePairCounts(docs, "doc_id", "text", 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("ab", 5L, 1L), ("ba", 2L, 2L)))
+  }
+
   test("unigramLogProb scores rare phrasing above common phrasing (T10)") {
     val docs = Seq(
       (1L, "the the the the"), // most common token only
