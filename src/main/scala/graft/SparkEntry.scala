@@ -848,6 +848,23 @@ object SparkEntry {
   private val t11BpePairs: Q = (s, dir) =>
     TextAnalysis.bpePairCounts(Tables.documents(s, dir), "doc_id", "text", 20)
 
+  /** G5: personalized PageRank (2 rounds, damping 0.5) on the
+    * bidirectional supplier↔part interaction graph, seeded at suppliers
+    * 0-9 — the model-free random-walk recall signal complementing g4's
+    * LightGCN forward. */
+  private val g5PageRank: Q = (s, dir) => {
+    val e = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").cast("long").as("sk"),
+        (col("l_partkey") + 1000000L).as("pk")).distinct()
+    val edges = e.select(col("sk").as("src"), col("pk").as("dst"))
+      .union(e.select(col("pk").as("src"), col("sk").as("dst")))
+    val seeds = Tables.supplier(s, dir).where(col("s_suppkey") < 10)
+      .select(col("s_suppkey").cast("long").as("seed"))
+    Graph.pageRank(edges, "src", "dst", seeds, "seed",
+        iters = 2, damping = 0.5)
+      .select(col("id"), round(col("score"), 6).as("score"))
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -928,6 +945,7 @@ object SparkEntry {
     "mm2_frame_sample" -> mm2FrameSample,
     "t10_lm_score" -> t10LmScore,
     "t11_bpe_pairs" -> t11BpePairs,
+    "g5_pagerank" -> g5PageRank,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1769,6 +1787,26 @@ object SparkEntry {
         |  coalesce(s.avg_neg_logp, 0.0) AS avg_neg_logp
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN scored s USING (doc_id)""".stripMargin,
+    "g5_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS sk,
+        |    CAST(l_partkey + 1000000 AS BIGINT) AS pk FROM lineitem),
+        |ed AS (SELECT sk AS src, pk AS dst FROM e0
+        |  UNION ALL SELECT pk, sk FROM e0),
+        |deg AS (SELECT src, count(*) AS d FROM ed GROUP BY src),
+        |e AS (SELECT ed.src, ed.dst, deg.d FROM ed JOIN deg USING (src)),
+        |r0 AS (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS id, 1.0 AS ev
+        |  FROM supplier WHERE s_suppkey < 10),
+        |c1 AS (SELECT e.dst AS id, sum(r0.ev / e.d) AS c
+        |  FROM e JOIN r0 ON e.src = r0.id GROUP BY e.dst),
+        |r1 AS (SELECT coalesce(r0.id, c1.id) AS id,
+        |    coalesce(r0.ev, 0) * 0.5 + 0.5 * coalesce(c1.c, 0) AS r
+        |  FROM r0 FULL JOIN c1 ON r0.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, sum(r1.r / e.d) AS c
+        |  FROM e JOIN r1 ON e.src = r1.id GROUP BY e.dst),
+        |r2 AS (SELECT coalesce(r0.id, c2.id) AS id,
+        |    coalesce(r0.ev, 0) * 0.5 + 0.5 * coalesce(c2.c, 0) AS r
+        |  FROM r0 FULL JOIN c2 ON r0.id = c2.id)
+        |SELECT id, round(r, 6) AS score FROM r2""".stripMargin,
     "t11_bpe_pairs" ->
       """WITH w AS (SELECT word, count(*) AS wc
         |  FROM (SELECT unnest(list_filter(

@@ -93,6 +93,45 @@ object Graph {
     labels.select(col("__n").as(src), col("__lbl").as("component"))
   }
 
+  /** Personalized PageRank, `iters` synchronous rounds:
+    * `r'(v) = (1-d)·e(v) + d·Σ_{(u,v)∈E} r(u)/outdeg(u)` with `e` the
+    * personalization vector (1.0 on `seeds`, 0 elsewhere) — the classic
+    * random-walk-with-restart recommender signal over the interaction
+    * graph (complements the LightGCN embedding path with a model-free
+    * graph score).
+    *
+    * Per round: one join of the edge list against the current scores
+    * (shuffle on the src key) + one groupBy-sum on dst — identical
+    * shuffle posture to [[propagate]], scale-safe because scores are
+    * scalar rows, never gathered. Out-degrees are joined once up front.
+    * Like lightGcn, iterations recompute lineage by default (fastest at
+    * bench scale); pass a small `iters` or persist upstream for deep
+    * walks.
+    *
+    * Returns (id, score) for seeds and every node with ≥1 in-edge from a
+    * reached node; unreached nodes are omitted (their score is 0). */
+  def pageRank(edges: DataFrame, src: String, dst: String,
+      seeds: DataFrame, seedCol: String,
+      iters: Int, damping: Double): DataFrame = {
+    val deg = edges.groupBy(col(src)).agg(count(lit(1)).as("__deg"))
+    val e = edges.select(col(src).as("__s"), col(dst).as("__t"))
+      .join(deg.select(col(src).as("__s"), col("__deg")), "__s")
+    val r0 = seeds.select(col(seedCol).as("__id")).distinct()
+      .withColumn("__e", lit(1.0))
+    var r = r0.select(col("__id"), col("__e").as("__r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, col("__s") === col("__id"))
+        .groupBy(col("__t"))
+        .agg(sum(col("__r") / col("__deg")).as("__c"))
+        .select(col("__t").as("__id"), col("__c"))
+      r = r0.join(contrib, Seq("__id"), "full_outer")
+        .select(col("__id"),
+          (coalesce(col("__e"), lit(0.0)) * (1.0 - damping) +
+            lit(damping) * coalesce(col("__c"), lit(0.0))).as("__r"))
+    }
+    r.select(col("__id").as("id"), col("__r").as("score"))
+  }
+
   /** Full LightGCN forward: `layers` propagation rounds, output = mean of
     * layer-0..layers embeddings (the reference's skip-connection average,
     * `model.py:60-95`). */

@@ -64,6 +64,16 @@ class MiscApiSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank matches the hand-computed walk (G5)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("seed")
+    // d=0.5: r1 = {1:.5, 2:.25, 3:.25}
+    // r2: 1 = .5; 2 = .5·(.5/2) = .125; 3 = .5·(.5/2 + .25/1) = .25
+    val out = graft.ops.Graph.pageRank(edges, "src", "dst", seeds, "seed", 2, 0.5)
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 0.5, 2L -> 0.125, 3L -> 0.25))
+  }
+
   test("bpePairCounts weights adjacent char pairs by word frequency (T11)") {
     val docs = Seq((1L, "abab ab"), (2L, "abab")).toDF("doc_id", "text")
     // dictionary: abab(wc 2) → pairs ab,ba,ab; ab(wc 1) → ab
