@@ -865,6 +865,16 @@ object SparkEntry {
       .select(col("id"), round(col("score"), 6).as("score"))
   }
 
+  /** MM3: audio analysis-window segmentation — overlapping 50-unit
+    * windows every 10 units (the MFCC front-end framing shape) with a
+    * deterministic fake energy; the explode + slice plumbing is the real
+    * contract (`Multimodal.audioWindows`). */
+  private val mm3AudioWindows: Q = (s, dir) => {
+    val assets = multimodal.Multimodal.videoAssetsFromText(
+      Tables.documents(s, dir).where(col("doc_id") % 10 === 5), "doc_id", "text")
+    multimodal.Multimodal.audioWindows(assets, winMs = 50, hopMs = 10)
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -946,6 +956,7 @@ object SparkEntry {
     "t10_lm_score" -> t10LmScore,
     "t11_bpe_pairs" -> t11BpePairs,
     "g5_pagerank" -> g5PageRank,
+    "mm3_audio_windows" -> mm3AudioWindows,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1787,6 +1798,18 @@ object SparkEntry {
         |  coalesce(s.avg_neg_logp, 0.0) AS avg_neg_logp
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN scored s USING (doc_id)""".stripMargin,
+    "mm3_audio_windows" ->
+      """WITH a AS (SELECT doc_id AS asset_id, text,
+        |    CAST(length(text) AS BIGINT) AS dur FROM documents
+        |  WHERE doc_id % 10 = 5),
+        |w AS (SELECT asset_id, text,
+        |    unnest(generate_series(0, dur - 50, 10)) AS win_start
+        |  FROM a WHERE dur >= 50)
+        |SELECT asset_id, win_start,
+        |  round(list_sum(list_transform(generate_series(1, 50),
+        |    i -> ord(substring(text, CAST(win_start + i AS INT), 1))))
+        |    / 50.0, 6) AS energy
+        |FROM w""".stripMargin,
     "g5_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS sk,
         |    CAST(l_partkey + 1000000 AS BIGINT) AS pk FROM lineitem),

@@ -115,4 +115,28 @@ object Multimodal {
       encode(col(text), "UTF-8").as("content"),
       lit(640).as("width"), lit(480).as("height"),
       length(col(text)).cast("long").as("duration_ms"))
+
+  /** Audio analysis-window segmentation — the MFCC/fbank front-end shape:
+    * overlapping windows of `winMs` every `hopMs` (hop < width ⇒ overlap),
+    * one row per window with its byte-span summary over the content. The
+    * per-window "energy" is the DETERMINISTIC-FAKE decode (mean of the
+    * windowed bytes) — a real codec would FFT here; the explode + slice
+    * plumbing and the (start, len) windowing contract are the real part.
+    * Windows start while `start + win ≤ duration` (trailing partial
+    * window dropped, like every framing front-end); assets shorter than
+    * one window emit nothing. */
+  def audioWindows(assets: DataFrame, winMs: Long, hopMs: Long): DataFrame = {
+    require(winMs > 0 && hopMs > 0, s"window/hop must be positive")
+    assets.where(col("duration_ms").isNotNull &&
+        col("duration_ms") >= winMs)
+      .withColumn("win_start",
+        explode(sequence(lit(0L), col("duration_ms") - winMs, lit(hopMs))))
+      // 1 byte ≙ 1 ms in the text-backed fixture: window = content slice
+      .select(col("asset_id"), col("win_start"),
+        round(aggregate(
+          transform(slice(split(decode(col("content"), "UTF-8"), ""),
+            (col("win_start") + 1).cast("int"), lit(winMs.toInt)),
+            c => ascii(c).cast("double")),
+          lit(0.0), (acc, v) => acc + v) / winMs.toDouble, 6).as("energy"))
+  }
 }

@@ -111,6 +111,16 @@ class MiscApiSpec extends AnyFunSuite {
     assert(frames.forall(_._3.length == 16))
   }
 
+  test("audioWindows frames with overlap and drops short assets (MM3)") {
+    val docs = Seq((1L, "a" * 7), (2L, "ab")).toDF("doc_id", "text")
+    val assets = graft.multimodal.Multimodal.videoAssetsFromText(docs, "doc_id", "text")
+    val out = graft.multimodal.Multimodal.audioWindows(assets, winMs = 4, hopMs = 2)
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    // len 7, win 4, hop 2 → starts 0, 2 (start 4 would need len 8); len 2 < win → dropped
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 0L), (1L, 2L)))
+    assert(out.forall(_._3 == 97.0)) // all-'a' windows: mean codepoint 97
+  }
+
   test("stratifiedByActivity (xxhash64 variant) keeps hi stratum at a higher rate") {
     val counts = Tables.events(spark, "/root/testdata/sf0.01")
       .groupBy($"user_id").agg(count(lit(1)).as("n"))
