@@ -129,12 +129,16 @@ object Multimodal {
     require(winMs > 0 && hopMs > 0, s"window/hop must be positive")
     assets.where(col("duration_ms").isNotNull &&
         col("duration_ms") >= winMs)
+      // decode to the sample array ONCE per asset, before the window
+      // explode — slicing per window must not re-run the decode
+      // (O(len) once vs O(len·windows) if placed after the explode)
+      .withColumn("__samples", split(decode(col("content"), "UTF-8"), ""))
       .withColumn("win_start",
         explode(sequence(lit(0L), col("duration_ms") - winMs, lit(hopMs))))
-      // 1 byte ≙ 1 ms in the text-backed fixture: window = content slice
+      // 1 unit ≙ 1 sample in the text-backed fixture: window = slice
       .select(col("asset_id"), col("win_start"),
         round(aggregate(
-          transform(slice(split(decode(col("content"), "UTF-8"), ""),
+          transform(slice(col("__samples"),
             (col("win_start") + 1).cast("int"), lit(winMs.toInt)),
             c => ascii(c).cast("double")),
           lit(0.0), (acc, v) => acc + v) / winMs.toDouble, 6).as("energy"))
