@@ -94,6 +94,21 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: denseIds is a dense 0..n-1 rank in key order at ANY partition count") {
+    val keysGen = Gen.listOfN(60, Gen.choose(-500L, 500L))
+    forAll(keysGen, Gen.choose(1, 9)) { (keys, nParts) =>
+      whenever(keys.nonEmpty) {
+        val df = keys.toDF("k")
+        val got = graft.ops.DictIndex.denseIds(df, "k", "idx", nParts)
+          .as[(Long, Long)].collect().sortBy(_._2)
+        val expect = keys.distinct.sorted.zipWithIndex
+          .map { case (k, i) => (k, i.toLong) }
+        assert(got.toSeq == expect,
+          s"denseIds diverged from sorted-distinct rank at nParts=$nParts")
+      }
+    }
+  }
+
   test("property: negative samples never collide and stay in range") {
     forAll(behaviorGen) { bs =>
       whenever(bs.nonEmpty) {
