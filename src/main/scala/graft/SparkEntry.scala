@@ -875,6 +875,43 @@ object SparkEntry {
     multimodal.Multimodal.audioWindows(assets, winMs = 50, hopMs = 10)
   }
 
+  /** W6: lag-based sessionization — the window-function twin of
+    * `session_window` (`stream_session_window`): event-time gap > 1 h
+    * opens a new session; session id = running count of gap-breaks per
+    * user. One shuffle on the user key; both window frames (lag, running
+    * sum) share the same (user, ts) sort. */
+  private val w6Sessionize: Q = (s, dir) => {
+    // µs-truncated event time on both engine and oracle sides: DuckDB's
+    // parquet reader truncates TIMESTAMP(NANOS) to µs, so raw-ns outputs
+    // can never hash-match (ties stay deterministic via the event_id key)
+    val gapUs = 3600L * 1000 * 1000
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("ts") - col("__prev") >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+  }
+
+  /** S12 (batch twin): latest snapshot per key — the batch equivalent of
+    * `BehaviorIngest.latestProfiles` keyed state (and the reference's
+    * Redis `KEYS *` + max-version scan): one row per user with the most
+    * recent event, ties broken on event_id. */
+  private val s12LatestSnapshot: Q = (s, dir) =>
+    TopK.perGroup(
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("ts"),
+          col("event_id"), col("event_type")),
+      Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc), 1)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -957,6 +994,8 @@ object SparkEntry {
     "t11_bpe_pairs" -> t11BpePairs,
     "g5_pagerank" -> g5PageRank,
     "mm3_audio_windows" -> mm3AudioWindows,
+    "w6_sessionize" -> w6Sessionize,
+    "s12_latest_snapshot" -> s12LatestSnapshot,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1798,6 +1837,28 @@ object SparkEntry {
         |  coalesce(s.avg_neg_logp, 0.0) AS avg_neg_logp
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN scored s USING (doc_id)""".stripMargin,
+    "w6_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id
+        |  FROM events),
+        |l AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev FROM e),
+        |b AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL OR ts - prev >= 3600000000
+        |      THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT user_id, ts, event_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id FROM b)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "s12_latest_snapshot" ->
+      """SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id, event_type
+        |FROM (SELECT user_id, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
     "mm3_audio_windows" ->
       """WITH a AS (SELECT doc_id AS asset_id, text,
         |    CAST(length(text) AS BIGINT) AS dur FROM documents
