@@ -50,8 +50,12 @@ object Bench {
     val coldTotal = ok.map(_._1).sum
     val nFailed = results.values.count(_._2 < 0)
     // metric name states the methodology: steady-state (2nd-run) total,
-    // with the cold first-run total alongside — nothing hidden
-    println(s"""{"metric":"total_warm","value":$total,"unit":"sec","queries":$qs,"cold_s":$coldTotal,"failed":$nFailed,"sf":"$sfDir"}""")
+    // with the cold first-run total alongside — nothing hidden.
+    // Totals appear at BOTH ends of the line: a capped capture of this
+    // (long) line can cut either end, and JSON parsers keep the last
+    // duplicate key, so the headline numbers survive truncation of the
+    // per-query map from either side.
+    println(s"""{"metric":"total_warm","value":$total,"unit":"sec","cold_s":$coldTotal,"failed":$nFailed,"sf":"$sfDir","queries":$qs,"metric":"total_warm","unit":"sec","failed":$nFailed,"cold_s":$coldTotal,"value":$total}""")
     spark.stop()
   }
 }

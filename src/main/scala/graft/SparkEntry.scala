@@ -481,12 +481,15 @@ object SparkEntry {
       .select(col("doc_id"), col("lang_guess"), col("quality"),
         col("stopword_ratio"))
 
-  /** LLM-D6: embedding-cosine near-dup pairs (brute-force baseline; LSH
-    * path = sim2). 0.4 sits at the top ~0.1% of the synthetic corpus's
-    * pair-cosine distribution (max ≈ 0.51 — no planted dups). */
+  /** LLM-D6: embedding-cosine near-dup pairs via banded LSH
+    * (`SimSearch.lshPairs`: bucket-local candidates on md5-portable sign
+    * bands, no broadcast, no O(n²); the oracle replicates the banding
+    * bit-for-bit and `OpsSpec` pins lshPairs ⊆ brute-force cosinePairs).
+    * 0.4 sits at the top ~0.1% of the synthetic corpus's pair-cosine
+    * distribution (max ≈ 0.51 — no planted dups). */
   private val d6EmbeddingDedup: Q = (s, dir) =>
-    Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        minCosine = 0.4)
+    Dedup.embeddingPairsBanded(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, minCosine = 0.4, nBits = 16, bands = 4)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
 
   /** LLM-D7: duplicate clusters — near-dup pairs (exact n-gram Jaccard
@@ -685,9 +688,14 @@ object SparkEntry {
     * lazy plan. */
   private val m0RecommendSlice: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val nItems = emb.count()
+    // |items| rides along as a broadcast one-row scalar instead of an
+    // eager count(): the whole slice stays ONE lazy plan (no plan-build
+    // job), and the modulus is computed where the rows are
+    val nItems = broadcast(emb.agg(count(lit(1)).as("__n_items")))
     val beh = Tables.events(s, dir).where(col("user_id") < 5)
-      .select(col("user_id"), (col("event_id") % nItems).as("item_id"), col("ts"))
+      .crossJoin(nItems)
+      .select(col("user_id"), (col("event_id") % col("__n_items")).as("item_id"),
+        col("ts"))
     val recent = TopK.perGroup(beh, Seq(col("user_id")),
         Seq(col("ts").desc, col("item_id").desc), 10)
       .select(col("user_id"), col("item_id"))
@@ -900,6 +908,24 @@ object SparkEntry {
         min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
   }
 
+  /** W6: sequence padding — per-(user, event_type) ordered histories
+    * padded to exactly 10 entries with -1 (appending), plus the true
+    * length (`PrefixWindow.padded`; reference `din/utils.py:74-92` pads
+    * history tensors the same way). Grouping by (user, type) makes both
+    * branches real at sf0.01: rare types give short (padded) lists, common
+    * ones exercise the truncation slice. */
+  private val w6Padding: Q = (s, dir) => {
+    val hist = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id")))),
+        e => e.getField("event_id")).as("h"))
+    val (pad, n) = PrefixWindow.padded(col("h"), 10, lit(-1L))
+    hist.select(col("user_id"), col("event_type"),
+      concat_ws("|", transform(pad, _.cast("string"))).as("padded"),
+      n.cast("long").as("true_len"))
+  }
+
   /** S12 (batch twin): latest snapshot per key — the batch equivalent of
     * `BehaviorIngest.latestProfiles` keyed state (and the reference's
     * Redis `KEYS *` + max-version scan): one row per user with the most
@@ -995,6 +1021,7 @@ object SparkEntry {
     "g5_pagerank" -> g5PageRank,
     "mm3_audio_windows" -> mm3AudioWindows,
     "w6_sessionize" -> w6Sessionize,
+    "w6_padding" -> w6Padding,
     "s12_latest_snapshot" -> s12LatestSnapshot,
   )
 
@@ -1261,12 +1288,29 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
     "d6_embedding_dedup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |  CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+      """WITH hyper AS (
+        |  SELECT b, list_transform(generate_series(0, 63), d ->
+        |    CASE WHEN substring(md5(d::VARCHAR || '§' || b::VARCHAR), 1, 1)
+        |      >= '8' THEN 1.0 ELSE -1.0 END) AS h
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |bits AS (SELECT vec_id, v, b // 4 AS band,
+        |    CASE WHEN list_dot_product(v, h) >= 0
+        |      THEN (1::BIGINT << (b % 4)) ELSE 0 END AS bit
+        |  FROM e CROSS JOIN hyper),
+        |bk AS (SELECT vec_id, v, band, CAST(sum(bit) AS BIGINT) AS key
+        |  FROM bits GROUP BY vec_id, v, band),
+        |capped AS (SELECT vec_id, v, band, key FROM (
+        |    SELECT vec_id, v, band, key,
+        |      count(*) OVER (PARTITION BY band, key) AS c FROM bk)
+        |  WHERE c <= 2000),
+        |pairs AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+        |    list_cosine_similarity(l.v, r.v) AS cosine
+        |  FROM capped l JOIN capped r
+        |    ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id)
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM pairs
+        |WHERE cosine >= 0.4""".stripMargin,
     "d7_dup_clusters" ->
       """WITH RECURSIVE tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),
@@ -1853,6 +1897,16 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "w6_padding" ->
+      """WITH hh AS (SELECT user_id, event_type,
+        |    list(event_id ORDER BY ts, event_id) AS hl
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id, event_type,
+        |  array_to_string(list_concat(hl[1:10],
+        |    list_transform(generate_series(1, 10 - least(len(hl), 10)),
+        |      i -> CAST(-1 AS BIGINT))), '|') AS padded,
+        |  CAST(least(len(hl), 10) AS BIGINT) AS true_len
+        |FROM hh""".stripMargin,
     "s12_latest_snapshot" ->
       """SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id, event_type
         |FROM (SELECT user_id, ts, event_id, event_type,

@@ -49,11 +49,9 @@ object Metrics {
   def auc(scored: DataFrame, score: String, label: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Histogram form of the rank-sum: aggregate to one row per DISTINCT
-    // score (map-side combined), then the only global window runs over the
-    // score histogram — |distinct scores| rows — never over the full
-    // dataset. Ties get the average rank exactly as in the classical
-    // formulation: avg of k consecutive ranks starting after `cumBefore`
-    // is cumBefore + (k+1)/2.
+    // score (map-side combined). Ties get the average rank exactly as in
+    // the classical formulation: avg of k consecutive ranks starting after
+    // `cumBefore` is cumBefore + (k+1)/2.
     // null-label rows are excluded (both from positives and negatives) —
     // same contract as the classical formulation where they fell out of
     // both conditional sums
@@ -61,10 +59,29 @@ object Metrics {
       .groupBy(col(score).as("__s"))
       .agg(count(lit(1)).as("__n"),
         sum(col(label).cast("double")).as("__pos"))
-    val w = Window.orderBy(col("__s"))
+    // Rank step as a two-level prefix sum (same lowering as
+    // DictIndex.denseIds): for CONTINUOUS model scores the histogram is
+    // data-sized (|distinct| ≈ |rows|), so a global `Window.orderBy`
+    // would be a one-reducer sort of the dataset. Instead: range-partition
+    // the histogram (ascending ranges → ascending partition ids), compute
+    // the per-partition row totals, prefix-sum THOSE (≤ numPartitions
+    // rows — bounded by the cluster, never by data) and broadcast the
+    // offsets back onto a per-partition local window.
+    val parts = hist.repartitionByRange(col("__s"))
+      .sortWithinPartitions(col("__s"))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = parts.groupBy(col("__pid")).agg(sum(col("__n")).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val localW = Window.partitionBy(col("__pid")).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = hist.withColumn("__before",
-        coalesce(sum(col("__n")).over(w), lit(0L)))
+    val ranked = parts
+      .withColumn("__lb", coalesce(sum(col("__n")).over(localW), lit(0L)))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__before", col("__off") + col("__lb"))
       .withColumn("__avgRank",
         col("__before").cast("double") + (col("__n").cast("double") + 1) / 2.0)
     ranked.agg(

@@ -332,10 +332,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Embedding-cosine near-dup pairs (delegates to SimSearch). */
+  /** Embedding-cosine near-dup pairs, brute-force form (delegates to
+    * SimSearch) — the exact small-n verifier; production path is
+    * [[embeddingPairsBanded]]. */
   def embeddingPairs(embs: DataFrame, id: String, vec: String,
       minCosine: Double): DataFrame =
     SimSearch.cosinePairs(embs, id, vec, minCosine)
+
+  /** Embedding-cosine near-dup pairs, banded-LSH form (delegates to
+    * `SimSearch.lshPairs`) — bucket-local candidate generation, no
+    * broadcast, no O(n²); the shape that survives 100 TB. */
+  def embeddingPairsBanded(embs: DataFrame, id: String, vec: String,
+      dim: Int, minCosine: Double, nBits: Int = 16, bands: Int = 4,
+      maxBucket: Int = 2000): DataFrame =
+    SimSearch.lshPairs(embs, id, vec, dim, minCosine, nBits, bands, maxBucket)
 
   /** Duplicate clusters: exact n-gram-Jaccard near-dup pairs grouped into
     * connected components (transitive closure — A≈B, B≈C ⇒ {A,B,C} even

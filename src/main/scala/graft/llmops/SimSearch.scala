@@ -89,6 +89,60 @@ object SimSearch {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Banded LSH near-dup PAIRS (corpus self-join) — the scale form of
+    * [[cosinePairs]]: `nBits` sign bits from the md5-portable hyperplanes
+    * are cut into `bands` bands; rows sharing any full band land in the
+    * same bucket, pairs are generated BUCKET-LOCALLY (same mechanics as
+    * `Dedup.bucketLocalPairs`: spillable window count caps hot buckets
+    * BEFORE the non-spillable collect_list) and verified with exact
+    * cosine ≥ `minCosine`. Candidate cost is O(bands × bucketCap × rows),
+    * never O(n²), and no side is broadcast — the shuffle key is the
+    * (band, key) signature, so this is the form that survives a 100 TB
+    * corpus. Recall is the standard LSH trade: a qualifying pair is
+    * reported iff it agrees on all `nBits/bands` bits of at least one
+    * band (probability rises steeply with cosine — near-identical rows
+    * are essentially always caught); [[cosinePairs]] remains the exact
+    * small-n verifier. Reference analogue: the all-pairs similarity
+    * matmul (`lightgcn/model.py:133-152`) SURVEY J7 bucketizes. */
+  def lshPairs(embs: DataFrame, id: String, vec: String, dim: Int,
+      minCosine: Double, nBits: Int = 16, bands: Int = 4,
+      maxBucket: Int = 2000): DataFrame = {
+    require(nBits % bands == 0,
+      s"bands ($bands) must divide nBits ($nBits) — a remainder would " +
+        "silently exclude trailing signature bits from every band")
+    val width = nBits / bands
+    val v = embs.select(col(id).as("__id"),
+      col(vec).cast("array<double>").as("__v"))
+    val bandKeys = (0 until bands).map { j =>
+      val bits = (0 until width).map { k =>
+        val plane = array(portablePlane(j * width + k, dim).map(lit): _*)
+        val proj = graft.functions.GraftFunctions.dot(col("__v"), plane)
+        when(proj >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+      }
+      struct(lit(j).as("band"), bits.reduce(_.bitwiseOR(_)).as("key"))
+    }
+    val banded = v.select(col("__id"), col("__v"),
+      explode(array(bandKeys: _*)).as("bk"))
+    val members = banded
+      .withColumn("__bc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .where(col("__bc") <= maxBucket)
+      .groupBy(col("bk"))
+      .agg(sort_array(collect_list(
+        struct(col("__id").as("id"), col("__v").as("v")))).as("ms"))
+      .where(size(col("ms")) >= 2)
+    val pairs = members.select(explode(flatten(
+      transform(sequence(lit(0), size(col("ms")) - 2), i =>
+        transform(sequence(i + 1, size(col("ms")) - 1), j =>
+          struct(element_at(col("ms"), i + 1).as("a"),
+            element_at(col("ms"), j + 1).as("b")))))).as("p"))
+    pairs.select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        graft.functions.GraftFunctions.cosine(col("p.a.v"), col("p.b.v"))
+          .as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .distinct()
+  }
+
   /** IVF (inverted-file) ANN top-k: the corpus is clustered once with
     * k-means; each corpus row is assigned to its nearest centroid cell and
     * a query scores only the rows in its `nProbe` nearest cells — the scan

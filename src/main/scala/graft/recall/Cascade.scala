@@ -38,7 +38,13 @@ object Cascade {
   /** Stage 1 — recall: per-user dot-product top-N against the item
     * embedding table, excluding items already in the user's history
     * (reference `models.py:61,83`). `users`: (user_id, user_emb, history
-    * array<item id>); `items`: (item_id, item_emb). */
+    * array<item id>); `items`: (item_id, item_emb).
+    *
+    * PRECONDITION: `items` must fit in a broadcast (the reference serves
+    * ~5,000 items; anything up to a few million rows × small embedding is
+    * fine). For an item corpus past the broadcast threshold, recall must
+    * switch to an ANN index instead of the exhaustive crossJoin — the
+    * `SimSearch.lshTopK` / `ivfTopK` paths are the drop-in scale escape. */
   def recall(users: DataFrame, items: DataFrame, n: Int): DataFrame = {
     val scored = users.crossJoin(broadcast(items))
       .where(!array_contains(col("history"), col("item_id")))

@@ -42,6 +42,33 @@ object BehaviorIngest {
       .option("startingOffsets", "latest")
       .load()
 
+  /** S4 write side: the Kafka producer payload — one JSON value per record
+    * with the record's user id as the message key (reference
+    * `kafka_stream/producer.py:57-79` serializes each behavior dict to a
+    * JSON value; keying by user keeps each user's events in one partition,
+    * so a consumer sees them in order). Split from [[kafkaSink]] so the
+    * payload contract is testable without a broker — `s4_json_roundtrip`
+    * oracle-checks the same `to_json(struct(...))` shape. */
+  def kafkaPayload(parsed: DataFrame, keyCol: String = "user_id"): DataFrame =
+    parsed.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(parsed.columns.map(col): _*)).as("value"))
+
+  /** S4: Kafka producer sink — the `writeStream.format("kafka")`
+    * counterpart to [[kafkaSource]]. Builds the (key, value) payload with
+    * [[kafkaPayload]] and wires broker/topic/checkpoint options; the
+    * returned writer just needs `.start()`. Not exercisable in this
+    * container (no broker); StreamingSpec pins the format/option wiring. */
+  def kafkaSink(parsed: DataFrame, servers: String, topic: String,
+      checkpoint: String, keyCol: String = "user_id")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    kafkaPayload(parsed, keyCol).writeStream
+      .format("kafka")
+      .outputMode(OutputMode.Append)
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
   /** Pluggable profile store (Redis stays external per charter). */
   trait KVStore extends Serializable {
     def put(key: String, value: String): Unit
@@ -152,20 +179,51 @@ object BehaviorIngest {
   /** Keyed-state "latest profile per user" operator — replaces the
     * reference's Redis `KEYS user_profile:*` polling (`model_service/
     * main.py:64-83`) with native streaming state. Emits one updated profile
-    * per user per micro-batch. */
-  def latestProfiles(parsed: DataFrame): Dataset[Profile] = {
+    * per user per micro-batch.
+    *
+    * `ttl` mirrors the reference's Redis profile TTL design
+    * (`README.md:519-527`): with e.g. `Some("24 hours")`, a user whose
+    * stream goes quiet for the TTL has their state dropped on the next
+    * micro-batch (processing-time timeout, re-armed on every update) —
+    * without it, per-user state grows monotonically with the user universe,
+    * a slow leak in a long-running stream. `None` keeps state forever
+    * (the reference consumer's own default — its Redis keys were written
+    * without EXPIRE). */
+  def latestProfiles(parsed: DataFrame, ttl: Option[String] = None): Dataset[Profile] = {
     val spark = parsed.sparkSession
     import spark.implicits._
-    parsed.as[Behavior]
-      .groupByKey(_.user_id)
-      .mapGroupsWithState[Profile, Profile](GroupStateTimeout.NoTimeout) {
-        (user: String, rows: Iterator[Behavior], state: GroupState[Profile]) =>
-          val newest = (rows ++ state.getOption.map(p =>
-            Behavior(p.user_id, p.history_items, p.timestamp)))
-            .maxBy(_.timestamp)
-          val prof = Profile(user, newest.history_items, newest.timestamp)
-          state.update(prof)
-          prof
-      }
+    def newest(user: String, rows: Iterator[Behavior],
+        state: GroupState[Profile]): Profile = {
+      val n = (rows ++ state.getOption.map(p =>
+        Behavior(p.user_id, p.history_items, p.timestamp)))
+        .maxBy(_.timestamp)
+      Profile(user, n.history_items, n.timestamp)
+    }
+    val keyed = parsed.as[Behavior].groupByKey(_.user_id)
+    ttl match {
+      case None =>
+        keyed.mapGroupsWithState[Profile, Profile](GroupStateTimeout.NoTimeout) {
+          (user: String, rows: Iterator[Behavior], state: GroupState[Profile]) =>
+            val prof = newest(user, rows, state)
+            state.update(prof)
+            prof
+        }
+      case Some(duration) =>
+        // flatMap form: a timeout invocation must emit nothing (there is
+        // no new profile to report), which mapGroupsWithState cannot do
+        keyed.flatMapGroupsWithState[Profile, Profile](
+          OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
+          (user: String, rows: Iterator[Behavior], state: GroupState[Profile]) =>
+            if (state.hasTimedOut) {
+              state.remove()
+              Iterator.empty
+            } else {
+              val prof = newest(user, rows, state)
+              state.update(prof)
+              state.setTimeoutDuration(duration)
+              Iterator.single(prof)
+            }
+        }
+    }
   }
 }

@@ -64,6 +64,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("u1") == 300L && out("u2") == 200L)
   }
 
+  test("latestProfiles with a TTL drops a stale user's state after the timeout") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[String]
+    val profiles = BehaviorIngest.latestProfiles(
+      BehaviorIngest.parse(mem.toDF()), ttl = Some("100 milliseconds"))
+    val q = profiles.writeStream.outputMode("update")
+      .format("memory").queryName("ttl_profiles").start()
+    // NOTE: with ProcessingTimeTimeout the engine schedules batches
+    // continuously (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    // always true), so `processAllAvailable` never latches its no-new-data
+    // flag — poll the sink table with a deadline instead. The continuous
+    // empty batches are also what FIRES the expired timer between our adds.
+    def awaitTs(ts: Long): Boolean = {
+      val deadline = System.currentTimeMillis + 20000
+      def seen = spark.table("ttl_profiles")
+        .where($"user_id" === "u1" && $"timestamp" === ts).count() > 0
+      while (!seen && System.currentTimeMillis < deadline) Thread.sleep(50)
+      seen
+    }
+    mem.addData(msgs(2)) // u1 @ ts 300
+    assert(awaitTs(300L), "u1@300 never reached the sink")
+    Thread.sleep(1000) // >> TTL: u1's timer expires and an empty batch
+    // fires it, removing the state (the removal itself emits nothing)
+    mem.addData(msgs(0)) // u1 again, with an OLDER timestamp (100)
+    // With state dropped, the re-arrival emits ts=100; surviving state
+    // would have pinned the max at 300 (the NoTimeout test above).
+    val dropped = awaitTs(100L)
+    q.stop()
+    assert(dropped, "stale state survived the TTL: ts=100 never emitted")
+  }
+
+  test("kafkaSink wires the producer format, topic and payload contract (S4)") {
+    val parsed = BehaviorIngest.parse(msgs.toDF("value"))
+    // payload contract: key = user id, value = JSON of the full record
+    val payload = BehaviorIngest.kafkaPayload(parsed)
+    assert(payload.columns.toSeq == Seq("key", "value"))
+    val first = payload.orderBy($"key", $"value").head()
+    assert(first.getString(0) == "u1")
+    assert(first.getString(1).contains(""""user_id":"u1""""))
+    assert(first.getString(1).contains(""""history_items":["i1","i2"]"""))
+    // writer wiring: format + broker/topic options, checked via the
+    // writer's own state (no broker in this container to start against)
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[String]
+    val w = BehaviorIngest.kafkaSink(BehaviorIngest.parse(mem.toDF()),
+      servers = "broker:9092", topic = "user_behavior", checkpoint = "/tmp/ck")
+    val fields = w.getClass.getDeclaredFields.map { f =>
+      f.setAccessible(true); f.getName -> f.get(w)
+    }.toMap
+    assert(fields.values.exists(_ == "kafka"), "format not set to kafka")
+    val opts = fields.values.collectFirst {
+      case m: scala.collection.Map[_, _]
+        if m.asInstanceOf[scala.collection.Map[String, String]]
+          .exists(_._1.toLowerCase == "topic") =>
+        m.asInstanceOf[scala.collection.Map[String, String]]
+          .map { case (k, v) => k.toLowerCase -> v }
+    }
+    assert(opts.isDefined, "no options map with a topic on the writer")
+    assert(opts.get("topic") == "user_behavior")
+    assert(opts.get("kafka.bootstrap.servers") == "broker:9092")
+  }
+
   test("observe counters report per-batch ingest metrics (A8)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[String]
