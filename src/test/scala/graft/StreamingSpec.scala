@@ -100,10 +100,12 @@ class StreamingSpec extends AnyFunSuite {
     // payload contract: key = user id, value = JSON of the full record
     val payload = BehaviorIngest.kafkaPayload(parsed)
     assert(payload.columns.toSeq == Seq("key", "value"))
-    val first = payload.orderBy($"key", $"value").head()
-    assert(first.getString(0) == "u1")
-    assert(first.getString(1).contains(""""user_id":"u1""""))
-    assert(first.getString(1).contains(""""history_items":["i1","i2"]"""))
+    val u1Values = payload.where($"key" === "u1")
+      .select($"value").as[String].collect().toSeq
+    assert(u1Values.size == 2) // both u1 records, keyed by user id
+    assert(u1Values.exists(v => v.contains(""""history_items":["i1","i2"]""")
+      && v.contains(""""timestamp":100""")))
+    assert(u1Values.forall(_.contains(""""user_id":"u1"""")))
     // writer wiring: format + broker/topic options, checked via the
     // writer's own state (no broker in this container to start against)
     implicit val sql = spark.sqlContext
