@@ -41,21 +41,42 @@ object Bench {
       }
       name -> (cold, warm)
     }
-    val qs = results.map { case (k, (_, w)) => s"\"" + k + "\":" + w }
-      .mkString("{", ",", "}")
     // failed queries stay visible as -1 per-query but must NOT shrink the
     // aggregate: sum only successful timings and report the failure count
     val ok = results.values.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
     val coldTotal = ok.map(_._1).sum
     val nFailed = results.values.count(_._2 < 0)
-    // metric name states the methodology: steady-state (2nd-run) total,
-    // with the cold first-run total alongside — nothing hidden.
-    // Totals appear at BOTH ends of the line: a capped capture of this
-    // (long) line can cut either end, and JSON parsers keep the last
-    // duplicate key, so the headline numbers survive truncation of the
-    // per-query map from either side.
-    println(s"""{"metric":"total_warm","value":$total,"unit":"sec","cold_s":$coldTotal,"failed":$nFailed,"sf":"$sfDir","queries":$qs,"metric":"total_warm","unit":"sec","failed":$nFailed,"cold_s":$coldTotal,"value":$total}""")
+    // Full per-query detail first, one line each, for humans and logs —
+    // these lines sit ABOVE the contract line so they can never push it
+    // out of a tail-capped capture.
+    results.foreach { case (k, (c, w)) =>
+      println(f"BENCHQ $k%-24s warm=$w%.3f cold=$c%.3f")
+    }
+    // The driver captures only the LAST 2000 characters of output, and
+    // sbt appends its own ~80-char "[success] ..." line after ours — so
+    // the contract JSON line must stay under ~1850 chars END TO END or
+    // its head is cut mid-line and nothing parses (rounds 1-3 all lost
+    // their totals this way). Headline totals lead the line; the
+    // per-query map lists queries slowest-first at 3 dp and is trimmed
+    // to the budget, with the trimmed remainder summarized explicitly
+    // ("omitted_n"/"omitted_s") — no silent truncation.
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    val header = s""""metric":"total_warm","value":${r3(total)},"unit":"sec"""" +
+      s""","cold_s":${r3(coldTotal)},"failed":$nFailed,"sf":"$sfDir""""
+    val slowestFirst = results.toSeq.sortBy { case (_, (_, w)) => -w }
+    val budget = 1750 - header.length - 60 // 60 = braces + omitted fields
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    var kept = 0
+    slowestFirst.foreach { case (k, (_, w)) =>
+      val e = s"\"$k\":${r3(w)}"
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1; kept += 1 }
+    }
+    val omitted = slowestFirst.drop(kept)
+    val omittedS = r3(omitted.map(_._2._2).filter(_ >= 0).sum)
+    println(s"""{$header,"queries":${entries.mkString("{", ",", "}")}""" +
+      s""","omitted_n":${omitted.length},"omitted_s":$omittedS}""")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import graft.evalx.Metrics
 import graft.functions.{Features, TextFunctions, VectorOps}
 import graft.llmops.{Dedup, SimSearch, TextAnalysis}
 import graft.ops.{AsOf, DictIndex, Graph, PrefixWindow, Sampling, TopK}
-import graft.recall.Cascade
+import graft.recall.{Cascade, NeuralForward, NeuralOracle}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -680,6 +680,74 @@ object SparkEntry {
       .withColumn("final_rank", col("final_rank").cast("long"))
   }
 
+  // ---- M2/M3: real neural forward passes (din.py / ranknet.py) ----
+  // Shared input convention (both engines slice the same way): 8-dim
+  // feature vectors are slices of the 64-dim embedding column, and each
+  // user's history is the first 1 + user_id % 3 of three further slices —
+  // variable length, so the DIN softmax/mask path is genuinely exercised.
+
+  private def embSlice(from: Int): Column =
+    slice(col("embedding").cast("array<double>"), from, 8)
+
+  private def dinHists(emb: DataFrame, maxUser: Int): DataFrame =
+    emb.where(col("vec_id") < maxUser).select(col("vec_id").as("user_id"),
+      slice(array(embSlice(9), embSlice(17), embSlice(25)), lit(1),
+        (pmod(col("vec_id"), lit(3L)) + 1).cast("int")).as("hist"))
+
+  private def histSql(alias: String): String = {
+    val e = s"CAST($alias.embedding AS DOUBLE[])"
+    s"([$e[9:16], $e[17:24], $e[25:32]])[1:(1 + CAST($alias.vec_id % 3 AS INT))]"
+  }
+
+  /** M2: DIN attention+MLP forward (eval mode) as an executor-side batch
+    * scorer over broadcast fixture weights — the real arithmetic of
+    * `eval_online/main/din.py:91-129`, not a stub. */
+  private val m5DinForward: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val hists = dinHists(emb, 10)
+    val items = emb.where(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("item_id"), embSlice(1).as("feat"))
+    val cands = hists.select(col("user_id")).crossJoin(items.select(col("item_id")))
+    NeuralForward.dinScorer(items, hists, NeuralForward.fixtureDin())(cands)
+      .select(col("user_id"), col("item_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** M3: RankNet two-tower MLP forward (`ranknet.py:34-58`), raw score. */
+  private val m6RankNetForward: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val userFeats = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("user_id"), embSlice(1).as("ufeat"))
+    val items = emb.where(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("item_id"), embSlice(1).as("feat"))
+    val cands = userFeats.select(col("user_id")).crossJoin(items.select(col("item_id")))
+    NeuralForward.rankNetScorer(userFeats, items, NeuralForward.fixtureRankNet())(cands)
+      .select(col("user_id"), col("item_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** M4 with the real models: recall (dot-product top-100) ▷ DIN rank
+    * (top-50) ▷ RankNet re-rank (top-10) — the reference's full serving
+    * cascade (`eval_online/main/inference.py:78-106`) with both neural
+    * stages scored executor-side from broadcast weights. */
+  private val m7NeuralCascade: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val users = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("user_id"), col("embedding").as("user_emb"),
+        array(lit(100L), lit(101L)).as("history"))
+    val items = emb.where(col("vec_id") >= 50)
+      .select(col("vec_id").as("item_id"), col("embedding").as("item_emb"))
+    val itemFeats = emb.where(col("vec_id") >= 50)
+      .select(col("vec_id").as("item_id"), embSlice(1).as("feat"))
+    val userFeats = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("user_id"), embSlice(1).as("ufeat"))
+    Cascade.recommend(users, items,
+      NeuralForward.dinScorer(itemFeats, dinHists(emb, 20),
+        NeuralForward.fixtureDin()),
+      NeuralForward.rankNetScorer(userFeats, itemFeats,
+        NeuralForward.fixtureRankNet()),
+      n1 = 100, n2 = 50, n3 = 10)
+      .withColumn("final_rank", col("final_rank").cast("long"))
+  }
+
   /** M0 — SURVEY §7.2's minimum end-to-end slice, oracle-checked: per
     * user, last-10 interaction history (W3) → mean-pooled user embedding
     * from history-item vectors (J5/A7) → dot-product scoring against the
@@ -1007,6 +1075,9 @@ object SparkEntry {
     "mm1_media_features" -> mm1MediaFeatures,
     "g4_lightgcn" -> g4LightGcn,
     "m4_cascade" -> m4Cascade,
+    "m5_din_forward" -> m5DinForward,
+    "m6_ranknet_forward" -> m6RankNetForward,
+    "m7_neural_cascade" -> m7NeuralCascade,
     "etl_training_data" -> etlTrainingData,
     "m0_recommend_slice" -> m0RecommendSlice,
     "p5_isin" -> p5Isin,
@@ -1970,5 +2041,70 @@ object SparkEntry {
         |  substring(md5(text || ':' || CAST(frame_ms AS VARCHAR)), 1, 16)
         |    AS frame_digest
         |FROM f""".stripMargin,
+    "m5_din_forward" -> {
+      val pairs =
+        s"""SELECT u.vec_id AS user_id, i.vec_id AS item_id,
+           |  CAST(i.embedding AS DOUBLE[])[1:8] AS cand,
+           |  ${histSql("u")} AS hist
+           |FROM embeddings u CROSS JOIN embeddings i
+           |WHERE u.vec_id < 10 AND i.vec_id >= 10 AND i.vec_id < 15""".stripMargin
+      "WITH " + NeuralOracle.dinCtes(NeuralForward.fixtureDin(), pairs, "d") +
+        "\nSELECT user_id, item_id, round(score, 6) AS score FROM dscore"
+    },
+    "m6_ranknet_forward" -> {
+      val pairs =
+        """SELECT u.vec_id AS user_id, i.vec_id AS item_id,
+          |  CAST(u.embedding AS DOUBLE[])[1:8] AS uf,
+          |  CAST(i.embedding AS DOUBLE[])[1:8] AS itf
+          |FROM embeddings u CROSS JOIN embeddings i
+          |WHERE u.vec_id < 10 AND i.vec_id >= 10 AND i.vec_id < 15""".stripMargin
+      "WITH " + NeuralOracle.rankNetCtes(NeuralForward.fixtureRankNet(), pairs, "r") +
+        "\nSELECT user_id, item_id, round(score, 6) AS score FROM rscore"
+    },
+    "m7_neural_cascade" -> {
+      val head =
+        s"""WITH users AS (SELECT vec_id AS user_id,
+           |    CAST(embedding AS DOUBLE[]) AS uemb
+           |  FROM embeddings WHERE vec_id < 20),
+           |items AS (SELECT vec_id AS item_id,
+           |    CAST(embedding AS DOUBLE[]) AS iemb
+           |  FROM embeddings WHERE vec_id >= 50),
+           |itemf AS (SELECT vec_id AS item_id,
+           |    CAST(embedding AS DOUBLE[])[1:8] AS feat
+           |  FROM embeddings WHERE vec_id >= 50),
+           |userf AS (SELECT vec_id AS user_id,
+           |    CAST(embedding AS DOUBLE[])[1:8] AS uf
+           |  FROM embeddings WHERE vec_id < 20),
+           |histf AS (SELECT u.vec_id AS user_id, ${histSql("u")} AS hist
+           |  FROM embeddings u WHERE u.vec_id < 20),
+           |recalled AS (SELECT user_id, item_id,
+           |    list_dot_product(uemb, iemb) AS rscore
+           |  FROM users CROSS JOIN items WHERE item_id NOT IN (100, 101)),
+           |r1 AS (SELECT user_id, item_id FROM (
+           |    SELECT user_id, item_id, row_number() OVER (PARTITION BY user_id
+           |      ORDER BY rscore DESC, item_id) AS rn FROM recalled)
+           |  WHERE rn <= 100),""".stripMargin
+      val dinPairs =
+        """SELECT r1.user_id, r1.item_id, f.feat AS cand, h.hist AS hist
+          |  FROM r1 JOIN itemf f USING (item_id) JOIN histf h USING (user_id)""".stripMargin
+      val rnPairs =
+        """SELECT r2.user_id, r2.item_id, uf2.uf AS uf, f.feat AS itf
+          |  FROM r2 JOIN userf uf2 USING (user_id) JOIN itemf f USING (item_id)""".stripMargin
+      val mid =
+        """r2 AS (SELECT user_id, item_id FROM (
+          |    SELECT user_id, item_id, row_number() OVER (PARTITION BY user_id
+          |      ORDER BY score DESC, item_id) AS rn FROM dscore)
+          |  WHERE rn <= 50),""".stripMargin
+      val tail =
+        """SELECT user_id, item_id, final_rank FROM (
+          |  SELECT user_id, item_id, row_number() OVER (PARTITION BY user_id
+          |    ORDER BY score DESC, item_id) AS final_rank FROM rscore)
+          |WHERE final_rank <= 10""".stripMargin
+      head + "\n" +
+        NeuralOracle.dinCtes(NeuralForward.fixtureDin(), dinPairs, "d") + ",\n" +
+        mid + "\n" +
+        NeuralOracle.rankNetCtes(NeuralForward.fixtureRankNet(), rnPairs, "r") + "\n" +
+        tail
+    },
   )
 }
