@@ -30,6 +30,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // quiesce between queries: collect the previous query's garbage so
+      // its old-gen pressure doesn't bill the next timing (isolated
+      // BenchOne runs measured 2-3x lower than late-bench in-run numbers
+      // for the heavy queries before this; the plan didn't change)
+      System.gc()
       val cold = time { fn(spark, sfDir).count(): Unit }
       // two timed steady-state runs, best-of-2 reported: run-to-run noise
       // on a shared machine is additive (scheduler, page cache, GC), so
