@@ -110,4 +110,43 @@ class CascadeSpec extends AnyFunSuite {
       assert(math.abs(exact - d) < 1e-6)
     }
   }
+
+  test("neural scorers: join plumbing feeds the kernels the right vectors") {
+    import graft.recall.NeuralForward
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val e = $"embedding".cast("array<double>")
+    val hists = emb.where($"vec_id" < 5).select($"vec_id".as("user_id"),
+      slice(array(slice(e, 9, 8), slice(e, 17, 8), slice(e, 25, 8)), lit(1),
+        (pmod($"vec_id", lit(3L)) + 1).cast("int")).as("hist"))
+    val items = emb.where($"vec_id" >= 5 && $"vec_id" < 8)
+      .select($"vec_id".as("item_id"), slice(e, 1, 8).as("feat"))
+    val userFeats = emb.where($"vec_id" < 5)
+      .select($"vec_id".as("user_id"), slice(e, 1, 8).as("ufeat"))
+    val cands = hists.select($"user_id").crossJoin(items.select($"item_id"))
+    val din = NeuralForward.fixtureDin()
+    val rn = NeuralForward.fixtureRankNet()
+    // tiny batch size exercises batching; compare vs direct kernel calls
+    val gotD = NeuralForward.dinScorer(items, hists, din, batchSize = 3)(cands)
+      .select($"user_id", $"item_id", $"score")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val gotR = NeuralForward.rankNetScorer(userFeats, items, rn, batchSize = 3)(cands)
+      .select($"user_id", $"item_id", $"score")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val vecs = emb.select($"vec_id", e).as[(Long, Seq[Double])].collect().toMap
+    assert(gotD.size == 15 && gotR.size == 15)
+    gotD.foreach { case ((u, i), s) =>
+      val hist = Seq(vecs(u).slice(8, 16), vecs(u).slice(16, 24),
+        vecs(u).slice(24, 32)).take(1 + (u % 3).toInt)
+      val expect = NeuralForward.dinForward(din, vecs(i).take(8).toArray,
+        hist.map(_.toArray).toArray)
+      assert(s == expect, s"DIN ($u,$i)")
+    }
+    gotR.foreach { case ((u, i), s) =>
+      val expect = NeuralForward.rankNetForward(rn,
+        vecs(u).take(8).toArray, vecs(i).take(8).toArray)
+      assert(s == expect, s"RankNet ($u,$i)")
+    }
+  }
 }
