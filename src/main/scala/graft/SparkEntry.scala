@@ -924,6 +924,14 @@ object SparkEntry {
   private val t11BpePairs: Q = (s, dir) =>
     TextAnalysis.bpePairCounts(Tables.documents(s, dir), "doc_id", "text", 20)
 
+  /** T12: fastText-style hashed n-gram linear quality classifier — zero
+    * shuffles, pure codegen map pass (the cheap learned-filter pattern for
+    * corpus cleaning at 100 TB; the md5-derived weight table stands in for
+    * trained parameters). */
+  private val t12QualityClassifier: Q = (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id"),
+      round(TextFunctions.hashedClassifierScore(col("text")), 6).as("quality"))
+
   /** G5: personalized PageRank (2 rounds, damping 0.5) on the
     * bidirectional supplier↔part interaction graph, seeded at suppliers
     * 0-9 — the model-free random-walk recall signal complementing g4's
@@ -1089,6 +1097,7 @@ object SparkEntry {
     "mm2_frame_sample" -> mm2FrameSample,
     "t10_lm_score" -> t10LmScore,
     "t11_bpe_pairs" -> t11BpePairs,
+    "t12_quality_classifier" -> t12QualityClassifier,
     "g5_pagerank" -> g5PageRank,
     "mm3_audio_windows" -> mm3AudioWindows,
     "w6_sessionize" -> w6Sessionize,
@@ -2041,6 +2050,29 @@ object SparkEntry {
         |  substring(md5(text || ':' || CAST(frame_ms AS VARCHAR)), 1, 16)
         |    AS frame_digest
         |FROM f""".stripMargin,
+    "t12_quality_classifier" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |ft AS (SELECT doc_id, toks || CASE WHEN len(toks) >= 2
+        |    THEN list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS feats FROM tk),
+        |ws AS (SELECT doc_id, len(feats) AS n,
+        |    list_sum(list_transform(feats, f ->
+        |      (CAST((((ascii(substring(md5(f), 1, 1)) -
+        |          CASE WHEN substring(md5(f), 1, 1) >= 'a' THEN 87 ELSE 48 END) * 16 +
+        |        (ascii(substring(md5(f), 2, 1)) -
+        |          CASE WHEN substring(md5(f), 2, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 +
+        |        (ascii(substring(md5(f), 3, 1)) -
+        |          CASE WHEN substring(md5(f), 3, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 +
+        |        (ascii(substring(md5(f), 4, 1)) -
+        |          CASE WHEN substring(md5(f), 4, 1) >= 'a' THEN 87 ELSE 48 END)
+        |        AS DOUBLE) - 32767.5) / 32768.0)) AS s
+        |  FROM ft)
+        |SELECT doc_id, CASE WHEN n = 0 THEN 0.5
+        |  ELSE round(1.0 / (1.0 + exp(-(s / n))), 6) END AS quality
+        |FROM ws""".stripMargin,
     "m5_din_forward" -> {
       val pairs =
         s"""SELECT u.vec_id AS user_id, i.vec_id AS item_id,

@@ -81,6 +81,39 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** fastText-style linear quality classifier (`bag of hashed n-grams →
+    * linear layer → sigmoid`, cf. Joulin et al. 2016): features are word
+    * unigrams + bigrams, each feature's weight is a deterministic function
+    * of its own md5 (first 4 hex digits as an int, centered to (−1,1)) —
+    * i.e. the weight TABLE is the hash function, so the classifier needs
+    * no lookup join and the whole score is one codegen'd map-side pass:
+    * sigmoid(mean feature weight). The md5-derived weights stand in for
+    * trained parameters exactly like the other portable fixtures; swapping
+    * in real weights means replacing [[featWeight]]'s arithmetic with a
+    * broadcast array index. Empty docs score sigmoid(0) = 0.5. */
+  def hashedClassifierScore(text: Column): Column = {
+    def hexVal(c: Column): Column =
+      ascii(c) - when(c >= "a", lit(87)).otherwise(lit(48))
+    def featWeight(f: Column): Column = bind(md5(f)) { h =>
+      val bucket = ((hexVal(substring(h, 1, 1)) * 16 +
+        hexVal(substring(h, 2, 1))) * 16 +
+        hexVal(substring(h, 3, 1))) * 16 +
+        hexVal(substring(h, 4, 1))
+      (bucket.cast("double") - 32767.5) / 32768.0
+    }
+    bind(tokens(text)) { tk =>
+      val bigrams = when(size(tk) >= 2,
+        transform(sequence(lit(1), size(tk) - 1),
+          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      bind(concat(tk, bigrams)) { feats =>
+        val wsum = aggregate(feats, lit(0.0), (acc, f) => acc + featWeight(f))
+        when(size(feats) === 0, lit(0.5))
+          .otherwise(lit(1.0) / (lit(1.0) + exp(-(wsum / size(feats)))))
+      }
+    }
+  }
+
   // ---- PII redaction (charter: corpus curation). Patterns deliberately
   // ---- use only the regex subset common to Java and RE2 (no lookaround,
   // ---- no backrefs) so any engine — including the DuckDB oracle —
