@@ -114,8 +114,15 @@ object Graph {
       seeds: DataFrame, seedCol: String,
       iters: Int, damping: Double): DataFrame = {
     val deg = edges.groupBy(col(src)).agg(count(lit(1)).as("__deg"))
+    // each iteration's lineage references the degree-joined edge table, so
+    // an iters-round walk would otherwise rebuild it iters(+1) times —
+    // unlike lightGcn's LAYERS (whose recompute is cheaper than a persist
+    // at bench scale, see scaladoc above), the edge table is loop-invariant
+    // and holds a shuffle (the degree agg), so one persist pays for itself
+    // from the second iteration on
     val e = edges.select(col(src).as("__s"), col(dst).as("__t"))
       .join(deg.select(col(src).as("__s"), col("__deg")), "__s")
+      .persist()
     val r0 = seeds.select(col(seedCol).as("__id")).distinct()
       .withColumn("__e", lit(1.0))
     var r = r0.select(col("__id"), col("__e").as("__r"))
@@ -129,6 +136,9 @@ object Graph {
           (coalesce(col("__e"), lit(0.0)) * (1.0 - damping) +
             lit(damping) * coalesce(col("__c"), lit(0.0))).as("__r"))
     }
+    // no explicit unpersist: the result is still lazy here, so eagerly
+    // unpersisting would drop the cache before the caller's first action;
+    // the ContextCleaner reclaims it once the plan is unreachable
     r.select(col("__id").as("id"), col("__r").as("score"))
   }
 

@@ -37,13 +37,14 @@ def cells_equal(a, b):
         return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
     return a == b
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only: continue
         try:
             got = canon(pq.read_table(f"{outdir}/{name}").to_pandas())
             exp = canon(con.sql(sql).df())
@@ -81,4 +82,5 @@ def main(outdir, sfdir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    names = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], names))
