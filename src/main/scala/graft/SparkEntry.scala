@@ -499,6 +499,32 @@ object SparkEntry {
     Dedup.dupClusters(Tables.documents(s, dir), "doc_id", "text",
       shingleN = 3, minJaccard = 0.6, maxBucket = 10000)
 
+  /** LLM-D10: the composed corpus-dedup pipeline — the end-to-end slice a
+    * training-data curation run executes: learned quality gate (t12) ▷
+    * exact dedup (d1) ▷ MinHash-LSH near-dup clustering (d5+d7) ▷
+    * canonical selection (keep the min-id member per duplicate cluster).
+    * Registered on the md5-portable signature path so the FULL pipeline is
+    * oracle-checkable end to end; a production run swaps the signature
+    * stage for the xxhash64 kernels (d2) — same plan shapes. */
+  private val d10DedupPipeline: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val qual = docs.select(col("doc_id"), col("text"),
+        TextFunctions.hashedClassifierScore(col("text")).as("__q"))
+      .where(col("__q") >= 0.5)
+    // the quality+exact-dedup survivor set feeds BOTH the near-dup pair
+    // generation (via the components fixpoint) and the final anti-join —
+    // persist it so the classifier/dedup stages run once, not twice
+    // (ContextCleaner reclaims it once the plan is unreferenced)
+    val exact = Dedup.exactRows(qual, "doc_id", "text").persist()
+    val pairs = Dedup.minHashPairsPortable(exact, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+    val comps = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+    val dropped = comps.where(col("doc_a") =!= col("component"))
+      .select(col("doc_a").as("doc_id"))
+    exact.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), round(col("__q"), 6).as("quality"))
+  }
+
   /** LLM-T6: PII redaction — deterministic synthetic PII injected on both
     * engine and oracle sides (the fixture corpus has none), then counted
     * and scrubbed with the shared RE2-safe patterns. */
@@ -1062,6 +1088,7 @@ object SparkEntry {
     "d5_minhash_portable" -> d5MinhashPortable,
     "d6_embedding_dedup" -> d6EmbeddingDedup,
     "d7_dup_clusters" -> d7DupClusters,
+    "d10_dedup_pipeline" -> d10DedupPipeline,
     "t6_pii_scrub" -> t6PiiScrub,
     "t7_contamination" -> t7Contamination,
     "x6_pack_sequences" -> x6PackSequences,
@@ -2050,6 +2077,63 @@ object SparkEntry {
         |  substring(md5(text || ':' || CAST(frame_ms AS VARCHAR)), 1, 16)
         |    AS frame_digest
         |FROM f""".stripMargin,
+    "d10_dedup_pipeline" ->
+      """WITH RECURSIVE
+        |tkq AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |ftq AS (SELECT doc_id, text, toks, toks || CASE WHEN len(toks) >= 2
+        |    THEN list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS feats FROM tkq),
+        |wsq AS (SELECT doc_id, text, toks, len(feats) AS n,
+        |    list_sum(list_transform(feats, f ->
+        |      (CAST((((ascii(substring(md5(f), 1, 1)) -
+        |          CASE WHEN substring(md5(f), 1, 1) >= 'a' THEN 87 ELSE 48 END) * 16 +
+        |        (ascii(substring(md5(f), 2, 1)) -
+        |          CASE WHEN substring(md5(f), 2, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 +
+        |        (ascii(substring(md5(f), 3, 1)) -
+        |          CASE WHEN substring(md5(f), 3, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 +
+        |        (ascii(substring(md5(f), 4, 1)) -
+        |          CASE WHEN substring(md5(f), 4, 1) >= 'a' THEN 87 ELSE 48 END)
+        |        AS DOUBLE) - 32767.5) / 32768.0)) AS s
+        |  FROM ftq),
+        |q AS (SELECT doc_id, text, toks, CASE WHEN n = 0 THEN 0.5
+        |    ELSE 1.0 / (1.0 + exp(-(s / n))) END AS quality FROM wsq),
+        |keepq AS (SELECT * FROM q WHERE quality >= 0.5),
+        |ex AS (SELECT doc_id, text, toks, quality FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id) AS rn FROM keepq) WHERE rn = 1),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS sset FROM ex),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
+        |      seed -> list_min(list_transform(sset, x -> md5(seed || '§' || x)))) AS sg
+        |  FROM sh WHERE len(sset) > 0),
+        |banded AS (SELECT doc_id, sg, b,
+        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+        |hot AS (SELECT b, key FROM banded GROUP BY b, key
+        |  HAVING count(*) > 200),
+        |capped AS (SELECT banded.* FROM banded
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |    WHERE hot.b = banded.b AND hot.key = banded.key)),
+        |prs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM capped l JOIN capped r
+        |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+        |  WHERE len(list_filter(list_transform(generate_series(1, 16),
+        |    i -> l.sg[i] = r.sg[i]), x -> x)) / 16.0 >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+        |  UNION ALL SELECT doc_b, doc_a FROM prs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+        |comp AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
+        |dropd AS (SELECT node FROM comp WHERE node <> root)
+        |SELECT doc_id, round(quality, 6) AS quality FROM ex
+        |WHERE doc_id NOT IN (SELECT node FROM dropd)""".stripMargin,
     "t12_quality_classifier" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),
