@@ -525,6 +525,27 @@ object SparkEntry {
       .select(col("doc_id"), round(col("__q"), 6).as("quality"))
   }
 
+  /** LLM-D11: incremental (ingestion-time) dedup — a "new batch"
+    * (doc_id % 5 = 0) deduped against the already-curated base corpus:
+    * exact digest matches and banded-minhash near-dups against the base
+    * are dropped; only the surviving new docs ship. The asymmetric shape
+    * (never re-pair the base with itself) is what keeps a rolling 100 TB
+    * corpus's per-snapshot dedup cost proportional to the SNAPSHOT. */
+  private val d11IncrementalDedup: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val incoming = docs.where(col("doc_id") % 5 === 0)
+    val base = docs.where(col("doc_id") % 5 =!= 0)
+    val exactDrop = incoming
+      .join(base.select(md5(col("text")).as("__d")).distinct(),
+        md5(col("text")) === col("__d"), "left_semi")
+      .select(col("doc_id"))
+    val nearDrop = Dedup.minHashMatchesAgainst(incoming, base, "doc_id",
+        "text", shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+      .select(col("doc_new").as("doc_id")).distinct()
+    incoming.join(exactDrop.union(nearDrop).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+  }
+
   /** LLM-T6: PII redaction — deterministic synthetic PII injected on both
     * engine and oracle sides (the fixture corpus has none), then counted
     * and scrubbed with the shared RE2-safe patterns. */
@@ -1089,6 +1110,7 @@ object SparkEntry {
     "d6_embedding_dedup" -> d6EmbeddingDedup,
     "d7_dup_clusters" -> d7DupClusters,
     "d10_dedup_pipeline" -> d10DedupPipeline,
+    "d11_incremental_dedup" -> d11IncrementalDedup,
     "t6_pii_scrub" -> t6PiiScrub,
     "t7_contamination" -> t7Contamination,
     "x6_pack_sequences" -> x6PackSequences,
@@ -2077,6 +2099,39 @@ object SparkEntry {
         |  substring(md5(text || ':' || CAST(frame_ms AS VARCHAR)), 1, 16)
         |    AS frame_digest
         |FROM f""".stripMargin,
+    "d11_incremental_dedup" ->
+      """WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |exdrop AS (SELECT DISTINCT i.doc_id FROM inc i
+        |  JOIN base b ON md5(i.text) = md5(b.text)),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
+        |      seed -> list_min(list_transform(s, x -> md5(seed || '§' || x)))) AS sg
+        |  FROM sh WHERE len(s) > 0),
+        |banded AS (SELECT doc_id, sg, b,
+        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+        |nb0 AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
+        |bb0 AS (SELECT * FROM banded WHERE doc_id % 5 <> 0),
+        |nhot AS (SELECT b, key FROM nb0 GROUP BY b, key HAVING count(*) > 200),
+        |bhot AS (SELECT b, key FROM bb0 GROUP BY b, key HAVING count(*) > 200),
+        |nb AS (SELECT nb0.* FROM nb0 WHERE NOT EXISTS (SELECT 1 FROM nhot
+        |  WHERE nhot.b = nb0.b AND nhot.key = nb0.key)),
+        |bb AS (SELECT bb0.* FROM bb0 WHERE NOT EXISTS (SELECT 1 FROM bhot
+        |  WHERE bhot.b = bb0.b AND bhot.key = bb0.key)),
+        |neardrop AS (SELECT DISTINCT nb.doc_id FROM nb JOIN bb
+        |    ON nb.b = bb.b AND nb.key = bb.key
+        |  WHERE len(list_filter(list_transform(generate_series(1, 16),
+        |    i -> nb.sg[i] = bb.sg[i]), x -> x)) / 16.0 >= 0.5)
+        |SELECT doc_id FROM inc
+        |WHERE doc_id NOT IN (SELECT doc_id FROM exdrop)
+        |  AND doc_id NOT IN (SELECT doc_id FROM neardrop)""".stripMargin,
     "d10_dedup_pipeline" ->
       """WITH RECURSIVE
         |tkq AS (SELECT doc_id, text,

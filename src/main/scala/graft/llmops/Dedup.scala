@@ -223,6 +223,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental (new-vs-base) near-dup matches on the md5-portable
+    * signature: each INCOMING doc is tested against the BASE corpus only —
+    * the ingestion-time dedup shape (a new crawl snapshot against the
+    * already-curated corpus, where re-pairing the base against itself
+    * would be wasted work). Both sides band signatures exactly as
+    * [[minHashPairsPortable]]; candidates come from an equi-join on the
+    * (band, key) bucket — a shuffle on the bucket key, no self-pairing,
+    * no broadcast, so both sides scale freely — with hot boilerplate
+    * buckets capped per side by the same spillable window count.
+    * Returns distinct (doc_new, doc_base, est_jaccard) ≥ `minJaccard`. */
+  def minHashMatchesAgainst(incoming: DataFrame, base: DataFrame,
+      id: String, text: String, shingleN: Int, numHashes: Int, bands: Int,
+      minJaccard: Double, maxBucket: Int = 200): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — a remainder " +
+        "would silently exclude trailing signature positions from every band")
+    val rows = numHashes / bands
+    def banded(docs: DataFrame, docCol: String, sigCol: String): DataFrame = {
+      val sig = docs.select(col(id).as(docCol),
+          minHashSigPortable(col(text), shingleN, numHashes).as(sigCol))
+        .where(size(col(sigCol)) > 0 && col(sigCol)(0).isNotNull)
+      sig.select(col(docCol), col(sigCol),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              md5(concat_ws("|", slice(col(sigCol), b * rows + 1, rows)))
+                .as("key"))): _*)).as("bk"))
+        .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("bk"))))
+        .where(col("__bc") <= maxBucket).drop("__bc")
+    }
+    banded(incoming, "doc_new", "__sn")
+      .join(banded(base, "doc_base", "__sb"), "bk")
+      .select(col("doc_new"), col("doc_base"),
+        (size(filter(zip_with(col("__sn"), col("__sb"), (x, y) => x === y),
+          v => v)).cast("double") / numHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= minJaccard)
+      .distinct()
+  }
+
   /** Shared candidate-pair generation: drop degenerate (hot) buckets,
     * then group band-exploded rows by bucket key and emit all i<j member
     * pairs *bucket-locally* from the collected member array.

@@ -256,4 +256,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(11L) == ((2L, 0L, 0.0)))
     assert(got(12L) == ((0L, 0L, 0.0)))
   }
+
+  test("incremental minhash agrees with the self-pair generator on cross pairs") {
+    // base = even ids, incoming = odd ids over the same fixture corpus:
+    // the cross-set matcher must report EXACTLY the cross-side subset of
+    // what the self-pair generator finds on the union, with equal
+    // estimates (same signatures, same banding, same caps)
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val incoming = docs.where($"doc_id" % 2 === 1)
+    val base = docs.where($"doc_id" % 2 === 0)
+    val got = Dedup.minHashMatchesAgainst(incoming, base, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.2)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val all = Dedup.minHashPairsPortable(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.2)
+      .as[(Long, Long, Double)].collect()
+    val expected = all.collect {
+      case (a, b, e) if a % 2 != b % 2 =>
+        (if (a % 2 == 1) (a, b) else (b, a)) -> e
+    }.toMap
+    assert(got == expected, s"got ${got.size} expected ${expected.size}")
+    assert(got.nonEmpty, "fixture produced no cross-side near-dups at 0.2")
+    // identical text matches with estimated jaccard exactly 1.0
+    val exact = Dedup.minHashMatchesAgainst(
+      Seq((9999L, "the quick brown fox jumps over the lazy dog by the bank"))
+        .toDF("doc_id", "text"),
+      Seq((1L, "the quick brown fox jumps over the lazy dog by the bank"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", 3, 16, 4, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(exact.toSeq == Seq((9999L, 1L, 1.0)))
+  }
 }
