@@ -606,6 +606,30 @@ object SparkEntry {
       .where(col("q_rank") >= 0.25)
   }
 
+  /** LLM-X8: CCNet-style perplexity-bucketed mixture — docs split into
+    * head/middle/tail by unigram-LM score terciles, then sampled at
+    * per-bucket keep rates (head kept, middle 1/2, tail 1/8 via the md5
+    * sixteenths recipe). The tercile cut points are a 1-row broadcast
+    * (bounded single-partition agg), never a global rank window. */
+  private val x8PplMixture: Q = (s, dir) => {
+    val lm = TextAnalysis.unigramLogProb(Tables.documents(s, dir),
+        "doc_id", "text")
+      .where(col("n_tokens") > 0)
+    val qs = lm.agg(
+      percentile(col("avg_neg_logp"), lit(1.0 / 3)).as("__q1"),
+      percentile(col("avg_neg_logp"), lit(2.0 / 3)).as("__q2"))
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    lm.crossJoin(broadcast(qs))
+      .withColumn("bucket",
+        when(col("avg_neg_logp") <= col("__q1"), lit("head"))
+          .when(col("avg_neg_logp") <= col("__q2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .where(when(col("bucket") === "head", lit(true))
+        .when(col("bucket") === "middle", nib < "8")
+        .otherwise(nib < "2"))
+      .select(col("doc_id"), col("bucket"), col("avg_neg_logp"))
+  }
+
   // ---- rows-only checks (no ANSI-SQL-expressible oracle: xxhash64/LSH/
   // ---- binary-codec internals); correctness pinned by ScalaTest instead.
 
@@ -1124,6 +1148,7 @@ object SparkEntry {
     "d9_chunk_scrub" -> d9ChunkScrub,
     "t8_repetition" -> t8Repetition,
     "x7_source_mix" -> x7SourceMix,
+    "x8_ppl_mixture" -> x8PplMixture,
     "v2_quantize_emb" -> v2QuantizeEmb,
     "d2_minhash_pairs" -> d2MinHashPairs,
     "sim2_lsh_topk" -> sim2LshTopk,
@@ -1989,6 +2014,34 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_nationkey""".stripMargin,
+    "x8_ppl_mixture" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM tk)
+        |  GROUP BY doc_id, token),
+        |c AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf
+        |  GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM c),
+        |lm AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    round(sum(tf * -ln(CAST(c AS DOUBLE) / tt)) / sum(tf), 6)
+        |      AS avg_neg_logp
+        |  FROM tf JOIN c USING (token) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |qs AS (SELECT quantile_cont(avg_neg_logp, 1.0/3) AS q1,
+        |    quantile_cont(avg_neg_logp, 2.0/3) AS q2 FROM lm),
+        |b AS (SELECT doc_id, avg_neg_logp,
+        |    CASE WHEN avg_neg_logp <= q1 THEN 'head'
+        |      WHEN avg_neg_logp <= q2 THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |  FROM lm CROSS JOIN qs)
+        |SELECT doc_id, bucket, avg_neg_logp FROM b
+        |WHERE CASE WHEN bucket = 'head' THEN true
+        |  WHEN bucket = 'middle'
+        |    THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |  ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' END""".stripMargin,
     "t10_lm_score" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),
