@@ -67,9 +67,23 @@ object Replay {
     val userVecs = VectorOps.meanPool(fetched, Seq("user_id"), $"embedding", "user_emb")
       .join(hist.select($"user_id", $"history"), "user_id")
     val items = emb.select($"vec_id".as("item_id"), $"embedding".as("item_emb"))
+    // real neural stages (din.py / ranknet.py arithmetic on fixture
+    // weights): item features are embedding slices, DIN histories are the
+    // user's OWN history-item feature vectors in interaction order
+    val itemFeats = emb.select($"vec_id".as("item_id"),
+      slice($"embedding".cast("array<double>"), 1, 8).as("feat"))
+    val dinHists = hist.select($"user_id", explode($"history").as("item_id"))
+      .join(broadcast(itemFeats), "item_id")
+      .groupBy($"user_id")
+      .agg(transform(array_sort(collect_list(struct($"item_id", $"feat"))),
+        p => p.getField("feat")).as("hist"))
+    val rnUserFeats = userVecs.select($"user_id",
+      slice($"user_emb".cast("array<double>"), 1, 8).as("ufeat"))
     val recs = Cascade.recommend(userVecs, items,
-      ExternalScorer.batched(64)(ExternalScorer.stubKernel(0, 1)),
-      ExternalScorer.batched(64)(ExternalScorer.stubKernel(0, 1)),
+      graft.recall.NeuralForward.dinScorer(itemFeats, dinHists,
+        graft.recall.NeuralForward.fixtureDin()),
+      graft.recall.NeuralForward.rankNetScorer(rnUserFeats, itemFeats,
+        graft.recall.NeuralForward.fixtureRankNet()),
       n1 = 50, n2 = 20, n3 = 5)
     // materialize once; show + count on the collected rows (the cascade
     // cross-join is the heavy stage — don't run it twice)
