@@ -60,5 +60,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash_md5"),
       info("graft_minhash_md5", "graft_minhash_md5(shingles, k) - md5 MinHash signature (engine-portable)"),
       sig("graft_minhash_md5", MinHashSigMd5)))
+    // composed-expression function (a Column tree, not a single native
+    // node): wrap the argument as a Column, build the tree, unwrap — the
+    // result is still plain Catalyst, so codegen inlines it like the rest
+    ext.injectFunction((FunctionIdentifier("graft_quality"),
+      info("graft_quality",
+        "graft_quality(text) - fastText-style hashed n-gram quality score in (0,1)"),
+      {
+        case Seq(t) =>
+          org.apache.spark.sql.graftshim.GraftSqlShim.eagerExpression(
+            graft.functions.TextFunctions.hashedClassifierScore(
+              org.apache.spark.sql.graftshim.GraftSqlShim.column(t)))
+        case other => throw new IllegalArgumentException(
+          s"graft_quality expects 1 argument, got ${other.size}")
+      }))
   }
 }

@@ -188,13 +188,16 @@ case class CosineSim(left: Expression, right: Expression)
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.GraftSqlShim
 
-  /** Register SQL names (`graft_dot`, `graft_cosine`) in the session's
-    * function registry. */
+  /** Register SQL names (`graft_dot`, `graft_cosine`, `graft_quality`) in
+    * the session's function registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftSqlShim.registerFunction(spark, "graft_dot",
       exprs => DotProduct(exprs.head, exprs(1)))
     GraftSqlShim.registerFunction(spark, "graft_cosine",
       exprs => CosineSim(exprs.head, exprs(1)))
+    GraftSqlShim.registerFunction(spark, "graft_quality",
+      exprs => GraftSqlShim.eagerExpression(
+        TextFunctions.hashedClassifierScore(GraftSqlShim.column(exprs.head))))
   }
 
   def dot(x: Column, y: Column): Column =

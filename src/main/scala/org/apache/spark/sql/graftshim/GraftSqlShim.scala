@@ -17,6 +17,16 @@ object GraftSqlShim {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column's node tree to a plain Catalyst Expression
+    * (UnresolvedFunction nodes and all). Unlike [[expression]] — which
+    * wraps the node in a LAZY `ColumnNodeExpression` that the analyzer
+    * resolves only when it arrives through the normal Dataset path — the
+    * eager form is safe to return from a function-registry builder, where
+    * the analyzer substitutes the result INTO a plan mid-resolution and a
+    * still-wrapped node would reach codegen unresolved (Unevaluable). */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a native expression under a SQL function name in the
     * session (usable from `expr("name(...)")` / `spark.sql`). */
   def registerFunction(spark: SparkSession, name: String,

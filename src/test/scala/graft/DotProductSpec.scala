@@ -71,6 +71,16 @@ class DotProductSpec extends AnyFunSuite {
         "SELECT graft_minhash_md5(array('a', 'b', 'c'), 4) AS s")
         .collect()(0).getSeq[String](0)
       assert(sigMd5.length == 4 && sigMd5.forall(_.length == 32))
+      val q = s2.sql("SELECT graft_quality('the quick brown fox')")
+        .collect()(0).getDouble(0)
+      assert(q > 0.0 && q < 1.0)
+      // matches the Column-API form exactly
+      import graft.functions.TextFunctions
+      import org.apache.spark.sql.functions.lit
+      val direct = s2.range(1)
+        .select(TextFunctions.hashedClassifierScore(lit("the quick brown fox")))
+        .collect()(0).getDouble(0)
+      assert(q == direct)
       // non-literal hash count is rejected at analysis, not in codegen
       intercept[Exception] {
         s2.sql("SELECT graft_minhash(array('a'), CAST(rand()*4 AS INT))").collect()
