@@ -612,9 +612,12 @@ object SparkEntry {
     * sixteenths recipe). The tercile cut points are a 1-row broadcast
     * (bounded single-partition agg), never a global rank window. */
   private val x8PplMixture: Q = (s, dir) => {
+    // the LM-score table feeds both the percentile agg and the bucketed
+    // output — persist it so the token aggregations run once, not twice
     val lm = TextAnalysis.unigramLogProb(Tables.documents(s, dir),
         "doc_id", "text")
       .where(col("n_tokens") > 0)
+      .persist()
     val qs = lm.agg(
       percentile(col("avg_neg_logp"), lit(1.0 / 3)).as("__q1"),
       percentile(col("avg_neg_logp"), lit(2.0 / 3)).as("__q2"))
