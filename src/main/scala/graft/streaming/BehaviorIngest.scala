@@ -226,4 +226,45 @@ object BehaviorIngest {
         }
     }
   }
+
+  /** [[latestProfiles]] on Spark 4's state-v2 API (`transformWithState`):
+    * per-user `ValueState` with a NATIVE state TTL (`TTLConfig`) — the
+    * engine expires idle users' state itself, no timer bookkeeping, which
+    * is exactly the Redis-EXPIRE shape of the reference's profile store
+    * (`README.md:519-527`). Same emit contract as latestProfiles: one
+    * updated profile per user per micro-batch, stale re-arrivals dropped.
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...RocksDBStateStoreProvider`) — the state-v2 contract. */
+  def latestProfilesTws(parsed: DataFrame,
+      ttl: Option[java.time.Duration] = None): Dataset[Profile] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode => OM, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    val ttlConf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    val processor = new StatefulProcessor[String, Behavior, Profile] {
+      @transient private var state: ValueState[Profile] = _
+      override def init(outputMode: OM, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[Profile]("latest",
+          Encoders.product[Profile], ttlConf)
+      override def handleInputRows(user: String, rows: Iterator[Behavior],
+          tv: TimerValues): Iterator[Profile] = {
+        val incoming = rows.maxBy(_.timestamp)
+        val cur = Option(state.get())
+        if (cur.forall(_.timestamp < incoming.timestamp)) {
+          val prof = Profile(user, incoming.history_items, incoming.timestamp)
+          state.update(prof)
+          Iterator.single(prof)
+        } else Iterator.empty
+      }
+    }
+    // a TTL'd state requires ProcessingTime mode (the TTL clock); without
+    // one, TimeMode.None keeps the query free of time bookkeeping
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    parsed.as[Behavior].groupByKey(_.user_id)
+      .transformWithState(processor, timeMode, OM.Update(),
+        Encoders.product[Profile])
+  }
 }

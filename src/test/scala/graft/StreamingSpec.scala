@@ -95,6 +95,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(dropped, "stale state survived the TTL: ts=100 never emitted")
   }
 
+  test("latestProfilesTws (state-v2) matches the keyed-state contract + native TTL") {
+    implicit val sql = spark.sqlContext
+    // state-v2 requires the RocksDB provider; restore the default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[String]
+      val profiles = BehaviorIngest.latestProfilesTws(
+        BehaviorIngest.parse(mem.toDF()),
+        ttl = Some(java.time.Duration.ofMillis(500)))
+      val q = profiles.writeStream.outputMode("update")
+        .format("memory").queryName("tws_profiles").start()
+      // NOTE: with a TTL the query runs in ProcessingTime mode, where the
+      // engine schedules batches continuously to advance the TTL clock —
+      // `processAllAvailable` never latches (same as the
+      // ProcessingTimeTimeout test above). Poll the sink with a deadline.
+      def rows() = spark.table("tws_profiles")
+        .as[(String, Seq[String], Long)].collect().toSeq
+      def await(pred: => Boolean): Boolean = {
+        val deadline = System.currentTimeMillis + 20000
+        while (!pred && System.currentTimeMillis < deadline) Thread.sleep(50)
+        pred
+      }
+      mem.addData(msgs(0), msgs(1)) // u1@100, u2@200
+      assert(await(rows().toSet == Set(("u1", Seq("i1", "i2"), 100L),
+        ("u2", Seq("i3"), 200L))), s"initial emits missing: ${rows()}")
+      mem.addData(msgs(2)) // u1@300 — newer, emitted
+      assert(await(rows().count(_._1 == "u1") == 2))
+      mem.addData(msgs(0)) // u1@100 again — stale vs live state, dropped
+      Thread.sleep(300) // < TTL; give the stale row a chance to (not) leak
+      assert(rows().count(_._1 == "u1") == 2, "stale re-arrival leaked through")
+      Thread.sleep(800) // > TTL: state expires (checked lazily on read)
+      mem.addData(msgs(0)) // state gone -> the re-arrival is a fresh insert
+      assert(await(rows().count(r => r._1 == "u1" && r._3 == 100L) == 2),
+        "TTL-expired state should re-admit the old profile")
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("kafkaSink wires the producer format, topic and payload contract (S4)") {
     val parsed = BehaviorIngest.parse(msgs.toDF("value"))
     // payload contract: key = user id, value = JSON of the full record
