@@ -71,12 +71,19 @@ object Bench {
       s""","cold_s":${r3(coldTotal)},"failed":$nFailed,"sf":"$sfDir""""
     val slowestFirst = results.toSeq.sortBy { case (_, (_, w)) => -w }
     val budget = 1750 - header.length - 60 // 60 = braces + omitted fields
+    // stop at the FIRST entry that doesn't fit: skipping it but admitting
+    // a later shorter-named one would make drop(kept) mislabel what was
+    // actually omitted
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     var kept = 0
+    var full = false
     slowestFirst.foreach { case (k, (_, w)) =>
-      val e = s"\"$k\":${r3(w)}"
-      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1; kept += 1 }
+      if (!full) {
+        val e = s"\"$k\":${r3(w)}"
+        if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1; kept += 1 }
+        else full = true
+      }
     }
     val omitted = slowestFirst.drop(kept)
     val omittedS = r3(omitted.map(_._2._2).filter(_ >= 0).sum)
