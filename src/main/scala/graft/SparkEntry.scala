@@ -633,6 +633,36 @@ object SparkEntry {
       .select(col("doc_id"), col("bucket"), col("avg_neg_logp"))
   }
 
+  /** LLM-X9: deterministic exact-N sample — carve an eval set of EXACTLY
+    * `n` docs by md5-hash order. Unlike rate-based sampling (x1/x7, whose
+    * output size is binomial), the count is exact, and the lowering is
+    * `TakeOrderedAndProject` (per-partition heaps of size n, no global
+    * sort), so it holds at any corpus size. */
+  private val x9ExactN: Q = (s, dir) =>
+    TopK.global(
+      Tables.documents(s, dir).select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("pick_key")),
+      Seq(col("pick_key"), col("doc_id")), 200)
+
+  /** LLM-X10: per-source token-budget fill — keep docs (in deterministic
+    * md5 order) until each source's running token total reaches the
+    * budget: the "fill k tokens per domain" step of corpus mixing. One
+    * shuffle on the source key; the running sum is a spillable window.
+    * Skewed giant sources sort fully within their partition — at real
+    * scale, pre-prune with a per-source hash threshold estimated from
+    * budget / avg-tokens-per-doc, then exact-fill the survivors. */
+  private val x10TokenBudget: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("__h"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= 600)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
   // ---- rows-only checks (no ANSI-SQL-expressible oracle: xxhash64/LSH/
   // ---- binary-codec internals); correctness pinned by ScalaTest instead.
 
@@ -1152,6 +1182,8 @@ object SparkEntry {
     "t8_repetition" -> t8Repetition,
     "x7_source_mix" -> x7SourceMix,
     "x8_ppl_mixture" -> x8PplMixture,
+    "x9_exact_n" -> x9ExactN,
+    "x10_token_budget" -> x10TokenBudget,
     "v2_quantize_emb" -> v2QuantizeEmb,
     "d2_minhash_pairs" -> d2MinHashPairs,
     "sim2_lsh_topk" -> sim2LshTopk,
@@ -2017,6 +2049,22 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_nationkey""".stripMargin,
+    "x9_exact_n" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS pick_key
+        |FROM documents
+        |ORDER BY pick_key, doc_id LIMIT 200""".stripMargin,
+    "x10_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 600""".stripMargin,
     "x8_ppl_mixture" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),
