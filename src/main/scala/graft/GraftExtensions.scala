@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, MinHashSig, MinHashSigMd5}
+import graft.functions.{CosineSim, DotProduct, MinHashSig, MinHashSigMd5, TopKLargest}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
@@ -60,6 +60,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash_md5"),
       info("graft_minhash_md5", "graft_minhash_md5(shingles, k) - md5 MinHash signature (engine-portable)"),
       sig("graft_minhash_md5", MinHashSigMd5)))
+    ext.injectFunction((FunctionIdentifier("graft_topk"),
+      info("graft_topk",
+        "graft_topk(expr, k) - aggregate: k largest values of expr (struct for multi-key), sorted descending"),
+      {
+        case Seq(e, IntegerLiteral(k)) => TopKLargest(e, k)
+        case other => throw new IllegalArgumentException(
+          s"graft_topk expects (expr, int literal), got ${other.size} args")
+      }))
     // composed-expression function (a Column tree, not a single native
     // node): wrap the argument as a Column, build the tree, unwrap — the
     // result is still plain Catalyst, so codegen inlines it like the rest

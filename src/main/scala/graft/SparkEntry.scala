@@ -108,6 +108,19 @@ object SparkEntry {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         col("rank").cast("long").as("rank"))
 
+  /** W4b: the same per-group top-k lowered to the NATIVE k-capped-heap
+    * aggregate ([[graft.functions.TopKLargest]]) instead of a rank
+    * window — map-side partial top-k, shuffle carries ≤ k rows per
+    * (group, map task) instead of every order. Tie-break is descending
+    * o_orderkey (the aggregate ranks its struct lexicographically
+    * descending), so this is the scale twin of `w4_topk_per_group`, not
+    * a bit-identical one — it has its own oracle. */
+  private val w7TopkAgg: Q = (s, dir) =>
+    TopK.perGroupAgg(Tables.orders(s, dir), Seq(col("o_custkey")),
+        Seq(col("o_totalprice")), Seq(col("o_orderkey")), 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rank"))
+
   /** J8/SO2: anti join — customers with no orders. */
   private val j8AntiJoin: Q = (s, dir) =>
     Tables.customer(s, dir)
@@ -1212,6 +1225,7 @@ object SparkEntry {
     "w6_sessionize" -> w6Sessionize,
     "w6_padding" -> w6Padding,
     "s12_latest_snapshot" -> s12LatestSnapshot,
+    "w7_topk_agg" -> w7TopkAgg,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2146,6 +2160,13 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+    "w7_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3""".stripMargin,
     "mm3_audio_windows" ->
       """WITH a AS (SELECT doc_id AS asset_id, text,
         |    CAST(length(text) AS BIGINT) AS dur FROM documents

@@ -198,6 +198,12 @@ object GraftFunctions {
     GraftSqlShim.registerFunction(spark, "graft_quality",
       exprs => GraftSqlShim.eagerExpression(
         TextFunctions.hashedClassifierScore(GraftSqlShim.column(exprs.head))))
+    GraftSqlShim.registerFunction(spark, "graft_topk", {
+      case Seq(e, org.apache.spark.sql.catalyst.expressions.IntegerLiteral(k)) =>
+        TopKLargest(e, k)
+      case other => throw new IllegalArgumentException(
+        s"graft_topk expects (expr, int literal), got ${other.size} args")
+    })
   }
 
   def dot(x: Column, y: Column): Column =

@@ -1,0 +1,142 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types.{ArrayType, DataType}
+
+/** Bounded top-k buffer: a size-capped min-heap of already-copied values.
+  * `PriorityQueue` dequeues its maximum, so the reversed ordering puts the
+  * SMALLEST kept value at the head — the one a larger newcomer evicts.
+  */
+final class TopKBuffer(val k: Int, ord: Ordering[Any]) {
+  val heap = new mutable.PriorityQueue[Any]()(ord.reverse)
+
+  /** @param copy lazily copies the (buffer-reused) value; only forced when
+    *             the value is actually kept, so a saturated buffer scans a
+    *             sorted-descending input with zero allocation. */
+  def offer(value: Any, copy: () => Any): Unit =
+    if (heap.size < k) heap.enqueue(copy())
+    else if (ord.compare(value, heap.head) > 0) { heap.dequeue(); heap.enqueue(copy()) }
+
+  def sortedDesc: Array[Any] = heap.toArray.sortWith((a, b) => ord.compare(a, b) > 0)
+}
+
+/** Native per-group top-k as a declarative aggregate: keeps the `k`
+  * LARGEST values of `child` (any orderable type — pass
+  * `struct(score, tiebreak…)` for lexicographic multi-key ranking) and
+  * evaluates to them sorted descending.
+  *
+  * Why this exists when `row_number() OVER (...)  <= k` works: the window
+  * form shuffles EVERY input row to its group's reducer and sorts there —
+  * at 100 TB the shuffle is data-sized. An aggregate gets map-side partial
+  * aggregation for free (`ObjectHashAggregateExec` handles
+  * `TypedImperativeAggregate` partials), so each map task ships at most
+  * k values per group it saw, and reducers merge k-capped heaps. Shuffle
+  * volume drops from O(rows) to O(groups·k·tasks) — the same
+  * per-partition-heap idea `TakeOrderedAndProject` applies to GLOBAL
+  * top-k, applied per key. Reference analogue: the per-user
+  * `torch.topk` / `sorted(desc)[:n]` sites (`eval_online/main/
+  * inference.py:72-104`, `model_service/models.py:55-210`).
+  *
+  * Update cost per row is O(1) compare against the heap minimum once a
+  * group's buffer is saturated (no copy, no allocation), O(log k) when the
+  * row displaces the minimum.
+  */
+case class TopKLargest(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] with UnaryLike[Expression] {
+
+  @transient private lazy val ord: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(child.dataType).asInstanceOf[Ordering[Any]]
+
+  // one-column row codec for buffer spill/shuffle: each kept value is an
+  // UnsafeRow payload, length-prefixed in the serialized stream
+  @transient private lazy val proj = UnsafeProjection.create(Array(child.dataType))
+  @transient private lazy val scratchRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k <= 0) TypeCheckResult.TypeCheckFailure(s"k must be positive, got $k")
+    else TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, ord)
+
+  override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.offer(v, () => InternalRow.copyValue(v))
+    buffer
+  }
+
+  override def merge(buffer: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    // other's values were copied (or deserialized into their own arrays)
+    // when they entered its heap — safe to share, no re-copy
+    other.heap.foreach(v => buffer.offer(v, () => v))
+    buffer
+  }
+
+  override def eval(buffer: TopKBuffer): Any = new GenericArrayData(buffer.sortedDesc)
+
+  override def serialize(buffer: TopKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.heap.size)
+    buffer.heap.foreach { v =>
+      scratchRow.update(0, v)
+      val ur = proj(scratchRow)
+      out.writeInt(ur.getSizeInBytes)
+      ur.writeToStream(out, null)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buffer = new TopKBuffer(k, ord)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val rowBytes = new Array[Byte](len)
+      in.readFully(rowBytes)
+      val row = new UnsafeRow(1)
+      row.pointTo(rowBytes, len)
+      // each row owns its byte slice, so the extracted value needs no copy
+      buffer.offer(row.get(0, child.dataType), () => row.get(0, child.dataType))
+      i += 1
+    }
+    buffer
+  }
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_topk"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKLargest =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKLargest =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKLargest =
+    copy(child = newChild)
+}
+
+object TopKAgg {
+  import org.apache.spark.sql.graftshim.GraftSqlShim
+
+  /** `Column` form: aggregate to the k largest values of `of`, sorted
+    * descending. Pass `struct(score, tiebreaks…)` for multi-key order. */
+  def topK(of: Column, k: Int): Column =
+    GraftSqlShim.column(
+      TopKLargest(GraftSqlShim.expression(of), k).toAggregateExpression())
+}

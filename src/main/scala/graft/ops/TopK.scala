@@ -28,4 +28,28 @@ object TopK {
   /** Global top-k → `TakeOrderedAndProject`. */
   def global(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /** Per-group top-k as a NATIVE AGGREGATE (`TopKLargest`, a
+    * `TypedImperativeAggregate` with a k-capped heap) instead of a rank
+    * window. The window form shuffles every row to its group's reducer
+    * and sorts; the aggregate form partial-aggregates map-side, so each
+    * map task ships at most k rows per group — shuffle volume O(groups·k)
+    * instead of O(rows), the per-key analogue of `TakeOrderedAndProject`.
+    * Prefer this at scale whenever only the top rows are consumed.
+    *
+    * `order` columns rank lexicographically DESCENDING (negate a numeric
+    * column to flip it: e.g. `Seq(score, -id)` for ascending-id
+    * tie-break); `payload` columns ride along after them (and settle any
+    * remaining ties, keeping the result deterministic). Output: one row
+    * per kept input row, `rank` = 1-based position within the group.
+    */
+  def perGroupAgg(df: DataFrame, group: Seq[Column], order: Seq[Column],
+      payload: Seq[Column], k: Int, rankCol: String = "rank"): DataFrame = {
+    val tops = df.groupBy(group: _*)
+      .agg(graft.functions.TopKAgg.topK(struct(order ++ payload: _*), k).as("__top"))
+    tops.select(group ++ Seq(posexplode(col("__top")).as(Seq("__i", "__s"))): _*)
+      .withColumn(rankCol, (col("__i") + 1).cast("long"))
+      .select(group ++ Seq(col(rankCol), col("__s.*")): _*)
+      .drop("__i")
+  }
 }

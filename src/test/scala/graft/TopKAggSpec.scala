@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.TopKAgg
+import graft.ops.TopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("perGroupAgg equals the window-rank form under the same total order") {
+    val orders = Tables.orders(spark, TestSpark.sf)
+    val viaAgg = TopK.perGroupAgg(orders, Seq($"o_custkey"),
+        Seq($"o_totalprice"), Seq($"o_orderkey"), 3)
+      .select($"o_custkey", $"rank", $"o_orderkey", $"o_totalprice")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".desc)
+    val viaWindow = orders.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .select($"o_custkey", $"rank".cast("long"), $"o_orderkey", $"o_totalprice")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(viaAgg == viaWindow)
+  }
+
+  test("partial-merge path (many input partitions) is exact") {
+    // 200 partitions over 5 groups forces every map task to emit its own
+    // partial heap; correctness here pins the merge + serialize path
+    val df = (1 to 10000).map(i => (i % 5, i)).toDF("g", "v")
+      .repartition(200)
+    val got = df.groupBy($"g")
+      .agg(TopKAgg.topK(struct($"v"), 4).as("top"))
+      .select($"g", transform($"top", s => s.getField("v")).as("vs"))
+      .as[(Int, Seq[Int])].collect().toMap
+    (0 until 5).foreach { g =>
+      val expect = (1 to 10000).filter(_ % 5 == g).sorted.reverse.take(4)
+      assert(got(g) == expect, s"group $g")
+    }
+  }
+
+  test("groups smaller than k return the whole group; nulls are skipped") {
+    val df = Seq((1, Some(10)), (1, Some(7)), (2, Some(3)), (2, None))
+      .toDF("g", "v")
+    val got = df.groupBy($"g")
+      .agg(TopKAgg.topK($"v", 5).as("vs"))
+      .select($"g", $"vs")
+      .as[(Int, Seq[Int])].collect().toMap
+    assert(got(1) == Seq(10, 7))
+    assert(got(2) == Seq(3))
+  }
+
+  test("lexicographic struct order breaks score ties by the later fields") {
+    val df = Seq((1, 5.0, 100L), (1, 5.0, 200L), (1, 4.0, 300L)).toDF("g", "s", "id")
+    val got = df.groupBy($"g")
+      .agg(TopKAgg.topK(struct($"s", $"id"), 2).as("top"))
+      .select(transform($"top", x => x.getField("id")).as("ids"))
+      .as[Seq[Long]].head()
+    assert(got == Seq(200L, 100L))
+  }
+
+  test("graft_topk is callable from SQL via the extensions registry") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1, 3), (1, 9), (1, 5), (2, 2)).toDF("g", "v")
+    df.createOrReplaceTempView("tk_in")
+    val got = spark.sql(
+      "SELECT g, graft_topk(v, 2) AS top FROM tk_in GROUP BY g ORDER BY g")
+      .as[(Int, Seq[Int])].collect().toSeq
+    assert(got == Seq((1, Seq(9, 5)), (2, Seq(2))))
+  }
+}
