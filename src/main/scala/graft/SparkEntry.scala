@@ -3,7 +3,7 @@ package graft
 import graft.evalx.Metrics
 import graft.functions.{Features, TextFunctions, VectorOps}
 import graft.llmops.{Dedup, SimSearch, TextAnalysis}
-import graft.ops.{AsOf, DictIndex, Graph, PrefixWindow, Sampling, TopK}
+import graft.ops.{AsOf, DictIndex, Graph, Layout, PrefixWindow, Sampling, TopK}
 import graft.recall.{Cascade, NeuralForward, NeuralOracle}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -558,6 +558,30 @@ object SparkEntry {
     incoming.join(exactDrop.union(nearDrop).distinct(), Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
   }
+
+  /** LLM-D12: the same new-vs-base exact dedup with a BLOOM prefilter —
+    * bloom-negative docs (the vast majority of a fresh snapshot) never
+    * touch a join; only bloom positives pay the exact confirm anti-join.
+    * Result is exact (see [[Dedup.bloomNewDocs]]), so the oracle is the
+    * plain anti-join. The synthetic corpus has cross-document exact dups
+    * (rows match d1's digest groups), so both branches execute. */
+  private val d12BloomIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val incoming = docs.where(col("doc_id") % 5 === 0)
+    val base = docs.where(col("doc_id") % 5 =!= 0)
+    Dedup.bloomNewDocs(incoming, base, "text",
+        expectedItems = 100000L, fpp = 0.03)
+      .select(col("doc_id"))
+  }
+
+  /** L1: Z-order curve index — the write-side clustering key for
+    * two-dimensional scan pruning ([[Layout.zValue16]]; `clusterByZ` is
+    * the `repartitionByRange` + local-sort step over this value). The
+    * oracle replicates the 32-term bit interleave in SQL. */
+  private val l1Zorder: Q = (s, dir) =>
+    Tables.orders(s, dir).select(col("o_orderkey"),
+      Layout.zValue16(pmod(col("o_custkey"), lit(65536L)),
+        pmod(col("o_orderkey"), lit(65536L))).as("zval"))
 
   /** LLM-T6: PII redaction — deterministic synthetic PII injected on both
     * engine and oracle sides (the fixture corpus has none), then counted
@@ -1226,6 +1250,8 @@ object SparkEntry {
     "w6_padding" -> w6Padding,
     "s12_latest_snapshot" -> s12LatestSnapshot,
     "w7_topk_agg" -> w7TopkAgg,
+    "d12_bloom_incremental" -> d12BloomIncremental,
+    "l1_zorder" -> l1Zorder,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2160,6 +2186,20 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+    "l1_zorder" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})"))
+      s"""WITH c AS (SELECT o_orderkey, o_custkey % 65536 AS x,
+         |    o_orderkey % 65536 AS y FROM orders)
+         |SELECT o_orderkey, ${terms.mkString(" | ")} AS zval
+         |FROM c""".stripMargin
+    },
+    "d12_bloom_incremental" ->
+      """SELECT doc_id FROM documents d
+        |WHERE doc_id % 5 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents b
+        |  WHERE b.doc_id % 5 <> 0 AND md5(b.text) = md5(d.text))""".stripMargin,
     "w7_topk_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

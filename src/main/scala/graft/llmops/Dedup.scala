@@ -399,4 +399,52 @@ object Dedup {
     graft.ops.Graph.connectedComponents(pairs, "doc_a", "doc_b")
       .select(col("doc_a").as(id), col("component").as("cluster_id"))
   }
+
+  /** Bloom-prefiltered exact dedup of an incoming batch against a huge
+    * base corpus. At 100 TB the base's digest set doesn't fit a broadcast
+    * and a full shuffle anti-join re-shuffles the BASE for every snapshot;
+    * a Bloom filter over the base digests is megabytes, so:
+    *
+    *  1. build the sketch DISTRIBUTED (Catalyst `bloom_filter_agg` —
+    *     partial sketches merge map-side; only the final ~MB bitmap
+    *     reaches the driver, the same lifecycle Spark's own runtime
+    *     row-level filters use for their scalar subquery);
+    *  2. `might_contain` — codegen'd, no UDF — splits incoming into
+    *     definitely-new (bloom negative: provably not in the base, kept
+    *     with NO join at all) and suspects (bloom positive);
+    *  3. only the suspects — |true dups| + fpp·|incoming| rows — pay the
+    *     exact anti-join that clears false positives.
+    *
+    * The result is EXACT (bloom errors only route rows to the confirm
+    * join), so the oracle is the plain anti-join. Sketch build cost is
+    * one pass over the base, amortizable across snapshots by persisting
+    * the sketch bytes.
+    */
+  def bloomNewDocs(incoming: DataFrame, base: DataFrame, text: String,
+      expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.GraftSqlShim.{column, expression}
+    import org.apache.spark.sql.types.BinaryType
+
+    val digest = xxhash64(col(text))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val sketchCol = column(new BloomFilterAggregate(expression(digest),
+      expression(lit(expectedItems)), expression(lit(numBits)))
+      .toAggregateExpression())
+    // one auxiliary job: the ~MB sketch is the only thing collected
+    val sketch = base.select(sketchCol).head.get(0)
+    if (sketch == null) incoming // empty base: everything is new
+    else {
+      val might = column(BloomFilterMightContain(
+        Literal(sketch, BinaryType), expression(digest)))
+      val clear = incoming.where(!might)
+      val suspects = incoming.where(might)
+      val confirmedNew = suspects.join(
+        base.select(md5(col(text)).as("__basedigest")).distinct(),
+        md5(col(text)) === col("__basedigest"), "left_anti")
+      clear.unionByName(confirmedNew.select(clear.columns.map(col): _*))
+    }
+  }
 }

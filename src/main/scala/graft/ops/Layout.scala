@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: space-filling-curve clustering for
+  * multi-dimensional scan pruning (the Delta/Iceberg `OPTIMIZE ZORDER BY`
+  * idea, built from plain Spark primitives).
+  *
+  * Why it matters at 100 TB: parquet min/max pruning only skips files for
+  * predicates on the SORT column. Sorting by `zValue16(x, y)` clusters
+  * rows so that file-level min/max ranges stay tight on BOTH x and y —
+  * a selective predicate on either column prunes most files. Pure
+  * expression tree (shift/and/or), whole-stage codegen'd, no UDF.
+  */
+object Layout {
+
+  /** Morton (Z-order) interleave of the low 16 bits of two non-negative
+    * integral columns: bit i of `x` lands at position 2i, bit i of `y` at
+    * 2i+1, yielding a 32-bit curve index as a long. Callers cap inputs
+    * into [0, 2^16) first (`pmod`, bucketing, or dictionary ids); the
+    * usual recipe for skewed/continuous dimensions is range-bucketing
+    * each to ~2^16 quantile ranks and interleaving the ranks.
+    */
+  def zValue16(x: Column, y: Column): Column = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write-side clustering: range-partition on the z-value (so files own
+    * contiguous curve segments) and sort within partitions (so row groups
+    * within a file stay tight too). Follow with `.write.parquet(...)`.
+    */
+  def clusterByZ(df: DataFrame, x: Column, y: Column,
+      numPartitions: Int): DataFrame = {
+    val z = zValue16(x, y)
+    df.repartitionByRange(numPartitions, z).sortWithinPartitions(z)
+  }
+}

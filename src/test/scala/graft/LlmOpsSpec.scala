@@ -288,4 +288,26 @@ class LlmOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     assert(exact.toSeq == Seq((9999L, 1L, 1.0)))
   }
+
+  test("bloomNewDocs equals the plain anti-join and keeps all columns") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val incoming = docs.where($"doc_id" % 5 === 0)
+    // the sf0.001 fixture has no cross-side exact dups, so copy two
+    // incoming texts into the base (fresh ids) to force true positives
+    // through the confirm join alongside the bloom's false positives
+    val base = docs.where($"doc_id" % 5 =!= 0)
+      .unionByName(incoming.orderBy($"doc_id").limit(2)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+    val got = Dedup.bloomNewDocs(incoming, base, "text", 10000L, 0.03)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val expect = incoming.join(base.select(md5($"text").as("__d")).distinct(),
+        md5($"text") === $"__d", "left_anti")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got == expect)
+    assert(got.size < incoming.count(), "planted dups must be dropped")
+    // empty base: sketch is null, everything ships
+    val all = Dedup.bloomNewDocs(incoming, base.where(lit(false)), "text",
+      100L, 0.03).count()
+    assert(all == incoming.count())
+  }
 }

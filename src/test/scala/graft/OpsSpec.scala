@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AsOf, PrefixWindow, Sampling, TopK}
+import graft.ops.{AsOf, Layout, PrefixWindow, Sampling, TopK}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -138,5 +138,31 @@ class OpsSpec extends AnyFunSuite {
           $"bts" >= $"q.ts" - radius && $"bts" <= $"q.ts" + radius)
       .select($"qid", $"bid").as[(Long, Long)].collect().toSet
     assert(got == naive && got.nonEmpty)
+  }
+
+  test("zValue16 interleaves bits; clusterByZ yields contiguous curve ranges") {
+    // x=0b11, y=0b01 → z bits: x0@0, y0@1, x1@2, y1@3 → 0b0111 = 7
+    val known = Seq((3L, 1L, 7L), (0L, 0L, 0L), (65535L, 0L, 0x55555555L),
+      (0L, 65535L, 0xAAAAAAAAL), (65535L, 65535L, 0xFFFFFFFFL))
+    val got = known.map(_._1).zip(known.map(_._2)).toDF("x", "y")
+      .select(Layout.zValue16($"x", $"y")).as[Long].collect().toSeq
+    assert(got == known.map(_._3))
+    // scramble row order, cluster into 8 range partitions: every
+    // partition's z-interval must be disjoint from and ordered against
+    // the next (that contiguity is what makes file-level min/max tight)
+    val df = (1L to 4000L).map(i => (i * 2654435761L % 65536L,
+      i * 40503L % 65536L)).toDF("x", "y").repartition(13)
+    val ranges = Layout.clusterByZ(df, $"x", $"y", 8)
+      .select(Layout.zValue16($"x", $"y").as("z"))
+      .mapPartitions(it => {
+        val zs = it.map(_.getLong(0)).toSeq
+        if (zs.isEmpty) Iterator.empty
+        else Iterator((zs.min, zs.max, zs == zs.sorted))
+      }).collect().sortBy(_._1)
+    assert(ranges.nonEmpty && ranges.forall(_._3), "rows sorted within files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi, _), (lo, _, _)) => assert(hi <= lo, "overlapping ranges")
+      case _ =>
+    }
   }
 }
