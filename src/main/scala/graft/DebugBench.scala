@@ -11,6 +11,10 @@ object DebugBench {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // let AQE re-coalesce partitions INSIDE cached plans: the CC/pagerank
+      // fixpoints act on small persisted frames each round, and without this
+      // every round pays full-width task dispatch on bench hardware
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

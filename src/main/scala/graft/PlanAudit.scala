@@ -10,6 +10,10 @@ object PlanAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // let AQE re-coalesce partitions INSIDE cached plans: the CC/pagerank
+      // fixpoints act on small persisted frames each round, and without this
+      // every round pays full-width task dispatch on bench hardware
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

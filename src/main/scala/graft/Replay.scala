@@ -26,6 +26,10 @@ object Replay {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // let AQE re-coalesce partitions INSIDE cached plans: the CC/pagerank
+      // fixpoints act on small persisted frames each round, and without this
+      // every round pays full-width task dispatch on bench hardware
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

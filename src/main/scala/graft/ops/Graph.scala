@@ -59,9 +59,14 @@ object Graph {
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 25): DataFrame = {
     // persist the symmetrized edges: the upstream pair pipeline (often an
-    // expensive near-dup candidate generation) must not re-run per round
-    val sym = edges.select(col(src).as("__n"), col(dst).as("__m"))
-      .union(edges.select(col(dst).as("__n"), col(src).as("__m")))
+    // expensive near-dup candidate generation) must not re-run per round.
+    // Symmetrize by exploding each edge into both orientations — a union
+    // of two selects would evaluate the upstream pipeline TWICE during
+    // this persist's first materialization
+    val sym = edges.select(explode(array(
+        struct(col(src).as("__n"), col(dst).as("__m")),
+        struct(col(dst).as("__n"), col(src).as("__m")))).as("__e"))
+      .select(col("__e.__n"), col("__e.__m"))
       .persist()
     var cached = sym.select(col("__n")).distinct()
       .select(col("__n"), col("__n").as("__lbl")).persist()
