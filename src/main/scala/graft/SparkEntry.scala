@@ -643,6 +643,25 @@ object SparkEntry {
       .where(col("q_rank") >= 0.25)
   }
 
+  /** A14: per-source distinct-document cardinality via HLL++
+    * (`approx_count_distinct`) — the sketch path for corpus accounting at
+    * 100 TB, where exact COUNT(DISTINCT digest) means shuffling every
+    * digest; HLL partials merge map-side into KB-sized sketches. Approx
+    * values aren't oracle-portable → rows-only here; [[a15DistinctExact]]
+    * is the oracle-exact twin (same shape, exact distinct), and the
+    * ScalaTest pin bounds the HLL estimate against the exact counts. */
+  private val a14HllDistinct: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(approx_count_distinct(md5(col("text")), 0.02).as("n_distinct"))
+
+  /** A14-twin: exact per-source distinct-document counts — the
+    * DuckDB-checkable form of [[a14HllDistinct]]. */
+  private val a15DistinctExact: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(countDistinct(md5(col("text"))).as("n_distinct"))
+
   /** LLM-X8: CCNet-style perplexity-bucketed mixture — docs split into
     * head/middle/tail by unigram-LM score terciles, then sampled at
     * per-bucket keep rates (head kept, middle 1/2, tail 1/8 via the md5
@@ -1252,6 +1271,8 @@ object SparkEntry {
     "w7_topk_agg" -> w7TopkAgg,
     "d12_bloom_incremental" -> d12BloomIncremental,
     "l1_zorder" -> l1Zorder,
+    "a14_hll_distinct" -> a14HllDistinct,
+    "a15_distinct_exact" -> a15DistinctExact,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2186,6 +2207,9 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+    "a15_distinct_exact" ->
+      """SELECT source, COUNT(DISTINCT md5(text)) AS n_distinct
+        |FROM documents GROUP BY source""".stripMargin,
     "l1_zorder" -> {
       val terms = (0 until 16).flatMap(i => Seq(
         s"(((x >> $i) & 1) << ${2 * i})",

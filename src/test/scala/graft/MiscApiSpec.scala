@@ -132,4 +132,16 @@ class MiscApiSpec extends AnyFunSuite {
     assert(Sampling.stratifiedByActivity(counts, "user_id", "n", 70, 0.5, 0.1)
       .count() == k)
   }
+
+  test("a14 HLL distinct estimates stay within 5x the configured rsd of exact") {
+    val approx = SparkEntry.queries("a14_hll_distinct")(spark, TestSpark.sf)
+      .as[(String, Long)].collect().toMap
+    val exact = SparkEntry.queries("a15_distinct_exact")(spark, TestSpark.sf)
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    exact.foreach { case (src, n) =>
+      val rel = math.abs(approx(src).toDouble - n) / n
+      assert(rel <= 0.10, s"source $src: approx=${approx(src)} exact=$n")
+    }
+  }
 }
