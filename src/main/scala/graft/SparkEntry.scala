@@ -110,8 +110,8 @@ object SparkEntry {
 
   /** W4b: the same per-group top-k lowered to the NATIVE k-capped-heap
     * aggregate ([[graft.functions.TopKLargest]]) instead of a rank
-    * window — map-side partial top-k, shuffle carries ≤ k rows per
-    * (group, map task) instead of every order. Tie-break is descending
+    * window — map-side partial top-k with NO sort on either side of the
+    * shuffle (the window form local-sorts twice). Tie-break is descending
     * o_orderkey (the aggregate ranks its struct lexicographically
     * descending), so this is the scale twin of `w4_topk_per_group`, not
     * a bit-identical one — it has its own oracle. */

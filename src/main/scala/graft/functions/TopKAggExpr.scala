@@ -35,17 +35,22 @@ final class TopKBuffer(val k: Int, ord: Ordering[Any]) {
   * `struct(score, tiebreak…)` for lexicographic multi-key ranking) and
   * evaluates to them sorted descending.
   *
-  * Why this exists when `row_number() OVER (...)  <= k` works: the window
-  * form shuffles EVERY input row to its group's reducer and sorts there —
-  * at 100 TB the shuffle is data-sized. An aggregate gets map-side partial
-  * aggregation for free (`ObjectHashAggregateExec` handles
-  * `TypedImperativeAggregate` partials), so each map task ships at most
-  * k values per group it saw, and reducers merge k-capped heaps. Shuffle
-  * volume drops from O(rows) to O(groups·k·tasks) — the same
-  * per-partition-heap idea `TakeOrderedAndProject` applies to GLOBAL
-  * top-k, applied per key. Reference analogue: the per-user
-  * `torch.topk` / `sorted(desc)[:n]` sites (`eval_online/main/
-  * inference.py:72-104`, `model_service/models.py:55-210`).
+  * Why this exists when `row_number() OVER (...) <= k` works: Spark 4's
+  * `InferWindowGroupLimit` does insert a partial `WindowGroupLimit`
+  * before the shuffle for rank filters, so both forms ship
+  * O(groups·k·tasks) rows. The aggregate still wins on work per row:
+  * `WindowGroupLimit` needs its input SORTED on (group, order) — a full
+  * O(n log n) local sort on both the map and reduce sides — while
+  * `ObjectHashAggregateExec` feeds this heap unsorted input for
+  * O(n log k) with no sort at either end, degrading to O(n) compares
+  * once a group's buffer saturates. It also composes where a window
+  * can't: as a plain SQL aggregate (`graft_topk`), inside
+  * `Dataset.agg` chains alongside other aggregates in one pass, and as
+  * streaming keyed state. Same per-partition-heap idea
+  * `TakeOrderedAndProject` applies to GLOBAL top-k, applied per key.
+  * Reference analogue: the per-user `torch.topk` / `sorted(desc)[:n]`
+  * sites (`eval_online/main/inference.py:72-104`,
+  * `model_service/models.py:55-210`).
   *
   * Update cost per row is O(1) compare against the heap minimum once a
   * group's buffer is saturated (no copy, no allocation), O(log k) when the

@@ -31,11 +31,13 @@ object TopK {
 
   /** Per-group top-k as a NATIVE AGGREGATE (`TopKLargest`, a
     * `TypedImperativeAggregate` with a k-capped heap) instead of a rank
-    * window. The window form shuffles every row to its group's reducer
-    * and sorts; the aggregate form partial-aggregates map-side, so each
-    * map task ships at most k rows per group — shuffle volume O(groups·k)
-    * instead of O(rows), the per-key analogue of `TakeOrderedAndProject`.
-    * Prefer this at scale whenever only the top rows are consumed.
+    * window. Both forms shuffle O(groups·k·tasks) rows (Spark 4 inserts
+    * a partial `WindowGroupLimit` for rank filters), but the window form
+    * must SORT its input on (group, order) on both sides of the shuffle;
+    * the aggregate takes unsorted input through heap updates —
+    * O(n log k), O(1) compares once saturated — with no sort at either
+    * end. Prefer it at scale whenever only the top rows are consumed
+    * and the extra columns fit in the ranking struct.
     *
     * `order` columns rank lexicographically DESCENDING (negate a numeric
     * column to flip it: e.g. `Seq(score, -id)` for ascending-id
