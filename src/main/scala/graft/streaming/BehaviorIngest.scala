@@ -267,4 +267,50 @@ object BehaviorIngest {
       .transformWithState(processor, timeMode, OM.Update(),
         Encoders.product[Profile])
   }
+
+  case class Scored(user_id: String, item_id: String, score: Double)
+  case class TopKUpdate(user_id: String, items: Seq[String], scores: Seq[Double])
+
+  /** Streaming per-user RUNNING top-k (state-v2): the incremental twin of
+    * the batch `graft_topk` aggregate ([[graft.functions.TopKLargest]]) —
+    * state holds each user's current k best (score, item) pairs, each
+    * micro-batch merges its rows in O(batch + k) per user, and an updated
+    * snapshot is emitted only when the top-k actually changed. Order
+    * matches the batch aggregate's lexicographic-descending
+    * `struct(score, item)` contract, so a stream over the same rows
+    * converges to exactly `TopK.perGroupAgg`'s answer (StreamingSpec
+    * pins the parity). The serving-path analogue is the reference's
+    * per-user recommendation refresh on each behavior event
+    * (`eval_online/main/inference.py:72-104`). */
+  def runningTopK(scored: Dataset[Scored], k: Int): Dataset[TopKUpdate] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode => OM, StatefulProcessor, TimeMode, TimerValues, ValueState}
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val processor = new StatefulProcessor[String, Scored, TopKUpdate] {
+      @transient private var state: ValueState[TopKUpdate] = _
+      override def init(outputMode: OM, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[TopKUpdate]("topk",
+          Encoders.product[TopKUpdate],
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInputRows(user: String, rows: Iterator[Scored],
+          tv: TimerValues): Iterator[TopKUpdate] = {
+        val cur = Option(state.get())
+          .map(s => s.scores.zip(s.items)).getOrElse(Nil)
+        val merged = (cur ++ rows.map(r => (r.score, r.item_id)))
+          .sorted(Ordering.Tuple2(Ordering.Double.TotalOrdering,
+            Ordering.String).reverse)
+          .take(k)
+        if (merged == cur) Iterator.empty
+        else {
+          val next = TopKUpdate(user, merged.map(_._2), merged.map(_._1))
+          state.update(next)
+          Iterator.single(next)
+        }
+      }
+    }
+    scored.groupByKey(_.user_id)
+      .transformWithState(processor, TimeMode.None(), OM.Update(),
+        Encoders.product[TopKUpdate])
+  }
 }

@@ -141,6 +141,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("runningTopK (state-v2) converges to the batch graft_topk answer") {
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch1 = Seq(("u1", "a", 1.0), ("u1", "b", 3.0), ("u2", "x", 5.0))
+      val batch2 = Seq(("u1", "c", 2.0), ("u1", "d", 0.5), ("u2", "x", 5.0),
+        ("u1", "e", 3.0)) // u2 re-arrival duplicates x (multiset, like the agg)
+      val mem = MemoryStream[(String, String, Double)]
+      val updates = BehaviorIngest.runningTopK(
+        mem.toDF().toDF("user_id", "item_id", "score")
+          .as[BehaviorIngest.Scored], k = 3)
+      val q = updates.writeStream.outputMode("update")
+        .format("memory").queryName("tws_topk").start()
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val snaps = spark.table("tws_topk")
+        .as[(String, Seq[String], Seq[Double])].collect().toSeq
+      q.stop()
+      // both users updated in both batches (u2's duplicate row changes
+      // its top-k multiset exactly as the batch aggregate would keep it)
+      assert(snaps.count(_._1 == "u1") == 2)
+      assert(snaps.count(_._1 == "u2") == 2)
+      val finalByUser = snaps.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+      // batch twin over ALL rows via the native aggregate
+      val expect = (batch1 ++ batch2).toDF("user_id", "item_id", "score")
+        .groupBy($"user_id")
+        .agg(graft.functions.TopKAgg.topK(struct($"score", $"item_id"), 3).as("t"))
+        .select($"user_id", transform($"t", x => x.getField("item_id")).as("items"),
+          transform($"t", x => x.getField("score")).as("scores"))
+        .as[(String, Seq[String], Seq[Double])].collect()
+        .map(r => r._1 -> r).toMap
+      assert(finalByUser("u1") == expect("u1"))
+      assert(finalByUser("u2") == expect("u2"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("kafkaSink wires the producer format, topic and payload contract (S4)") {
     val parsed = BehaviorIngest.parse(msgs.toDF("value"))
     // payload contract: key = user id, value = JSON of the full record
