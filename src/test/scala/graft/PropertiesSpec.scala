@@ -109,6 +109,32 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: graft_topk ≡ sorted-take per group at any partition count") {
+    // duplicate-heavy scores stress the lexicographic tie-break; random
+    // partition counts stress the partial/merge/serialize path
+    val rowsGen = Gen.listOfN(80, Gen.zip(
+      Gen.choose(0, 5), Gen.choose(0, 8), Gen.choose(-50L, 50L)))
+    forAll(rowsGen, Gen.zip(Gen.choose(1, 7), Gen.choose(1, 6))) {
+        (rows, pk) =>
+      val (nParts, k) = pk
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("g", "s", "id").repartition(nParts)
+        val got = df.groupBy($"g")
+          .agg(graft.functions.TopKAgg.topK(struct($"s", $"id"), k).as("t"))
+          .select($"g", transform($"t", x =>
+            struct(x.getField("s"), x.getField("id"))).as("t"))
+          .as[(Int, Seq[(Int, Long)])].collect().toMap
+        val expect = rows.groupBy(_._1).map { case (g, rs) =>
+          g -> rs.map(r => (r._2, r._3)).sorted.reverse.take(k)
+        }
+        assert(got.keySet == expect.keySet)
+        expect.foreach { case (g, e) =>
+          assert(got(g) == e, s"group $g diverged at nParts=$nParts k=$k")
+        }
+      }
+    }
+  }
+
   test("property: negative samples never collide and stay in range") {
     forAll(behaviorGen) { bs =>
       whenever(bs.nonEmpty) {
