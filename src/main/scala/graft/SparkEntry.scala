@@ -700,6 +700,21 @@ object SparkEntry {
         md5(col("doc_id").cast("string")).as("pick_key")),
       Seq(col("pick_key"), col("doc_id")), 200)
 
+  /** LLM-X11: exact-N PER-GROUP deterministic sample — each source keeps
+    * exactly min(N, |source|) docs, picked by md5 hash order, computed
+    * with the native k-capped-heap aggregate ([[TopK.perGroupAgg]]): one
+    * shuffle of ≤N rows per (source, map task) and NO sort anywhere —
+    * the scale-right form of per-stratum fixed-size sampling (the window
+    * lowering of `x3_stratified` rate-samples; this one pins the exact
+    * count). Hash order is descending because the aggregate keeps the
+    * lexicographically largest structs — equally uniform. */
+  private val x11ExactNPerGroup: Q = (s, dir) =>
+    TopK.perGroupAgg(
+      Tables.documents(s, dir).select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("pick_key")),
+      Seq(col("source")), Seq(col("pick_key")), Seq(col("doc_id")), 30)
+      .select(col("source"), col("rank"), col("doc_id"))
+
   /** LLM-X10: per-source token-budget fill — keep docs (in deterministic
     * md5 order) until each source's running token total reaches the
     * budget: the "fill k tokens per domain" step of corpus mixing. One
@@ -1273,6 +1288,7 @@ object SparkEntry {
     "l1_zorder" -> l1Zorder,
     "a14_hll_distinct" -> a14HllDistinct,
     "a15_distinct_exact" -> a15DistinctExact,
+    "x11_exact_n_per_group" -> x11ExactNPerGroup,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2210,6 +2226,14 @@ object SparkEntry {
     "a15_distinct_exact" ->
       """SELECT source, COUNT(DISTINCT md5(text)) AS n_distinct
         |FROM documents GROUP BY source""".stripMargin,
+    "x11_exact_n_per_group" ->
+      """SELECT source, rank, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) DESC, doc_id DESC)
+        |      AS rank
+        |  FROM documents)
+        |WHERE rank <= 30""".stripMargin,
     "l1_zorder" -> {
       val terms = (0 until 16).flatMap(i => Seq(
         s"(((x >> $i) & 1) << ${2 * i})",
