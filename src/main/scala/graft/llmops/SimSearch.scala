@@ -152,10 +152,15 @@ object SimSearch {
     * At 100 TB the cell id is the physical partition key (write the
     * corpus bucketed by cell); probing is then partition pruning, not a
     * filter. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame,
-      qId: String, qVec: String, cId: String, cVec: String,
-      k: Int, nCells: Int, nProbe: Int, seed: Long = 42L,
-      kmeansIter: Int = 3): DataFrame = {
+  /** IVF index build, split from the probe so one index serves many query
+    * batches (the real ANN lifecycle: fit once per corpus snapshot,
+    * persist/write `assigned`, probe per request batch). Returns
+    * `assigned` (item_id, __cv, __cell — the cell-partitioned corpus;
+    * at scale, write it bucketed by `__cell` so probes prune files) and
+    * `centroids` (__cell, __centroid — nCells rows, broadcast-sized). */
+  def ivfIndex(corpus: DataFrame, cId: String, cVec: String,
+      nCells: Int, seed: Long = 42L,
+      kmeansIter: Int = 3): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // cell assignment only needs rough centroids: few iterations, random
@@ -169,13 +174,18 @@ object SimSearch {
     val model = kmeans.fit(corpusV)
     val assigned = model.transform(corpusV).select(
       col("item_id"), col("__cv"), col("__cell"))
-    // rank cells per query by centroid distance, keep nProbe
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }.toSeq
-    val spark = queries.sparkSession
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val centDf = centroids.toDF("__cell", "__centroid")
+    (assigned, centroids.toDF("__cell", "__centroid"))
+  }
+
+  /** Probe a prebuilt [[ivfIndex]]: rank cells per query by centroid
+    * cosine, search the nProbe nearest cells only. */
+  def ivfProbe(queries: DataFrame, assigned: DataFrame, centDf: DataFrame,
+      qId: String, qVec: String, k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
       .crossJoin(broadcast(centDf))
       .withColumn("__dist", -graft.functions.GraftFunctions.cosine(
@@ -188,6 +198,18 @@ object SimSearch {
       .select(col("query_id"), col("item_id"), col("cosine"))
     TopK.perGroup(scored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("item_id")), k)
+  }
+
+  /** One-shot IVF ANN: [[ivfIndex]] + [[ivfProbe]] composed (the
+    * registered-query form; production callers split the two and persist
+    * the index across query batches). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nCells: Int, nProbe: Int, seed: Long = 42L,
+      kmeansIter: Int = 3): DataFrame = {
+    val (assigned, centDf) = ivfIndex(corpus, cId, cVec, nCells, seed,
+      kmeansIter)
+    ivfProbe(queries, assigned, centDf, qId, qVec, k, nProbe)
   }
 
   /** LSH-bucketed ANN top-k: query probes only its own signature bucket

@@ -159,6 +159,24 @@ class LlmOpsSpec extends AnyFunSuite {
       ivf.getOrElse(qid, Set.empty).contains(top1) }
     // probing half the cells: expect clearly better than random half
     assert(recalled >= brute.size / 2, s"IVF top-1 recall $recalled/${brute.size}")
+    // index/probe split: a prebuilt (persisted) index probed by two
+    // disjoint query batches gives exactly the one-shot answers — the
+    // fit-once / probe-many lifecycle
+    val (assigned, cents) = SimSearch.ivfIndex(c, "vec_id", "embedding",
+      nCells = 8)
+    assigned.persist(); assigned.count()
+    try {
+      val split = (SimSearch.ivfProbe(q.where($"vec_id" < 10), assigned,
+          cents, "vec_id", "embedding", k = 5, nProbe = 4)
+        .select($"query_id", $"item_id").as[(Long, Long)].collect().toSet
+        ++ SimSearch.ivfProbe(q.where($"vec_id" >= 10), assigned, cents,
+          "vec_id", "embedding", k = 5, nProbe = 4)
+        .select($"query_id", $"item_id").as[(Long, Long)].collect().toSet)
+      val oneShot = SimSearch.ivfTopK(q, c, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, nCells = 8, nProbe = 4)
+        .select($"query_id", $"item_id").as[(Long, Long)].collect().toSet
+      assert(split == oneShot)
+    } finally assigned.unpersist(): Unit
   }
 
   test("embedding cosine pairs are symmetric-free and above threshold") {
