@@ -700,6 +700,26 @@ object SparkEntry {
         md5(col("doc_id").cast("string")).as("pick_key")),
       Seq(col("pick_key"), col("doc_id")), 200)
 
+  /** W8: recency-weighted (EWMA-style) user-activity feature — per user,
+    * per event: the decayed sum of the last 50 event values in time
+    * order ([[Features.decayedSum]], alpha = 0.5 — the decay factor is a
+    * power of two, so each weight multiply is an exact exponent shift and the
+    * engine/oracle folds are bit-identical). One shuffle on the
+    * user key sharing the (ts, event_id) sort with every other per-user
+    * window op; the frame bound (50) caps both state and weight
+    * underflow. No rounding: identical addends folded in identical
+    * order are bit-identical doubles on both engines (the 6-dp round
+    * tried first actually CAUSED mismatches — the two engines disagree
+    * on exact .5 boundaries, which power-of-two weights make common). */
+  private val w8Ewma: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-49, 0)
+    Tables.events(s, dir).where(col("value").isNotNull)
+      .withColumn("__vals", collect_list(col("value")).over(w))
+      .select(col("user_id"), col("event_id"),
+        Features.decayedSum(col("__vals"), 0.5).as("ewma"))
+  }
+
   /** LLM-X11: exact-N PER-GROUP deterministic sample — each source keeps
     * exactly min(N, |source|) docs, picked by md5 hash order, computed
     * with the native k-capped-heap aggregate ([[TopK.perGroupAgg]]): one
@@ -1289,6 +1309,7 @@ object SparkEntry {
     "a14_hll_distinct" -> a14HllDistinct,
     "a15_distinct_exact" -> a15DistinctExact,
     "x11_exact_n_per_group" -> x11ExactNPerGroup,
+    "w8_ewma" -> w8Ewma,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2226,6 +2247,14 @@ object SparkEntry {
     "a15_distinct_exact" ->
       """SELECT source, COUNT(DISTINCT md5(text)) AS n_distinct
         |FROM documents GROUP BY source""".stripMargin,
+    "w8_ewma" ->
+      """SELECT user_id, event_id,
+        |  list_sum(list_transform(generate_series(1, len(vals)),
+        |    j -> vals[len(vals) - j + 1] * power(0.5, j - 1))) AS ewma
+        |FROM (SELECT user_id, event_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM events WHERE value IS NOT NULL)""".stripMargin,
     "x11_exact_n_per_group" ->
       """SELECT source, rank, doc_id FROM (
         |  SELECT source, doc_id,

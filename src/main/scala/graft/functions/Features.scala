@@ -47,4 +47,19 @@ object Features {
     * `generate_training_data.py:55`); null on empty/missing paths (ANSI
     * mode makes plain `element_at` error out instead). */
   def lastCategory(path: Column): Column = try_element_at(path, lit(-1))
+
+  /** Exponentially-decayed sum of a time-ordered value window (newest
+    * last, as `collect_list` over an ordered frame emits): newest value
+    * weighs 1, each step back decays by (1-alpha) — the recency-weighted
+    * user-activity feature behind "recent interest" scores (the
+    * continuous counterpart of the reference's last-50-items history
+    * cap, `behavior_lookup.py:34`). Pure HOF expression tree: reverse →
+    * per-index decay weight → fold; codegen'd, no UDF, and bounded by
+    * the caller's window frame so weights never underflow. */
+  def decayedSum(values: Column, alpha: Double): Column =
+    aggregate(
+      zip_with(reverse(values),
+        sequence(lit(0), size(values) - 1),
+        (v, j) => v * pow(lit(1.0 - alpha), j.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
 }
