@@ -237,6 +237,27 @@ object SparkEntry {
       .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
         round(col("v"), 9).as("mean_v"))
 
+  /** M8 (SURVEY M5): model-artifact introspection — the engine-side twin
+    * of the reference's checkpoint shape/stat dump
+    * (`serve-model/check_model_params.py`): per label class, vector
+    * count, embedding dim, id range and mean L2 norm of the exported
+    * embedding table. One map-side-combined aggregation; norms rounded
+    * after the sum so accumulation order can't flip the hash. */
+  private val m8ParamStats: Q = (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("label"), col("vec_id"),
+        sqrt(aggregate(col("embedding"),
+          lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+          .as("__norm"),
+        size(col("embedding")).as("__dim"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("__dim")).cast("long").as("dim_min"),
+        max(col("__dim")).cast("long").as("dim_max"),
+        min(col("vec_id")).as("id_min"),
+        max(col("vec_id")).as("id_max"),
+        round(avg(col("__norm")), 4).as("avg_norm"))
+
   /** A9: exact interpolated percentiles per group. */
   private val a9Percentiles: Q = (s, dir) =>
     Tables.orders(s, dir)
@@ -1310,6 +1331,7 @@ object SparkEntry {
     "a15_distinct_exact" -> a15DistinctExact,
     "x11_exact_n_per_group" -> x11ExactNPerGroup,
     "w8_ewma" -> w8Ewma,
+    "m8_param_stats" -> m8ParamStats,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2247,6 +2269,14 @@ object SparkEntry {
     "a15_distinct_exact" ->
       """SELECT source, COUNT(DISTINCT md5(text)) AS n_distinct
         |FROM documents GROUP BY source""".stripMargin,
+    "m8_param_stats" ->
+      """SELECT label, count(*) AS n_vectors,
+        |  CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+        |  CAST(max(len(embedding)) AS BIGINT) AS dim_max,
+        |  min(vec_id) AS id_min, max(vec_id) AS id_max,
+        |  round(avg(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+        |FROM embeddings GROUP BY label""".stripMargin,
     "w8_ewma" ->
       """SELECT user_id, event_id,
         |  list_sum(list_transform(generate_series(1, len(vals)),
