@@ -580,6 +580,19 @@ object SparkEntry {
       .select(col("doc_id"))
   }
 
+  /** LLM-T13: canonical text normalization ([[TextFunctions.normalize]])
+    * — the stage every matching-sensitive op (dedup, fingerprint,
+    * contamination) runs first. Narrow codegen'd projection, no
+    * shuffle. */
+  private val t13Normalize: Q = (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextFunctions.bind(TextFunctions.normalize(col("text"))) { n =>
+        struct(n.as("norm_text"),
+          length(col("text")).cast("long").as("n_before"),
+          length(n).cast("long").as("n_after"))
+      }.as("__s"))
+      .select(col("doc_id"), col("__s.*"))
+
   /** LLM-D12: the same new-vs-base exact dedup with a BLOOM prefilter —
     * bloom-negative docs (the vast majority of a fresh snapshot) never
     * touch a join; only bloom positives pay the exact confirm anti-join.
@@ -1332,6 +1345,7 @@ object SparkEntry {
     "x11_exact_n_per_group" -> x11ExactNPerGroup,
     "w8_ewma" -> w8Ewma,
     "m8_param_stats" -> m8ParamStats,
+    "t13_normalize" -> t13Normalize,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2269,6 +2283,15 @@ object SparkEntry {
     "a15_distinct_exact" ->
       """SELECT source, COUNT(DISTINCT md5(text)) AS n_distinct
         |FROM documents GROUP BY source""".stripMargin,
+    "t13_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        |  CAST(length(text) AS BIGINT) AS n_before,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+        |    AS n_after
+        |FROM documents""".stripMargin,
     "m8_param_stats" ->
       """SELECT label, count(*) AS n_vectors,
         |  CAST(min(len(embedding)) AS BIGINT) AS dim_min,

@@ -149,4 +149,14 @@ object TextFunctions {
           sequence(lit(0), size(tk) - n),
           i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
     }
+
+  /** Canonical text normalization — the first stage of every dedup /
+    * fingerprint / tokenize pipeline (matching-sensitive ops want one
+    * canonical form so "Foo,  bar!" and "foo bar" collide): lowercase,
+    * non-alphanumerics → space, whitespace collapsed, trimmed. RE2-safe
+    * character classes; pure codegen'd regexp chain. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+      " +", " "))
 }
