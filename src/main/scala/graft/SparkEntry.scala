@@ -267,6 +267,19 @@ object SparkEntry {
         round(percentile(col("o_totalprice"), lit(0.5)), 6).as("p50"),
         round(percentile(col("o_totalprice"), lit(0.75)), 6).as("p75"))
 
+  /** A16: the sketch twin of [[a9Percentiles]] — `approx_percentile`
+    * (Greenwald-Khanna summaries, map-side merged, bounded memory at any
+    * scale vs exact percentile's per-group value buffer). Estimates
+    * aren't oracle-portable → rows-only; MiscApiSpec pins each estimate
+    * inside the exact p25/p75 span ± the accuracy bound. */
+  private val a16ApproxPercentiles: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(approx_percentile(col("o_totalprice"), lit(0.25), lit(1000)), 6).as("p25"),
+        round(approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)), 6).as("p50"),
+        round(approx_percentile(col("o_totalprice"), lit(0.75), lit(1000)), 6).as("p75"))
+
   /** SO1: union + distinct. */
   private val so1Union: Q = (s, dir) =>
     Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
@@ -1346,6 +1359,7 @@ object SparkEntry {
     "w8_ewma" -> w8Ewma,
     "m8_param_stats" -> m8ParamStats,
     "t13_normalize" -> t13Normalize,
+    "a16_approx_percentiles" -> a16ApproxPercentiles,
   )
 
   // ------------------------------------------------------------ oracle SQL

@@ -133,6 +133,36 @@ class MiscApiSpec extends AnyFunSuite {
       .count() == k)
   }
 
+  test("a16 approx percentiles land within the exact per-group quartile spread") {
+    val approx = SparkEntry.queries("a16_approx_percentiles")(spark, TestSpark.sf)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val exact = SparkEntry.queries("a9_percentiles")(spark, TestSpark.sf)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    exact.foreach { case (g, (p25, p50, p75)) =>
+      val (a25, a50, a75) = approx(g)
+      val tol = (p75 - p25).max(1.0) * 0.10
+      assert(math.abs(a25 - p25) <= tol && math.abs(a50 - p50) <= tol &&
+        math.abs(a75 - p75) <= tol,
+        s"group $g: approx ($a25,$a50,$a75) vs exact ($p25,$p50,$p75)")
+      assert(a25 <= a50 && a50 <= a75, s"group $g: estimates not monotone")
+    }
+  }
+
+  test("normalize and decayedSum match hand-computed values") {
+    val n = Seq(("Foo,  BAR!! baz42\n\ttail  ", "foo bar baz42 tail"),
+      ("", ""), ("...", "")).toDF("in", "expect")
+    assert(n.where(graft.functions.TextFunctions.normalize($"in") =!= $"expect")
+      .count() == 0)
+    // newest-last window [1, 2, 4]: 4*1 + 2*0.5 + 1*0.25 = 5.25
+    val d = Seq(Seq(1.0, 2.0, 4.0)).toDF("vals")
+      .select(graft.functions.Features.decayedSum($"vals", 0.5))
+      .as[Double].head()
+    assert(d == 5.25)
+  }
+
   test("a14 HLL distinct estimates stay within 5x the configured rsd of exact") {
     val approx = SparkEntry.queries("a14_hll_distinct")(spark, TestSpark.sf)
       .as[(String, Long)].collect().toMap
