@@ -630,6 +630,29 @@ object SparkEntry {
       Layout.zValue16(pmod(col("o_custkey"), lit(65536L)),
         pmod(col("o_orderkey"), lit(65536L))).as("zval"))
 
+  /** L2: bucketed co-located join — both sides written once with
+    * [[Layout.writeBucketed]] (same bucket count, join key as bucket
+    * column), then sort-merge-joined with ZERO Exchange on either side:
+    * the join's shuffle is paid at write time and amortized over every
+    * downstream join (OpsSpec asserts the exchange-free plan). The only
+    * shuffle left in this query is the final small `groupBy(segment)`
+    * rollup. Values are identical to the plain join, so the oracle is
+    * the plain join — bucketing may change only the physical layout. */
+  private val l2BucketedJoin: Q = (s, dir) => {
+    Layout.writeBucketed(Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "graft_bkt_orders", "o_custkey", nBuckets = 8)
+    Layout.writeBucketed(Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment")),
+      "graft_bkt_customer", "c_custkey", nBuckets = 8)
+    s.table("graft_bkt_orders")
+      .join(s.table("graft_bkt_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
   /** LLM-T6: PII redaction — deterministic synthetic PII injected on both
     * engine and oracle sides (the fixture corpus has none), then counted
     * and scrubbed with the shared RE2-safe patterns. */
@@ -1353,6 +1376,7 @@ object SparkEntry {
     "w7_topk_agg" -> w7TopkAgg,
     "d12_bloom_incremental" -> d12BloomIncremental,
     "l1_zorder" -> l1Zorder,
+    "l2_bucketed_join" -> l2BucketedJoin,
     "a14_hll_distinct" -> a14HllDistinct,
     "a15_distinct_exact" -> a15DistinctExact,
     "x11_exact_n_per_group" -> x11ExactNPerGroup,
@@ -2339,6 +2363,11 @@ object SparkEntry {
          |SELECT o_orderkey, ${terms.mkString(" | ")} AS zval
          |FROM c""".stripMargin
     },
+    "l2_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "d12_bloom_incremental" ->
       """SELECT doc_id FROM documents d
         |WHERE doc_id % 5 = 0 AND NOT EXISTS (

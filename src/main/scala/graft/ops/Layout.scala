@@ -39,4 +39,41 @@ object Layout {
     val z = zValue16(x, y)
     df.repartitionByRange(numPartitions, z).sortWithinPartitions(z)
   }
+
+  /** Bucketed (pre-shuffled) table write — the storage-layout half of a
+    * co-located join. Rows are hash-assigned to `nBuckets` buckets on
+    * `bucketCol` (Spark's bucket id = pmod(murmur3(col), n), the same
+    * hash family `repartition` uses — which is why the explicit
+    * `repartition` below aligns one in-memory partition per bucket and
+    * each task writes exactly one bucket file) and sorted by `bucketCol`
+    * within each bucket.
+    *
+    * Why it matters at 100 TB: two fact tables bucketed the same way on
+    * their join key sort-merge-join with ZERO Exchange on either side —
+    * the dominant cost of a big join (shuffling both inputs over the
+    * network) is paid once at write time and amortized over every
+    * subsequent join, and the single-file-per-bucket layout lets the
+    * reader trust the on-disk sort so no per-task sort is needed either
+    * (sorted-scan reporting is opt-in since Spark 3.0 via
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` because it is
+    * only safe with ≤1 file per bucket — the invariant the pre-write
+    * `repartition` here guarantees). The same bucket metadata serves
+    * `groupBy(bucketCol)` aggregations shuffle-free.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // make the write idempotent across JVMs: a managed-table dir left by
+    // a PREVIOUS session is invisible to this session's in-memory
+    // catalog, and CREATE refuses a location that already exists
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.repartition(nBuckets, df(bucketCol))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+  }
 }

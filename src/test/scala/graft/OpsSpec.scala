@@ -165,4 +165,48 @@ class OpsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("bucketed tables sort-merge join with zero exchanges (L2)") {
+    val orders = Tables.orders(spark, TestSpark.sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val customer = Tables.customer(spark, TestSpark.sf)
+      .select($"c_custkey", $"c_mktsegment")
+    Layout.writeBucketed(orders, "graft_bkt_spec_o", "o_custkey", 4)
+    Layout.writeBucketed(customer, "graft_bkt_spec_c", "c_custkey", 4)
+    // disable broadcast so the fixture-sized dim can't sidestep the claim:
+    // the join must be a sort-merge over co-located bucket files
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedOrd = spark.conf
+      .get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // sorted-scan reporting is opt-in since 3.0 because it is only safe
+      // with ≤1 file per bucket — exactly the layout writeBucketed's
+      // pre-repartition guarantees, so the flag's precondition holds
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        "true")
+      val j = spark.table("graft_bkt_spec_o")
+        .join(spark.table("graft_bkt_spec_c"), $"o_custkey" === $"c_custkey")
+      j.count() // execute so AQE finalizes the physical plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected exchange-free join:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      // one file per bucket (writeBucketed repartitions first), so the
+      // on-disk sortBy order is trusted and no per-task sort is planned
+      assert(!plan.contains("Sort "), s"expected sort-free join:\n$plan")
+      // layout must not change values: equal to the plain parquet join
+      val got = j.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("rev"))
+        .as[(String, Long, Double)].collect().toSet
+      val plain = orders.join(customer, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("rev"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(got == plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        savedOrd)
+    }
+  }
 }
