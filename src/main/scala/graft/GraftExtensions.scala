@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, MinHashSig, MinHashSigMd5, TopKLargest}
+import graft.functions.{CmsEstimate, CosineSim, DotProduct, MinHashSig, MinHashSigMd5, TopKLargest}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
@@ -68,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_topk expects (expr, int literal), got ${other.size} args")
       }))
+    ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
+      info("graft_cms_estimate",
+        "graft_cms_estimate(sketch, item) - estimated count of item in a count_min_sketch binary"),
+      binary("graft_cms_estimate", CmsEstimate)))
     // composed-expression function (a Column tree, not a single native
     // node): wrap the argument as a Column, build the tree, unwrap — the
     // result is still plain Catalyst, so codegen inlines it like the rest

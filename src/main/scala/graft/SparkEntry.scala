@@ -1,7 +1,7 @@
 package graft
 
 import graft.evalx.Metrics
-import graft.functions.{Features, TextFunctions, VectorOps}
+import graft.functions.{Features, SketchFunctions, TextFunctions, VectorOps}
 import graft.llmops.{Dedup, SimSearch, TextAnalysis}
 import graft.ops.{AsOf, DictIndex, Graph, Layout, PrefixWindow, Sampling, TopK}
 import graft.recall.{Cascade, NeuralForward, NeuralOracle}
@@ -605,6 +605,35 @@ object SparkEntry {
           length(n).cast("long").as("n_after"))
       }.as("__s"))
       .select(col("doc_id"), col("__s.*"))
+
+  /** LLM-T15 (exact twin of t14): exact top-30 corpus tokens — the
+    * ground truth the sketch estimates are judged against. */
+  private val t15HeavyHittersExact: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token")).limit(30)
+
+  /** LLM-T14: heavy-hitter tokens via a count-min sketch
+    * ([[graft.functions.CmsEstimate]] is the probe half; the build half
+    * is Spark's one-pass `count_min_sketch` aggregate, ~100 KB at ANY
+    * corpus size, map-side merged). Output: top-30 exact tokens with the
+    * sketch's estimate alongside — `n_est ≥ n_exact` always, and within
+    * eps·N w.h.p. (SketchSpec pins both bounds). Rows-only: CMS hashing
+    * isn't oracle-portable; the (token, n_exact) projection is pinned by
+    * the t15 twin. At 100 TB the exact-count pass here is what the
+    * sketch REPLACES — candidates come from a sample or per-partition
+    * heavy hitters, then one broadcast KB answers every probe; the
+    * fixture keeps the exact pass so the contract stays checkable. */
+  private val t14CmsHeavyHitters: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val sketch = toks.agg(count_min_sketch(col("token"),
+      lit(0.001), lit(0.99), lit(42)).as("__sk"))
+    t15HeavyHittersExact(s, dir).crossJoin(broadcast(sketch))
+      .select(col("token"), col("n_exact"),
+        SketchFunctions.cmsEstimate(col("__sk"), col("token")).as("n_est"))
+  }
 
   /** LLM-D12: the same new-vs-base exact dedup with a BLOOM prefilter —
     * bloom-negative docs (the vast majority of a fresh snapshot) never
@@ -1383,6 +1412,8 @@ object SparkEntry {
     "w8_ewma" -> w8Ewma,
     "m8_param_stats" -> m8ParamStats,
     "t13_normalize" -> t13Normalize,
+    "t14_cms_heavy_hitters" -> t14CmsHeavyHitters,
+    "t15_heavy_hitters_exact" -> t15HeavyHittersExact,
     "a16_approx_percentiles" -> a16ApproxPercentiles,
   )
 
@@ -2330,6 +2361,14 @@ object SparkEntry {
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT)
         |    AS n_after
         |FROM documents""".stripMargin,
+    "t15_heavy_hitters_exact" ->
+      """WITH tk AS (SELECT list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t FROM documents),
+        |c AS (SELECT token, count(*) AS n_exact
+        |  FROM (SELECT unnest(t) AS token FROM tk) GROUP BY token)
+        |SELECT token, n_exact FROM c
+        |ORDER BY n_exact DESC, token LIMIT 30""".stripMargin,
     "m8_param_stats" ->
       """SELECT label, count(*) AS n_vectors,
         |  CAST(min(len(embedding)) AS BIGINT) AS dim_min,

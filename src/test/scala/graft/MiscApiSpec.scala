@@ -163,6 +163,33 @@ class MiscApiSpec extends AnyFunSuite {
     assert(d == 5.25)
   }
 
+  test("t14 count-min estimates: one-sided error within eps*N") {
+    import spark.implicits._
+    val toks = Tables.documents(spark, TestSpark.sf)
+      .select(explode(TextFunctions.tokens($"text")).as("token"))
+    val n = toks.count()
+    val bound = math.ceil(0.001 * n).toLong
+    val sketch = toks.agg(count_min_sketch($"token",
+      lit(0.001), lit(0.99), lit(42)).as("sk"))
+    // probe EVERY distinct token, not just the query's top-30: the CMS
+    // guarantee (est ≥ exact, est ≤ exact + eps·N w.h.p.) is per-item
+    val probed = toks.groupBy($"token").agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(sketch))
+      .select($"token", $"n_exact",
+        graft.functions.SketchFunctions.cmsEstimate($"sk", $"token")
+          .as("n_est"))
+      .as[(String, Long, Long)].collect()
+    assert(probed.length > 20) // sf0.001 synthetic vocab is ~30 tokens
+    probed.foreach { case (t, ex, est) =>
+      assert(est >= ex, s"CMS underestimated '$t': $est < $ex")
+      assert(est <= ex + bound, s"'$t' beyond eps*N: $est > $ex + $bound")
+    }
+    // an unseen item can only collide, never inherit real mass beyond eps*N
+    val unseen = sketch.select(graft.functions.SketchFunctions
+      .cmsEstimate($"sk", lit("zzznever_a_token"))).as[Long].head()
+    assert(unseen <= bound)
+  }
+
   test("a14 HLL distinct estimates stay within 5x the configured rsd of exact") {
     val approx = SparkEntry.queries("a14_hll_distinct")(spark, TestSpark.sf)
       .as[(String, Long)].collect().toMap
