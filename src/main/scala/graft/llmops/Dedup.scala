@@ -233,6 +233,14 @@ object Dedup {
     * no broadcast, so both sides scale freely — with hot boilerplate
     * buckets capped per side by the same spillable window count.
     * Returns distinct (doc_new, doc_base, est_jaccard) ≥ `minJaccard`. */
+  /** Portable band-bucket key for signature positions
+    * [band·rows, (band+1)·rows): the one expression the batch cross-set
+    * join and the streaming claim processor
+    * ([[graft.streaming.StreamingDedup]]) must share — equal keys are
+    * what makes a stream's match set line up with the batch twin's. */
+  def bandKeyPortable(sig: Column, band: Int, rows: Int): Column =
+    md5(concat_ws("|", slice(sig, band * rows + 1, rows)))
+
   def minHashMatchesAgainst(incoming: DataFrame, base: DataFrame,
       id: String, text: String, shingleN: Int, numHashes: Int, bands: Int,
       minJaccard: Double, maxBucket: Int = 200): DataFrame = {
@@ -247,8 +255,7 @@ object Dedup {
       sig.select(col(docCol), col(sigCol),
           explode(array((0 until bands).map(b =>
             struct(lit(b).as("band"),
-              md5(concat_ws("|", slice(col(sigCol), b * rows + 1, rows)))
-                .as("key"))): _*)).as("bk"))
+              bandKeyPortable(col(sigCol), b, rows).as("key"))): _*)).as("bk"))
         .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("bk"))))
         .where(col("__bc") <= maxBucket).drop("__bc")
     }

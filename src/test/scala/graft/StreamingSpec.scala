@@ -186,6 +186,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup (state-v2) matches the batch incremental dedup") {
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = Tables.documents(spark, TestSpark.sf)
+        .select($"doc_id".cast("long"), $"text").as[(Long, String)].collect()
+      val base = docs.filter(_._1 % 2 == 0)
+      val incoming = docs.filter(_._1 % 2 == 1)
+      val mem = MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamingDedup.nearDups(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.2,
+        maxClaimants = 100000)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("sdedup").start()
+      mem.addData(base: _*); q.processAllAvailable()
+      mem.addData(incoming: _*); q.processAllAvailable()
+      q.stop()
+      val baseIds = base.map(_._1).toSet
+      val newIds = incoming.map(_._1).toSet
+      // batch-2 docs matched against batch-1 claims; intra-batch matches
+      // (new×new, base×base) are out of the cross-set twin's scope
+      val got = spark.table("sdedup").as[(Long, Long, Double)].collect()
+        .toSet.filter(t => newIds(t._1) && baseIds(t._2))
+      val expect = graft.llmops.Dedup.minHashMatchesAgainst(
+        Tables.documents(spark, TestSpark.sf).where($"doc_id" % 2 === 1),
+        Tables.documents(spark, TestSpark.sf).where($"doc_id" % 2 === 0),
+        "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
+        minJaccard = 0.2, maxBucket = 100000)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(expect.nonEmpty, "fixture produced no cross-side near-dups")
+      assert(got == expect,
+        s"stream ${got.size} pairs vs batch ${expect.size}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("kafkaSink wires the producer format, topic and payload contract (S4)") {
     val parsed = BehaviorIngest.parse(msgs.toDF("value"))
     // payload contract: key = user id, value = JSON of the full record
