@@ -606,6 +606,17 @@ object SparkEntry {
       }.as("__s"))
       .select(col("doc_id"), col("__s.*"))
 
+  /** LLM-T16: winnowing fingerprint overlap — position-robust LOCAL
+    * overlap pairs (MOSS algorithm; [[TextAnalysis.winnowFingerprints]]):
+    * docs sharing ≥ 2 winnowed fingerprints, the copied-boilerplate /
+    * quoted-passage detector that complements MinHash's global
+    * resemblance (d2/d5). Oracle replicates the full pipeline —
+    * shingle md5s, per-window minima, hot-fingerprint cap, pair
+    * counts — in SQL. */
+  private val t16Winnowing: Q = (s, dir) =>
+    TextAnalysis.winnowOverlapPairs(Tables.documents(s, dir), "doc_id",
+      "text", k = 3, w = 4, minShared = 2, maxBucket = 1000)
+
   /** LLM-T15 (exact twin of t14): exact top-30 corpus tokens — the
     * ground truth the sketch estimates are judged against. */
   private val t15HeavyHittersExact: Q = (s, dir) =>
@@ -1414,6 +1425,7 @@ object SparkEntry {
     "t13_normalize" -> t13Normalize,
     "t14_cms_heavy_hitters" -> t14CmsHeavyHitters,
     "t15_heavy_hitters_exact" -> t15HeavyHittersExact,
+    "t16_winnowing" -> t16Winnowing,
     "a16_approx_percentiles" -> a16ApproxPercentiles,
   )
 
@@ -2361,6 +2373,29 @@ object SparkEntry {
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT)
         |    AS n_after
         |FROM documents""".stripMargin,
+    "t16_winnowing" ->
+      """WITH tk AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) < 3
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(range(1, len(t) - 1),
+        |      i -> md5(array_to_string(list_slice(t, i, i + 2), ' ')))
+        |    END AS hs FROM tk),
+        |win AS (SELECT doc_id, CASE
+        |    WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+        |    WHEN len(hs) < 4 THEN [list_aggregate(hs, 'min')]
+        |    ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+        |      i -> list_aggregate(list_slice(hs, i, i + 3), 'min')))
+        |    END AS fps FROM sh),
+        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM win),
+        |cap AS (SELECT doc_id, fp FROM (SELECT doc_id, fp,
+        |    count(*) OVER (PARTITION BY fp) AS bc FROM fp)
+        |  WHERE bc <= 1000)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS n_shared
+        |FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "t15_heavy_hitters_exact" ->
       """WITH tk AS (SELECT list_filter(
         |    string_split_regex(lower(text), '\s+'),

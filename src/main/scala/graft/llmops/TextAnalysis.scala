@@ -1,7 +1,7 @@
 package graft.llmops
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document-level text analysis for corpus curation (charter extension):
@@ -201,6 +201,55 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair")).limit(topK)
     top.withColumn("rank",
       row_number().over(Window.orderBy(col("n").desc, col("pair"))).cast("long"))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every k-token shingle, slide a window of
+    * `w` consecutive hashes, keep each window's minimum. Guarantee: any
+    * shared run of ≥ w+k-1 tokens between two documents yields at least
+    * one shared fingerprint, while only ~2/(w+1) of all shingle hashes
+    * are kept — position-robust LOCAL overlap detection (quotes, licence
+    * boilerplate, copied paragraphs) where MinHash measures global
+    * set resemblance. Pure codegen HOFs (transform/slice/array_min), no
+    * shuffle, no UDF; md5 shingle hashes keep the column
+    * oracle-portable. Docs shorter than one window keep the single
+    * global minimum; docs with < k tokens have no fingerprints. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    TextFunctions.bind(
+        transform(TextFunctions.shingles(text, k), s => md5(s))) { hs =>
+      when(size(hs) === 0, array().cast("array<string>"))
+        .when(size(hs) < w, array(array_min(hs)))
+        .otherwise(array_distinct(
+          transform(sequence(lit(1), size(hs) - w + 1),
+            i => array_min(slice(hs, i, lit(w))))))
+    }
+
+  /** Fingerprint-overlap pairs: docs sharing ≥ `minShared` winnowed
+    * fingerprints, by the same inverted-index shape as
+    * [[Dedup.ngramJaccardPairs]] — explode (doc, fp), cap hot
+    * fingerprints with a spillable window count BEFORE the non-spillable
+    * collect, generate i<j pairs bucket-locally, count per pair. Shuffle
+    * keys are 32-char md5 strings; candidate cost is O(cap × rows), not
+    * O(n²). */
+  def winnowOverlapPairs(docs: DataFrame, id: String, text: String,
+      k: Int, w: Int, minShared: Long, maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = docs.select(col(id).as("doc"),
+      explode(winnowFingerprints(col(text), k, w)).as("fp"))
+    val members = fps
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .where(col("__bc") <= maxBucket)
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc"))).as("ms"))
+      .where(size(col("ms")) >= 2)
+    members.select(explode(flatten(
+        transform(sequence(lit(0), size(col("ms")) - 2), i =>
+          transform(sequence(i + 1, size(col("ms")) - 1), j =>
+            struct(element_at(col("ms"), i + 1).as("doc_a"),
+              element_at(col("ms"), j + 1).as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
   }
 
   /** Per-doc analysis record: token counts, quality, lang guess,

@@ -163,6 +163,32 @@ class MiscApiSpec extends AnyFunSuite {
     assert(d == 5.25)
   }
 
+  test("t16 winnowing guarantee: shared run of w+k-1 tokens shares a fingerprint") {
+    import spark.implicits._
+    import graft.llmops.TextAnalysis
+    // k=3, w=4: any shared run of w+k-1 = 6 tokens contains one full
+    // window of 4 shingle hashes in BOTH docs, whose min both select
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight nine ten $shared eleven"),
+      (3L, "totally different words only here now")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id",
+        explode(TextAnalysis.winnowFingerprints($"text", 3, 4)).as("fp"))
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "guaranteed shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // fingerprints are a strict subset of the shingle hashes (compression)
+    assert(fps(1L).size < df.where($"doc_id" === 1)
+      .select(size(graft.functions.TextFunctions.shingles($"text", 3)))
+      .as[Int].head())
+    val pairs = TextAnalysis.winnowOverlapPairs(df, "doc_id", "text",
+        k = 3, w = 4, minShared = 1)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("t14 count-min estimates: one-sided error within eps*N") {
     import spark.implicits._
     val toks = Tables.documents(spark, TestSpark.sf)
