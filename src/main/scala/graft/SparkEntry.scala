@@ -898,6 +898,28 @@ object SparkEntry {
 
   /** LLM-V2: per-vector affine int8 quantization + max reconstruction
     * error (the 4× storage-reduction path for 100 TB embedding tables). */
+  /** V3: product quantization — codes + total squared quantization error
+    * per vector ([[VectorOps.pqAssign]]; m=4 subspaces × 16 dims, k=4
+    * centroids). The query's codebooks are data-derived literals (the
+    * first 4 corpus vectors in md5 order — same determinism trick as
+    * sim5's literal centroids) so the oracle can rebuild the identical
+    * codebooks in SQL; the production path fits real codebooks once via
+    * [[VectorOps.pqTrain]] (MiscApiSpec covers it). */
+  private val v3PqEncode: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val full: Seq[Seq[Double]] = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(4).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val cb: Seq[Seq[Seq[Double]]] =
+      (0 until 4).map(sub => full.map(_.slice(sub * 16, sub * 16 + 16)))
+    val assigned = VectorOps.pqAssign(col("embedding"), cb)
+    emb.select(col("vec_id"), assigned.as("__a"))
+      .select(col("vec_id"),
+        VectorOps.pqCodes(col("__a")).as("codes"),
+        VectorOps.pqSqError(col("__a")).as("sq_err"))
+  }
+
   private val v2QuantizeEmb: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val q = VectorOps.quantizeInt8(col("embedding"))
@@ -1386,6 +1408,7 @@ object SparkEntry {
     "x9_exact_n" -> x9ExactN,
     "x10_token_budget" -> x10TokenBudget,
     "v2_quantize_emb" -> v2QuantizeEmb,
+    "v3_pq_encode" -> v3PqEncode,
     "d2_minhash_pairs" -> d2MinHashPairs,
     "sim2_lsh_topk" -> sim2LshTopk,
     "sim4_lsh_portable" -> sim4LshPortable,
@@ -2118,6 +2141,23 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang FROM documents d JOIN rates USING (lang)
         |WHERE r >= 1.0 OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
         |  < printf('%04x', CAST(floor(r * 65536) AS INT))""".stripMargin,
+    "v3_pq_encode" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cb AS (SELECT cidx, cv FROM (SELECT
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |      vec_id) - 1 AS cidx, v AS cv FROM e) WHERE cidx < 4),
+        |d AS (SELECT e.vec_id, s.sub, cb.cidx,
+        |    round(list_sum(list_transform(range(1, 17), j ->
+        |      (v[s.sub * 16 + j] - cv[s.sub * 16 + j])
+        |      * (v[s.sub * 16 + j] - cv[s.sub * 16 + j]))), 6) AS dist
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |  CROSS JOIN cb),
+        |pick AS (SELECT vec_id, sub, cidx, dist, row_number() OVER (
+        |    PARTITION BY vec_id, sub ORDER BY dist, cidx) AS rn FROM d)
+        |SELECT vec_id, list(cidx ORDER BY sub) AS codes,
+        |  round(sum(dist), 6) AS sq_err
+        |FROM pick WHERE rn = 1 GROUP BY vec_id""".stripMargin,
     "v2_quantize_emb" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -56,6 +56,86 @@ object VectorOps {
     transform(q.getField("codes"),
       c => c * q.getField("scale") + q.getField("mn"))
 
+  /** Product-quantization assignment (Jégou, Douze & Schmid, TPAMI 2011
+    * — the IVF-PQ storage layout every billion-vector ANN system uses):
+    * the vector is split into `codebooks.size` contiguous subvectors;
+    * each is assigned its nearest codebook centroid by squared L2.
+    * Returns `array<struct<cidx: long, d: double>>` (per-subspace chosen
+    * centroid + its squared distance); [[pqCodes]] / [[pqSqError]]
+    * project codes and total quantization error, [[pqDecode]] rebuilds
+    * the approximation.
+    *
+    * Why it matters at 100 TB: m codebooks of k ≤ 256 centroids turn a
+    * 4·d-byte float vector into m bytes (64-dim float → 8 bytes = 32×),
+    * so a trillion-vector table's codes fit where its floats never
+    * would, and asymmetric-distance scans read codes only. Codebooks are
+    * fit once on a sample and inlined as LITERALS — the whole encode is
+    * a codegen'd expression tree (argmin = `array_sort` over
+    * (distance, cidx) structs, first element), zero shuffle, zero UDF.
+    *
+    * Distances are rounded to 6 dp BEFORE the argmin (tie-break on
+    * cidx), so the assignment is reproducible bit-exactly in any engine
+    * — same contract as the rounded-score ranking in
+    * [[graft.llmops.TextAnalysis.tfidfKeywords]]. */
+  def pqAssign(x: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val subDim = codebooks.head.head.length
+    val v = x.cast("array<double>")
+    array(codebooks.zipWithIndex.map { case (cents, s) =>
+      val sub = slice(v, s * subDim + 1, subDim)
+      val ranked = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(
+          round(aggregate(
+            zip_with(sub, array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, e) => acc + e), 6).as("d"),
+          lit(i.toLong).as("cidx"))
+      }: _*))
+      struct(
+        element_at(ranked, 1).getField("cidx").as("cidx"),
+        element_at(ranked, 1).getField("d").as("d"))
+    }: _*)
+  }
+
+  /** Per-subspace centroid ids from [[pqAssign]] — the stored codes. */
+  def pqCodes(assigned: Column): Column =
+    transform(assigned, a => a.getField("cidx"))
+
+  /** Total squared quantization error (sum of the per-subspace rounded
+    * distances), rounded to 6 dp. */
+  def pqSqError(assigned: Column): Column =
+    round(aggregate(transform(assigned, a => a.getField("d")),
+      lit(0.0), (acc, e) => acc + e), 6)
+
+  /** Reconstruct the PQ approximation: concatenate the chosen centroids. */
+  def pqDecode(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    flatten(array(codebooks.zipWithIndex.map { case (cents, s) =>
+      element_at(
+        array(cents.map(c => array(c.map(lit): _*)): _*),
+        element_at(codes, s + 1).cast("int") + 1)
+    }: _*))
+
+  /** Fit PQ codebooks: per-subspace k-means over the sliced corpus (same
+    * fit-once posture as [[graft.llmops.SimSearch.ivfIndex]] — m small
+    * models trained on a sample, then broadcast as literals into
+    * [[pqAssign]]'s expression tree; the corpus-sized encode pass never
+    * shuffles). */
+  def pqTrain(embs: DataFrame, vec: String, dim: Int, m: Int, k: Int,
+      seed: Long = 42L, iters: Int = 3): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    require(k >= 2, s"MLlib KMeans needs k >= 2, got $k (for a k=1 " +
+      "codebook use the per-subspace mean directly)")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      val sub = embs.select(array_to_vector(
+        slice(col(vec).cast("array<double>"), s * subDim + 1, subDim))
+        .as("__v"))
+      new KMeans().setK(k).setSeed(seed + s).setMaxIter(iters)
+        .setInitMode("random").setFeaturesCol("__v")
+        .fit(sub).clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+  }
+
   /** Group-wise mean-pool of a vector column: posexplode → per-dimension
     * avg → reassemble. One shuffle on (groupCols, dim) then one on
     * groupCols; at scale this beats collecting whole vectors per group

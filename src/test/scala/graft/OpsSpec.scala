@@ -166,6 +166,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ: known assignments, decode round-trip, trained codebooks beat k=1") {
+    import graft.functions.VectorOps
+    // 4-dim vectors, m=2 subspaces × 2 dims, k=2 centroids per subspace
+    val cb = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)), // subspace 0
+      Seq(Seq(0.0, 1.0), Seq(1.0, 0.0))) // subspace 1
+    val df = Seq(
+      (1L, Seq(0.1, 0.1, 0.9, 0.1)), // → codes (0, 1)
+      (2L, Seq(0.9, 0.8, 0.1, 0.9))) // → codes (1, 0)
+      .toDF("id", "v")
+    val a = VectorOps.pqAssign($"v", cb)
+    val got = df.select($"id", VectorOps.pqCodes(a).as("c"),
+        VectorOps.pqSqError(a).as("e"),
+        VectorOps.pqDecode(VectorOps.pqCodes(a), cb).as("r"))
+      .as[(Long, Seq[Long], Double, Seq[Double])].collect().sortBy(_._1)
+    assert(got(0)._2 == Seq(0L, 1L) && got(1)._2 == Seq(1L, 0L))
+    assert(got(0)._4 == Seq(0.0, 0.0, 1.0, 0.0))
+    // v1: sub0 → (0,0) at 0.01+0.01; sub1 (0.9,0.1) → (1,0) at 0.01+0.01
+    assert(math.abs(got(0)._3 - 0.04) < 1e-9)
+    // trained k=4 codebooks reduce quantization error vs the optimal
+    // single centroid (k=1 k-means = the subspace mean)
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val trained = VectorOps.pqTrain(emb, "embedding", dim = 64, m = 4, k = 4)
+    assert(trained.length == 4 && trained.forall(_.length == 4) &&
+      trained.forall(_.forall(_.length == 16)))
+    val meanVec = emb.select(posexplode($"embedding".cast("array<double>"))
+        .as(Seq("p", "v")))
+      .groupBy($"p").agg(avg($"v").as("m")).orderBy($"p")
+      .select($"m").as[Double].collect().toSeq
+    val mean1 = (0 until 4).map(s => Seq(meanVec.slice(s * 16, s * 16 + 16)))
+    def totalErr(c: Seq[Seq[Seq[Double]]]): Double = emb.select(
+        VectorOps.pqSqError(VectorOps.pqAssign($"embedding", c)))
+      .as[Double].collect().sum
+    assert(totalErr(trained) < totalErr(mean1))
+  }
+
   test("bucketed tables sort-merge join with zero exchanges (L2)") {
     val orders = Tables.orders(spark, TestSpark.sf)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")

@@ -23,7 +23,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].map(lambda v: isinstance(v, (list, tuple)) or
                      (hasattr(v, "__len__") and not isinstance(v, str) and not isinstance(v, bytes)),
                      na_action="ignore").any():
-            df[c] = df[c].map(lambda v: json.dumps(list(v)) if v is not None and not isinstance(v, (str, bytes, float, int)) else v)
+            # default=: numpy scalars (e.g. int64 list elements) are not
+            # JSON serializable natively — unwrap via .item()
+            df[c] = df[c].map(lambda v: json.dumps(list(v), default=lambda o: o.item() if hasattr(o, "item") else str(o)) if v is not None and not isinstance(v, (str, bytes, float, int)) else v)
     # sort by non-float columns first: if a float column led the sort key, a
     # sub-tolerance rounding difference between engines could reorder rows
     # and misalign the positional comparison
