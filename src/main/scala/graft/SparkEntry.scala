@@ -898,6 +898,37 @@ object SparkEntry {
 
   /** LLM-V2: per-vector affine int8 quantization + max reconstruction
     * error (the 4× storage-reduction path for 100 TB embedding tables). */
+  /** SIM6: PQ asymmetric-distance top-k (the IVF-PQ scan): corpus stored
+    * as 4-byte PQ codes, each query builds a 4×4 lookup table of
+    * subspace distances once ([[VectorOps.pqAdcLut]]), and ranking reads
+    * codes only — at 100 TB the scan touches m bytes per item instead of
+    * 4·d, and the query batch broadcasts. Codebooks are the same
+    * data-derived literals as v3 (corpus side), so the oracle rebuilds
+    * the whole pipeline — codes, LUTs, summed lookups, rank — in SQL. */
+  private val sim6PqAdc: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.where(col("vec_id") >= 10)
+    val full: Seq[Seq[Double]] = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(4).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val cb: Seq[Seq[Seq[Double]]] =
+      (0 until 4).map(sub => full.map(_.slice(sub * 16, sub * 16 + 16)))
+    val codes = corpus.select(col("vec_id").as("item_id"),
+      VectorOps.pqCodes(VectorOps.pqAssign(col("embedding"), cb))
+        .as("__codes"))
+    val luts = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        VectorOps.pqAdcLut(col("embedding"), cb).as("__lut"))
+    val scored = codes.crossJoin(broadcast(luts))
+      .select(col("query_id"), col("item_id"),
+        VectorOps.pqAdcDist(col("__lut"), col("__codes")).as("adc_dist"))
+    TopK.perGroup(scored, Seq(col("query_id")),
+        Seq(col("adc_dist").asc, col("item_id")), 5)
+      .select(col("query_id"), col("item_id"), col("adc_dist"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** V3: product quantization — codes + total squared quantization error
     * per vector ([[VectorOps.pqAssign]]; m=4 subspaces × 16 dims, k=4
     * centroids). The query's codebooks are data-derived literals (the
@@ -1409,6 +1440,7 @@ object SparkEntry {
     "x10_token_budget" -> x10TokenBudget,
     "v2_quantize_emb" -> v2QuantizeEmb,
     "v3_pq_encode" -> v3PqEncode,
+    "sim6_pq_adc" -> sim6PqAdc,
     "d2_minhash_pairs" -> d2MinHashPairs,
     "sim2_lsh_topk" -> sim2LshTopk,
     "sim4_lsh_portable" -> sim4LshPortable,
@@ -2141,6 +2173,38 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang FROM documents d JOIN rates USING (lang)
         |WHERE r >= 1.0 OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
         |  < printf('%04x', CAST(floor(r * 65536) AS INT))""".stripMargin,
+    "sim6_pq_adc" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |cb AS (SELECT cidx, cv FROM (SELECT
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |      vec_id) - 1 AS cidx, v AS cv FROM c) WHERE cidx < 4),
+        |subs AS (SELECT unnest(range(0, 4)) AS sub),
+        |cd AS (SELECT c.vec_id, subs.sub, cb.cidx,
+        |    round(list_sum(list_transform(range(1, 17), j ->
+        |      (c.v[subs.sub * 16 + j] - cv[subs.sub * 16 + j])
+        |      * (c.v[subs.sub * 16 + j] - cv[subs.sub * 16 + j]))), 6)
+        |      AS dist
+        |  FROM c CROSS JOIN subs CROSS JOIN cb),
+        |pick AS (SELECT vec_id, sub, cidx FROM (SELECT vec_id, sub, cidx,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY dist, cidx) AS rn FROM cd) WHERE rn = 1),
+        |qd AS (SELECT q.vec_id, subs.sub, cb.cidx,
+        |    round(list_sum(list_transform(range(1, 17), j ->
+        |      (q.v[subs.sub * 16 + j] - cv[subs.sub * 16 + j])
+        |      * (q.v[subs.sub * 16 + j] - cv[subs.sub * 16 + j]))), 6)
+        |      AS dist
+        |  FROM q CROSS JOIN subs CROSS JOIN cb),
+        |sc AS (SELECT qd.vec_id AS query_id, p.vec_id AS item_id,
+        |    round(sum(qd.dist), 6) AS adc_dist
+        |  FROM pick p JOIN qd ON qd.sub = p.sub AND qd.cidx = p.cidx
+        |  GROUP BY 1, 2)
+        |SELECT query_id, item_id, adc_dist, rank FROM (SELECT query_id,
+        |    item_id, adc_dist, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist, item_id) AS rank FROM sc)
+        |WHERE rank <= 5""".stripMargin,
     "v3_pq_encode" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),

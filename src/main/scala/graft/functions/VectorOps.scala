@@ -113,6 +113,31 @@ object VectorOps {
         element_at(codes, s + 1).cast("int") + 1)
     }: _*))
 
+  /** Per-query ADC lookup table (asymmetric distance computation — the
+    * scan half of IVF-PQ): `lut[s][c]` = squared L2 distance from the
+    * query's subspace-s subvector to centroid c, each rounded to 6 dp
+    * (the same cross-engine contract as [[pqAssign]]). An item's
+    * approximate distance is then `Σ_s lut[s][codes[s]]` — table
+    * lookups over the m-byte codes, never touching item floats. */
+  def pqAdcLut(q: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val subDim = codebooks.head.head.length
+    val v = q.cast("array<double>")
+    array(codebooks.zipWithIndex.map { case (cents, s) =>
+      val sub = slice(v, s * subDim + 1, subDim)
+      array(cents.map(c =>
+        round(aggregate(
+          zip_with(sub, array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, e) => acc + e), 6)): _*)
+    }: _*)
+  }
+
+  /** Approximate squared distance from a [[pqAdcLut]] table and a
+    * [[pqCodes]] array: sum of per-subspace lookups, rounded to 6 dp. */
+  def pqAdcDist(lut: Column, codes: Column): Column =
+    round(aggregate(
+      zip_with(codes, lut, (c, row) => element_at(row, c.cast("int") + 1)),
+      lit(0.0), (acc, e) => acc + e), 6)
+
   /** Fit PQ codebooks: per-subspace k-means over the sliced corpus (same
     * fit-once posture as [[graft.llmops.SimSearch.ivfIndex]] — m small
     * models trained on a sample, then broadcast as literals into

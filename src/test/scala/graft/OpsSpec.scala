@@ -185,6 +185,14 @@ class OpsSpec extends AnyFunSuite {
     assert(got(0)._4 == Seq(0.0, 0.0, 1.0, 0.0))
     // v1: sub0 → (0,0) at 0.01+0.01; sub1 (0.9,0.1) → (1,0) at 0.01+0.01
     assert(math.abs(got(0)._3 - 0.04) < 1e-9)
+    // ADC identity: Σ_s lut[s][code_s] = squared distance to the decoded
+    // vector — q=(0.2,0,0.5,0.5) vs item 1's decode (0,0,1,0) → 0.54
+    val adc = df.where($"id" === 1)
+      .select(VectorOps.pqAdcDist(
+        VectorOps.pqAdcLut(typedLit(Seq(0.2, 0.0, 0.5, 0.5)), cb),
+        VectorOps.pqCodes(a)))
+      .as[Double].head()
+    assert(math.abs(adc - 0.54) < 1e-9)
     // trained k=4 codebooks reduce quantization error vs the optimal
     // single centroid (k=1 k-means = the subspace mean)
     val emb = Tables.embeddings(spark, TestSpark.sf)
