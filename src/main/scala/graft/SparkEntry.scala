@@ -4,7 +4,7 @@ import graft.evalx.Metrics
 import graft.functions.{Features, SketchFunctions, TextFunctions, VectorOps}
 import graft.llmops.{Dedup, SimSearch, TextAnalysis}
 import graft.ops.{AsOf, DictIndex, Graph, Layout, PrefixWindow, Sampling, TopK}
-import graft.recall.{Cascade, NeuralForward, NeuralOracle}
+import graft.recall.{Cascade, ItemCf, NeuralForward, NeuralOracle}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1294,6 +1294,18 @@ object SparkEntry {
     * bidirectional supplier↔part interaction graph, seeded at suppliers
     * 0-9 — the model-free random-walk recall signal complementing g4's
     * LightGCN forward. */
+  /** G6: item-item co-occurrence CF recall — per-item top-5 neighbor
+    * lists over "parts ordered together" baskets (lineitem), cosine over
+    * binary basket membership ([[ItemCf]]). The neighborhood twin of the
+    * learned g4 recall; the oracle replicates capping, bucket-local
+    * pairs, degrees and ranking in SQL. */
+  private val g6ItemCf: Q = (s, dir) =>
+    ItemCf.topKNeighbors(
+        ItemCf.cooccurrence(Tables.lineitem(s, dir), "l_orderkey",
+          "l_partkey", maxBasket = 50, minCo = 2L), k = 5)
+      .select(col("item"), col("neighbor"), col("co"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+
   private val g5PageRank: Q = (s, dir) => {
     val e = Tables.lineitem(s, dir)
       .select(col("l_suppkey").cast("long").as("sk"),
@@ -1464,6 +1476,7 @@ object SparkEntry {
     "t11_bpe_pairs" -> t11BpePairs,
     "t12_quality_classifier" -> t12QualityClassifier,
     "g5_pagerank" -> g5PageRank,
+    "g6_item_cf" -> g6ItemCf,
     "mm3_audio_windows" -> mm3AudioWindows,
     "w6_sessionize" -> w6Sessionize,
     "w6_padding" -> w6Padding,
@@ -2204,6 +2217,26 @@ object SparkEntry {
         |SELECT query_id, item_id, adc_dist, rank FROM (SELECT query_id,
         |    item_id, adc_dist, row_number() OVER (PARTITION BY query_id
         |      ORDER BY adc_dist, item_id) AS rank FROM sc)
+        |WHERE rank <= 5""".stripMargin,
+    "g6_item_cf" ->
+      """WITH ui AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |deg AS (SELECT i, count(*) AS deg FROM ui GROUP BY i),
+        |cap AS (SELECT b, i FROM (SELECT b, i,
+        |    count(*) OVER (PARTITION BY b) AS bc FROM ui) WHERE bc <= 50),
+        |co AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS co
+        |  FROM cap a JOIN cap c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sc AS (SELECT item_a, item_b, co,
+        |    round(co / sqrt(CAST(da.deg AS DOUBLE) * db.deg), 6) AS cosine
+        |  FROM co JOIN deg da ON da.i = item_a
+        |  JOIN deg db ON db.i = item_b),
+        |sym AS (SELECT item_a AS item, item_b AS neighbor, co, cosine
+        |  FROM sc UNION ALL
+        |  SELECT item_b, item_a, co, cosine FROM sc)
+        |SELECT item, neighbor, co, cosine, rank FROM (SELECT item,
+        |    neighbor, co, cosine, row_number() OVER (PARTITION BY item
+        |      ORDER BY cosine DESC, neighbor) AS rank FROM sym)
         |WHERE rank <= 5""".stripMargin,
     "v3_pq_encode" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

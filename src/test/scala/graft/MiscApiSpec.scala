@@ -163,6 +163,26 @@ class MiscApiSpec extends AnyFunSuite {
     assert(d == 5.25)
   }
 
+  test("g6 item-cf: hand-computed co-occurrence counts and neighbor ranks") {
+    import spark.implicits._
+    import graft.recall.ItemCf
+    // baskets: 10={1,2,3}, 20={1,2} (dup row collapses), 30={2,3}, 40={1}
+    // degrees: 1→3, 2→3, 3→2; co: (1,2)=2, (1,3)=1, (2,3)=2
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (20L, 1L), (30L, 2L), (30L, 3L), (40L, 1L)).toDF("b", "i")
+    val co = ItemCf.cooccurrence(df, "b", "i", maxBasket = 10, minCo = 1L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(co.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(co((1L, 2L)) == (2L, 0.666667)) // 2/sqrt(3*3)
+    assert(co((2L, 3L)) == (2L, 0.816497)) // 2/sqrt(3*2)
+    assert(co((1L, 3L)) == (1L, 0.408248)) // 1/sqrt(3*2)
+    val top = ItemCf.topKNeighbors(
+        ItemCf.cooccurrence(df, "b", "i", 10, 1L), k = 1)
+      .select($"item", $"neighbor").as[(Long, Long)].collect().toMap
+    assert(top == Map(1L -> 2L, 2L -> 3L, 3L -> 2L))
+  }
+
   test("t16 winnowing guarantee: shared run of w+k-1 tokens shares a fingerprint") {
     import spark.implicits._
     import graft.llmops.TextAnalysis
