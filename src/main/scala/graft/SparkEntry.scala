@@ -3,7 +3,7 @@ package graft
 import graft.evalx.Metrics
 import graft.functions.{Features, SketchFunctions, TextFunctions, VectorOps}
 import graft.llmops.{Dedup, SimSearch, TextAnalysis}
-import graft.ops.{AsOf, DictIndex, Graph, Layout, PrefixWindow, Sampling, TopK}
+import graft.ops.{AsOf, DictIndex, Graph, Layout, PrefixWindow, Sampling, TopK, Validate}
 import graft.recall.{Cascade, ItemCf, NeuralForward, NeuralOracle}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1306,6 +1306,29 @@ object SparkEntry {
       .select(col("item"), col("neighbor"), col("co"), col("cosine"),
         col("rank").cast("long").as("rank"))
 
+  /** Q2: one-scan column profile of `orders` (completeness, cardinality,
+    * range per column — [[Validate.profile]]); the data-quality gate a
+    * pipeline publishes beside every output. Profiled columns are
+    * int/string so the min/max string casts are engine-portable. */
+  private val q2DataProfile: Q = (s, dir) =>
+    Validate.profile(Tables.orders(s, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+
+  /** Q3: declared-constraint violation counts ([[Validate]]): row-level
+    * predicates in ONE scan plus a referential orphan check (anti-join,
+    * broadcast when the dim is small). All four gates pass on the
+    * fixture — and the oracle agrees the counts are zero, which is the
+    * point: the gate is only trustworthy if "clean" is verifiable. */
+  private val q3Constraints: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    Validate.checkViolations(o, Seq(
+        "totalprice_positive" -> (col("o_totalprice") > 0),
+        "status_known" -> col("o_orderstatus").isin("O", "F", "P"),
+        "custkey_notnull" -> col("o_custkey").isNotNull))
+      .unionByName(Validate.referentialViolations(o, "o_custkey",
+        Tables.customer(s, dir), "c_custkey", "custkey_in_customer"))
+  }
+
   private val g5PageRank: Q = (s, dir) => {
     val e = Tables.lineitem(s, dir)
       .select(col("l_suppkey").cast("long").as("sk"),
@@ -1477,6 +1500,8 @@ object SparkEntry {
     "t12_quality_classifier" -> t12QualityClassifier,
     "g5_pagerank" -> g5PageRank,
     "g6_item_cf" -> g6ItemCf,
+    "q2_data_profile" -> q2DataProfile,
+    "q3_constraints" -> q3Constraints,
     "mm3_audio_windows" -> mm3AudioWindows,
     "w6_sessionize" -> w6Sessionize,
     "w6_padding" -> w6Padding,
@@ -2218,6 +2243,27 @@ object SparkEntry {
         |    item_id, adc_dist, row_number() OVER (PARTITION BY query_id
         |      ORDER BY adc_dist, item_id) AS rank FROM sc)
         |WHERE rank <= 5""".stripMargin,
+    "q2_data_profile" -> Seq("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_orderpriority").map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_val,
+         |  CAST(max($c) AS VARCHAR) AS max_val FROM orders""".stripMargin)
+      .mkString("\n", "\nUNION ALL\n", ""),
+    "q3_constraints" ->
+      """SELECT 'totalprice_positive' AS check_name, CAST(sum(CASE WHEN
+        |    o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_violations FROM orders
+        |UNION ALL SELECT 'status_known', CAST(sum(CASE WHEN
+        |  o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM orders
+        |UNION ALL SELECT 'custkey_notnull', CAST(sum(CASE WHEN
+        |  o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'custkey_in_customer', count(*) FROM orders o
+        |WHERE o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1
+        |  FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
     "g6_item_cf" ->
       """WITH ui AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |  FROM lineitem),

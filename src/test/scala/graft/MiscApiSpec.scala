@@ -163,6 +163,29 @@ class MiscApiSpec extends AnyFunSuite {
     assert(d == 5.25)
   }
 
+  test("Validate: planted violations counted; profile reports nulls/distinct") {
+    import spark.implicits._
+    import graft.ops.Validate
+    val df = Seq((1L, Some(10L), "O", 5.0), (2L, None, "X", -1.0),
+      (3L, Some(99L), "F", 0.0)).toDF("id", "fk", "status", "price")
+    val checks = Validate.checkViolations(df, Seq(
+        "price_positive" -> (col("price") > 0),
+        "status_known" -> col("status").isin("O", "F"),
+        "fk_notnull" -> col("fk").isNotNull))
+      .as[(String, Long)].collect().toMap
+    assert(checks == Map("price_positive" -> 2L, "status_known" -> 1L,
+      "fk_notnull" -> 1L))
+    // 99 is an orphan; the NULL fk is fk_notnull's finding, not ours
+    val refv = Validate.referentialViolations(df, "fk",
+      Seq(10L).toDF("k"), "k", "fk_in_dim").as[(String, Long)].head()
+    assert(refv == ("fk_in_dim", 1L))
+    val prof = Validate.profile(df, Seq("fk", "status"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(prof("fk") == (("fk", 3L, 1L, 2L, "10", "99")))
+    assert(prof("status") == (("status", 3L, 0L, 3L, "F", "X")))
+  }
+
   test("g6 item-cf: hand-computed co-occurrence counts and neighbor ranks") {
     import spark.implicits._
     import graft.recall.ItemCf
