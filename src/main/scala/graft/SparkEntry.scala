@@ -821,6 +821,42 @@ object SparkEntry {
     * order are bit-identical doubles on both engines (the 6-dp round
     * tried first actually CAUSED mismatches — the two engines disagree
     * on exact .5 boundaries, which power-of-two weights make common). */
+  /** W9: event-time ROLLING aggregate — trailing-7-day event count and
+    * value sum per user at each event, a RANGE frame over epoch-nanos
+    * `ts` (the frame is defined by TIME, not row count — w8's
+    * `rowsBetween` twin on the time axis; the standard trailing-activity
+    * feature a ranker consumes). One shuffle on the user key; the frame
+    * bound is a long literal so the whole window stays codegen-friendly
+    * and engine-portable. */
+  private val w9RollingWindow: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-604800L * 1000000000L, 0L)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_7d"),
+        round(sum(coalesce(col("value"), lit(0.0))).over(w), 6)
+          .as("sum_7d"))
+  }
+
+  /** LLM-T17: HTML/markup strip — the web-extract preprocessing stage
+    * ([[TextFunctions.stripMarkup]]). The fixture corpus is plain text,
+    * so deterministic markup is injected identically on both engine and
+    * oracle sides (the t6 PII-injection pattern), then stripped; output
+    * pins the cleaned text and the tag count removed. */
+  private val t17HtmlStrip: Q = (s, dir) => {
+    val injected = Tables.documents(s, dir).select(col("doc_id"), concat(
+      lit("<div id=\""), col("doc_id").cast("string"), lit("\"><p>"),
+      col("text"),
+      lit(" &amp; more &lt;escaped&gt;</p><br/></div>")).as("__html"))
+    injected.select(col("doc_id"),
+      TextFunctions.bind(col("__html")) { h =>
+        struct(
+          TextFunctions.stripMarkup(h).as("clean_text"),
+          regexp_count(h, lit("<[^>]*>")).cast("long").as("n_tags"))
+      }.as("__s"))
+      .select(col("doc_id"), col("__s.*"))
+  }
+
   private val w8Ewma: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id")).rowsBetween(-49, 0)
@@ -1514,6 +1550,8 @@ object SparkEntry {
     "a15_distinct_exact" -> a15DistinctExact,
     "x11_exact_n_per_group" -> x11ExactNPerGroup,
     "w8_ewma" -> w8Ewma,
+    "w9_rolling_window" -> w9RollingWindow,
+    "t17_html_strip" -> t17HtmlStrip,
     "m8_param_stats" -> m8ParamStats,
     "t13_normalize" -> t13Normalize,
     "t14_cms_heavy_hitters" -> t14CmsHeavyHitters,
@@ -2243,6 +2281,25 @@ object SparkEntry {
         |    item_id, adc_dist, row_number() OVER (PARTITION BY query_id
         |      ORDER BY adc_dist, item_id) AS rank FROM sc)
         |WHERE rank <= 5""".stripMargin,
+    "t17_html_strip" ->
+      """WITH h AS (SELECT doc_id, '<div id="' || doc_id || '"><p>' ||
+        |    text || ' &amp; more &lt;escaped&gt;</p><br/></div>' AS x
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(replace(replace(replace(replace(replace(
+        |    replace(regexp_replace(x, '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&'), ' +', ' ', 'g'))
+        |    AS clean_text,
+        |  CAST(len(regexp_extract_all(x, '<[^>]*>')) AS BIGINT) AS n_tags
+        |FROM h""".stripMargin,
+    "w9_rolling_window" ->
+      """SELECT user_id, event_id, count(*) OVER w AS n_7d,
+        |  round(sum(coalesce(value, 0)) OVER w, 6) AS sum_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |  RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
     "q2_data_profile" -> Seq("o_orderkey", "o_custkey",
       "o_orderstatus", "o_orderpriority").map(c =>
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,

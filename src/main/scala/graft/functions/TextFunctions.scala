@@ -140,6 +140,25 @@ object TextFunctions {
         phoneRe, "<PHONE>"),
       ipv4Re, "<IP>")
 
+  /** Strip HTML/XML markup from scraped text — the first stage of every
+    * web-corpus pipeline (the extract step of a WET/CC-style run): drop
+    * tags (`<...>` → space so adjacent words don't fuse), decode the
+    * six ubiquitous entities, collapse whitespace. Entity order matters
+    * and is part of the contract: `&lt;`/`&gt;`/`&quot;`/`&#39;`/
+    * `&nbsp;` first, `&amp;` LAST — decoding `&amp;` first would turn
+    * `&amp;lt;` into `<` (double-decode), and a late `&lt;` → `<` can
+    * never resurrect a tag because tag-stripping already ran. RE2-safe
+    * patterns, plain `replace` for entities — whole chain codegens. */
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+    trim(regexp_replace(decoded, " +", " "))
+  }
+
   /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]); empty when the
     * doc has fewer than n tokens. */
   def shingles(text: Column, n: Int): Column =

@@ -163,6 +163,16 @@ class MiscApiSpec extends AnyFunSuite {
     assert(d == 5.25)
   }
 
+  test("stripMarkup: tags become spaces, entities decode once, in order") {
+    import spark.implicits._
+    val got = Seq("<b>a</b>b &amp;lt; &lt;i&gt; x&nbsp;y")
+      .toDF("t").select(TextFunctions.stripMarkup($"t")).as[String].head()
+    // "a</b>b" must not fuse to "ab"; "&amp;lt;" decodes to the literal
+    // "&lt;" (once — amp last), while the real "&lt;i&gt;" becomes "<i>"
+    // AFTER tag-stripping so it cannot be re-stripped
+    assert(got == "a b &lt; <i> x y")
+  }
+
   test("Validate: planted violations counted; profile reports nulls/distinct") {
     import spark.implicits._
     import graft.ops.Validate
