@@ -857,6 +857,25 @@ object SparkEntry {
       .select(col("doc_id"), col("__s.*"))
   }
 
+  /** M9: item-CF recommendation end-to-end — the neighborhood-recall
+    * twin of the neural cascade (m7): per-customer candidate scoring by
+    * summed co-occurrence cosine over their purchase history
+    * ([[ItemCf.recommend]]), seen-item exclusion, top-5. A second
+    * independent recall source a production cascade unions with the
+    * embedding path (m0/m1). */
+  private val m9ItemCfRecommend: Q = (s, dir) => {
+    val ui = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      .distinct()
+    val co = ItemCf.cooccurrence(Tables.lineitem(s, dir), "l_orderkey",
+      "l_partkey", maxBasket = 50, minCo = 2L)
+    ItemCf.recommend(ui, co, k = 5)
+      .select(col("user"), col("item"), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
   private val w8Ewma: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id")).rowsBetween(-49, 0)
@@ -1536,6 +1555,7 @@ object SparkEntry {
     "t12_quality_classifier" -> t12QualityClassifier,
     "g5_pagerank" -> g5PageRank,
     "g6_item_cf" -> g6ItemCf,
+    "m9_itemcf_recommend" -> m9ItemCfRecommend,
     "q2_data_profile" -> q2DataProfile,
     "q3_constraints" -> q3Constraints,
     "mm3_audio_windows" -> mm3AudioWindows,
@@ -2300,6 +2320,33 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
         |  RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW)"""
         .stripMargin,
+    "m9_itemcf_recommend" ->
+      """WITH ui AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |deg AS (SELECT i, count(*) AS deg FROM ui GROUP BY i),
+        |cap AS (SELECT b, i FROM (SELECT b, i,
+        |    count(*) OVER (PARTITION BY b) AS bc FROM ui) WHERE bc <= 50),
+        |co AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS co
+        |  FROM cap a JOIN cap c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sc AS (SELECT item_a, item_b,
+        |    round(co / sqrt(CAST(da.deg AS DOUBLE) * db.deg), 6) AS cosine
+        |  FROM co JOIN deg da ON da.i = item_a
+        |  JOIN deg db ON db.i = item_b),
+        |sym AS (SELECT item_a AS item, item_b AS neighbor, cosine FROM sc
+        |  UNION ALL SELECT item_b, item_a, cosine FROM sc),
+        |hist AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |scored AS (SELECT h.u, s.neighbor,
+        |    round(sum(s.cosine), 6) AS score
+        |  FROM hist h JOIN sym s ON s.item = h.i GROUP BY 1, 2),
+        |unseen AS (SELECT u, neighbor, score FROM scored sc2
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist h2
+        |    WHERE h2.u = sc2.u AND h2.i = sc2.neighbor))
+        |SELECT u AS "user", item, score, rank FROM (SELECT u,
+        |    neighbor AS item, score, row_number() OVER (PARTITION BY u
+        |      ORDER BY score DESC, neighbor) AS rank FROM unseen)
+        |WHERE rank <= 5""".stripMargin,
     "q2_data_profile" -> Seq("o_orderkey", "o_custkey",
       "o_orderstatus", "o_orderpriority").map(c =>
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,

@@ -56,15 +56,37 @@ object ItemCf {
           .as("cosine"))
   }
 
-  /** Per-item top-k neighbor lists from [[cooccurrence]] output: each
-    * undirected pair serves both endpoints, ranked by (cosine desc,
-    * neighbor) — the recall-stage lookup table. */
-  def topKNeighbors(co: DataFrame, k: Int): DataFrame = {
-    val sym = co.select(col("item_a").as("item"),
+  /** Directed view of the undirected [[cooccurrence]] pairs: each pair
+    * serves both endpoints — (item, neighbor, co, cosine). */
+  def symmetric(co: DataFrame): DataFrame =
+    co.select(col("item_a").as("item"),
         col("item_b").as("neighbor"), col("co"), col("cosine"))
       .unionByName(co.select(col("item_b").as("item"),
         col("item_a").as("neighbor"), col("co"), col("cosine")))
-    TopK.perGroup(sym, Seq(col("item")),
+
+  /** Per-item top-k neighbor lists from [[cooccurrence]] output, ranked
+    * by (cosine desc, neighbor) — the recall-stage lookup table. */
+  def topKNeighbors(co: DataFrame, k: Int): DataFrame =
+    TopK.perGroup(symmetric(co), Seq(col("item")),
       Seq(col("cosine").desc, col("neighbor")), k)
+
+  /** User-level item-CF recommendation: score each candidate item by the
+    * summed cosine similarity to the user's interacted items (the
+    * classic "aggregate the neighborhood" scorer from Sarwar et al.),
+    * drop already-seen items (anti-join), keep top-k per user. Score
+    * sums are over 6-dp-rounded cosines and re-rounded, so ranking is
+    * engine-stable. `interactions` must have columns (user, item). */
+  def recommend(interactions: DataFrame, co: DataFrame, k: Int)
+      : DataFrame = {
+    val scored = interactions.join(symmetric(co), "item")
+      .groupBy(col("user"), col("neighbor"))
+      .agg(round(sum(col("cosine")), 6).as("score"))
+    val unseen = scored.join(
+      interactions.select(col("user"), col("item").as("neighbor")),
+      Seq("user", "neighbor"), "left_anti")
+    TopK.perGroup(unseen, Seq(col("user")),
+        Seq(col("score").desc, col("neighbor")), k)
+      .select(col("user"), col("neighbor").as("item"), col("score"),
+        col("rank"))
   }
 }
