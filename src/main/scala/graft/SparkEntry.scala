@@ -876,6 +876,31 @@ object SparkEntry {
         col("rank").cast("long").as("rank"))
   }
 
+  /** A17: windowed activity anomaly detection — hourly per-user event
+    * counts z-scored against the user's own trailing 24 windows (ROWS
+    * frame, mean/stddev window aggregates): the standard ops-monitoring
+    * gate over behavioral streams (spike/bot detection). Integer `div`
+    * for the hour bucket (epoch-nanos exceed 2^53, so double division
+    * would mis-bucket); z rounded to 4 dp and flags derived FROM the
+    * rounded z so both engines agree at the threshold. */
+  private val a17WindowAnomaly: Q = (s, dir) => {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        expr("ts div 3600000000000").as("win"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("win"))
+      .rowsBetween(-24, -1)
+    counts
+      .select(col("user_id"), col("win"), col("n"),
+        avg(col("n")).over(w).as("__mu"),
+        stddev_samp(col("n")).over(w).as("__sd"))
+      .select(col("user_id"), col("win"), col("n"),
+        round(col("__mu"), 6).as("mean_prev"),
+        when(col("__sd") > 0,
+          round((col("n") - col("__mu")) / col("__sd"), 4)).as("z"))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > 3, lit(false)))
+  }
+
   private val w8Ewma: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id")).rowsBetween(-49, 0)
@@ -1571,6 +1596,7 @@ object SparkEntry {
     "x11_exact_n_per_group" -> x11ExactNPerGroup,
     "w8_ewma" -> w8Ewma,
     "w9_rolling_window" -> w9RollingWindow,
+    "a17_window_anomaly" -> a17WindowAnomaly,
     "t17_html_strip" -> t17HtmlStrip,
     "m8_param_stats" -> m8ParamStats,
     "t13_normalize" -> t13Normalize,
@@ -2313,6 +2339,18 @@ object SparkEntry {
         |    AS clean_text,
         |  CAST(len(regexp_extract_all(x, '<[^>]*>')) AS BIGINT) AS n_tags
         |FROM h""".stripMargin,
+    "a17_window_anomaly" ->
+      """WITH c AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS win,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, win, n, avg(n) OVER w AS mu,
+        |    stddev_samp(n) OVER w AS sd
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY win
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, win, n, round(mu, 6) AS mean_prev,
+        |  CASE WHEN sd > 0 THEN round((n - mu) / sd, 4) END AS z,
+        |  coalesce(abs(CASE WHEN sd > 0
+        |    THEN round((n - mu) / sd, 4) END) > 3, false) AS is_anomaly
+        |FROM s""".stripMargin,
     "w9_rolling_window" ->
       """SELECT user_id, event_id, count(*) OVER w AS n_7d,
         |  round(sum(coalesce(value, 0)) OVER w, 6) AS sum_7d
