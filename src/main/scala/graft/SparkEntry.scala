@@ -901,6 +901,29 @@ object SparkEntry {
       .withColumn("is_anomaly", coalesce(abs(col("z")) > 3, lit(false)))
   }
 
+  /** L3: dynamic partition pruning — the month-partitioned fact table
+    * ([[Layout.writePartitioned]]) joined to a selective month dimension
+    * (an aggregate subtree, so the IN-set is only known at runtime):
+    * Spark plants a DPP subquery and the fact scan reads ONLY the two
+    * matching partition directories (OpsSpec pins the
+    * `dynamicpruningexpression` and values ≡ the plain join). Completes
+    * the layout trio: z-order (l1) for file skipping, bucketing (l2)
+    * for shuffle-free joins, partitioning (l3) for directory pruning. */
+  private val l3PartitionPruning: Q = (s, dir) => {
+    Layout.writePartitioned(Tables.orders(s, dir)
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM")),
+      "graft_part_orders", "month")
+    val dim = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("month").isin("1995-01", "1995-02"))
+      .select(col("month"))
+    s.table("graft_part_orders").join(dim, "month")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
   private val w8Ewma: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id")).rowsBetween(-49, 0)
@@ -1591,6 +1614,7 @@ object SparkEntry {
     "d12_bloom_incremental" -> d12BloomIncremental,
     "l1_zorder" -> l1Zorder,
     "l2_bucketed_join" -> l2BucketedJoin,
+    "l3_partition_pruning" -> l3PartitionPruning,
     "a14_hll_distinct" -> a14HllDistinct,
     "a15_distinct_exact" -> a15DistinctExact,
     "x11_exact_n_per_group" -> x11ExactNPerGroup,
@@ -2762,6 +2786,12 @@ object SparkEntry {
          |SELECT o_orderkey, ${terms.mkString(" | ")} AS zval
          |FROM c""".stripMargin
     },
+    "l3_partition_pruning" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE strftime(o_orderdate, '%Y-%m')
+        |  IN ('1995-01', '1995-02')
+        |GROUP BY 1""".stripMargin,
     "l2_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS revenue

@@ -60,6 +60,26 @@ object Layout {
     * `repartition` here guarantees). The same bucket metadata serves
     * `groupBy(bucketCol)` aggregations shuffle-free.
     */
+  /** Hive-style partitioned table write — the layout that turns a join
+    * key or filter column into DIRECTORY structure, so selective reads
+    * skip whole partitions. With a selective dimension join on the
+    * partition column, Spark inserts dynamic partition pruning (DPP): a
+    * runtime subquery collects the dim side's join-key values and the
+    * fact scan reads ONLY those partitions — at 100 TB the difference
+    * between scanning a day and scanning a decade. OpsSpec pins the
+    * `dynamicpruningexpression` in the scan's PartitionFilters. */
+  def writePartitioned(df: DataFrame, table: String,
+      partCol: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite").format("parquet")
+      .partitionBy(partCol).saveAsTable(table)
+  }
+
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int): Unit = {
     val spark = df.sparkSession

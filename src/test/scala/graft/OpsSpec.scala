@@ -210,6 +210,22 @@ class OpsSpec extends AnyFunSuite {
     assert(totalErr(trained) < totalErr(mean1))
   }
 
+  test("partitioned fact scan is dynamically pruned by the dim join (L3)") {
+    val orders = Tables.orders(spark, TestSpark.sf)
+      .withColumn("month", date_format($"o_orderdate", "yyyy-MM"))
+    Layout.writePartitioned(orders, "graft_part_spec", "month")
+    val dim = orders.groupBy($"month").agg(count(lit(1)).as("n"))
+      .where($"month".isin("1995-01", "1995-02")).select($"month")
+    val j = spark.table("graft_part_spec").join(dim, "month")
+    // the runtime IN-subquery must reach the fact scan's partition
+    // filters — that is what makes the read skip 78 of 80 month dirs
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected DPP in fact scan:\n$plan")
+    assert(j.count() ==
+      orders.where($"month".isin("1995-01", "1995-02")).count())
+  }
+
   test("bucketed tables sort-merge join with zero exchanges (L2)") {
     val orders = Tables.orders(spark, TestSpark.sf)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
