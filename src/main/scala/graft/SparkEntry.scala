@@ -924,6 +924,21 @@ object SparkEntry {
         round(sum(col("o_totalprice")), 2).as("revenue"))
   }
 
+  /** X12: popularity-weighted negative sampling — the word2vec unigram
+    * table over "parts by basket popularity" ([[Sampling
+    * .weightedNegatives]]): distributed prefix-sum ranges, md5 draws,
+    * bucketized point-in-range join. The oracle rebuilds ranges with a
+    * plain window cumsum (fine at oracle scale) and the identical hex
+    * draw arithmetic. */
+  private val x12WeightedNegatives: Q = (s, dir) => {
+    val items = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("item"))
+      .agg(countDistinct(col("l_orderkey")).as("weight"))
+    val users = Tables.orders(s, dir)
+      .select(col("o_custkey").as("user")).distinct()
+    Sampling.weightedNegatives(users, items, k = 4)
+  }
+
   private val w8Ewma: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id")).rowsBetween(-49, 0)
@@ -1618,6 +1633,7 @@ object SparkEntry {
     "a14_hll_distinct" -> a14HllDistinct,
     "a15_distinct_exact" -> a15DistinctExact,
     "x11_exact_n_per_group" -> x11ExactNPerGroup,
+    "x12_weighted_negatives" -> x12WeightedNegatives,
     "w8_ewma" -> w8Ewma,
     "w9_rolling_window" -> w9RollingWindow,
     "a17_window_anomaly" -> a17WindowAnomaly,
@@ -2792,6 +2808,23 @@ object SparkEntry {
         |FROM orders WHERE strftime(o_orderdate, '%Y-%m')
         |  IN ('1995-01', '1995-02')
         |GROUP BY 1""".stripMargin,
+    "x12_weighted_negatives" ->
+      """WITH deg AS (SELECT l_partkey AS item,
+        |    count(DISTINCT l_orderkey) AS w FROM lineitem GROUP BY 1),
+        |r AS (SELECT item, w, coalesce(sum(w) OVER (ORDER BY item
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+        |  FROM deg),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS W FROM deg),
+        |u AS (SELECT DISTINCT o_custkey AS usr FROM orders),
+        |d AS (SELECT usr, n AS draw FROM u
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS n)),
+        |p AS (SELECT usr, draw,
+        |    CAST(('0x' || substring(md5(usr || '#' || draw), 1, 12))
+        |      AS BIGINT) % W AS pt
+        |  FROM d CROSS JOIN tot)
+        |SELECT p.usr AS "user", CAST(p.draw AS BIGINT) AS draw, r.item
+        |FROM p JOIN r ON p.pt >= r.lo AND p.pt < r.lo + r.w"""
+        .stripMargin,
     "l2_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS revenue

@@ -151,4 +151,40 @@ object Sampling {
     perKeyCounts.where(
       when(col(cnt) >= hiThreshold, md5Keep(col(key), hiSixteenths))
         .otherwise(md5Keep(col(key), loSixteenths)))
+
+  /** Popularity-weighted negative sampling — the word2vec unigram table
+    * (Mikolov et al. 2013; apply any tempering like freq^0.75 to the
+    * integral `weight` column upstream): items own contiguous cumulative
+    * ranges [lo, hi) over [0, W) ([[PrefixSum.ranges]], the two-level
+    * scan — no data-sized single partition), each user draws `k`
+    * md5-uniform points into [0, W), and a bucketized equi-join (the
+    * same lowering as `AsOf.rangeJoin`) finds each point's owning item —
+    * items sampled proportional to weight, deterministic and
+    * engine-replicable. Point buckets are W/256 wide, so the hottest
+    * item explodes into ≈ 256·(its weight share) bucket copies — bounded
+    * by construction.
+    *
+    * `users` needs a `user` column; `items` needs (`item`, integral
+    * `weight`). Output: (user, draw, item). The tiny modulo bias of
+    * `u48 % W` (W ≪ 2^48) is shared by both engines. */
+  def weightedNegatives(users: DataFrame, items: DataFrame,
+      k: Int): DataFrame = {
+    val ranges = PrefixSum.ranges(items, Seq("item"), col("weight"),
+      "lo", "hi")
+    val total = ranges.agg(max(col("hi"))).head.getLong(0)
+    val bucket = math.max(1L, total / 256L)
+    val rexp = ranges.withColumn("__bk",
+      explode(sequence(expr(s"lo div $bucket"),
+        expr(s"(hi - 1) div $bucket"))))
+    val draws = users
+      .select(col("user"), explode(sequence(lit(0), lit(k - 1))).as("draw"))
+      .withColumn("__u",
+        conv(substring(md5(concat(col("user").cast("string"), lit("#"),
+          col("draw").cast("string"))), 1, 12), 16, 10)
+          .cast("long") % total)
+      .withColumn("__bk", expr(s"__u div $bucket"))
+    draws.join(rexp, draws("__bk") === rexp("__bk") &&
+        col("__u") >= col("lo") && col("__u") < col("hi"))
+      .select(col("user"), col("draw").cast("long").as("draw"), col("item"))
+  }
 }

@@ -210,6 +210,34 @@ class OpsSpec extends AnyFunSuite {
     assert(totalErr(trained) < totalErr(mean1))
   }
 
+  test("PrefixSum ranges equal the naive cumsum at any partition count") {
+    import graft.ops.PrefixSum
+    val df = Seq((5L, 3L), (1L, 2L), (9L, 7L), (4L, 1L))
+      .toDF("item", "weight").repartition(3)
+    for (np <- Seq(1, 2, 5)) {
+      val got = PrefixSum.ranges(df, Seq("item"), $"weight", "lo", "hi", np)
+        .select($"item", $"lo", $"hi")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 0L, 2L), (4L, 2L, 3L), (5L, 3L, 6L),
+        (9L, 6L, 13L)), s"numPartitions=$np")
+    }
+  }
+
+  test("weightedNegatives samples proportional to weight, k per user") {
+    val users = (1L to 500L).toDF("user")
+    val items = Seq((100L, 9L), (200L, 1L)).toDF("item", "weight")
+    val out = Sampling.weightedNegatives(users, items, k = 4)
+    val counts = out.groupBy($"item").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts.values.sum == 2000) // every (user, draw) lands somewhere
+    // expectation 1800/200; md5 draws are fixed, so the band is stable
+    assert(counts(100L) > 1650 && counts(100L) < 1950, counts.toString)
+    // deterministic: same inputs, same samples
+    val again = Sampling.weightedNegatives(users, items, k = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == out.as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("partitioned fact scan is dynamically pruned by the dim join (L3)") {
     val orders = Tables.orders(spark, TestSpark.sf)
       .withColumn("month", date_format($"o_orderdate", "yyyy-MM"))
