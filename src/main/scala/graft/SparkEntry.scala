@@ -939,6 +939,27 @@ object SparkEntry {
     Sampling.weightedNegatives(users, items, k = 4)
   }
 
+  /** A18: expected calibration error over the a10 scored frame
+    * ([[Metrics.calibration]], 10 bins) — the monitoring twin of a10:
+    * AUC can stay high while calibration drifts. */
+  private val a18Calibration: Q = (s, dir) => {
+    val scored = Tables.events(s, dir).select(
+      (col("value") / 500.0).as("score"),
+      when(col("event_type") === "purchase", 1.0).otherwise(0.0).as("y"))
+    Metrics.calibration(scored, "score", "y", nBins = 10)
+  }
+
+  /** A19: PSI drift between the even- and odd-user halves of the event
+    * value distribution ([[Metrics.psi]], 10 bins over [0, 500)) — the
+    * standard feature/score drift alarm; near 0 on the fixture because
+    * the halves are iid, which the oracle confirms exactly. */
+  private val a19Psi: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    Metrics.psi(ev.where(col("user_id") % 2 === 0),
+      ev.where(col("user_id") % 2 === 1), "value",
+      nBins = 10, lo = 0.0, hi = 500.0)
+  }
+
   private val w8Ewma: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id")).rowsBetween(-49, 0)
@@ -1637,6 +1658,8 @@ object SparkEntry {
     "w8_ewma" -> w8Ewma,
     "w9_rolling_window" -> w9RollingWindow,
     "a17_window_anomaly" -> a17WindowAnomaly,
+    "a18_calibration" -> a18Calibration,
+    "a19_psi" -> a19Psi,
     "t17_html_strip" -> t17HtmlStrip,
     "m8_param_stats" -> m8ParamStats,
     "t13_normalize" -> t13Normalize,
@@ -2379,6 +2402,28 @@ object SparkEntry {
         |    AS clean_text,
         |  CAST(len(regexp_extract_all(x, '<[^>]*>')) AS BIGINT) AS n_tags
         |FROM h""".stripMargin,
+    "a18_calibration" ->
+      """WITH s AS (SELECT value / 500 AS score, CASE WHEN
+        |    event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events),
+        |b AS (SELECT least(floor(score * 10), 9) AS bin, count(*) AS n,
+        |    avg(score) AS conf, avg(y) AS acc FROM s GROUP BY 1)
+        |SELECT round(sum(n * abs(acc - conf)) / sum(n), 6) AS ece,
+        |  count(*) AS n_bins_used FROM b""".stripMargin,
+    "a19_psi" ->
+      """WITH b AS (SELECT least(greatest(floor((value - 0.0) / 50.0), 0),
+        |      9) AS bin, count(*) AS n
+        |  FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+        |c AS (SELECT least(greatest(floor((value - 0.0) / 50.0), 0), 9)
+        |      AS bin, count(*) AS n
+        |  FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(b.n, 0) AS nb, coalesce(c.n, 0) AS nc
+        |  FROM b FULL OUTER JOIN c USING (bin)),
+        |t AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM j)
+        |SELECT round(sum(((nc + 0.5) / (tc + 5.0) - (nb + 0.5) /
+        |    (tb + 5.0)) * ln(((nc + 0.5) / (tc + 5.0)) /
+        |    ((nb + 0.5) / (tb + 5.0)))), 6) AS psi
+        |FROM j CROSS JOIN t""".stripMargin,
     "a17_window_anomaly" ->
       """WITH c AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS win,
         |    count(*) AS n FROM events GROUP BY 1, 2),

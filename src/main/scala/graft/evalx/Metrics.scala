@@ -106,4 +106,56 @@ object Metrics {
   def pairwiseAccuracy(pairs: DataFrame, posScore: String, negScore: String): DataFrame =
     pairs.agg(avg(when(col(posScore) > col(negScore), 1.0).otherwise(0.0))
       .as("pairwise_accuracy"))
+
+  /** Expected calibration error (Guo et al. 2017): probability scores in
+    * [0, 1] binned into `nBins` equal-width bins; ECE = Σ (n_b/N) ·
+    * |mean(label)_b − mean(score)_b|. Two bounded aggregations (bin
+    * rollup → ≤ nBins rows → scalar) — the model-monitoring companion
+    * to [[classification]]: a model can have great AUC and still be
+    * badly calibrated, which breaks any downstream expected-value
+    * ranking. */
+  def calibration(scored: DataFrame, score: String, label: String,
+      nBins: Int): DataFrame = {
+    val bin = least(floor(col(score) * nBins), lit(nBins - 1L)).cast("long")
+    scored.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("__n"), avg(col(score)).as("__conf"),
+        avg(col(label).cast("double")).as("__acc"))
+      .agg(
+        round(sum(col("__n") * abs(col("__acc") - col("__conf"))) /
+          sum(col("__n")), 6).as("ece"),
+        count(lit(1)).as("n_bins_used"))
+  }
+
+  /** Population stability index between a baseline and a current sample
+    * of one numeric column — the standard drift alarm on score/feature
+    * distributions (PSI > 0.2 ≈ retrain). Equal-width bins over
+    * [lo, hi) with edge clamping; proportions Laplace-smoothed by +0.5
+    * per bin so empty bins stay finite (the smoothing is part of the
+    * contract — both engines must apply it identically). Two bounded
+    * bin rollups and a ≤ nBins-row join: runs at any scale. */
+  def psi(base: DataFrame, current: DataFrame, value: String,
+      nBins: Int, lo: Double, hi: Double): DataFrame = {
+    val width = (hi - lo) / nBins
+    def binned(df: DataFrame): DataFrame =
+      df.groupBy(least(greatest(
+          floor((col(value) - lo) / width), lit(0L)), lit(nBins - 1L))
+        .cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+    val b = binned(base).withColumnRenamed("n", "__nb")
+    val c = binned(current).withColumnRenamed("n", "__nc")
+    b.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("__nb"), lit(0L)).as("__nb"),
+        coalesce(col("__nc"), lit(0L)).as("__nc"))
+      .agg(sum(col("__nb")).as("__tb"), sum(col("__nc")).as("__tc"),
+        // fold in ascending-bin order so the float sum is deterministic
+        array_sort(collect_list(struct(col("bin"), col("__nb"),
+          col("__nc")))).as("__bins"))
+      .select(round(aggregate(col("__bins"), lit(0.0), (acc, s) => {
+        val pb = (s.getField("__nb") + 0.5) /
+          (col("__tb") + 0.5 * nBins)
+        val pc = (s.getField("__nc") + 0.5) /
+          (col("__tc") + 0.5 * nBins)
+        acc + (pc - pb) * log(pc / pb)
+      }), 6).as("psi"))
+  }
 }

@@ -50,6 +50,28 @@ class MetricsSpec extends AnyFunSuite {
       .as[Double].head() - 2.0 / 3) < 1e-9)
   }
 
+  test("calibration (ECE) and PSI match hand-computed values") {
+    // bins at nBins=10: 0.1-scores → bin 1 (conf .1, acc 0 → gap .1, n 2);
+    // 0.9-scores → bin 9 (conf .9, acc .5 → gap .4, n 2); ece = .25
+    val scored = Seq((0.1, 0.0), (0.1, 0.0), (0.9, 1.0), (0.9, 0.0))
+      .toDF("score", "y")
+    val (ece, nb) = Metrics.calibration(scored, "score", "y", 10)
+      .as[(Double, Long)].head()
+    assert(math.abs(ece - 0.25) < 1e-9 && nb == 2)
+    // total separation across 2 bins with +0.5 smoothing:
+    // psi = 2 · ((10.5 − 0.5)/11) · ln(10.5/0.5)
+    val base = Seq.fill(10)(10.0).toDF("value")
+    val cur = Seq.fill(10)(90.0).toDF("value")
+    val psi = Metrics.psi(base, cur, "value", nBins = 2, lo = 0.0,
+      hi = 100.0).as[Double].head()
+    val expect = 2.0 * (10.0 / 11.0) * math.log(21.0)
+    assert(math.abs(psi - (math.rint(expect * 1e6) / 1e6)) < 1e-9, psi)
+    // identical distributions → psi 0
+    val same = Metrics.psi(base, base, "value", 2, 0.0, 100.0)
+      .as[Double].head()
+    assert(same == 0.0)
+  }
+
   test("multimodal feature extraction is deterministic with fixed shape") {
     val assets = Multimodal.assetsFromText(
       Tables.documents(spark, TestSpark.sf), "doc_id", "text")
