@@ -960,6 +960,25 @@ object SparkEntry {
       nBins = 10, lo = 0.0, hi = 500.0)
   }
 
+  /** G7: Swing item similarity ([[ItemCf.swingPairs]]) — user-pair
+    * damped co-occurrence over the same "parts bought together" baskets
+    * as g6; the pair (i,j) score sums 1/(α + |shared items of (u,v)|)
+    * over supporting user pairs. Oracle replicates all three relational
+    * stages (capped user-pair generation, shared counts, damped
+    * rollup). */
+  private val g7Swing: Q = (s, dir) => {
+    // similarity is built on a recent interaction window (one order
+    // year), the production posture — Swing is user-pair quadratic, so
+    // the window is the primary cost lever alongside maxUsersPerItem
+    val ui = Tables.orders(s, dir)
+      .where(year(col("o_orderdate")) === 1995)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+    ItemCf.swingPairs(ui, "user", "item", alpha = 1.0,
+      maxUsersPerItem = 200)
+  }
+
   private val w8Ewma: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id")).rowsBetween(-49, 0)
@@ -1640,6 +1659,7 @@ object SparkEntry {
     "g5_pagerank" -> g5PageRank,
     "g6_item_cf" -> g6ItemCf,
     "m9_itemcf_recommend" -> m9ItemCfRecommend,
+    "g7_swing" -> g7Swing,
     "q2_data_profile" -> q2DataProfile,
     "q3_constraints" -> q3Constraints,
     "mm3_audio_windows" -> mm3AudioWindows,
@@ -2443,6 +2463,25 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
         |  RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW)"""
         .stripMargin,
+    "g7_swing" ->
+      """WITH ui AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE year(o_orderdate) = 1995),
+        |cap AS (SELECT u, i FROM (SELECT u, i,
+        |    count(*) OVER (PARTITION BY i) AS ic FROM ui)
+        |  WHERE ic <= 200),
+        |up AS (SELECT a.u AS pu, b.u AS pv, a.i
+        |  FROM cap a JOIN cap b ON a.i = b.i AND a.u < b.u),
+        |cuv AS (SELECT pu, pv, count(*) AS c FROM up GROUP BY 1, 2
+        |  HAVING count(*) >= 2 AND count(*) <= 1000),
+        |sup AS (SELECT up.pu, up.pv, up.i, cuv.c
+        |  FROM up JOIN cuv USING (pu, pv))
+        |SELECT a.i AS item_a, b.i AS item_b,
+        |  round(sum(1.0 / (1.0 + a.c)), 6) AS swing,
+        |  count(*) AS n_user_pairs
+        |FROM sup a JOIN sup b
+        |  ON a.pu = b.pu AND a.pv = b.pv AND a.i < b.i
+        |GROUP BY 1, 2""".stripMargin,
     "m9_itemcf_recommend" ->
       """WITH ui AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |  FROM lineitem),

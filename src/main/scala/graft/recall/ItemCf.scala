@@ -70,6 +70,55 @@ object ItemCf {
     TopK.perGroup(symmetric(co), Seq(col("item")),
       Seq(col("cosine").desc, col("neighbor")), k)
 
+  /** Swing similarity (Yang et al. 2020, "Large Scale Product Graph
+    * Construction for Recommendation in E-commerce" — the production
+    * item-cf variant at Taobao scale): a user PAIR that co-interacts
+    * with many items is weak evidence for any one of them, so
+    * `sim(i,j) = Σ_{(u,v) ⊇ {i,j}} 1 / (α + |I_u ∩ I_v|)` — each item
+    * pair is credited by its supporting user pairs, damped by how
+    * promiscuous those pairs are. Counters click-farm/bot co-occurrence
+    * that plain counting ([[cooccurrence]]) over-scores.
+    *
+    * Fully relational lowering, no per-key state:
+    *  1. (u, v, i) rows — user pairs per item's (capped) user list, the
+    *     same bucket-local i<j generation as every pair op here;
+    *  2. c_uv = per-user-pair shared-item count, map-side combined;
+    *     pairs with c_uv < 2 support no item pair and are dropped
+    *     BEFORE the quadratic step;
+    *  3. item pairs per user pair via self-join on (u, v) with i < j —
+    *     credit 1/(α + c_uv) each — then one rollup per (i, j).
+    * Caps: `maxUsersPerItem` bounds step 1 (a viral item's user-pair
+    * blow-up), c_uv is naturally ≤ maxItemsShared via step 2's filter. */
+  def swingPairs(baskets: DataFrame, user: String, item: String,
+      alpha: Double = 1.0, maxUsersPerItem: Int = 1000,
+      maxItemsShared: Int = 1000): DataFrame = {
+    val ui = baskets.select(col(user).as("__u"), col(item).as("__i"))
+      .distinct()
+    val userPairs = ui
+      .withColumn("__ic", count(lit(1)).over(Window.partitionBy(col("__i"))))
+      .where(col("__ic") <= maxUsersPerItem)
+      .groupBy(col("__i"))
+      .agg(sort_array(collect_list(col("__u"))).as("us"))
+      .where(size(col("us")) >= 2)
+      .select(col("__i"), explode(flatten(
+        transform(sequence(lit(0), size(col("us")) - 2), a =>
+          transform(sequence(a + 1, size(col("us")) - 1), b =>
+            struct(element_at(col("us"), a + 1).as("u"),
+              element_at(col("us"), b + 1).as("v")))))).as("p"))
+      .select(col("p.u").as("__pu"), col("p.v").as("__pv"), col("__i"))
+    val cuv = userPairs.groupBy(col("__pu"), col("__pv"))
+      .agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= 2 && col("__c") <= maxItemsShared)
+    val supported = userPairs.join(cuv, Seq("__pu", "__pv"))
+    supported.alias("a")
+      .join(supported.alias("b"),
+        col("a.__pu") === col("b.__pu") && col("a.__pv") === col("b.__pv")
+          && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+      .agg(round(sum(lit(1.0) / (lit(alpha) + col("a.__c"))), 6)
+        .as("swing"), count(lit(1)).as("n_user_pairs"))
+  }
+
   /** User-level item-CF recommendation: score each candidate item by the
     * summed cosine similarity to the user's interacted items (the
     * classic "aggregate the neighborhood" scorer from Sarwar et al.),

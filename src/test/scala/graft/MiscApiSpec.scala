@@ -216,6 +216,22 @@ class MiscApiSpec extends AnyFunSuite {
     assert(top == Map(1L -> 2L, 2L -> 3L, 3L -> 2L))
   }
 
+  test("g7 swing: hand-computed damped user-pair credits") {
+    import spark.implicits._
+    import graft.recall.ItemCf
+    // u1:{1,2,3} u2:{1,2} u3:{2,3} → supporting pairs: (u1,u2) shares
+    // {1,2} (c=2), (u1,u3) shares {2,3} (c=2), (u2,u3) shares only {2}
+    // (c=1 → drops). swing(1,2) = swing(2,3) = 1/(1+2); no (1,3) pair.
+    val ui = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 3L)).toDF("user", "item")
+    val got = ItemCf.swingPairs(ui, "user", "item", alpha = 1.0)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(got.keySet == Set((1L, 2L), (2L, 3L)))
+    assert(got((1L, 2L)) == (0.333333, 1L))
+    assert(got((2L, 3L)) == (0.333333, 1L))
+  }
+
   test("t16 winnowing guarantee: shared run of w+k-1 tokens shares a fingerprint") {
     import spark.implicits._
     import graft.llmops.TextAnalysis
