@@ -979,6 +979,59 @@ object SparkEntry {
       maxUsersPerItem = 200)
   }
 
+  /** M10: item-CF backtest — the pre-deploy evaluation a real team runs:
+    * build the similarity model on the past (orders before 2000),
+    * recommend ([[ItemCf.recommend]], k=5), score against held-out
+    * future purchases. Output: eval-user count, hit-rate@5 (≥1 hit),
+    * precision@5 (hit recs / recs), catalog coverage (distinct
+    * recommended / distinct train items). Every stage is the already-
+    * verified g6/m9 machinery on a time slice, so the backtest is one
+    * more composition, not new math. */
+  private val m10ItemCfBacktest: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    def inter(pred: Column) = o.where(pred)
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      .distinct()
+    // train on the two years before the split (the recency posture g7
+    // also uses — the similarity model's cost lever is the window)
+    val train = inter(year(col("o_orderdate")).between(1998, 1999))
+    val test = inter(year(col("o_orderdate")) >= 2000)
+    val trainBaskets = o.where(year(col("o_orderdate")).between(1998, 1999))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey"))
+    val recs = ItemCf.recommend(train,
+      ItemCf.cooccurrence(trainBaskets, "l_orderkey", "l_partkey",
+        maxBasket = 50, minCo = 2L), k = 5)
+    // one pass over recs: eval-flag and hit-flag ride along as left
+    // joins so the (expensive) recommendation pipeline runs once — the
+    // coverage numerator aggregates the SAME rows unfiltered
+    val marked = recs
+      .join(test.select(col("user")).distinct()
+        .withColumn("__eval", lit(1L)), Seq("user"), "left")
+      .join(test.select(col("user"), col("item"), lit(1L).as("__hit")),
+        Seq("user", "item"), "left")
+    marked.agg(
+        countDistinct(when(col("__eval") === 1, col("user")))
+          .as("n_eval_users"),
+        count(when(col("__eval") === 1, lit(1))).as("__n_recs"),
+        sum(when(col("__eval") === 1, coalesce(col("__hit"), lit(0L)))
+          .otherwise(lit(0L))).as("__n_hits"),
+        countDistinct(when(col("__eval") === 1 && col("__hit") === 1,
+          col("user"))).as("__n_hit_users"),
+        countDistinct(col("item")).as("__n_rec_items"))
+      .crossJoin(train.agg(countDistinct(col("item"))
+        .as("__n_train_items")))
+      .select(col("n_eval_users"),
+        round(col("__n_hit_users").cast("double") / col("n_eval_users"),
+          6).as("hit_rate"),
+        round(col("__n_hits").cast("double") / col("__n_recs"), 6)
+          .as("precision_at_5"),
+        round(col("__n_rec_items").cast("double") /
+          col("__n_train_items"), 6).as("coverage"))
+  }
+
   private val w8Ewma: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id")).rowsBetween(-49, 0)
@@ -1660,6 +1713,7 @@ object SparkEntry {
     "g6_item_cf" -> g6ItemCf,
     "m9_itemcf_recommend" -> m9ItemCfRecommend,
     "g7_swing" -> g7Swing,
+    "m10_itemcf_backtest" -> m10ItemCfBacktest,
     "q2_data_profile" -> q2DataProfile,
     "q3_constraints" -> q3Constraints,
     "mm3_audio_windows" -> mm3AudioWindows,
@@ -2463,6 +2517,57 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
         |  RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW)"""
         .stripMargin,
+    "m10_itemcf_backtest" ->
+      """WITH tl AS (SELECT l_orderkey, l_partkey FROM orders
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE year(o_orderdate) BETWEEN 1998 AND 1999),
+        |ui AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM tl),
+        |deg AS (SELECT i, count(*) AS deg FROM ui GROUP BY i),
+        |cap AS (SELECT b, i FROM (SELECT b, i,
+        |    count(*) OVER (PARTITION BY b) AS bc FROM ui) WHERE bc <= 50),
+        |co AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS co
+        |  FROM cap a JOIN cap c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sc AS (SELECT item_a, item_b,
+        |    round(co / sqrt(CAST(da.deg AS DOUBLE) * db.deg), 6) AS cosine
+        |  FROM co JOIN deg da ON da.i = item_a
+        |  JOIN deg db ON db.i = item_b),
+        |sym AS (SELECT item_a AS item, item_b AS neighbor, cosine
+        |  FROM sc UNION ALL SELECT item_b, item_a, cosine FROM sc),
+        |hist AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE year(o_orderdate) BETWEEN 1998 AND 1999),
+        |scored AS (SELECT h.u, s.neighbor,
+        |    round(sum(s.cosine), 6) AS score
+        |  FROM hist h JOIN sym s ON s.item = h.i GROUP BY 1, 2),
+        |unseen AS (SELECT u, neighbor, score FROM scored sc2
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist h2
+        |    WHERE h2.u = sc2.u AND h2.i = sc2.neighbor)),
+        |recs AS (SELECT u, neighbor AS item FROM (SELECT u, neighbor,
+        |    row_number() OVER (PARTITION BY u
+        |      ORDER BY score DESC, neighbor) AS rank FROM unseen)
+        |  WHERE rank <= 5),
+        |test AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE year(o_orderdate) >= 2000),
+        |m AS (SELECT r.u, r.item,
+        |    CASE WHEN t.i IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM recs r JOIN (SELECT DISTINCT u FROM test) eu
+        |    ON r.u = eu.u
+        |  LEFT JOIN test t ON t.u = r.u AND t.i = r.item),
+        |s1 AS (SELECT count(DISTINCT u) AS n_eval_users,
+        |    count(*) AS n_recs, sum(hit) AS n_hits,
+        |    count(DISTINCT CASE WHEN hit = 1 THEN u END) AS n_hit_users
+        |  FROM m),
+        |s2 AS (SELECT count(DISTINCT item) AS n_rec_items FROM recs),
+        |s3 AS (SELECT count(DISTINCT i) AS n_train_items FROM hist)
+        |SELECT n_eval_users,
+        |  round(CAST(n_hit_users AS DOUBLE) / n_eval_users, 6)
+        |    AS hit_rate,
+        |  round(CAST(n_hits AS DOUBLE) / n_recs, 6) AS precision_at_5,
+        |  round(CAST(n_rec_items AS DOUBLE) / n_train_items, 6)
+        |    AS coverage
+        |FROM s1 CROSS JOIN s2 CROSS JOIN s3""".stripMargin,
     "g7_swing" ->
       """WITH ui AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
