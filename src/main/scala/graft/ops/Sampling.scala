@@ -171,7 +171,11 @@ object Sampling {
       k: Int): DataFrame = {
     val ranges = PrefixSum.ranges(items, Seq("item"), col("weight"),
       "lo", "hi")
-    val total = ranges.agg(max(col("hi"))).head.getLong(0)
+    val totalRow = ranges.agg(max(col("hi"))).head
+    require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0,
+      "weightedNegatives needs a non-empty items frame with positive " +
+        "total weight")
+    val total = totalRow.getLong(0)
     val bucket = math.max(1L, total / 256L)
     val rexp = ranges.withColumn("__bk",
       explode(sequence(expr(s"lo div $bucket"),
