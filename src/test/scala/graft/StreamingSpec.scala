@@ -230,6 +230,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup TTL re-baselines: expired claims stop matching") {
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val text = "the quick brown fox jumps over the lazy dog tonight"
+      val mem = MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamingDedup.nearDups(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.9,
+        // wide enough that batch scheduling latency can't eat the window
+        ttl = Some(java.time.Duration.ofSeconds(3)))
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("sdedup_ttl").start()
+      def rows() = spark.table("sdedup_ttl")
+        .as[(Long, Long, Double)].collect().toSeq
+      def await(pred: => Boolean): Boolean = {
+        val deadline = System.currentTimeMillis + 20000
+        while (!pred && System.currentTimeMillis < deadline) Thread.sleep(50)
+        pred
+      }
+      mem.addData((1L, text)) // claims its band buckets
+      mem.addData((2L, text)) // identical while claims are live → matches 1
+      assert(await(rows().exists(r => r._1 == 2L && r._2 == 1L)),
+        s"live claim did not match: ${rows()}")
+      Thread.sleep(4500) // > TTL: doc 1 AND doc 2's claims expire
+      mem.addData((3L, text)) // buckets empty again → no match, re-claims
+      Thread.sleep(800) // give a wrong match a chance to (not) appear
+      assert(rows().forall(_._1 != 3L),
+        s"doc 3 matched an expired claim: ${rows()}")
+      mem.addData((4L, text)) // matches the RE-claimed doc 3, not 1/2
+      assert(await(rows().exists(r => r._1 == 4L && r._2 == 3L)),
+        s"re-claim did not match: ${rows()}")
+      assert(rows().forall(r => r._1 != 4L || r._2 == 3L),
+        s"doc 4 matched an expired claim: ${rows()}")
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("kafkaSink wires the producer format, topic and payload contract (S4)") {
     val parsed = BehaviorIngest.parse(msgs.toDF("value"))
     // payload contract: key = user id, value = JSON of the full record
