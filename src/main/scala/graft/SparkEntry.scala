@@ -1032,6 +1032,28 @@ object SparkEntry {
           col("__n_train_items"), 6).as("coverage"))
   }
 
+  /** LLM-T18: URL canonicalization — the web-corpus dedup key
+    * ([[TextFunctions.canonicalUrl]]): scheme/case/www/tracking-param/
+    * trailing-slash variants of the same page collapse to one key.
+    * Deterministic URL variants are synthesized per doc on both engine
+    * and oracle sides (the t6/t17 injection pattern); output pins the
+    * canonical key, host, and the collapse (distinct canon keys ≪
+    * distinct raw urls). */
+  private val t18UrlCanonical: Q = (s, dir) => {
+    val raw = Tables.documents(s, dir).select(col("doc_id"), concat(
+      when(col("doc_id") % 2 === 0, lit("http://")).otherwise(lit("https://")),
+      when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".example.com/docs/"),
+      (col("doc_id") % 100).cast("string"),
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("?utm_source=feed&id="), col("doc_id").cast("string")))
+        .otherwise(lit(""))).as("url"))
+    raw.select(col("doc_id"), col("url"),
+      TextFunctions.canonicalUrl(col("url")).as("canon_url"),
+      TextFunctions.urlHost(col("url")).as("host"))
+  }
+
   private val w8Ewma: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id")).rowsBetween(-49, 0)
@@ -1735,6 +1757,7 @@ object SparkEntry {
     "a18_calibration" -> a18Calibration,
     "a19_psi" -> a19Psi,
     "t17_html_strip" -> t17HtmlStrip,
+    "t18_url_canonical" -> t18UrlCanonical,
     "m8_param_stats" -> m8ParamStats,
     "t13_normalize" -> t13Normalize,
     "t14_cms_heavy_hitters" -> t14CmsHeavyHitters,
@@ -2464,6 +2487,24 @@ object SparkEntry {
         |    item_id, adc_dist, row_number() OVER (PARTITION BY query_id
         |      ORDER BY adc_dist, item_id) AS rank FROM sc)
         |WHERE rank <= 5""".stripMargin,
+    "t18_url_canonical" ->
+      """WITH raw AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.example.com/docs/' || (doc_id % 100)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0
+        |        THEN '?utm_source=feed&id=' || doc_id ELSE '' END)
+        |      AS url FROM documents)
+        |SELECT doc_id, url,
+        |  'https://' || regexp_replace(regexp_replace(
+        |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+        |    '^www\.', ''), '/$', '')
+        |  || regexp_replace(
+        |    regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+        |    '/$', '') AS canon_url,
+        |  lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS host
+        |FROM raw""".stripMargin,
     "t17_html_strip" ->
       """WITH h AS (SELECT doc_id, '<div id="' || doc_id || '"><p>' ||
         |    text || ' &amp; more &lt;escaped&gt;</p><br/></div>' AS x

@@ -140,6 +140,24 @@ object TextFunctions {
         phoneRe, "<PHONE>"),
       ipv4Re, "<IP>")
 
+  /** URL host (lowercased) — scheme://HOST[/...]. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#]+)", 1))
+
+  /** URL path (no query/fragment). */
+  def urlPath(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+
+  /** Canonical URL — the dedup key of every web-corpus pipeline (the
+    * same page arrives as http/https, with/without www, with tracking
+    * params and trailing slashes): normalize scheme to https, lowercase
+    * the host, strip a leading `www.`, drop query/fragment entirely,
+    * strip the trailing slash. RE2-safe regexes, whole chain codegens. */
+  def canonicalUrl(url: Column): Column =
+    concat(lit("https://"),
+      regexp_replace(urlHost(url), "^www\\.", ""),
+      regexp_replace(urlPath(url), "/$", ""))
+
   /** Strip HTML/XML markup from scraped text — the first stage of every
     * web-corpus pipeline (the extract step of a WET/CC-style run): drop
     * tags (`<...>` → space so adjacent words don't fuse), decode the

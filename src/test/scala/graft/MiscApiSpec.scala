@@ -163,6 +163,16 @@ class MiscApiSpec extends AnyFunSuite {
     assert(d == 5.25)
   }
 
+  test("canonicalUrl collapses scheme/case/www/query/slash variants") {
+    import spark.implicits._
+    val canon = Seq(
+      "http://WWW.News.Example.com/a/b/",
+      "https://news.example.com/a/b?utm_source=x#frag",
+      "https://www.news.example.com/a/b").toDF("url")
+      .select(TextFunctions.canonicalUrl($"url")).as[String].collect().toSet
+    assert(canon == Set("https://news.example.com/a/b"))
+  }
+
   test("stripMarkup: tags become spaces, entities decode once, in order") {
     import spark.implicits._
     val got = Seq("<b>a</b>b &amp;lt; &lt;i&gt; x&nbsp;y")
