@@ -60,6 +60,25 @@ object Layout {
     * `repartition` here guarantees). The same bucket metadata serves
     * `groupBy(bucketCol)` aggregations shuffle-free.
     */
+  /** Small-file compaction — the maintenance pass every streaming or
+    * fine-grained-ingest table needs (each micro-batch/task writes its
+    * own file; a month of 1-minute batches is 43k files, and at 100 TB
+    * the NameNode/listing and per-file open costs dominate scans long
+    * before the bytes do). Sizes the rewrite from the directory's actual
+    * bytes: ceil(totalBytes / targetBytes) output files, round-robin
+    * repartitioned so they come out even. Returns the file count
+    * written. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inputDir: String,
+      outDir: String, targetBytes: Long): Int = {
+    val in = new org.apache.hadoop.fs.Path(inputDir)
+    val fs = in.getFileSystem(spark.sessionState.newHadoopConf())
+    val totalBytes = fs.getContentSummary(in).getLength
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inputDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
+
   /** Hive-style partitioned table write — the layout that turns a join
     * key or filter column into DIRECTORY structure, so selective reads
     * skip whole partitions. With a selective dimension join on the

@@ -210,6 +210,25 @@ class OpsSpec extends AnyFunSuite {
     assert(totalErr(trained) < totalErr(mean1))
   }
 
+  test("compact coalesces a many-small-files dir, preserving the data") {
+    val src = java.nio.file.Files.createTempDirectory("compact_in").toString
+    val dst = java.nio.file.Files.createTempDirectory("compact_out").toString
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select($"event_id", $"user_id", $"value")
+    ev.repartition(32).write.mode("overwrite").parquet(src)
+    def files(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(src) == 32)
+    val n = Layout.compact(spark, src, dst, targetBytes = 512L * 1024)
+    assert(files(dst) == n && n < 32, s"wrote $n files")
+    // byte-for-byte same rows
+    val a = spark.read.parquet(src).as[(Long, Long, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2))
+    val b = spark.read.parquet(dst).as[(Long, Long, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("PrefixSum ranges equal the naive cumsum at any partition count") {
     import graft.ops.PrefixSum
     val df = Seq((5L, 3L), (1L, 2L), (9L, 7L), (4L, 1L))
