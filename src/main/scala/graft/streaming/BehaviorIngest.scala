@@ -99,6 +99,27 @@ object BehaviorIngest {
       }
   }
 
+  /** Replay-idempotent partitioned table sink: each micro-batch
+    * dynamically overwrites ONLY the partitions it touches
+    * (`partitionOverwriteMode=dynamic` inside `foreachBatch`) — so
+    * re-processing a batch after a failure RESTATES its partitions
+    * instead of appending duplicates. This is the standard
+    * exactly-once-to-a-table recipe when the sink is plain parquet (no
+    * transactional log): the checkpoint dedups batch replays across
+    * restarts, dynamic overwrite makes the one write that does re-run
+    * idempotent. Untouched partitions are never rewritten. */
+  def partitionedTableSink(parsed: DataFrame, partCol: String,
+      outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    parsed.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCol).parquet(outDir)
+      }
+
   /** Event-time sliding-window activity aggregation — the design-doc
     * operator the reference never implemented (`README.md:503-507`):
     * per (window, user) event count, plus a distinct item count

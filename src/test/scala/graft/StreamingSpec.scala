@@ -186,6 +186,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("partitionedTableSink restates only touched partitions on replay") {
+    implicit val sql = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("ptsink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ptsink_ck").toString
+    val mem = MemoryStream[String]
+    val q = BehaviorIngest.partitionedTableSink(
+      BehaviorIngest.parse(mem.toDF()), "user_id", out, ckpt).start()
+    mem.addData(msgs(0), msgs(1)) // u1@100, u2@200 → partitions u1, u2
+    q.processAllAvailable()
+    def rows() = spark.read.parquet(out)
+      .select($"user_id", $"timestamp").as[(String, Long)].collect().toSet
+    assert(rows() == Set(("u1", 100L), ("u2", 200L)))
+    mem.addData(msgs(2)) // u1@300 → dynamic overwrite of partition u1 ONLY
+    q.processAllAvailable()
+    q.stop()
+    // u1's partition was RESTATED (100 replaced by 300); u2 untouched —
+    // append mode would have kept both u1 rows
+    assert(rows() == Set(("u1", 300L), ("u2", 200L)), rows().toString)
+  }
+
   test("streaming near-dup (state-v2) matches the batch incremental dedup") {
     implicit val sql = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
