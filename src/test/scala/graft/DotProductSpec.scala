@@ -85,6 +85,13 @@ class DotProductSpec extends AnyFunSuite {
       intercept[Exception] {
         s2.sql("SELECT graft_minhash(array('a'), CAST(rand()*4 AS INT))").collect()
       }
+      // count-min probe: build a sketch of 3×'x' + 1×'y' in SQL, probe it
+      val est = s2.sql(
+        """SELECT graft_cms_estimate(sk, 'x') FROM (SELECT
+          |  count_min_sketch(v, 0.01D, 0.99D, 42) AS sk FROM
+          |  (VALUES ('x'), ('x'), ('x'), ('y')) AS t(v))""".stripMargin)
+        .collect()(0).getLong(0)
+      assert(est == 3L, s"cms estimate of 'x' was $est")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
