@@ -1179,9 +1179,12 @@ object SparkEntry {
       (0 until 4).map(sub => full.map(_.slice(sub * 16, sub * 16 + 16)))
     val assigned = VectorOps.pqAssign(col("embedding"), cb)
     emb.select(col("vec_id"), assigned.as("__a"))
-      .select(col("vec_id"),
-        VectorOps.pqCodes(col("__a")).as("codes"),
+      .select(col("vec_id"), VectorOps.pqCodes(col("__a")).as("__codes"),
         VectorOps.pqSqError(col("__a")).as("sq_err"))
+      .select(col("vec_id") +:
+        (0 until 4).map(i =>
+          element_at(col("__codes"), i + 1).cast("long").as(s"c$i")) :+
+        col("sq_err"): _*)
   }
 
   private val v2QuantizeEmb: Q = (s, dir) => {
@@ -2710,7 +2713,11 @@ object SparkEntry {
         |  CROSS JOIN cb),
         |pick AS (SELECT vec_id, sub, cidx, dist, row_number() OVER (
         |    PARTITION BY vec_id, sub ORDER BY dist, cidx) AS rn FROM d)
-        |SELECT vec_id, list(cidx ORDER BY sub) AS codes,
+        |SELECT vec_id,
+        |  CAST(max(CASE WHEN sub = 0 THEN cidx END) AS BIGINT) AS c0,
+        |  CAST(max(CASE WHEN sub = 1 THEN cidx END) AS BIGINT) AS c1,
+        |  CAST(max(CASE WHEN sub = 2 THEN cidx END) AS BIGINT) AS c2,
+        |  CAST(max(CASE WHEN sub = 3 THEN cidx END) AS BIGINT) AS c3,
         |  round(sum(dist), 6) AS sq_err
         |FROM pick WHERE rn = 1 GROUP BY vec_id""".stripMargin,
     "v2_quantize_emb" ->
