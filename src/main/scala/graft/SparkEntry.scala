@@ -378,6 +378,22 @@ object SparkEntry {
         round(element_at(col("emb"), 1), 6).as("score"))
   }
 
+  /** G8: [[g3Propagate]]'s SpMM on the vector-row plan — one shuffle of
+    * whole embedding rows reduced by the spillable `vec_sum` aggregate
+    * ([[Graph.propagateVec]]) instead of two scalar-row shuffles. Same
+    * oracle as g3; the scalar/vector crossover by embedding width is
+    * recorded in PLANS.md (BenchSpmm). */
+  private val g8PropagateVec: Q = (s, dir) => {
+    val edges = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")).distinct()
+    val nodes = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("id"), array(col("s_acctbal")).as("emb"))
+    Graph.propagateVec(Graph.normalizeEdges(edges, "src", "dst"), nodes,
+        "src", "dst", "id", "emb")
+      .select(col("id").as("p_partkey"),
+        round(element_at(col("emb"), 1), 6).as("score"))
+  }
+
   /** §2.12: event-time tumbling-window activity aggregation (same plan
     * batch/stream; the design-doc operator the reference never built). */
   private val streamWindowCounts: Q = (s, dir) => {
@@ -1680,6 +1696,7 @@ object SparkEntry {
     "a12_pairwise" -> a12Pairwise,
     "g2_degree_norm" -> g2DegreeNorm,
     "g3_propagate" -> g3Propagate,
+    "g8_propagate_vec" -> g8PropagateVec,
     "stream_window_counts" -> streamWindowCounts,
     "stream_sliding_window" -> streamSlidingWindow,
     "s2_json_parse" -> s2JsonParse,
@@ -1988,6 +2005,15 @@ object SparkEntry {
         |SELECT e.src, e.dst, round(pow(ds.d, -0.5) * pow(dd.d, -0.5), 9) AS w
         |FROM e JOIN ds USING (src) JOIN dd USING (dst)""".stripMargin,
     "g3_propagate" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |ds AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |dd AS (SELECT dst, count(*) AS d FROM e GROUP BY dst)
+        |SELECT e.dst AS p_partkey,
+        |  round(sum(pow(ds.d, -0.5) * pow(dd.d, -0.5) * s.s_acctbal), 6) AS score
+        |FROM e JOIN ds USING (src) JOIN dd USING (dst)
+        |JOIN supplier s ON s.s_suppkey = e.src
+        |GROUP BY e.dst""".stripMargin,
+    "g8_propagate_vec" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
         |ds AS (SELECT src, count(*) AS d FROM e GROUP BY src),
         |dd AS (SELECT dst, count(*) AS d FROM e GROUP BY dst)

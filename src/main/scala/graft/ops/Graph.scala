@@ -41,6 +41,26 @@ object Graph {
       .drop("__pairs")
   }
 
+  /** Vector-row variant of [[propagate]]: one shuffle of whole
+    * `array<double>` rows reduced by the spillable element-wise
+    * [[graft.functions.VecSumAgg]] aggregate, instead of two shuffles of
+    * (id, dim, value) scalars. Fewer, wider shuffle rows — wins when the
+    * embedding width outgrows the per-row overhead of the scalar plan;
+    * the scalar plan wins when reducer balance matters more (hub nodes
+    * spread across dim-keyed reducers). Measured crossover recorded in
+    * PLANS.md; same output contract as [[propagate]] up to float-add
+    * order (callers round before oracle comparison). */
+  def propagateVec(normEdges: DataFrame, nodes: DataFrame,
+      src: String, dst: String, id: String, emb: String): DataFrame = {
+    normEdges
+      .join(nodes.withColumnRenamed(id, src), src)
+      .select(col(dst).as(id),
+        graft.functions.VectorOps.vecScale(col(emb).cast("array<double>"),
+          col("w")).as("__scaled"))
+      .groupBy(col(id))
+      .agg(graft.functions.VecSumAgg.vecSum(col("__scaled")).as(emb))
+  }
+
   /** Connected components by iterative min-label propagation: every node
     * starts labeled with its own id; each round a node takes the minimum
     * label among itself and its neighbors; fixpoint = each component

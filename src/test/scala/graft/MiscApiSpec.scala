@@ -64,6 +64,24 @@ class MiscApiSpec extends AnyFunSuite {
     }
   }
 
+  test("propagateVec matches the scalar-row propagate plan (G3/G8)") {
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 11L), (3L, 12L))
+      .toDF("src", "dst")
+    val nodes = Seq(
+      (1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 5.0)), (3L, Seq(-1.0, 0.5)))
+      .toDF("id", "emb")
+    val norm = graft.ops.Graph.normalizeEdges(edges, "src", "dst")
+    def rounded(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", round(element_at($"emb", 1), 9).as("e1"),
+        round(element_at($"emb", 2), 9).as("e2"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val scalar =
+      rounded(graft.ops.Graph.propagate(norm, nodes, "src", "dst", "id", "emb"))
+    val vec =
+      rounded(graft.ops.Graph.propagateVec(norm, nodes, "src", "dst", "id", "emb"))
+    assert(scalar.nonEmpty && vec == scalar)
+  }
+
   test("pageRank matches the hand-computed walk (G5)") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val seeds = Seq(1L).toDF("seed")
