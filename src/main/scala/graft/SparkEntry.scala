@@ -1395,6 +1395,72 @@ object SparkEntry {
         round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
   }
 
+  /** M11 — the reference's full 3-branch cold-start recall decision
+    * (`model_service/models.py:42-88`) over a mixed user batch:
+    * users 0–3 have trained embeddings (branch 1), 4–7 only history
+    * (branch 2, mean-pooled history embedding), 8–14 neither
+    * (branch 3, popularity fallback). One lazy plan via
+    * [[Cascade.coldStartRecall]]. */
+  private val m11ColdstartRecall: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val nItems = broadcast(emb.agg(count(lit(1)).as("__n")))
+    val users = Tables.customer(s, dir).where(col("c_custkey") < 15)
+      .select(col("c_custkey").as("user_id"))
+    val hist = Tables.events(s, dir).where(col("user_id") < 8)
+      .crossJoin(nItems)
+      .select(col("user_id"), (col("event_id") % col("__n")).as("item_id"),
+        col("ts"))
+    val recent = TopK.perGroup(hist, Seq(col("user_id")),
+        Seq(col("ts").desc, col("item_id").desc), 10)
+      .select(col("user_id"), col("item_id"))
+    val userEmb = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("user_id"),
+        col("embedding").cast("array<double>").as("uemb"))
+    val items = emb.select(col("vec_id").as("item_id"),
+      col("embedding").cast("array<double>").as("iemb"))
+    val interactions = Tables.events(s, dir).crossJoin(nItems)
+      .select((col("event_id") % col("__n")).as("item_id"))
+    Cascade.coldStartRecall(users, userEmb, recent, items, interactions, 5)
+      .select(col("user_id"), col("branch"), col("item_id"),
+        round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
+  }
+
+  /** M12 — the deployment-shaped composition: [[m11ColdstartRecall]]'s
+    * 3-branch decision feeding an IVF ANN recall (the past-broadcast-
+    * threshold path), then rank ▷ rerank. Rows-only fast-path twin of
+    * the oracle-exact m11 (kmeans cell assignment isn't SQL-portable);
+    * CascadeSpec pins the composition against brute-force recall and
+    * the per-branch routing. */
+  private val m12ColdstartCascade: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val nItems = broadcast(emb.agg(count(lit(1)).as("__n")))
+    val users = Tables.customer(s, dir).where(col("c_custkey") < 15)
+      .select(col("c_custkey").as("user_id"))
+    val hist = Tables.events(s, dir).where(col("user_id") < 8)
+      .crossJoin(nItems)
+      .select(col("user_id"), (col("event_id") % col("__n")).as("item_id"),
+        col("ts"))
+    val recent = TopK.perGroup(hist, Seq(col("user_id")),
+        Seq(col("ts").desc, col("item_id").desc), 10)
+      .select(col("user_id"), col("item_id"))
+    val userEmb = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("user_id"),
+        col("embedding").cast("array<double>").as("uemb"))
+    val items = emb.select(col("vec_id").as("item_id"),
+      col("embedding").cast("array<double>").as("iemb"))
+    val interactions = Tables.events(s, dir).crossJoin(nItems)
+      .select((col("event_id") % col("__n")).as("item_id"))
+    Cascade.recommendColdStart(users, userEmb, recent, items, interactions,
+        Cascade.mixScorer("user_id", "item_id"),
+        Cascade.mixScorer("item_id", "user_id"),
+        n1 = 20, n2 = 10, n3 = 5) { (queries, corpus) =>
+      SimSearch.ivfTopK(queries, corpus, "user_id", "uemb",
+          "item_id", "iemb", k = 20, nCells = 4, nProbe = 2)
+        .select(col("query_id").as("user_id"), col("item_id"))
+    }.select(col("user_id"), col("branch"), col("item_id"),
+      col("final_rank").cast("long").as("final_rank"))
+  }
+
   /** §3.3 flagship: the reference's training-data ETL chain as ONE lazy
     * plan — activity-stratified user sampling (X3) ▷ prefix-window samples
     * (W2/W3) ▷ rating-threshold positives (P2) ▷ deterministic negative
@@ -1741,6 +1807,8 @@ object SparkEntry {
     "m7_neural_cascade" -> m7NeuralCascade,
     "etl_training_data" -> etlTrainingData,
     "m0_recommend_slice" -> m0RecommendSlice,
+    "m11_coldstart_recall" -> m11ColdstartRecall,
+    "m12_coldstart_cascade" -> m12ColdstartCascade,
     "p5_isin" -> p5Isin,
     "p9_history_contains" -> p9HistoryContains,
     "j5_history_fetch" -> j5HistoryFetch,
@@ -2387,6 +2455,57 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY score DESC, item_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    "m11_coldstart_recall" ->
+      """WITH users AS (SELECT c_custkey AS user_id FROM customer
+        |  WHERE c_custkey < 15),
+        |hist AS (SELECT user_id,
+        |    event_id % (SELECT count(*) FROM embeddings) AS item_id, ts
+        |  FROM events WHERE user_id < 8),
+        |recent AS (SELECT user_id, item_id FROM (
+        |    SELECT user_id, item_id, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, item_id DESC) AS rn FROM hist)
+        |  WHERE rn <= 10),
+        |ue AS (SELECT vec_id AS user_id, CAST(embedding AS DOUBLE[]) AS uemb
+        |  FROM embeddings WHERE vec_id < 4),
+        |items AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS iemb FROM embeddings),
+        |b1 AS (SELECT u.user_id, e.uemb, 1 AS branch
+        |  FROM users u JOIN ue e USING (user_id)),
+        |mh AS (SELECT r.user_id, i.item_id, i.iemb FROM recent r
+        |  JOIN users u ON u.user_id = r.user_id
+        |  JOIN items i ON i.item_id = r.item_id
+        |  WHERE r.user_id NOT IN (SELECT user_id FROM ue)),
+        |b2v AS (SELECT user_id, pos, avg(v) AS uv FROM (
+        |    SELECT user_id, unnest(iemb) AS v,
+        |      unnest(generate_series(1, len(iemb))) AS pos FROM mh)
+        |  GROUP BY user_id, pos),
+        |b2 AS (SELECT user_id, list(uv ORDER BY pos) AS uemb, 2 AS branch
+        |  FROM b2v GROUP BY user_id),
+        |emb12 AS (SELECT b.user_id, b.branch, i.item_id,
+        |    list_dot_product(b.uemb, i.iemb) AS score
+        |  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) b
+        |  CROSS JOIN items i
+        |  WHERE NOT EXISTS (SELECT 1 FROM recent r
+        |    WHERE r.user_id = b.user_id AND r.item_id = i.item_id)),
+        |top12 AS (SELECT user_id, branch, item_id, score, rank FROM (
+        |    SELECT user_id, branch, item_id, score, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY score DESC, item_id) AS rank
+        |    FROM emb12)
+        |  WHERE rank <= 5),
+        |inter AS (SELECT event_id % (SELECT count(*) FROM embeddings)
+        |    AS item_id FROM events),
+        |pop AS (SELECT item_id, score, rank FROM (
+        |    SELECT item_id, CAST(count(*) AS DOUBLE) AS score,
+        |      row_number() OVER (ORDER BY count(*) DESC, item_id) AS rank
+        |    FROM inter GROUP BY item_id)
+        |  WHERE rank <= 5),
+        |b3 AS (SELECT u.user_id, 3 AS branch, p.item_id, p.score, p.rank
+        |  FROM users u CROSS JOIN pop p
+        |  WHERE u.user_id NOT IN (SELECT user_id FROM b1)
+        |    AND u.user_id NOT IN (SELECT user_id FROM b2))
+        |SELECT user_id, CAST(branch AS BIGINT) AS branch, item_id,
+        |  round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT * FROM top12 UNION ALL SELECT * FROM b3)""".stripMargin,
     "m4_cascade" ->
       """WITH users AS (SELECT vec_id AS user_id,
         |    CAST(embedding AS DOUBLE[]) AS uemb

@@ -111,6 +111,75 @@ class CascadeSpec extends AnyFunSuite {
     }
   }
 
+  test("coldStartRecall routes each user class to the right branch (M11)") {
+    val userEmb = Seq((1L, Seq(1.0, 0.0))).toDF("user_id", "uemb")
+    val items = Seq(
+      (10L, Seq(1.0, 0.0)), (11L, Seq(0.0, 1.0)), (12L, Seq(0.5, 0.5)))
+      .toDF("item_id", "iemb")
+    // user 1: known; user 2: history {11, 12}; user 3: nothing
+    val users = Seq(1L, 2L, 3L).toDF("user_id")
+    val history = Seq((1L, 10L), (2L, 11L), (2L, 12L)).toDF("user_id", "item_id")
+    val interactions = Seq(10L, 10L, 10L, 11L, 11L, 12L).toDF("item_id")
+    val out = Cascade.coldStartRecall(users, userEmb, history, items,
+        interactions, 2)
+      .select($"user_id", $"branch", $"item_id", round($"score", 9), $"rank")
+      .as[(Long, Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5).toSeq).toMap
+    // branch 1: history item 10 excluded → scores vs (0,1)=0, (.5,.5)=.5
+    assert(out(1L) == Seq((1L, 1L, 12L, 0.5, 1), (1L, 1L, 11L, 0.0, 2)))
+    // branch 2: mean((0,1),(.5,.5)) = (.25,.75); only item 10 remains
+    assert(out(2L) == Seq((2L, 2L, 10L, 0.25, 1)))
+    // branch 3: popularity (10:3, 11:2) regardless of embeddings
+    assert(out(3L) == Seq((3L, 3L, 10L, 3.0, 1), (3L, 3L, 11L, 2.0, 2)))
+  }
+
+  test("recommendColdStart: ANN recall ≡ brute force when probing all cells; branches route (M12)") {
+    import graft.llmops.SimSearch
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val users = spark.range(0, 15).select($"id".as("user_id"))
+    val userEmb = emb.where($"vec_id" < 4)
+      .select($"vec_id".as("user_id"), $"embedding".cast("array<double>").as("uemb"))
+    val items = emb.where($"vec_id" >= 20)
+      .select($"vec_id".as("item_id"), $"embedding".cast("array<double>").as("iemb"))
+    val history = Tables.events(spark, TestSpark.sf).where($"user_id" < 8)
+      .select($"user_id", (pmod($"event_id", lit(480L)) + 20).as("item_id"))
+      .distinct()
+    val interactions = history.select($"item_id")
+    def run(recallFn: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) =
+      Cascade.recommendColdStart(users, userEmb, history, items, interactions,
+          Cascade.mixScorer("user_id", "item_id"),
+          Cascade.mixScorer("item_id", "user_id"),
+          n1 = 20, n2 = 10, n3 = 5)(recallFn)
+        .select($"user_id", $"branch", $"item_id", $"final_rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    val brute = run((q, c) =>
+      SimSearch.bruteForceTopK(q, c, "user_id", "uemb", "item_id", "iemb", 20)
+        .select($"query_id".as("user_id"), $"item_id"))
+    // probing every cell (nProbe = nCells) degenerates to an exhaustive
+    // scan, so the whole composed pipeline must be bit-identical to
+    // brute force
+    val ivf = run((q, c) =>
+      SimSearch.ivfTopK(q, c, "user_id", "uemb", "item_id", "iemb",
+          k = 20, nCells = 2, nProbe = 2)
+        .select($"query_id".as("user_id"), $"item_id"))
+    assert(ivf == brute)
+    val byBranch = brute.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBranch(1L) == Set(0L, 1L, 2L, 3L))
+    assert(byBranch(2L) == Set(4L, 5L, 6L, 7L))
+    assert(byBranch(3L) == (8L to 14L).toSet)
+    // every user got exactly n3 final recommendations, ranks 1..5
+    brute.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.size == 5 && rows.map(_._4) == Set(1, 2, 3, 4, 5).map(identity)) }
+    // branch-3 candidates come from ONE shared popularity top-n1 pool
+    // (the final top-5 differs per user — the ranker mixes user_id in)
+    val popTop20 = interactions.groupBy($"item_id").count()
+      .orderBy($"count".desc, $"item_id").limit(20)
+      .select($"item_id").as[Long].collect().toSet
+    val b3items = brute.filter(_._2 == 3L).map(_._3)
+    assert(b3items.nonEmpty && b3items.subsetOf(popTop20))
+  }
+
   test("neural scorers: join plumbing feeds the kernels the right vectors") {
     import graft.recall.NeuralForward
     val emb = Tables.embeddings(spark, TestSpark.sf)
