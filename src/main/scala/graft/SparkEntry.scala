@@ -1203,6 +1203,27 @@ object SparkEntry {
         col("sq_err"): _*)
   }
 
+  /** V4: PQ encode with TRAINED codebooks — [[VectorOps.pqTrain]] fits
+    * real per-subspace k-means centers once (fit-once posture, then
+    * inlined as literals into the same zero-shuffle [[VectorOps.pqAssign]]
+    * expression tree). Rows-only fast-path twin of the oracle-exact
+    * literal-codebook v3 (k-means centers aren't SQL-portable); OpsSpec
+    * asserts trained total sq_err ≤ v3's literal-codebook sq_err
+    * corpus-wide, pinning that the training genuinely helps. Same scalar
+    * output schema as v3 (vec_id, c0..c3, sq_err). */
+  private val v4PqTrained: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cb = VectorOps.pqTrain(emb, "embedding", dim = 64, m = 4, k = 4)
+    val assigned = VectorOps.pqAssign(col("embedding"), cb)
+    emb.select(col("vec_id"), assigned.as("__a"))
+      .select(col("vec_id"), VectorOps.pqCodes(col("__a")).as("__codes"),
+        VectorOps.pqSqError(col("__a")).as("sq_err"))
+      .select(col("vec_id") +:
+        (0 until 4).map(i =>
+          element_at(col("__codes"), i + 1).cast("long").as(s"c$i")) :+
+        col("sq_err"): _*)
+  }
+
   private val v2QuantizeEmb: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val q = VectorOps.quantizeInt8(col("embedding"))
@@ -1794,6 +1815,7 @@ object SparkEntry {
     "x10_token_budget" -> x10TokenBudget,
     "v2_quantize_emb" -> v2QuantizeEmb,
     "v3_pq_encode" -> v3PqEncode,
+    "v4_pq_trained" -> v4PqTrained,
     "sim6_pq_adc" -> sim6PqAdc,
     "d2_minhash_pairs" -> d2MinHashPairs,
     "sim2_lsh_topk" -> sim2LshTopk,

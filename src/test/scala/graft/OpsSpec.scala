@@ -210,6 +210,16 @@ class OpsSpec extends AnyFunSuite {
     assert(totalErr(trained) < totalErr(mean1))
   }
 
+  test("v4_pq_trained: trained codebooks never lose to v3's literal ones") {
+    // the registered rows-only twin (v4) must beat-or-match its
+    // oracle-exact twin (v3) on total quantization error — k-means
+    // centers fit the corpus, v3's pseudo-random sample rows don't
+    def total(q: String): Double =
+      SparkEntry.queries(q)(spark, TestSpark.sf)
+        .agg(sum($"sq_err")).as[Double].head()
+    assert(total("v4_pq_trained") <= total("v3_pq_encode"))
+  }
+
   test("compact coalesces a many-small-files dir, preserving the data") {
     val src = java.nio.file.Files.createTempDirectory("compact_in").toString
     val dst = java.nio.file.Files.createTempDirectory("compact_out").toString
