@@ -2691,7 +2691,8 @@ object SparkEntry {
       """WITH s AS (SELECT value / 500 AS score, CASE WHEN
         |    event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
         |  FROM events),
-        |b AS (SELECT least(floor(score * 10), 9) AS bin, count(*) AS n,
+        |b AS (SELECT greatest(least(floor(score * 10), 9), 0) AS bin,
+        |    count(*) AS n,
         |    avg(score) AS conf, avg(y) AS acc FROM s GROUP BY 1)
         |SELECT round(sum(n * abs(acc - conf)) / sum(n), 6) AS ece,
         |  count(*) AS n_bins_used FROM b""".stripMargin,

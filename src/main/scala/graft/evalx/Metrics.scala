@@ -116,7 +116,9 @@ object Metrics {
     * ranking. */
   def calibration(scored: DataFrame, score: String, label: String,
       nBins: Int): DataFrame = {
-    val bin = least(floor(col(score) * nBins), lit(nBins - 1L)).cast("long")
+    val bin = greatest(
+      least(floor(col(score) * nBins), lit(nBins - 1L)), lit(0L))
+      .cast("long")
     scored.groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("__n"), avg(col(score)).as("__conf"),
         avg(col(label).cast("double")).as("__acc"))

@@ -223,6 +223,14 @@ object Dedup {
       .distinct()
   }
 
+  /** Portable band-bucket key for signature positions
+    * [band·rows, (band+1)·rows): the one expression the batch cross-set
+    * join and the streaming claim processor
+    * ([[graft.streaming.StreamingDedup]]) must share — equal keys are
+    * what makes a stream's match set line up with the batch twin's. */
+  def bandKeyPortable(sig: Column, band: Int, rows: Int): Column =
+    md5(concat_ws("|", slice(sig, band * rows + 1, rows)))
+
   /** Incremental (new-vs-base) near-dup matches on the md5-portable
     * signature: each INCOMING doc is tested against the BASE corpus only —
     * the ingestion-time dedup shape (a new crawl snapshot against the
@@ -233,14 +241,6 @@ object Dedup {
     * no broadcast, so both sides scale freely — with hot boilerplate
     * buckets capped per side by the same spillable window count.
     * Returns distinct (doc_new, doc_base, est_jaccard) ≥ `minJaccard`. */
-  /** Portable band-bucket key for signature positions
-    * [band·rows, (band+1)·rows): the one expression the batch cross-set
-    * join and the streaming claim processor
-    * ([[graft.streaming.StreamingDedup]]) must share — equal keys are
-    * what makes a stream's match set line up with the batch twin's. */
-  def bandKeyPortable(sig: Column, band: Int, rows: Int): Column =
-    md5(concat_ws("|", slice(sig, band * rows + 1, rows)))
-
   def minHashMatchesAgainst(incoming: DataFrame, base: DataFrame,
       id: String, text: String, shingleN: Int, numHashes: Int, bands: Int,
       minJaccard: Double, maxBucket: Int = 200): DataFrame = {

@@ -40,26 +40,6 @@ object Layout {
     df.repartitionByRange(numPartitions, z).sortWithinPartitions(z)
   }
 
-  /** Bucketed (pre-shuffled) table write — the storage-layout half of a
-    * co-located join. Rows are hash-assigned to `nBuckets` buckets on
-    * `bucketCol` (Spark's bucket id = pmod(murmur3(col), n), the same
-    * hash family `repartition` uses — which is why the explicit
-    * `repartition` below aligns one in-memory partition per bucket and
-    * each task writes exactly one bucket file) and sorted by `bucketCol`
-    * within each bucket.
-    *
-    * Why it matters at 100 TB: two fact tables bucketed the same way on
-    * their join key sort-merge-join with ZERO Exchange on either side —
-    * the dominant cost of a big join (shuffling both inputs over the
-    * network) is paid once at write time and amortized over every
-    * subsequent join, and the single-file-per-bucket layout lets the
-    * reader trust the on-disk sort so no per-task sort is needed either
-    * (sorted-scan reporting is opt-in since Spark 3.0 via
-    * `spark.sql.legacy.bucketedTableScan.outputOrdering` because it is
-    * only safe with ≤1 file per bucket — the invariant the pre-write
-    * `repartition` here guarantees). The same bucket metadata serves
-    * `groupBy(bucketCol)` aggregations shuffle-free.
-    */
   /** Small-file compaction — the maintenance pass every streaming or
     * fine-grained-ingest table needs (each micro-batch/task writes its
     * own file; a month of 1-minute batches is 43k files, and at 100 TB
@@ -99,6 +79,26 @@ object Layout {
       .partitionBy(partCol).saveAsTable(table)
   }
 
+  /** Bucketed (pre-shuffled) table write — the storage-layout half of a
+    * co-located join. Rows are hash-assigned to `nBuckets` buckets on
+    * `bucketCol` (Spark's bucket id = pmod(murmur3(col), n), the same
+    * hash family `repartition` uses — which is why the explicit
+    * `repartition` below aligns one in-memory partition per bucket and
+    * each task writes exactly one bucket file) and sorted by `bucketCol`
+    * within each bucket.
+    *
+    * Why it matters at 100 TB: two fact tables bucketed the same way on
+    * their join key sort-merge-join with ZERO Exchange on either side —
+    * the dominant cost of a big join (shuffling both inputs over the
+    * network) is paid once at write time and amortized over every
+    * subsequent join, and the single-file-per-bucket layout lets the
+    * reader trust the on-disk sort so no per-task sort is needed either
+    * (sorted-scan reporting is opt-in since Spark 3.0 via
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` because it is
+    * only safe with ≤1 file per bucket — the invariant the pre-write
+    * `repartition` here guarantees). The same bucket metadata serves
+    * `groupBy(bucketCol)` aggregations shuffle-free.
+    */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int): Unit = {
     val spark = df.sparkSession

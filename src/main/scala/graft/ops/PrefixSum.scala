@@ -26,7 +26,13 @@ object PrefixSum {
   /** Adds `loCol` (exclusive prefix sum — total of all earlier rows) and
     * `hiCol` (= lo + value) in ascending `order`. `value` must be a
     * non-negative integral column (long ranges stay exact; doubles would
-    * accumulate order-dependent error across engines). */
+    * accumulate order-dependent error across engines).
+    *
+    * `order` must be a UNIQUE key: rows tying on it have an arbitrary
+    * relative order in the partition-local running-sum window, so their
+    * lo/hi assignments could differ across runs. Every current caller
+    * passes a key column; append a tiebreaker (e.g. the row id) before
+    * calling if yours isn't. */
   def ranges(df: DataFrame, order: Seq[String], value: Column,
       loCol: String, hiCol: String, numPartitions: Int = 0): DataFrame = {
     val oc = order.map(col)
