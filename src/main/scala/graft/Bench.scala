@@ -28,23 +28,31 @@ object Bench {
       .takeWhile(_.isDefined).take(32).flatten.toSet
   }
 
-  /** True when another Java process (a concurrent sbt/test/bench JVM) is
-    * running on this host: round-3/4 post-mortems traced every in-run
-    * "regression" ≥2× to exactly this, so the JSON self-reports it. */
-  private def otherJvmsActive(): Boolean = {
+  /** First other Java process (a concurrent sbt/test/bench JVM) running
+    * on this host, as "pid:cmdline-head", or None: round-3/4 post-mortems
+    * traced every in-run "regression" ≥2× to exactly this, so the JSON
+    * self-reports the offender. Matching on the "/java" executable path
+    * (not the bare substring) keeps shell wrappers whose argument text
+    * merely mentions java out of the verdict. */
+  private def otherJvm(): Option[String] = {
     val mine = selfAndAncestors()
     try {
       val procs = new java.io.File("/proc").listFiles()
-      procs != null && procs.exists { f =>
-        f.getName.forall(_.isDigit) && !mine.contains(f.getName.toLong) && {
+      if (procs == null) return None
+      procs.iterator.filter(f => f.getName.forall(_.isDigit) &&
+          !mine.contains(f.getName.toLong))
+        .flatMap { f =>
           try {
-            val cmd = new String(java.nio.file.Files.readAllBytes(
+            val argv = new String(java.nio.file.Files.readAllBytes(
               java.nio.file.Paths.get(s"/proc/${f.getName}/cmdline")))
-            cmd.contains("java")
-          } catch { case _: Throwable => false }
-        }
-      }
-    } catch { case _: Throwable => false }
+              .split('\u0000')
+            if (argv.headOption.exists(a =>
+                a.endsWith("/java") || a == "java"))
+              Some(s"${f.getName}:${argv.take(3).mkString(" ").take(80)}")
+            else None
+          } catch { case _: Throwable => None }
+        }.nextOption()
+    } catch { case _: Throwable => None }
   }
 
   def main(args: Array[String]): Unit = {
@@ -63,7 +71,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    var contended = otherJvmsActive()
+    var contendedBy = otherJvm()
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
       try f catch { case _: Throwable => return -1.0 }
@@ -75,7 +83,7 @@ object Bench {
       // BenchOne runs measured 2-3x lower than late-bench in-run numbers
       // for the heavy queries before this; the plan didn't change)
       System.gc()
-      if (!contended) contended = otherJvmsActive()
+      if (contendedBy.isEmpty) contendedBy = otherJvm()
       val cold = time { fn(spark, sfDir).count(): Unit }
       // two timed steady-state runs, best-of-2 reported: run-to-run noise
       // on a shared machine is additive (scheduler, page cache, GC), so
@@ -108,9 +116,17 @@ object Bench {
     // to the budget, with the trimmed remainder summarized explicitly
     // ("omitted_n"/"omitted_s") — no silent truncation.
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
-    contended ||= otherJvmsActive()
+    if (contendedBy.isEmpty) contendedBy = otherJvm()
+    // name the offender so a flagged run is diagnosable from the JSON
+    // alone (round-5: the flag once latched with no offender recorded,
+    // which was unfalsifiable)
+    val contention = contendedBy match {
+      case Some(who) => s""","contended":true,"contended_by":${
+        "\"" + who.replace("\\", "\\\\").replace("\"", "\\\"") + "\""}"""
+      case None => s""","contended":false"""
+    }
     val header = s""""metric":"total_warm","value":${r3(total)},"unit":"sec"""" +
-      s""","cold_s":${r3(coldTotal)},"failed":$nFailed,"contended":$contended""" +
+      s""","cold_s":${r3(coldTotal)},"failed":$nFailed$contention""" +
       s""","sf":"$sfDir""""
     val slowestFirst = results.toSeq.sortBy { case (_, (_, w)) => -w }
     val budget = 1750 - header.length - 60 // 60 = braces + omitted fields
