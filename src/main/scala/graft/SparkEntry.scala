@@ -555,6 +555,17 @@ object SparkEntry {
         "embedding", dim = 64, minCosine = 0.4, nBits = 16, bands = 4)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
 
+  /** LLM-D13: SemDeDup ([[Dedup.semDedup]]) — portable-centroid
+    * clustering of the embedding space, then cell-local near-dup drop:
+    * a row is dropped iff a smaller-id row in the SAME cell has cosine
+    * ≥ 0.4 (the threshold d6 established for this synthetic corpus).
+    * Output: every vector with its cell and keep verdict. */
+  private val d13SemDedup: Q = (s, dir) =>
+    Dedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCells = 4, minCosine = 0.4)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("keep"))
+
   /** LLM-D7: duplicate clusters — near-dup pairs (exact n-gram Jaccard
     * ≥ 0.6) closed transitively into components; cluster_id = min member
     * (oracle: DuckDB recursive CTE over the same pairs). */
@@ -1794,6 +1805,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_minhash_portable" -> d5MinhashPortable,
     "d6_embedding_dedup" -> d6EmbeddingDedup,
+    "d13_semdedup" -> d13SemDedup,
     "d7_dup_clusters" -> d7DupClusters,
     "d10_dedup_pipeline" -> d10DedupPipeline,
     "d11_incremental_dedup" -> d11IncrementalDedup,
@@ -2954,6 +2966,25 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    "d13_semdedup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT rn - 1 AS cell, v AS cv FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM v) WHERE rn <= 4),
+        |assigned AS (SELECT vec_id, v, cell FROM (
+        |    SELECT x.vec_id, x.v, ct.cell, row_number() OVER (
+        |      PARTITION BY x.vec_id
+        |      ORDER BY list_cosine_similarity(x.v, ct.cv) DESC, ct.cell)
+        |      AS rn
+        |    FROM v x CROSS JOIN cent ct) WHERE rn = 1),
+        |dropped AS (SELECT DISTINCT b.vec_id FROM assigned a
+        |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+        |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+        |  (d.vec_id IS NULL) AS keep
+        |FROM assigned c LEFT JOIN dropped d USING (vec_id)""".stripMargin,
     "sim5_ivf_portable" ->
       """WITH corpus AS (SELECT vec_id AS item_id,
         |    CAST(embedding AS DOUBLE[]) AS v

@@ -392,6 +392,60 @@ object Dedup {
       maxBucket: Int = 2000): DataFrame =
     SimSearch.lshPairs(embs, id, vec, dim, minCosine, nBits, bands, maxBucket)
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by
+    * k-clustering the embedding space and dropping all but one member of
+    * every near-duplicate pair WITHIN a cluster — the pruning recipe
+    * behind several published LLM data curations. A row is dropped iff
+    * some same-cell row with a smaller id has cosine ≥ `minCosine` to it
+    * (the paper keeps one representative per semantic-dup group;
+    * lowest-id is the deterministic choice).
+    *
+    * Centroids are the `nCells` rows with the lexicographically smallest
+    * `md5(id)` — the same deterministic stand-in for fitted k-means
+    * centers as [[SimSearch.ivfTopKPortable]], so assignment, pairing
+    * and the keep decision all replicate in ANSI SQL; the production
+    * path fits real centers once ([[SimSearch.ivfIndex]]) and keeps the
+    * identical shape. Assignment ranks raw centroid cosine (ties →
+    * lower cell id) — the exact cross-engine contract sim5's oracle
+    * already proves out.
+    *
+    * Scale shape: assignment is a per-row expression over literal
+    * centroids — the corpus is never shuffled to build the index; the
+    * candidate quadratic is bounded by the CLUSTER (cells ≈ n/k — that
+    * bound is SemDeDup's whole point), generated by a cell-keyed
+    * self-equi-join (spillable sort-merge, no broadcast, no
+    * collect_list); extreme cells can be capped like [[SimSearch
+    * .lshPairs]]' buckets. Output: every input row as (id, cell, keep).
+    */
+  def semDedup(embs: DataFrame, id: String, vec: String,
+      nCells: Int, minCosine: Double): DataFrame = {
+    import graft.functions.GraftFunctions
+    val v = embs.select(col(id).as("__id"),
+      col(vec).cast("array<double>").as("__v"))
+    val cents: Seq[Seq[Double]] = v
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+      .limit(nCells).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val ranked = array_sort(array(cents.zipWithIndex.map { case (ct, i) =>
+      struct(
+        (-GraftFunctions.cosine(col("__v"), array(ct.map(lit): _*)))
+          .as("negSim"),
+        lit(i.toLong).as("cell"))
+    }: _*))
+    val assigned = v.withColumn("__cell",
+      element_at(ranked, 1).getField("cell"))
+    val dropped = assigned
+      .select(col("__cell"), col("__id").as("__lo"), col("__v").as("__vl"))
+      .join(assigned.select(col("__cell"), col("__id").as("__hi"),
+        col("__v").as("__vr")), "__cell")
+      .where(col("__lo") < col("__hi"))
+      .where(GraftFunctions.cosine(col("__vl"), col("__vr")) >= minCosine)
+      .select(col("__hi").as("__id")).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.join(dropped, Seq("__id"), "left")
+      .select(col("__id").as(id), col("__cell").as("cell"),
+        col("__dup").isNull.as("keep"))
+  }
+
   /** Duplicate clusters: exact n-gram-Jaccard near-dup pairs grouped into
     * connected components (transitive closure — A≈B, B≈C ⇒ {A,B,C} even
     * when A,C aren't directly similar, the usual fuzzy-dedup contract).

@@ -189,6 +189,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup drops exactly the smaller-id near-dups (single cell)") {
+    // two tight direction groups, far apart; nCells=1 makes the cell
+    // assignment trivial so the keep rule is fully hand-computable:
+    // keep the lowest id of each near-dup group, drop the rest
+    val emb = Seq(
+      (1L, Seq(1.0, 0.01)), (2L, Seq(1.0, 0.02)), (3L, Seq(0.99, 0.0)),
+      (10L, Seq(0.0, 1.0)), (11L, Seq(0.01, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semDedup(emb, "vec_id", "embedding",
+        nCells = 1, minCosine = 0.99)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 10L, 11L))
+    assert(got.forall(_._2 == 0L))
+    assert(got.map(r => r._1 -> r._3).toMap ==
+      Map(1L -> true, 2L -> false, 3L -> false, 10L -> true, 11L -> false))
+  }
+
   test("connected components close a chain transitively and split components") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("doc_a", "doc_b")
