@@ -1626,6 +1626,13 @@ object SparkEntry {
   private val t10LmScore: Q = (s, dir) =>
     TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
 
+  /** T19: DSIR importance weights ([[TextAnalysis.dsirWeights]]) —
+    * hashed-bigram target/raw log-likelihood ratio per document; target
+    * sample = the English slice of the corpus, 64 hash buckets. */
+  private val t19Dsir: Q = (s, dir) =>
+    TextAnalysis.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+      col("lang") === "en", nBuckets = 64)
+
   /** T11: BPE merge-pair counting — the distributed inner loop of
     * byte-pair-encoding tokenizer training (first merge iteration over a
     * word-frequency dictionary; top-20 candidate merges). */
@@ -1851,6 +1858,7 @@ object SparkEntry {
     "j9_salted_join" -> j9SaltedJoin,
     "mm2_frame_sample" -> mm2FrameSample,
     "t10_lm_score" -> t10LmScore,
+    "t19_dsir" -> t19Dsir,
     "t11_bpe_pairs" -> t11BpePairs,
     "t12_quality_classifier" -> t12QualityClassifier,
     "g5_pagerank" -> g5PageRank,
@@ -3130,6 +3138,34 @@ object SparkEntry {
         |  coalesce(s.avg_neg_logp, 0.0) AS avg_neg_logp
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN scored s USING (doc_id)""".stripMargin,
+    "t19_dsir" ->
+      """WITH tk AS (SELECT doc_id, lang = 'en' AS t,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, t,
+        |    CAST(('0x' || substring(md5(ws[i] || ' ' || ws[i + 1]), 1, 12))
+        |      AS BIGINT) % 64 AS bk
+        |  FROM (SELECT doc_id, t, ws,
+        |      unnest(generate_series(1, len(ws) - 1)) AS i
+        |    FROM tk WHERE len(ws) >= 2)),
+        |raw AS (SELECT bk, count(*) AS cr FROM b GROUP BY bk),
+        |tgt AS (SELECT bk, count(*) AS ct FROM b WHERE t GROUP BY bk),
+        |j AS (SELECT raw.bk, cr, coalesce(ct, 0) AS ct
+        |  FROM raw LEFT JOIN tgt USING (bk)),
+        |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM j),
+        |tab AS (SELECT bk, ln((ct + 0.5) / (tt + 32.0)) -
+        |    ln((cr + 0.5) / (tr + 32.0)) AS lw
+        |  FROM j CROSS JOIN tot),
+        |tf AS (SELECT doc_id, bk, count(*) AS tf FROM b
+        |  GROUP BY doc_id, bk),
+        |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_grams,
+        |    round(sum(tf * lw), 6) AS log_w
+        |  FROM tf JOIN tab USING (bk) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+        |  coalesce(log_w, 0.0) AS log_w
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN sc USING (doc_id)""".stripMargin,
     "w6_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id
         |  FROM events),

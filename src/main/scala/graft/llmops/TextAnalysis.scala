@@ -170,6 +170,69 @@ object TextAnalysis {
         coalesce(col("avg_neg_logp"), lit(0.0)).as("avg_neg_logp"))
   }
 
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 — "Data Selection
+    * for Language Models via Importance Resampling"): each document is
+    * scored by how much likelier its hashed-bigram bag is under a TARGET
+    * distribution than under the RAW corpus distribution —
+    * `log_w(x) = Σ_f log p_t(f) − log p_r(f)` over the doc's bigram
+    * occurrences. Importance resampling keeps high-weight docs when
+    * curating raw web data toward a target domain; this emits the
+    * per-doc weight the sampler consumes (feed `exp(log_w)` to
+    * [[graft.ops.Sampling.mixtureSample]]-style pickers or threshold
+    * with [[quantileFilter]]).
+    *
+    * Features are word bigrams hashed into `nBuckets` buckets with the
+    * portable md5 hash ([[graft.ops.Sampling.weightedNegatives]]'
+    * recipe), so the whole pipeline replicates in ANSI SQL. Bucket
+    * distributions are Laplace-smoothed by +0.5 per bucket (the
+    * [[graft.evalx.Metrics.psi]] convention) so empty buckets stay
+    * finite. `targetFilter` selects the in-corpus target sample; a
+    * separate seed corpus would be a second input at scale — same plan.
+    *
+    * Scale shape: two bounded aggregations (≤ nBuckets rows each,
+    * broadcast back), per-doc sums ride `tf` weights over DISTINCT
+    * (doc, bucket) rows like [[unigramLogProb]] — map-side combinable,
+    * shuffle keys are scalars. Output: (id, n_grams, log_w); docs with
+    * < 2 tokens have no bigrams and report (0, 0.0). */
+  def dsirWeights(docs: DataFrame, id: String, text: String,
+      targetFilter: Column, nBuckets: Int): DataFrame = {
+    val grams = TextFunctions.bind(TextFunctions.tokens(col(text))) { ws =>
+      // sequence() descends when stop < start — guard the 0/1-token case
+      when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1), i =>
+          concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val exploded = docs
+      .select(col(id), targetFilter.as("__t"), explode(grams).as("__g"))
+      .select(col(id), col("__t"),
+        (conv(substring(md5(col("__g")), 1, 12), 16, 10).cast("long")
+          % nBuckets).as("__b"))
+    val raw = exploded.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val tgt = exploded.where(col("__t"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val buckets = raw.join(tgt, Seq("__b"), "left")
+      .select(col("__b"), col("__cr"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"))
+    val totals = buckets.agg(sum(col("__cr")).as("__tr"),
+      sum(col("__ct")).as("__tt"))
+    val table = buckets.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (log((col("__ct") + 0.5) / (col("__tt") + 0.5 * nBuckets)) -
+          log((col("__cr") + 0.5) / (col("__tr") + 0.5 * nBuckets)))
+          .as("__lw"))
+    val scored = exploded.groupBy(col(id), col("__b"))
+      .agg(count(lit(1)).as("__tf"))
+      .join(broadcast(table), Seq("__b"))
+      .groupBy(col(id))
+      .agg(sum(col("__tf")).as("n_grams"),
+        round(sum(col("__tf") * col("__lw")), 6).as("log_w"))
+    docs.select(col(id)).distinct()
+      .join(scored, Seq(id), "left")
+      .select(col(id), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("log_w"), lit(0.0)).as("log_w"))
+  }
+
   /** BPE merge-pair counting — the inner loop of byte-pair-encoding
     * tokenizer training (Sennrich et al. 2016): count adjacent symbol
     * pairs across the corpus and rank candidates for the next merge.

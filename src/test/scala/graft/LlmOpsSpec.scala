@@ -189,6 +189,27 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirWeights: target-like docs outscore junk; edge cases zeroed") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the cat sat on a mat", true),
+      (3L, "the cat sat on the mat", false),  // clone of target phrasing
+      (4L, "zzz qqq www vvv kkk jjj", false), // vocab never in target
+      (5L, "single", false),                  // < 2 tokens → no bigrams
+      (6L, "", false))
+      .toDF("doc_id", "text", "is_t")
+    val got = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+        col("is_t"), nBuckets = 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got(3L)._1 == 5L)                  // 6 tokens → 5 bigrams
+    assert(got(5L) == ((0L, 0.0)) && got(6L) == ((0L, 0.0)))
+    // the doc written in the target's phrasing imports far better than
+    // the junk doc whose bigrams only ever occur in raw
+    assert(got(3L)._2 > got(4L)._2)
+    assert(got(4L)._2 < 0.0)
+  }
+
   test("semDedup drops exactly the smaller-id near-dups (single cell)") {
     // two tight direction groups, far apart; nCells=1 makes the cell
     // assignment trivial so the keep rule is fully hand-computable:
