@@ -987,6 +987,14 @@ object SparkEntry {
       nBins = 10, lo = 0.0, hi = 500.0)
   }
 
+  /** A20: Poisson-bootstrap 95% CI for the mean event value
+    * ([[Metrics.bootstrapCiMean]], 40 deterministic replicates keyed on
+    * event_id) — the error bar every point metric in this family
+    * needs. */
+  private val a20BootstrapCi: Q = (s, dir) =>
+    Metrics.bootstrapCiMean(Tables.events(s, dir), col("event_id"),
+      col("value"), nReplicates = 40)
+
   /** G7: Swing item similarity ([[ItemCf.swingPairs]]) — user-pair
     * damped co-occurrence over the same "parts bought together" baskets
     * as g6; the pair (i,j) score sums 1/(α + |shared items of (u,v)|)
@@ -1886,6 +1894,7 @@ object SparkEntry {
     "a17_window_anomaly" -> a17WindowAnomaly,
     "a18_calibration" -> a18Calibration,
     "a19_psi" -> a19Psi,
+    "a20_bootstrap_ci" -> a20BootstrapCi,
     "t17_html_strip" -> t17HtmlStrip,
     "t18_url_canonical" -> t18UrlCanonical,
     "m8_param_stats" -> m8ParamStats,
@@ -2730,6 +2739,28 @@ object SparkEntry {
         |    (tb + 5.0)) * ln(((nc + 0.5) / (tc + 5.0)) /
         |    ((nb + 0.5) / (tb + 5.0)))), 6) AS psi
         |FROM j CROSS JOIN t""".stripMargin,
+    "a20_bootstrap_ci" ->
+      """WITH r AS (SELECT event_id, value,
+        |    unnest(generate_series(0, 39)) AS b
+        |  FROM events),
+        |w AS (SELECT b, value,
+        |    CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#'
+        |      || CAST(b AS VARCHAR)), 1, 12)) AS BIGINT)
+        |      / 281474976710656.0 AS u
+        |  FROM r),
+        |m AS (SELECT b,
+        |    sum((CASE WHEN u < 0.367879441 THEN 0.0
+        |      WHEN u < 0.735758882 THEN 1.0
+        |      WHEN u < 0.919698603 THEN 2.0 ELSE 3.0 END) * value) /
+        |    sum(CASE WHEN u < 0.367879441 THEN 0.0
+        |      WHEN u < 0.735758882 THEN 1.0
+        |      WHEN u < 0.919698603 THEN 2.0 ELSE 3.0 END) AS m
+        |  FROM w GROUP BY b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+        |  round((SELECT avg(value) FROM events), 6) AS point_mean,
+        |  round((list(m ORDER BY m))[2], 6) AS ci_lo,
+        |  round((list(m ORDER BY m))[39], 6) AS ci_hi
+        |FROM m""".stripMargin,
     "a17_window_anomaly" ->
       """WITH c AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS win,
         |    count(*) AS n FROM events GROUP BY 1, 2),

@@ -128,6 +128,55 @@ object Metrics {
         count(lit(1)).as("n_bins_used"))
   }
 
+  /** Poisson-bootstrap confidence interval for a mean — the missing
+    * error bar on every point metric this module emits (an AUC or mean
+    * that moved 0.002 means nothing without one). Classic multinomial
+    * bootstrap resampling needs coordinated global draws; the Poisson
+    * bootstrap (Chamandy et al. 2012, "Estimating uncertainty for
+    * massive data streams" — built for exactly this distributed setting)
+    * gives each row an independent per-replicate weight ~ Poisson(1),
+    * so it's one stateless expression per (row, replicate).
+    *
+    * Determinism contract: the weight is derived from the portable md5
+    * hash of (id, replicate) mapped to u ∈ [0,1) (48-bit mantissa), cut
+    * at the Poisson(1) cdf literals 0.367879441 / 0.735758882 /
+    * 0.919698603 (truncated at weight 3 — P(k≥4) < 2%, part of the
+    * contract), so any engine replays the identical resample.
+    *
+    * Scale shape: the ×B fan-out is a map-side explode (no shuffle of
+    * the base table beyond the B-key aggregate whose partial sums
+    * combine map-side); replicate means are B rows, the CI is a 1-row
+    * sort over them. ci_lo/ci_hi are the (floor(α/2·B)+1)-th smallest /
+    * symmetric largest replicate means (α = 5%).
+    * Output: 1 row (n_replicates, point_mean, ci_lo, ci_hi). */
+  def bootstrapCiMean(df: DataFrame, id: Column, value: Column,
+      nReplicates: Int): DataFrame = {
+    val base = df.select(id.cast("string").as("__id"),
+      value.cast("double").as("__x"))
+    val means = base
+      .select(col("__id"), col("__x"),
+        explode(sequence(lit(0), lit(nReplicates - 1))).as("__b"))
+      .withColumn("__u",
+        conv(substring(md5(concat(col("__id"), lit("#"),
+          col("__b").cast("string"))), 1, 12), 16, 10).cast("double")
+          / 281474976710656.0)
+      .withColumn("__w",
+        when(col("__u") < 0.367879441, 0.0)
+          .when(col("__u") < 0.735758882, 1.0)
+          .when(col("__u") < 0.919698603, 2.0)
+          .otherwise(3.0))
+      .groupBy(col("__b"))
+      .agg((sum(col("__w") * col("__x")) / sum(col("__w"))).as("__m"))
+    val k = nReplicates / 40 + 1 // floor(0.025·B) + 1
+    means.crossJoin(broadcast(base.agg(avg(col("__x")).as("__pm"))))
+      .agg(count(lit(1)).as("n_replicates"),
+        round(first(col("__pm")), 6).as("point_mean"),
+        round(element_at(sort_array(collect_list(col("__m"))), k), 6)
+          .as("ci_lo"),
+        round(element_at(sort_array(collect_list(col("__m"))),
+          nReplicates - k + 1), 6).as("ci_hi"))
+  }
+
   /** Population stability index between a baseline and a current sample
     * of one numeric column — the standard drift alarm on score/feature
     * distributions (PSI > 0.2 ≈ retrain). Equal-width bins over

@@ -72,6 +72,20 @@ class MetricsSpec extends AnyFunSuite {
     assert(same == 0.0)
   }
 
+  test("bootstrap CI brackets the point mean, deterministic across runs") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    def run() = Metrics.bootstrapCiMean(ev, col("event_id"), col("value"),
+        nReplicates = 40)
+      .as[(Long, Double, Double, Double)].head()
+    val (n, pm, lo, hi) = run()
+    assert(n == 40L)
+    assert(lo <= pm && pm <= hi)
+    assert(lo < hi) // replicate means genuinely vary
+    // resampling the mean of thousands of rows: the CI must be tight
+    assert((hi - lo) / math.abs(pm) < 0.2)
+    assert(run() == ((n, pm, lo, hi))) // hash-derived, not RNG-derived
+  }
+
   test("multimodal feature extraction is deterministic with fixed shape") {
     val assets = Multimodal.assetsFromText(
       Tables.documents(spark, TestSpark.sf), "doc_id", "text")
