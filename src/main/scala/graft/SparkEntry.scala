@@ -1634,6 +1634,12 @@ object SparkEntry {
   private val t10LmScore: Q = (s, dir) =>
     TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
 
+  /** T20: overlapping token-window chunking ([[TextAnalysis.chunkDocs]],
+    * 40-token windows, stride 20) — the embedding/RAG index prep step. */
+  private val t20Chunk: Q = (s, dir) =>
+    TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+      window = 40, stride = 20)
+
   /** T19: DSIR importance weights ([[TextAnalysis.dsirWeights]]) —
     * hashed-bigram target/raw log-likelihood ratio per document; target
     * sample = the English slice of the corpus, 64 hash buckets. */
@@ -1867,6 +1873,7 @@ object SparkEntry {
     "mm2_frame_sample" -> mm2FrameSample,
     "t10_lm_score" -> t10LmScore,
     "t19_dsir" -> t19Dsir,
+    "t20_chunk" -> t20Chunk,
     "t11_bpe_pairs" -> t11BpePairs,
     "t12_quality_classifier" -> t12QualityClassifier,
     "g5_pagerank" -> g5PageRank,
@@ -3197,6 +3204,20 @@ object SparkEntry {
         |  coalesce(log_w, 0.0) AS log_w
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN sc USING (doc_id)""".stripMargin,
+    "t20_chunk" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |c AS (SELECT doc_id, ws, unnest(generate_series(0,
+        |      CAST(ceil(greatest(len(ws) - 40, 0) / 20.0) AS BIGINT)))
+        |      AS k
+        |  FROM tk WHERE len(ws) > 0)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |  CAST(len(ws[k * 20 + 1 : k * 20 + 40]) AS BIGINT) AS n_tokens,
+        |  array_to_string(ws[k * 20 + 1 : k * 20 + 40], ' ')
+        |    AS chunk_text
+        |FROM c""".stripMargin,
     "w6_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id
         |  FROM events),

@@ -170,6 +170,43 @@ object TextAnalysis {
         coalesce(col("avg_neg_logp"), lit(0.0)).as("avg_neg_logp"))
   }
 
+  /** Overlapping token-window chunking — the standard prep step between
+    * a raw corpus and an embedding/RAG index (every retrieval pipeline
+    * slices documents into fixed windows with stride overlap so
+    * retrieval granularity stays bounded and boundary sentences appear
+    * in two chunks). Windows start at 0, `stride`, 2·stride, …; the
+    * last window is the first one that reaches the end of the doc (it
+    * may be shorter than `window`). Tokens are [[TextFunctions.tokens]]
+    * (lowercased, whitespace-split), chunk text re-joined with single
+    * spaces — a normalization, documented as part of the contract.
+    *
+    * Pure per-row expression fan-out (transform + explode — no shuffle,
+    * no UDF); output rows ≈ input tokens / stride regardless of doc
+    * skew, so one giant doc cannot hot-spot a partition the way
+    * doc-keyed chunk aggregation would.
+    * Output: (id, chunk_id, n_tokens, chunk_text); token-less docs
+    * yield no rows. */
+  def chunkDocs(docs: DataFrame, id: String, text: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= stride && stride > 0,
+      s"need window ($window) >= stride ($stride) > 0 — a stride past " +
+        "the window would silently skip tokens between chunks")
+    val chunks = TextFunctions.bind(TextFunctions.tokens(col(text))) { ws =>
+      when(size(ws) > 0,
+        transform(
+          sequence(lit(0),
+            ceil(greatest(size(ws) - window, lit(0)).cast("double") / stride)
+              .cast("int")),
+          k => struct(k.cast("long").as("chunk_id"),
+            slice(ws, k * stride + 1, lit(window)).as("toks"))))
+        .otherwise(array().cast("array<struct<chunk_id:bigint,toks:array<string>>>"))
+    }
+    docs.select(col(id), explode(chunks).as("__c"))
+      .select(col(id), col("__c.chunk_id").as("chunk_id"),
+        size(col("__c.toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__c.toks")).as("chunk_text"))
+  }
+
   /** DSIR importance weights (Xie et al., NeurIPS 2023 — "Data Selection
     * for Language Models via Importance Resampling"): each document is
     * scored by how much likelier its hashed-bigram bag is under a TARGET

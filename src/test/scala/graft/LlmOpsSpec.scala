@@ -189,6 +189,20 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocs: window/stride math, trailing partial, empty doc") {
+    val docs = Seq(
+      (1L, "A b c d e"),   // 5 tokens, W=4 S=2 → [a b c d], [c d e]
+      (2L, "x y"),         // fits one window
+      (3L, ""))            // no tokens → no rows
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(docs, "doc_id", "text",
+        window = 4, stride = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 4L, "a b c d"), (1L, 1L, 3L, "c d e"),
+      (2L, 0L, 2L, "x y")))
+  }
+
   test("dsirWeights: target-like docs outscore junk; edge cases zeroed") {
     val docs = Seq(
       (1L, "the cat sat on the mat", true),
