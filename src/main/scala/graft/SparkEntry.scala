@@ -1197,6 +1197,28 @@ object SparkEntry {
         col("rank").cast("long").as("rank"))
   }
 
+  /** SIM7: composed IVF-PQ ANN ([[SimSearch.ivfPqTopKPortable]], 8 cells
+    * probe 4, 4×16-dim codebooks) — cell pruning bounds which items are
+    * scored, PQ codes bound what is read per item; the layout a
+    * billion-vector deployment stores on disk. Same corpus/query split
+    * and codebook derivation as sim6, so the oracle reuses its proven
+    * SQL machinery plus sim5's cell logic. */
+  private val sim7IvfPq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.where(col("vec_id") >= 10)
+    val full: Seq[Seq[Double]] = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(4).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val cb: Seq[Seq[Seq[Double]]] =
+      (0 until 4).map(sub => full.map(_.slice(sub * 16, sub * 16 + 16)))
+    SimSearch.ivfPqTopKPortable(emb.where(col("vec_id") < 10), corpus,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 4, codebooks = cb)
+      .select(col("query_id"), col("item_id"), col("adc_dist"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** V3: product quantization — codes + total squared quantization error
     * per vector ([[VectorOps.pqAssign]]; m=4 subspaces × 16 dims, k=4
     * centroids). The query's codebooks are data-derived literals (the
@@ -1850,6 +1872,7 @@ object SparkEntry {
     "v3_pq_encode" -> v3PqEncode,
     "v4_pq_trained" -> v4PqTrained,
     "sim6_pq_adc" -> sim6PqAdc,
+    "sim7_ivfpq" -> sim7IvfPq,
     "d2_minhash_pairs" -> d2MinHashPairs,
     "sim2_lsh_topk" -> sim2LshTopk,
     "sim4_lsh_portable" -> sim4LshPortable,
@@ -2688,6 +2711,58 @@ object SparkEntry {
         |sc AS (SELECT qd.vec_id AS query_id, p.vec_id AS item_id,
         |    round(sum(qd.dist), 6) AS adc_dist
         |  FROM pick p JOIN qd ON qd.sub = p.sub AND qd.cidx = p.cidx
+        |  GROUP BY 1, 2)
+        |SELECT query_id, item_id, adc_dist, rank FROM (SELECT query_id,
+        |    item_id, adc_dist, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist, item_id) AS rank FROM sc)
+        |WHERE rank <= 5""".stripMargin,
+    "sim7_ivfpq" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |cent AS (SELECT rn - 1 AS cell, v AS cv FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM c) WHERE rn <= 8),
+        |cb AS (SELECT cidx, cv FROM (SELECT
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |      vec_id) - 1 AS cidx, v AS cv FROM c) WHERE cidx < 4),
+        |acell AS (SELECT vec_id, cell FROM (
+        |    SELECT c.vec_id, ct.cell, row_number() OVER (
+        |      PARTITION BY c.vec_id
+        |      ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell)
+        |      AS rn
+        |    FROM c CROSS JOIN cent ct) WHERE rn = 1),
+        |qcell AS (SELECT vec_id, cell FROM (
+        |    SELECT q.vec_id, ct.cell, row_number() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cell)
+        |      AS rn
+        |    FROM q CROSS JOIN cent ct) WHERE rn <= 4),
+        |subs AS (SELECT unnest(range(0, 4)) AS sub),
+        |cd AS (SELECT c.vec_id, subs.sub, cb.cidx,
+        |    round(list_sum(list_transform(range(1, 17), j ->
+        |      (c.v[subs.sub * 16 + j] - cv[subs.sub * 16 + j])
+        |      * (c.v[subs.sub * 16 + j] - cv[subs.sub * 16 + j]))), 6)
+        |      AS dist
+        |  FROM c CROSS JOIN subs CROSS JOIN cb),
+        |pick AS (SELECT vec_id, sub, cidx FROM (SELECT vec_id, sub, cidx,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY dist, cidx) AS rn FROM cd) WHERE rn = 1),
+        |qd AS (SELECT q.vec_id, subs.sub, cb.cidx,
+        |    round(list_sum(list_transform(range(1, 17), j ->
+        |      (q.v[subs.sub * 16 + j] - cv[subs.sub * 16 + j])
+        |      * (q.v[subs.sub * 16 + j] - cv[subs.sub * 16 + j]))), 6)
+        |      AS dist
+        |  FROM q CROSS JOIN subs CROSS JOIN cb),
+        |sc AS (SELECT qd.vec_id AS query_id, p.vec_id AS item_id,
+        |    round(sum(qd.dist), 6) AS adc_dist
+        |  FROM pick p
+        |  JOIN acell a ON a.vec_id = p.vec_id
+        |  JOIN qcell qc ON qc.cell = a.cell
+        |  JOIN qd ON qd.vec_id = qc.vec_id AND qd.sub = p.sub
+        |    AND qd.cidx = p.cidx
         |  GROUP BY 1, 2)
         |SELECT query_id, item_id, adc_dist, rank FROM (SELECT query_id,
         |    item_id, adc_dist, row_number() OVER (PARTITION BY query_id

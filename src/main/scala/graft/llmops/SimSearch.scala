@@ -262,6 +262,57 @@ object SimSearch {
     * assigned cell and probing becomes partition pruning (same note as
     * [[ivfTopK]]).
     */
+  /** IVF-PQ ANN top-k — the composed billion-scale layout (Jégou et al.
+    * TPAMI 2011; every production vector store's disk format): IVF cell
+    * pruning bounds WHICH items are scored (~nProbe/nCells of the
+    * corpus) and PQ codes bound WHAT is read per item (m bytes instead
+    * of 4·d floats — the ADC scan never touches item vectors). This is
+    * [[ivfTopKPortable]]'s cell logic fused with the [[graft.functions
+    * .VectorOps.pqAdcLut]]/`pqAdcDist` scan sim6 proves standalone, all
+    * portable (md5-ordered literal centroids + literal codebooks), so
+    * the full index+scan replicates in ANSI SQL.
+    *
+    * Scale shape: cell assignment and PQ encode are zero-shuffle
+    * expressions over literals (at 100 TB: write codes bucketed by
+    * cell; probing = partition pruning, the scan reads m-byte code
+    * columns only); the query batch (with its per-query LUT) broadcasts
+    * into the probed cells; the only shuffle is the final per-query
+    * top-k. Output: (query_id, item_id, adc_dist, rank) — approximate
+    * distances, so ranking quality trades exactly the documented
+    * IVF recall × PQ quantization error. */
+  def ivfPqTopKPortable(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nCells: Int, nProbe: Int,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val c = corpus.select(col(cId).as("item_id"),
+      col(cVec).cast("array<double>").as("__cv"))
+    val cents: Seq[Seq[Double]] = c
+      .orderBy(md5(col("item_id").cast("string")), col("item_id"))
+      .limit(nCells).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    def cellsRanked(v: org.apache.spark.sql.Column) = array_sort(array(
+      cents.zipWithIndex.map { case (ct, i) =>
+        struct(
+          -graft.functions.GraftFunctions.cosine(v, array(ct.map(lit): _*))
+            .as("negSim"),
+          lit(i).as("cell"))
+      }: _*))
+    val assigned = c.select(col("item_id"),
+      element_at(cellsRanked(col("__cv")), 1).getField("cell").as("__cell"),
+      VectorOps.pqCodes(VectorOps.pqAssign(col("__cv"), codebooks))
+        .as("__codes"))
+    val probed = queries.select(col(qId).as("query_id"),
+        col(qVec).cast("array<double>").as("__qv"))
+      .withColumn("__cell", explode(transform(
+        slice(cellsRanked(col("__qv")), 1, nProbe), s => s.getField("cell"))))
+      .select(col("query_id"), col("__cell"),
+        VectorOps.pqAdcLut(col("__qv"), codebooks).as("__lut"))
+    val scored = assigned.join(broadcast(probed), Seq("__cell"))
+      .select(col("query_id"), col("item_id"),
+        VectorOps.pqAdcDist(col("__lut"), col("__codes")).as("adc_dist"))
+    TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(col("adc_dist").asc, col("item_id")), k)
+  }
+
   def ivfTopKPortable(queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, nCells: Int, nProbe: Int): DataFrame = {

@@ -143,6 +143,37 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: probing every cell equals the full ADC scan (sim7)") {
+    import graft.functions.VectorOps
+    import graft.ops.TopK
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.where($"vec_id" < 10)
+    val c = emb.where($"vec_id" >= 10)
+    val full: Seq[Seq[Double]] = c
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .orderBy(md5($"vec_id".cast("string")), $"vec_id")
+      .limit(4).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val cb = (0 until 4).map(s => full.map(_.slice(s * 16, s * 16 + 16)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"item_id", $"adc_dist", $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    // cell pruning disabled (probe all 8 cells) → must be bit-identical
+    // to an unpruned ADC scan of the whole corpus
+    val pruned = rows(SimSearch.ivfPqTopKPortable(q, c, "vec_id",
+      "embedding", "vec_id", "embedding", k = 5, nCells = 8, nProbe = 8,
+      codebooks = cb))
+    val codes = c.select($"vec_id".as("item_id"),
+      VectorOps.pqCodes(VectorOps.pqAssign($"embedding", cb)).as("__codes"))
+    val luts = q.select($"vec_id".as("query_id"),
+      VectorOps.pqAdcLut($"embedding", cb).as("__lut"))
+    val fullScan = rows(TopK.perGroup(
+      codes.crossJoin(broadcast(luts))
+        .select($"query_id", $"item_id",
+          VectorOps.pqAdcDist($"__lut", $"__codes").as("adc_dist")),
+      Seq($"query_id"), Seq($"adc_dist".asc, $"item_id"), 5))
+    assert(pruned == fullScan)
+  }
+
   test("IVF top-k recall beats its probe fraction and is exact within probed cells") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.where($"vec_id" < 20)
