@@ -865,6 +865,27 @@ object SparkEntry {
           .as("sum_7d"))
   }
 
+  /** W10: SCD Type-2 history build — turn a change log into
+    * interval-versioned rows (valid_from, valid_to, is_current), the
+    * standard warehouse temporal table that [[graft.ops.AsOf]] joins
+    * against and the interval-history sibling of s12's latest-wins
+    * snapshot. Each user's events become versions closed by the NEXT
+    * change's timestamp (lead window; open interval for the current
+    * row). One shuffle on the entity key; ties on ts break by event_id
+    * so replays are deterministic. */
+  private val w10Scd2: Q = (s, dir) => {
+    // µs granularity end to end (DuckDB surfaces the nano timestamps at
+    // µs precision, the s12/j3 output contract) — ORDER on the truncated
+    // value too, or same-µs neighbors could order differently per engine
+    val us = expr("ts div 1000")
+    val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), us.as("valid_from"),
+        lead(us, 1).over(w).as("valid_to"),
+        round(coalesce(col("value"), lit(0.0)), 6).as("value"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** LLM-T17: HTML/markup strip — the web-extract preprocessing stage
     * ([[TextFunctions.stripMarkup]]). The fixture corpus is plain text,
     * so deterministic markup is injected identically on both engine and
@@ -1921,6 +1942,7 @@ object SparkEntry {
     "x12_weighted_negatives" -> x12WeightedNegatives,
     "w8_ewma" -> w8Ewma,
     "w9_rolling_window" -> w9RollingWindow,
+    "w10_scd2" -> w10Scd2,
     "a17_window_anomaly" -> a17WindowAnomaly,
     "a18_calibration" -> a18Calibration,
     "a19_psi" -> a19Psi,
@@ -2862,6 +2884,14 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
         |  RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW)"""
         .stripMargin,
+    "w10_scd2" ->
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS valid_from,
+        |  lead(epoch_ns(ts) // 1000, 1) OVER w AS valid_to,
+        |  round(coalesce(value, 0), 6) AS value,
+        |  (lead(epoch_ns(ts) // 1000, 1) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_ns(ts) // 1000, event_id)""".stripMargin,
     "m10_itemcf_backtest" ->
       """WITH tl AS (SELECT l_orderkey, l_partkey FROM orders
         |  JOIN lineitem ON o_orderkey = l_orderkey

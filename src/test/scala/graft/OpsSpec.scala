@@ -210,6 +210,22 @@ class OpsSpec extends AnyFunSuite {
     assert(totalErr(trained) < totalErr(mean1))
   }
 
+  test("w10_scd2: intervals chain gaplessly, exactly one current per user") {
+    val rows = SparkEntry.queries("w10_scd2")(spark, TestSpark.sf)
+      .select($"user_id", $"valid_from", $"valid_to")
+      .as[(Long, Long, Option[Long])].collect()
+    val byUser = rows.groupBy(_._1)
+    byUser.values.foreach { vs =>
+      assert(vs.count(_._3.isEmpty) == 1) // one open (current) version
+      val sorted = vs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, Some(to)), (_, from, _)) => assert(to == from)
+        case _ =>
+      }
+      assert(sorted.last._3.isEmpty) // the open version is the latest
+    }
+  }
+
   test("v4_pq_trained: trained codebooks never lose to v3's literal ones") {
     // the registered rows-only twin (v4) must beat-or-match its
     // oracle-exact twin (v3) on total quantization error — k-means
