@@ -1134,6 +1134,14 @@ object SparkEntry {
       Seq(col("source")), Seq(col("pick_key")), Seq(col("doc_id")), 30)
       .select(col("source"), col("rank"), col("doc_id"))
 
+  /** LLM-X13: deterministic shard assignment + within-shard order
+    * ([[Sampling.shardAssign]], 8 shards over doc_id) — the reproducible
+    * global shuffle a distributed dataloader reads. */
+  private val x13ShardAssign: Q = (s, dir) =>
+    Sampling.shardAssign(
+        Tables.documents(s, dir).select(col("doc_id")), col("doc_id"), 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
   /** LLM-X10: per-source token-budget fill — keep docs (in deterministic
     * md5 order) until each source's running token total reaches the
     * budget: the "fill k tokens per domain" step of corpus mixing. One
@@ -1939,6 +1947,7 @@ object SparkEntry {
     "a14_hll_distinct" -> a14HllDistinct,
     "a15_distinct_exact" -> a15DistinctExact,
     "x11_exact_n_per_group" -> x11ExactNPerGroup,
+    "x13_shard_assign" -> x13ShardAssign,
     "x12_weighted_negatives" -> x12WeightedNegatives,
     "w8_ewma" -> w8Ewma,
     "w9_rolling_window" -> w9RollingWindow,
@@ -3422,6 +3431,15 @@ object SparkEntry {
         |      AS rank
         |  FROM documents)
         |WHERE rank <= 30""".stripMargin,
+    "x13_shard_assign" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |      AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8
+        |    ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h""".stripMargin,
     "l1_zorder" -> {
       val terms = (0 until 16).flatMap(i => Seq(
         s"(((x >> $i) & 1) << ${2 * i})",

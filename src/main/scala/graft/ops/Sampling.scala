@@ -29,6 +29,31 @@ object Sampling {
     (df.where(b < keepBelow), df.where(b >= keepBelow))
   }
 
+  /** Deterministic shard assignment + within-shard order — the
+    * reproducible "global shuffle" a distributed dataloader consumes
+    * (every epoch-0 ordering question in large-scale training reduces to
+    * this): shard = portable md5 hash of the key mod `nShards`, position
+    * = rank of the hash within the shard (key tiebreak). Because both
+    * are pure functions of the key, any worker, retry or engine
+    * reproduces the identical order — no RNG state, and the oracle
+    * recomputes it exactly.
+    *
+    * Scale shape: one shuffle on the shard id; each reducer sorts its
+    * shard and typically writes it straight out as that shard's file.
+    * Size `nShards` so a shard fits a reducer (at 100 TB that is
+    * thousands of shards — which is also what the dataloader wants). */
+  def shardAssign(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    val h = conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__h"), key)
+    df.withColumn("__h", h)
+      .withColumn("__shard", col("__h") % nShards)
+      .withColumn("shard", col("__shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h", "__shard")
+  }
+
   /** Seeded random 80/20 row split (reference `train_test_split(..., 42)`). */
   def randomSplit(df: DataFrame, trainFrac: Double, seed: Long): (DataFrame, DataFrame) = {
     val Array(a, b) = df.randomSplit(Array(trainFrac, 1 - trainFrac), seed)

@@ -210,6 +210,20 @@ class OpsSpec extends AnyFunSuite {
     assert(totalErr(trained) < totalErr(mean1))
   }
 
+  test("shardAssign: total, reproducible, positions dense per shard") {
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, TestSpark.sf).select($"doc_id")
+    def run() = Sampling.shardAssign(docs, $"doc_id", 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val a = run()
+    assert(a.size == docs.count()) // total: every row sharded once
+    assert(a == run())             // pure function of the key
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      val ps = rows.map(_._3).toSeq.sorted
+      assert(ps == (1L to ps.size)) // dense 1..n within each shard
+    }
+  }
+
   test("w10_scd2: intervals chain gaplessly, exactly one current per user") {
     val rows = SparkEntry.queries("w10_scd2")(spark, TestSpark.sf)
       .select($"user_id", $"valid_from", $"valid_to")
