@@ -599,6 +599,42 @@ object SparkEntry {
       .select(col("doc_id"), round(col("__q"), 6).as("quality"))
   }
 
+  /** LLM-T21: the composed CURATION pipeline — the full "raw crawl →
+    * training set" slice, extending [[d10DedupPipeline]]'s gate ▷ dedup
+    * stages with the selection stages a real curation run adds: DSIR
+    * importance weighting toward the English target slice
+    * ([[TextAnalysis.dsirWeights]] over the dedup survivors) and a
+    * per-source token-budget fill in DESCENDING weight order (keep the
+    * most target-like docs per domain until the budget fills — x10's
+    * fill with DSIR rank instead of hash order). One lazy plan; every
+    * stage is the already-verified operator. */
+  private val t21CurationPipeline: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val qual = docs.select(col("doc_id"), col("source"), col("lang"),
+        col("text"),
+        TextFunctions.hashedClassifierScore(col("text")).as("__q"))
+      .where(col("__q") >= 0.5)
+    val exact = Dedup.exactRows(qual, "doc_id", "text").persist()
+    val pairs = Dedup.minHashPairsPortable(exact, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+    val comps = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+    val dropped = comps.where(col("doc_a") =!= col("component"))
+      .select(col("doc_a").as("doc_id"))
+    val survivors = exact.join(dropped, Seq("doc_id"), "left_anti")
+    val weighted = TextAnalysis.dsirWeights(survivors, "doc_id", "text",
+        col("lang") === "en", nBuckets = 64)
+      .join(survivors.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_tokens")), "doc_id")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("log_w").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weighted.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= 300)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("log_w"), col("cum_tokens"))
+  }
+
   /** LLM-D11: incremental (ingestion-time) dedup — a "new batch"
     * (doc_id % 5 = 0) deduped against the already-curated base corpus:
     * exact digest matches and banded-minhash near-dups against the base
@@ -1880,6 +1916,7 @@ object SparkEntry {
     "d13_semdedup" -> d13SemDedup,
     "d7_dup_clusters" -> d7DupClusters,
     "d10_dedup_pipeline" -> d10DedupPipeline,
+    "t21_curation_pipeline" -> t21CurationPipeline,
     "d11_incremental_dedup" -> d11IncrementalDedup,
     "t6_pii_scrub" -> t6PiiScrub,
     "t7_contamination" -> t7Contamination,
@@ -3636,6 +3673,95 @@ object SparkEntry {
         |dropd AS (SELECT node FROM comp WHERE node <> root)
         |SELECT doc_id, round(quality, 6) AS quality FROM ex
         |WHERE doc_id NOT IN (SELECT node FROM dropd)""".stripMargin,
+    "t21_curation_pipeline" ->
+      """WITH RECURSIVE
+        |tkq AS (SELECT doc_id, source, lang, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |ftq AS (SELECT doc_id, source, lang, text, toks,
+        |    toks || CASE WHEN len(toks) >= 2
+        |    THEN list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS feats FROM tkq),
+        |wsq AS (SELECT doc_id, source, lang, text, toks,
+        |    len(feats) AS n,
+        |    list_sum(list_transform(feats, f ->
+        |      (CAST((((ascii(substring(md5(f), 1, 1)) -
+        |          CASE WHEN substring(md5(f), 1, 1) >= 'a' THEN 87 ELSE 48 END) * 16 +
+        |        (ascii(substring(md5(f), 2, 1)) -
+        |          CASE WHEN substring(md5(f), 2, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 +
+        |        (ascii(substring(md5(f), 3, 1)) -
+        |          CASE WHEN substring(md5(f), 3, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 +
+        |        (ascii(substring(md5(f), 4, 1)) -
+        |          CASE WHEN substring(md5(f), 4, 1) >= 'a' THEN 87 ELSE 48 END)
+        |        AS DOUBLE) - 32767.5) / 32768.0)) AS s
+        |  FROM ftq),
+        |q AS (SELECT doc_id, source, lang, text, toks,
+        |    CASE WHEN n = 0 THEN 0.5
+        |    ELSE 1.0 / (1.0 + exp(-(s / n))) END AS quality FROM wsq),
+        |keepq AS (SELECT * FROM q WHERE quality >= 0.5),
+        |ex AS (SELECT doc_id, source, lang, text, toks FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id) AS rn FROM keepq) WHERE rn = 1),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS sset FROM ex),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
+        |      seed -> list_min(list_transform(sset, x -> md5(seed || '§' || x)))) AS sg
+        |  FROM sh WHERE len(sset) > 0),
+        |banded AS (SELECT doc_id, sg, b,
+        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+        |hot AS (SELECT b, key FROM banded GROUP BY b, key
+        |  HAVING count(*) > 200),
+        |capped AS (SELECT banded.* FROM banded
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |    WHERE hot.b = banded.b AND hot.key = banded.key)),
+        |prs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM capped l JOIN capped r
+        |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+        |  WHERE len(list_filter(list_transform(generate_series(1, 16),
+        |    i -> l.sg[i] = r.sg[i]), x -> x)) / 16.0 >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+        |  UNION ALL SELECT doc_b, doc_a FROM prs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+        |comp AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
+        |dropd AS (SELECT node FROM comp WHERE node <> root),
+        |sv AS (SELECT doc_id, source, lang, toks FROM ex
+        |  WHERE doc_id NOT IN (SELECT node FROM dropd)),
+        |bg AS (SELECT doc_id, lang = 'en' AS t,
+        |    CAST(('0x' || substring(md5(toks[i] || ' ' || toks[i + 1]),
+        |      1, 12)) AS BIGINT) % 64 AS bk
+        |  FROM (SELECT doc_id, lang, toks,
+        |      unnest(generate_series(1, len(toks) - 1)) AS i
+        |    FROM sv WHERE len(toks) >= 2)),
+        |raw AS (SELECT bk, count(*) AS cr FROM bg GROUP BY bk),
+        |tgt AS (SELECT bk, count(*) AS ct FROM bg WHERE t GROUP BY bk),
+        |jb AS (SELECT raw.bk, cr, coalesce(ct, 0) AS ct
+        |  FROM raw LEFT JOIN tgt USING (bk)),
+        |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM jb),
+        |tab AS (SELECT bk, ln((ct + 0.5) / (tt + 32.0)) -
+        |    ln((cr + 0.5) / (tr + 32.0)) AS lw
+        |  FROM jb CROSS JOIN tot),
+        |tfb AS (SELECT doc_id, bk, count(*) AS tf FROM bg
+        |  GROUP BY doc_id, bk),
+        |sc AS (SELECT doc_id, round(sum(tf * lw), 6) AS log_w
+        |  FROM tfb JOIN tab USING (bk) GROUP BY doc_id),
+        |wt AS (SELECT sv.doc_id, sv.source,
+        |    CAST(len(sv.toks) AS BIGINT) AS n_tokens,
+        |    coalesce(sc.log_w, 0.0) AS log_w
+        |  FROM sv LEFT JOIN sc USING (doc_id)),
+        |fill AS (SELECT source, doc_id, n_tokens, log_w,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY log_w DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM wt)
+        |SELECT source, doc_id, n_tokens, log_w, cum_tokens FROM fill
+        |WHERE cum_tokens <= 300""".stripMargin,
     "t12_quality_classifier" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),

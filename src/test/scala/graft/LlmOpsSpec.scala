@@ -220,6 +220,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t21 curation: kept docs are d10 survivors, budget binds per source") {
+    val kept = SparkEntry.queries("t21_curation_pipeline")(spark, TestSpark.sf)
+      .select($"source", $"doc_id", $"n_tokens", $"log_w", $"cum_tokens")
+      .as[(String, Long, Long, Double, Long)].collect()
+    val survivors = SparkEntry.queries("d10_dedup_pipeline")(spark, TestSpark.sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept.nonEmpty && kept.map(_._2).forall(survivors))
+    assert(kept.length < survivors.size) // the budget genuinely selects
+    kept.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._5).max <= 300)
+      // cum_tokens is the running sum in descending-weight order
+      val ordered = rows.sortBy(r => (-r._4, r._2))
+      assert(ordered.map(_._3).scanLeft(0L)(_ + _).drop(1).toSeq ==
+        ordered.map(_._5).toSeq)
+    }
+  }
+
   test("chunkDocs: window/stride math, trailing partial, empty doc") {
     val docs = Seq(
       (1L, "A b c d e"),   // 5 tokens, W=4 S=2 → [a b c d], [c d e]
