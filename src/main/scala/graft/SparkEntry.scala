@@ -1052,6 +1052,16 @@ object SparkEntry {
     Metrics.bootstrapCiMean(Tables.events(s, dir), col("event_id"),
       col("value"), nReplicates = 40)
 
+  /** A21: paired-bootstrap A/B delta ([[Metrics.bootstrapCiDelta]]) —
+    * two calibrations of the same signal (a18's linear score vs a
+    * logistic rescale) compared on shared resamples; the CI answers
+    * whether the calibration change shifts the mean score at all. */
+  private val a21AbDelta: Q = (s, dir) =>
+    Metrics.bootstrapCiDelta(Tables.events(s, dir), col("event_id"),
+      col("value") / 500.0,
+      lit(1.0) / (lit(1.0) + exp(-(col("value") - 250.0) / 100.0)),
+      nReplicates = 40)
+
   /** G7: Swing item similarity ([[ItemCf.swingPairs]]) — user-pair
     * damped co-occurrence over the same "parts bought together" baskets
     * as g6; the pair (i,j) score sums 1/(α + |shared items of (u,v)|)
@@ -1993,6 +2003,7 @@ object SparkEntry {
     "a18_calibration" -> a18Calibration,
     "a19_psi" -> a19Psi,
     "a20_bootstrap_ci" -> a20BootstrapCi,
+    "a21_ab_delta" -> a21AbDelta,
     "t17_html_strip" -> t17HtmlStrip,
     "t18_url_canonical" -> t18UrlCanonical,
     "m8_param_stats" -> m8ParamStats,
@@ -2908,6 +2919,37 @@ object SparkEntry {
         |  FROM w GROUP BY b)
         |SELECT CAST(count(*) AS BIGINT) AS n_replicates,
         |  round((SELECT avg(value) FROM events), 6) AS point_mean,
+        |  round((list(m ORDER BY m))[2], 6) AS ci_lo,
+        |  round((list(m ORDER BY m))[39], 6) AS ci_hi
+        |FROM m""".stripMargin,
+    "a21_ab_delta" ->
+      """WITH r AS (SELECT event_id, value / 500.0 AS a,
+        |    1.0 / (1.0 + exp(-(value - 250.0) / 100.0)) AS b2,
+        |    unnest(generate_series(0, 39)) AS b
+        |  FROM events),
+        |w AS (SELECT b, a, b2,
+        |    CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#'
+        |      || CAST(b AS VARCHAR)), 1, 12)) AS BIGINT)
+        |      / 281474976710656.0 AS u
+        |  FROM r),
+        |m AS (SELECT b,
+        |    sum((CASE WHEN u < 0.367879441 THEN 0.0
+        |      WHEN u < 0.735758882 THEN 1.0
+        |      WHEN u < 0.919698603 THEN 2.0 ELSE 3.0 END) * a) /
+        |    sum(CASE WHEN u < 0.367879441 THEN 0.0
+        |      WHEN u < 0.735758882 THEN 1.0
+        |      WHEN u < 0.919698603 THEN 2.0 ELSE 3.0 END) -
+        |    sum((CASE WHEN u < 0.367879441 THEN 0.0
+        |      WHEN u < 0.735758882 THEN 1.0
+        |      WHEN u < 0.919698603 THEN 2.0 ELSE 3.0 END) * b2) /
+        |    sum(CASE WHEN u < 0.367879441 THEN 0.0
+        |      WHEN u < 0.735758882 THEN 1.0
+        |      WHEN u < 0.919698603 THEN 2.0 ELSE 3.0 END) AS m
+        |  FROM w GROUP BY b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+        |  round((SELECT avg(value / 500.0) -
+        |    avg(1.0 / (1.0 + exp(-(value - 250.0) / 100.0)))
+        |    FROM events), 6) AS point_delta,
         |  round((list(m ORDER BY m))[2], 6) AS ci_lo,
         |  round((list(m ORDER BY m))[39], 6) AS ci_hi
         |FROM m""".stripMargin,

@@ -149,6 +149,19 @@ object Metrics {
     * sort over them. ci_lo/ci_hi are the (floor(α/2·B)+1)-th smallest /
     * symmetric largest replicate means (α = 5%).
     * Output: 1 row (n_replicates, point_mean, ci_lo, ci_hi). */
+  /** The deterministic Poisson(1) weight for (row `__id`, replicate
+    * `__b`) — shared by [[bootstrapCiMean]] and [[bootstrapCiDelta]]
+    * (the PAIRING in the paired delta is exactly this sharing). */
+  private def poissonWeight: Column = {
+    val u = conv(substring(md5(concat(col("__id"), lit("#"),
+      col("__b").cast("string"))), 1, 12), 16, 10).cast("double") /
+      281474976710656.0
+    when(u < 0.367879441, 0.0)
+      .when(u < 0.735758882, 1.0)
+      .when(u < 0.919698603, 2.0)
+      .otherwise(3.0)
+  }
+
   def bootstrapCiMean(df: DataFrame, id: Column, value: Column,
       nReplicates: Int): DataFrame = {
     val base = df.select(id.cast("string").as("__id"),
@@ -156,21 +169,45 @@ object Metrics {
     val means = base
       .select(col("__id"), col("__x"),
         explode(sequence(lit(0), lit(nReplicates - 1))).as("__b"))
-      .withColumn("__u",
-        conv(substring(md5(concat(col("__id"), lit("#"),
-          col("__b").cast("string"))), 1, 12), 16, 10).cast("double")
-          / 281474976710656.0)
-      .withColumn("__w",
-        when(col("__u") < 0.367879441, 0.0)
-          .when(col("__u") < 0.735758882, 1.0)
-          .when(col("__u") < 0.919698603, 2.0)
-          .otherwise(3.0))
+      .withColumn("__w", poissonWeight)
       .groupBy(col("__b"))
       .agg((sum(col("__w") * col("__x")) / sum(col("__w"))).as("__m"))
     val k = nReplicates / 40 + 1 // floor(0.025·B) + 1
     means.crossJoin(broadcast(base.agg(avg(col("__x")).as("__pm"))))
       .agg(count(lit(1)).as("n_replicates"),
         round(first(col("__pm")), 6).as("point_mean"),
+        round(element_at(sort_array(collect_list(col("__m"))), k), 6)
+          .as("ci_lo"),
+        round(element_at(sort_array(collect_list(col("__m"))),
+          nReplicates - k + 1), 6).as("ci_hi"))
+  }
+
+  /** Paired-bootstrap CI for the DELTA of two per-row metrics — the
+    * A/B answer to "is model A actually better on this eval set":
+    * both metrics are resampled with the SAME per-(row, replicate)
+    * weights, so row-level noise common to both cancels inside each
+    * replicate and the CI measures the difference, not the variance of
+    * either side (the paired design every A/B methodology text
+    * prescribes; unpaired CIs overlap long after a paired delta is
+    * decisive). Significance readout: the interval excluding 0.
+    * Same scale shape and determinism contract as [[bootstrapCiMean]].
+    * Output: 1 row (n_replicates, point_delta, ci_lo, ci_hi). */
+  def bootstrapCiDelta(df: DataFrame, id: Column, valueA: Column,
+      valueB: Column, nReplicates: Int): DataFrame = {
+    val base = df.select(id.cast("string").as("__id"),
+      valueA.cast("double").as("__a"), valueB.cast("double").as("__b2"))
+    val deltas = base
+      .select(col("__id"), col("__a"), col("__b2"),
+        explode(sequence(lit(0), lit(nReplicates - 1))).as("__b"))
+      .withColumn("__w", poissonWeight)
+      .groupBy(col("__b"))
+      .agg((sum(col("__w") * col("__a")) / sum(col("__w")) -
+        sum(col("__w") * col("__b2")) / sum(col("__w"))).as("__m"))
+    val k = nReplicates / 40 + 1
+    deltas.crossJoin(broadcast(
+        base.agg((avg(col("__a")) - avg(col("__b2"))).as("__pd"))))
+      .agg(count(lit(1)).as("n_replicates"),
+        round(first(col("__pd")), 6).as("point_delta"),
         round(element_at(sort_array(collect_list(col("__m"))), k), 6)
           .as("ci_lo"),
         round(element_at(sort_array(collect_list(col("__m"))),

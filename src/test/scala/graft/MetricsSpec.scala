@@ -86,6 +86,21 @@ class MetricsSpec extends AnyFunSuite {
     assert(run() == ((n, pm, lo, hi))) // hash-derived, not RNG-derived
   }
 
+  test("paired bootstrap delta == bootstrap of the per-row difference") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val a = col("value") / 500.0
+    val b = lit(1.0) / (lit(1.0) + exp(-(col("value") - 250.0) / 100.0))
+    // sharing weights means mean_w(a) - mean_w(b) = mean_w(a - b), so
+    // the paired CI must be BIT-identical to resampling the difference
+    val paired = Metrics.bootstrapCiDelta(ev, col("event_id"), a, b, 40)
+      .as[(Long, Double, Double, Double)].head()
+    val diff = Metrics.bootstrapCiMean(ev, col("event_id"), a - b, 40)
+      .as[(Long, Double, Double, Double)].head()
+    assert(paired == diff)
+    val (_, pd, lo, hi) = paired
+    assert(lo <= pd && pd <= hi)
+  }
+
   test("multimodal feature extraction is deterministic with fixed shape") {
     val assets = Multimodal.assetsFromText(
       Tables.documents(spark, TestSpark.sf), "doc_id", "text")
