@@ -76,6 +76,27 @@ object SparkEntry {
       .select(col("query_id"), col("beh_id"))
   }
 
+  /** J11: NEAREST as-of ([[AsOf.nearestAsOf]]) — j3's fixture but the
+    * closest behavior in either direction (ties backward); the
+    * sensor/log alignment join, same single-shuffle union lowering. */
+  private val j11AsofNearest: Q = (s, dir) => {
+    // µs end to end (the ts-output contract): distances must compare at
+    // the precision BOTH engines see, or same-µs candidates could pick
+    // different sides of the query row
+    val ev = Tables.events(s, dir)
+    val queries = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("query_id"),
+        expr("ts div 1000").as("tsq"))
+    val behaviors = ev.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsb"))
+    AsOf.nearestAsOf(queries, behaviors, "user_id", "tsq", "tsb",
+        payload = col("event_id"), outCol = "__n",
+        tieBreak = col("event_id"))
+      .select(col("query_id"), col("__n.p").as("beh_id"),
+        abs(col("tsq") - col("__n.ts")).as("dist_us"))
+  }
+
   /** A3/W1: per-user time-ordered history (group → sorted list),
     * pipe-joined per the reference's CSV contract. */
   private val a3UserHistory: Q = (s, dir) =>
@@ -1884,6 +1905,7 @@ object SparkEntry {
     "q1_agg" -> q1Agg,
     "j1_star_join" -> j1StarJoin,
     "j3_asof" -> j3AsOf,
+    "j11_asof_nearest" -> j11AsofNearest,
     "a3_user_history" -> a3UserHistory,
     "w2_prefix_samples" -> w2PrefixSamples,
     "w4_topk_per_group" -> w4TopkPerGroup,
@@ -2045,6 +2067,30 @@ object SparkEntry {
         |     AND b.ts <= q.ts
         |   ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS beh_id
         |FROM events q WHERE q.event_type = 'purchase'""".stripMargin,
+    "j11_asof_nearest" ->
+      """WITH q AS (SELECT user_id, event_id AS query_id,
+        |    epoch_ns(ts) // 1000 AS tsq
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsb
+        |  FROM events WHERE event_type <> 'purchase'),
+        |bk AS (SELECT q.query_id, q.tsq,
+        |    (SELECT [b.tsb, b.event_id] FROM b
+        |     WHERE b.user_id = q.user_id AND b.tsb <= q.tsq
+        |     ORDER BY b.tsb DESC, b.event_id DESC LIMIT 1) AS back,
+        |    (SELECT [b.tsb, b.event_id] FROM b
+        |     WHERE b.user_id = q.user_id AND b.tsb > q.tsq
+        |     ORDER BY b.tsb, b.event_id LIMIT 1) AS fwd
+        |  FROM q)
+        |SELECT query_id,
+        |  CASE WHEN fwd IS NULL THEN back[2]
+        |       WHEN back IS NULL THEN fwd[2]
+        |       WHEN tsq - back[1] <= fwd[1] - tsq THEN back[2]
+        |       ELSE fwd[2] END AS beh_id,
+        |  CASE WHEN fwd IS NULL THEN tsq - back[1]
+        |       WHEN back IS NULL THEN fwd[1] - tsq
+        |       WHEN tsq - back[1] <= fwd[1] - tsq THEN tsq - back[1]
+        |       ELSE fwd[1] - tsq END AS dist_us
+        |FROM bk""".stripMargin,
     "a3_user_history" ->
       """SELECT user_id,
         |  array_to_string(list(event_id ORDER BY ts, event_id), '|') AS history,

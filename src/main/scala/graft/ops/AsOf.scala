@@ -67,6 +67,45 @@ object AsOf {
           slice(full, greatest(lit(1), size(full) - (n - 1)), lit(n)))
     }
 
+  /** NEAREST-neighbor as-of: attach the behavior closest in time to each
+    * query row, in EITHER direction — the sensor/log alignment variant
+    * of [[lastAsOf]] (backward-only is wrong when the nearest reading
+    * sits just ahead). Ties (equidistant) go backward; a behavior at
+    * exactly the query ts is backward (distance 0, bisect_right
+    * ordering). Same union + single-shuffle lowering: the backward
+    * candidate is the running `last` and the forward candidate the
+    * running `first` of the FOLLOWING frame — two window functions over
+    * one sort, no second shuffle, no range-join explosion.
+    *
+    * Output: `queries` plus `outCol` = struct(ts: long, p: payload) of
+    * the nearest behavior (null only when the key has no behaviors). */
+  def nearestAsOf(
+      queries: DataFrame,
+      behaviors: DataFrame,
+      key: String,
+      qTs: String,
+      bTs: String,
+      payload: Column,
+      outCol: String,
+      tieBreak: Column = lit(0L)): DataFrame = {
+    val pStruct = struct(col(bTs).cast("long").as("ts"), payload.as("p"))
+    unionWindow(queries, behaviors, key, qTs, bTs, pStruct, tieBreak) {
+      (unioned, w) =>
+        val wf = Window.partitionBy(col(key))
+          .orderBy(col("__ts"), col("__isq"), col("__tb"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val back = last(col("__payload"), ignoreNulls = true).over(w)
+        val fwd = first(col("__payload"), ignoreNulls = true).over(wf)
+        val qts = col("__ts").cast("long")
+        unioned.withColumn(outCol,
+          when(fwd.isNull, back)
+            .when(back.isNull, fwd)
+            .when(qts - back.getField("ts") <= fwd.getField("ts") - qts,
+              back)
+            .otherwise(fwd))
+    }
+  }
+
   /** Shared scaffolding for the union + running-window lowering: tag both
     * sides, null-align the behaviors side to the query schema, order so
     * behaviors sort before queries at equal ts (false < true ⇒ inclusive,

@@ -28,6 +28,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("nearestAsOf: direction choice, ties backward, exact hit, no-behavior null") {
+    val behaviors = Seq((1L, 100L, 10L), (1L, 200L, 20L))
+      .toDF("user_id", "bid", "bts")
+    val queries = Seq(
+      (1L, 1L, 12L),  // closer to 10 (backward)
+      (1L, 2L, 17L),  // closer to 20 (forward)
+      (1L, 3L, 15L),  // equidistant → backward
+      (1L, 4L, 20L),  // exact hit → backward, distance 0
+      (2L, 5L, 10L))  // user with no behaviors → null
+      .toDF("user_id", "qid", "qts")
+    val got = AsOf.nearestAsOf(queries, behaviors, "user_id", "qts", "bts",
+        $"bid", "n")
+      .select($"qid", $"n.p", $"n.ts")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Some(100L), Some(10L))))
+    assert(got(2L) == ((Some(200L), Some(20L))))
+    assert(got(3L) == ((Some(100L), Some(10L))))
+    assert(got(4L) == ((Some(200L), Some(20L))))
+    assert(got(5L) == ((None, None)))
+  }
+
   test("prefix-window histories are strict time-prefixes capped at maxHistory") {
     val ev = Tables.events(spark, TestSpark.sf)
     val out = PrefixWindow.samples(ev, "user_id", "ts", $"event_id",
