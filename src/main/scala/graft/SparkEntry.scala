@@ -1803,6 +1803,18 @@ object SparkEntry {
     Validate.profile(Tables.orders(s, dir),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
 
+  /** Q4: two-snapshot profile drift ([[Validate.profileDrift]]) — the
+    * even/odd order-key halves stand in for yesterday/today partitions;
+    * per-column null-rate, cardinality and range comparison in two
+    * scans. */
+  private val q4ProfileDrift: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    Validate.profileDrift(
+      o.where(col("o_orderkey") % 2 === 0),
+      o.where(col("o_orderkey") % 2 === 1),
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"))
+  }
+
   /** Q3: declared-constraint violation counts ([[Validate]]): row-level
     * predicates in ONE scan plus a referential orphan check (anti-join,
     * broadcast when the dim is small). All four gates pass on the
@@ -2004,6 +2016,7 @@ object SparkEntry {
     "m10_itemcf_backtest" -> m10ItemCfBacktest,
     "q2_data_profile" -> q2DataProfile,
     "q3_constraints" -> q3Constraints,
+    "q4_profile_drift" -> q4ProfileDrift,
     "mm3_audio_windows" -> mm3AudioWindows,
     "w6_sessionize" -> w6Sessionize,
     "w6_padding" -> w6Padding,
@@ -3131,6 +3144,26 @@ object SparkEntry {
          |  count(DISTINCT $c) AS n_distinct,
          |  CAST(min($c) AS VARCHAR) AS min_val,
          |  CAST(max($c) AS VARCHAR) AS max_val FROM orders""".stripMargin)
+      .mkString("\n", "\nUNION ALL\n", ""),
+    "q4_profile_drift" -> Seq("o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_totalprice").map(c =>
+      s"""SELECT '$c' AS col_name,
+         |  b.nf AS null_frac_base, c2.nf AS null_frac_cur,
+         |  round(abs(c2.nf - b.nf), 6) AS null_frac_delta,
+         |  b.nd AS distinct_base, c2.nd AS distinct_cur,
+         |  (b.mn IS DISTINCT FROM c2.mn OR b.mx IS DISTINCT FROM c2.mx)
+         |    AS range_changed
+         |FROM
+         |  (SELECT round(CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*), 6) AS nf,
+         |    count(DISTINCT $c) AS nd, CAST(min($c) AS VARCHAR) AS mn,
+         |    CAST(max($c) AS VARCHAR) AS mx
+         |  FROM orders WHERE o_orderkey % 2 = 0) b,
+         |  (SELECT round(CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*), 6) AS nf,
+         |    count(DISTINCT $c) AS nd, CAST(min($c) AS VARCHAR) AS mn,
+         |    CAST(max($c) AS VARCHAR) AS mx
+         |  FROM orders WHERE o_orderkey % 2 = 1) c2""".stripMargin)
       .mkString("\n", "\nUNION ALL\n", ""),
     "q3_constraints" ->
       """SELECT 'totalprice_positive' AS check_name, CAST(sum(CASE WHEN

@@ -38,6 +38,33 @@ object Validate {
         ") as (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"))
   }
 
+  /** Two-snapshot profile drift — the schema/stat regression report a
+    * pipeline runs between yesterday's and today's partition before
+    * promoting (null-rate spikes, cardinality collapses and range
+    * excursions are the classic silent upstream breakages; [[graft.evalx
+    * .Metrics.psi]] covers distribution SHAPE, this covers the profile
+    * surface). Composes two one-scan [[profile]]s and joins the ≤|cols|
+    * result rows — cost is two scans regardless of width.
+    * Output: one row per column with both sides' null fraction /
+    * distinct count, the null-fraction delta, and a range-changed
+    * flag (null-safe min/max comparison). */
+  def profileDrift(base: DataFrame, current: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, tag: String) = profile(df, cols)
+      .select(col("col_name"),
+        round(col("n_nulls").cast("double") / col("n_rows"), 6)
+          .as(s"null_frac_$tag"),
+        col("n_distinct").as(s"distinct_$tag"),
+        col("min_val").as(s"min_$tag"), col("max_val").as(s"max_$tag"))
+    side(base, "base").join(side(current, "cur"), "col_name")
+      .select(col("col_name"), col("null_frac_base"), col("null_frac_cur"),
+        round(abs(col("null_frac_cur") - col("null_frac_base")), 6)
+          .as("null_frac_delta"),
+        col("distinct_base"), col("distinct_cur"),
+        (not(col("min_base") <=> col("min_cur")) ||
+          not(col("max_base") <=> col("max_cur"))).as("range_changed"))
+  }
+
   /** Violation counts for named row-level constraints (each a boolean
     * Column that valid rows satisfy; NULL predicate results count as
     * violations — an unevaluable constraint is a failing one). One scan,

@@ -224,6 +224,22 @@ class MiscApiSpec extends AnyFunSuite {
     assert(prof("status") == (("status", 3L, 0L, 3L, "F", "X")))
   }
 
+  test("profileDrift flags planted null spike and range excursion") {
+    import spark.implicits._
+    import graft.ops.Validate
+    val base = Seq((1L, Some(1L), 5.0), (2L, Some(2L), 6.0))
+      .toDF("id", "fk", "price")
+    val cur = Seq((3L, None: Option[Long], 5.0), (4L, Some(2L), 9.0))
+      .toDF("id", "fk", "price")
+    val got = Validate.profileDrift(base, cur, Seq("fk", "price"))
+      .as[(String, Double, Double, Double, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // fk: null rate 0 → 0.5, cardinality 2 → 1, max shrank 2 → 2? no: min 1→2
+    assert(got("fk") == (("fk", 0.0, 0.5, 0.5, 2L, 1L, true)))
+    // price: no nulls either side, max moved 6 → 9
+    assert(got("price") == (("price", 0.0, 0.0, 0.0, 2L, 2L, true)))
+  }
+
   test("g6 item-cf: hand-computed co-occurrence counts and neighbor ranks") {
     import spark.implicits._
     import graft.recall.ItemCf
