@@ -642,11 +642,17 @@ object SparkEntry {
     val dropped = comps.where(col("doc_a") =!= col("component"))
       .select(col("doc_a").as("doc_id"))
     val survivors = exact.join(dropped, Seq("doc_id"), "left_anti")
-    val weighted = TextAnalysis.dsirWeights(survivors, "doc_id", "text",
+    // DSIR distributions are estimated on the RAW corpus (that is the
+    // method's posture — target vs raw crawl), not the survivor set.
+    // This also matters physically: dsirWeights' broadcast bucket table
+    // runs as an EAGER job before the main stage, and anchoring it on
+    // the survivors lineage re-executed the whole components fixpoint
+    // per broadcast (measured 18.7 s warm; raw-corpus weights: ~3 s).
+    val weighted = survivors.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(TextAnalysis.dsirWeights(docs, "doc_id", "text",
         col("lang") === "en", nBuckets = 64)
-      .join(survivors.select(col("doc_id"), col("source"),
-        TextFunctions.tokenCount(col("text")).cast("long")
-          .as("n_tokens")), "doc_id")
+        .select(col("doc_id"), col("log_w")), "doc_id")
     val w = Window.partitionBy(col("source"))
       .orderBy(col("log_w").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3859,7 +3865,7 @@ object SparkEntry {
         |      1, 12)) AS BIGINT) % 64 AS bk
         |  FROM (SELECT doc_id, lang, toks,
         |      unnest(generate_series(1, len(toks) - 1)) AS i
-        |    FROM sv WHERE len(toks) >= 2)),
+        |    FROM tkq WHERE len(toks) >= 2)),
         |raw AS (SELECT bk, count(*) AS cr FROM bg GROUP BY bk),
         |tgt AS (SELECT bk, count(*) AS ct FROM bg WHERE t GROUP BY bk),
         |jb AS (SELECT raw.bk, cr, coalesce(ct, 0) AS ct
