@@ -1089,6 +1089,17 @@ object SparkEntry {
       lit(1.0) / (lit(1.0) + exp(-(col("value") - 250.0) / 100.0)),
       nReplicates = 40)
 
+  /** A22: two-sample Kolmogorov–Smirnov drift ([[Metrics.ksTest]]) —
+    * purchase vs non-purchase event-value distributions. The binless
+    * companion to a19's PSI: no edges to pick, catches any CDF
+    * divergence; the cumulative counts ride the two-level prefix-sum
+    * lowering so no data-sized single partition exists. */
+  private val a22KsDrift: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    Metrics.ksTest(ev.where(col("event_type") =!= "purchase"),
+      ev.where(col("event_type") === "purchase"), "value")
+  }
+
   /** G7: Swing item similarity ([[ItemCf.swingPairs]]) — user-pair
     * damped co-occurrence over the same "parts bought together" baskets
     * as g6; the pair (i,j) score sums 1/(α + |shared items of (u,v)|)
@@ -1210,6 +1221,17 @@ object SparkEntry {
   /** LLM-X13: deterministic shard assignment + within-shard order
     * ([[Sampling.shardAssign]], 8 shards over doc_id) — the reproducible
     * global shuffle a distributed dataloader reads. */
+  /** LLM-X14: preference-pair mining ([[Sampling.preferencePairs]]) —
+    * the DPO/RLHF pairwise training-data build: per user, the 3
+    * strongest-signal events paired against the 3 weakest, kept when
+    * the gap clears 200. Both sides are capped per key by the native
+    * heap aggregate BEFORE pairing, so the pair stage is a bounded 3×3
+    * join per user at any activity skew. */
+  private val x14PrefPairs: Q = (s, dir) =>
+    Sampling.preferencePairs(
+      Tables.events(s, dir).where(col("value").isNotNull),
+      "user_id", "event_id", "value", k = 3, minGap = 200.0)
+
   private val x13ShardAssign: Q = (s, dir) =>
     Sampling.shardAssign(
         Tables.documents(s, dir).select(col("doc_id")), col("doc_id"), 8)
@@ -2036,6 +2058,7 @@ object SparkEntry {
     "a15_distinct_exact" -> a15DistinctExact,
     "x11_exact_n_per_group" -> x11ExactNPerGroup,
     "x13_shard_assign" -> x13ShardAssign,
+    "x14_pref_pairs" -> x14PrefPairs,
     "x12_weighted_negatives" -> x12WeightedNegatives,
     "w8_ewma" -> w8Ewma,
     "w9_rolling_window" -> w9RollingWindow,
@@ -2045,6 +2068,7 @@ object SparkEntry {
     "a19_psi" -> a19Psi,
     "a20_bootstrap_ci" -> a20BootstrapCi,
     "a21_ab_delta" -> a21AbDelta,
+    "a22_ks_drift" -> a22KsDrift,
     "t17_html_strip" -> t17HtmlStrip,
     "t18_url_canonical" -> t18UrlCanonical,
     "m8_param_stats" -> m8ParamStats,
@@ -3018,6 +3042,26 @@ object SparkEntry {
         |  round((list(m ORDER BY m))[2], 6) AS ci_lo,
         |  round((list(m ORDER BY m))[39], 6) AS ci_hi
         |FROM m""".stripMargin,
+    "a22_ks_drift" ->
+      """WITH a AS (SELECT value AS x, count(*) AS na FROM events
+        |  WHERE event_type <> 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |b AS (SELECT value AS x, count(*) AS nb FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (SELECT coalesce(a.x, b.x) AS x, coalesce(na, 0) AS na,
+        |    coalesce(nb, 0) AS nb
+        |  FROM a FULL OUTER JOIN b ON a.x = b.x),
+        |c AS (SELECT sum(na) OVER (ORDER BY x) AS ca,
+        |    sum(nb) OVER (ORDER BY x) AS cb,
+        |    (SELECT sum(na) FROM m) AS ta,
+        |    (SELECT sum(nb) FROM m) AS tb
+        |  FROM m)
+        |SELECT round(max(abs(CAST(ca AS DOUBLE) / ta
+        |    - CAST(cb AS DOUBLE) / tb)), 6) AS ks_stat,
+        |  CAST(max(ta) AS BIGINT) AS n_base,
+        |  CAST(max(tb) AS BIGINT) AS n_current
+        |FROM c""".stripMargin,
     "a17_window_anomaly" ->
       """WITH c AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS win,
         |    count(*) AS n FROM events GROUP BY 1, 2),
@@ -3604,6 +3648,22 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY h % 8
         |    ORDER BY h, doc_id) AS BIGINT) AS pos
         |FROM h""".stripMargin,
+    "x14_pref_pairs" ->
+      """WITH base AS (SELECT user_id, event_id,
+        |    CAST(value AS DOUBLE) AS s
+        |  FROM events WHERE value IS NOT NULL),
+        |pos AS (SELECT user_id, event_id, s FROM (SELECT user_id,
+        |    event_id, s, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY s DESC, event_id) AS rn FROM base)
+        |  WHERE rn <= 3),
+        |neg AS (SELECT user_id, event_id, s FROM (SELECT user_id,
+        |    event_id, s, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY s ASC, event_id) AS rn FROM base)
+        |  WHERE rn <= 3)
+        |SELECT p.user_id, p.event_id AS pos_id, n.event_id AS neg_id,
+        |  round(p.s - n.s, 6) AS gap
+        |FROM pos p JOIN neg n ON p.user_id = n.user_id
+        |WHERE p.s - n.s >= 200""".stripMargin,
     "l1_zorder" -> {
       val terms = (0 until 16).flatMap(i => Seq(
         s"(((x >> $i) & 1) << ${2 * i})",

@@ -1,6 +1,7 @@
 package graft.evalx
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ranking / classification evaluation operators, relational form
@@ -245,5 +246,61 @@ object Metrics {
           (col("__tc") + 0.5 * nBins)
         acc + (pc - pb) * log(pc / pb)
       }), 6).as("psi"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic — the binless companion to
+    * [[psi]]: max over all observed points of |F_base(x) − F_cur(x)|.
+    * PSI needs bin edges chosen up front and saturates on shape changes
+    * inside a bin; KS is parameter-free and catches any CDF divergence,
+    * which is why drift monitors run both.
+    *
+    * Scale shape: the statistic needs cumulative counts in global value
+    * order, and a naive `sum().over(Window.orderBy(x))` funnels the whole
+    * table through one partition. This is the [[graft.ops.PrefixSum]]
+    * two-level lowering, run once for BOTH sides' counts: collapse each
+    * side to distinct-value counts (one shuffle each, partials combine
+    * map-side), full-outer-merge, range-repartition on the value, local
+    * running sums per partition, and a ≤ numPartitions-row offset table
+    * broadcast back. The final max is a 1-row aggregate with map-side
+    * partials. Cumulative counts stay integral, so the only float op is
+    * the final ratio — deterministic across engines.
+    * Output: 1 row (ks_stat, n_base, n_current). */
+  def ksTest(base: DataFrame, current: DataFrame, value: String)
+      : DataFrame = {
+    def pts(df: DataFrame, n: String): DataFrame =
+      df.select(col(value).cast("double").as("__x"))
+        .where(col("__x").isNotNull)
+        .groupBy(col("__x")).agg(count(lit(1)).as(n))
+    val merged = pts(base, "__na").join(pts(current, "__nb"),
+        Seq("__x"), "full_outer")
+      .select(col("__x"), coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    val part = merged.repartitionByRange(col("__x"))
+      .sortWithinPartitions(col("__x"))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = part.groupBy(col("__pid"))
+      .agg(sum(col("__na")).as("__ca"), sum(col("__nb")).as("__cb"))
+      .withColumn("__offa", coalesce(sum(col("__ca")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__offb", coalesce(sum(col("__cb")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offa"), col("__offb"))
+    val localW = Window.partitionBy(col("__pid")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    part
+      .withColumn("__la", sum(col("__na")).over(localW))
+      .withColumn("__lb", sum(col("__nb")).over(localW))
+      .join(broadcast(offsets), Seq("__pid"))
+      .crossJoin(broadcast(merged.agg(sum(col("__na")).as("__ta"),
+        sum(col("__nb")).as("__tb"))))
+      .select(abs(
+          (col("__offa") + col("__la")).cast("double") / col("__ta") -
+          (col("__offb") + col("__lb")).cast("double") / col("__tb"))
+        .as("__d"), col("__ta"), col("__tb"))
+      .agg(round(max(col("__d")), 6).as("ks_stat"),
+        first(col("__ta")).as("n_base"),
+        first(col("__tb")).as("n_current"))
   }
 }

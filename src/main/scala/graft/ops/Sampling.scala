@@ -216,4 +216,36 @@ object Sampling {
         col("__u") >= col("lo") && col("__u") < col("hi"))
       .select(col("user"), col("draw").cast("long").as("draw"), col("item"))
   }
+
+  /** Preference-pair mining — the DPO/RLHF/pairwise-LTR training-data
+    * build: per key, pair the strongest positives with the weakest
+    * negatives and keep pairs whose score gap clears `minGap`. The naive
+    * form (all pos × all neg per key) is quadratic in the hottest key;
+    * this caps BOTH sides at `k` per key FIRST with the native k-capped
+    * heap aggregate ([[TopK.perGroupAgg]] — map-side partial top-k, no
+    * sort), so the pair stage is a bounded k×k self-join per key: one
+    * shuffle per side + one bounded equi-join, at any key skew.
+    *
+    * `df` needs (`key`, `id`, numeric `score`) columns. Positives rank
+    * by score DESC, negatives by score ASC, ties broken by id (negated
+    * where needed to keep ascending-id determinism). Output:
+    * (key, pos_id, neg_id, gap = pos_score − neg_score ≥ minGap). */
+  def preferencePairs(df: DataFrame, key: String, id: String,
+      score: String, k: Int, minGap: Double): DataFrame = {
+    val base = df.select(col(key).as("__k"), col(id).as("__id"),
+      col(score).cast("double").as("__s"))
+    val pos = TopK.perGroupAgg(base, Seq(col("__k")),
+        Seq(col("__s"), col("__id") * -1), Seq(col("__id")), k)
+      .select(col("__k"), col("__id").as("pos_id"),
+        col("__s").as("__ps"))
+    val neg = TopK.perGroupAgg(base, Seq(col("__k")),
+        Seq(col("__s") * -1, col("__id") * -1),
+        Seq(col("__id"), col("__s")), k)
+      .select(col("__k"), col("__id").as("neg_id"),
+        col("__s").as("__ns"))
+    pos.join(neg, Seq("__k"))
+      .where(col("__ps") - col("__ns") >= minGap)
+      .select(col("__k").as(key), col("pos_id"), col("neg_id"),
+        round(col("__ps") - col("__ns"), 6).as("gap"))
+  }
 }

@@ -116,4 +116,19 @@ class MetricsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(vids, 1000L)
     assert(frames.count() == 500 * 3) // 0,1000,2000
   }
+
+  test("KS statistic matches hand-computed CDF gap") {
+    val base = Seq(1.0, 2.0, 3.0, 4.0).toDF("value")
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).toDF("value")
+    // F_a − F_b peaks at x ∈ {2, 3, 4}: |0.5 − 0| = 0.5
+    val (ks, na, nb) = Metrics.ksTest(base, cur, "value")
+      .as[(Double, Long, Long)].head()
+    assert(ks == 0.5 && na == 4L && nb == 4L)
+    // identical samples → 0; disjoint supports → 1
+    assert(Metrics.ksTest(base, base, "value")
+      .as[(Double, Long, Long)].head()._1 == 0.0)
+    val far = Seq(100.0, 101.0).toDF("value")
+    assert(Metrics.ksTest(base, far, "value")
+      .as[(Double, Long, Long)].head()._1 == 1.0)
+  }
 }

@@ -378,4 +378,25 @@ class OpsSpec extends AnyFunSuite {
         savedOrd)
     }
   }
+
+  test("preferencePairs: capped sides, gap filter, deterministic ties") {
+    val df = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 9.0), (1L, 3L, 5.0), (1L, 4L, 1.0),
+      (1L, 5L, 0.0),
+      // key 2: all scores equal — top/bottom overlap, every gap is 0
+      (2L, 6L, 3.0), (2L, 7L, 3.0), (2L, 8L, 3.0))
+      .toDF("k", "id", "s")
+    val got = Sampling.preferencePairs(df, "k", "id", "s",
+        k = 2, minGap = 8.0)
+      .select($"k", $"pos_id", $"neg_id", $"gap")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // pos cap: {1, 2}; neg cap: {5, 4}; all four pairs clear gap ≥ 8
+    assert(got == Set((1L, 1L, 5L, 10.0), (1L, 1L, 4L, 9.0),
+      (1L, 2L, 5L, 9.0), (1L, 2L, 4L, 8.0)))
+    // zero-gap key produces nothing; ties capped by smallest id
+    val tied = Sampling.preferencePairs(df, "k", "id", "s", 2, 0.0)
+      .where($"k" === 2)
+      .select($"pos_id", $"neg_id").as[(Long, Long)].collect().toSet
+    assert(tied == Set((6L, 6L), (6L, 7L), (7L, 6L), (7L, 7L)))
+  }
 }
