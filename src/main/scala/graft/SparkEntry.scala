@@ -1389,6 +1389,22 @@ object SparkEntry {
         col("sq_err"): _*)
   }
 
+  /** V5: Johnson–Lindenstrauss sign-matrix projection
+    * ([[VectorOps.randomProject]], 64→16 dims) — the dimension cut in
+    * front of an ANN scan (4× less to read per candidate, norms and
+    * inner products preserved in expectation). The ±1 matrix derives
+    * from md5 parity, so the oracle rebuilds it exactly in SQL; the
+    * engine side inlines it as plan-time literals — zero shuffle,
+    * whole-stage codegen. */
+  private val v5RandomProjection: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    emb.select(col("vec_id"),
+        VectorOps.randomProject(col("embedding"), 64, 16).as("__y"))
+      .select(col("vec_id") +:
+        (0 until 16).map(j =>
+          round(element_at(col("__y"), j + 1), 6).as(s"r$j")): _*)
+  }
+
   private val v2QuantizeEmb: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val q = VectorOps.quantizeInt8(col("embedding"))
@@ -2009,6 +2025,7 @@ object SparkEntry {
     "v2_quantize_emb" -> v2QuantizeEmb,
     "v3_pq_encode" -> v3PqEncode,
     "v4_pq_trained" -> v4PqTrained,
+    "v5_random_projection" -> v5RandomProjection,
     "sim6_pq_adc" -> sim6PqAdc,
     "sim7_ivfpq" -> sim7IvfPq,
     "d2_minhash_pairs" -> d2MinHashPairs,
@@ -3268,6 +3285,22 @@ object SparkEntry {
         |  CAST(max(CASE WHEN sub = 3 THEN cidx END) AS BIGINT) AS c3,
         |  round(sum(dist), 6) AS sq_err
         |FROM pick WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+    "v5_random_projection" -> {
+      val cols = (0 until 16).map(j =>
+        s"  round(max(CASE WHEN j = $j THEN y END), 6) AS r$j")
+        .mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |p AS (SELECT vec_id, j, list_sum(list_transform(range(1, 65),
+         |    i -> v[i] * (CASE WHEN CAST(('0x' || substring(md5(
+         |      CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)),
+         |      1, 1)) AS BIGINT) % 2 = 1 THEN -1.0 ELSE 1.0 END)))
+         |    / 4.0 AS y
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 16)) AS j))
+         |SELECT vec_id,
+         |$cols
+         |FROM p GROUP BY vec_id""".stripMargin
+    },
     "v2_quantize_emb" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

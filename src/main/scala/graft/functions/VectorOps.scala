@@ -161,6 +161,32 @@ object VectorOps {
     }
   }
 
+  /** Johnson–Lindenstrauss random projection with a ±1 sign matrix
+    * (Achlioptas 2003's database-friendly variant: s_ij ∈ {+1, −1}
+    * uniform, y_j = Σ_i x_i·s_ij / √dOut preserves norms and inner
+    * products in expectation) — the cheap dimension cut in front of an
+    * ANN index: 64→16 dims is 4× less to scan per candidate.
+    *
+    * Determinism contract: s_ij = −1 iff the first hex digit of
+    * md5("j:i") is odd. The matrix is inlined as plan-time literals
+    * (dOut·dIn doubles — bounded by construction), so the projection is
+    * a zero-shuffle codegen expression tree and any md5-capable engine
+    * replays the identical matrix. */
+  def randomProject(x: Column, dIn: Int, dOut: Int): Column = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Double = {
+      val h = md.digest(s"$j:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 1) -1.0 else 1.0
+    }
+    val xs = x.cast("array<double>")
+    val scale = math.sqrt(dOut.toDouble)
+    array((0 until dOut).map { j =>
+      val signs = array((0 until dIn).map(i => lit(sign(j, i))): _*)
+      aggregate(zip_with(xs, signs, (a, s) => a * s),
+        lit(0.0), (acc, v) => acc + v) / scale
+    }: _*)
+  }
+
   /** Group-wise mean-pool of a vector column: posexplode → per-dimension
     * avg → reassemble. One shuffle on (groupCols, dim) then one on
     * groupCols; at scale this beats collecting whole vectors per group

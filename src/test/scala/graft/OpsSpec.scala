@@ -232,6 +232,27 @@ class OpsSpec extends AnyFunSuite {
     assert(totalErr(trained) < totalErr(mean1))
   }
 
+  test("randomProject: JL norm/inner-product preservation, deterministic") {
+    import graft.functions.VectorOps
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val proj = emb.select($"vec_id",
+      $"embedding".cast("array<double>").as("x"),
+      VectorOps.randomProject($"embedding", 64, 16).as("y"))
+    // E[‖y‖²] = ‖x‖² under the scaled sign matrix; corpus-averaged the
+    // ratio must concentrate near 1 (16 output dims → sd ≈ √(2/16))
+    val ratio = proj.select(
+        (VectorOps.dot($"y", $"y") / VectorOps.dot($"x", $"x")).as("r"))
+      .agg(avg($"r")).as[Double].head()
+    assert(ratio > 0.7 && ratio < 1.3, s"mean norm ratio $ratio")
+    assert(proj.select($"y").head().getSeq[Double](0).length == 16)
+    // plan-time literal matrix → bit-identical across runs
+    val a = proj.select($"vec_id", $"y").as[(Long, Seq[Double])]
+      .collect().sortBy(_._1).take(5).toSeq
+    val b = proj.select($"vec_id", $"y").as[(Long, Seq[Double])]
+      .collect().sortBy(_._1).take(5).toSeq
+    assert(a == b)
+  }
+
   test("shardAssign: total, reproducible, positions dense per shard") {
     import graft.ops.Sampling
     val docs = Tables.documents(spark, TestSpark.sf).select($"doc_id")
