@@ -1276,6 +1276,16 @@ object SparkEntry {
     Dedup.scrubRepeatedChunks(Tables.documents(s, dir), "doc_id", "text",
       n = 3, maxOccurs = 3)
 
+  /** LLM-D14: cross-document duplicated spans
+    * ([[Dedup.duplicateSpans]], k = 6 tokens) — the relational form of
+    * exact-substring dedup (Lee et al. 2022): maximal token runs whose
+    * every 6-window also appears in another document, found by
+    * shingle-hash grouping + per-doc island merge instead of a
+    * non-distributable suffix array. */
+  private val d14DupSpans: Q = (s, dir) =>
+    Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+      k = 6)
+
   /** LLM-T8: Gopher-style within-doc repetition signals. */
   private val t8Repetition: Q = (s, dir) =>
     TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
@@ -2017,6 +2027,7 @@ object SparkEntry {
     "d3_simhash" -> d3SimHash,
     "d8_simhash_portable" -> d8SimhashPortable,
     "d9_chunk_scrub" -> d9ChunkScrub,
+    "d14_dup_spans" -> d14DupSpans,
     "t8_repetition" -> t8Repetition,
     "x7_source_mix" -> x7SourceMix,
     "x8_ppl_mixture" -> x8PplMixture,
@@ -2581,6 +2592,25 @@ object SparkEntry {
         |JOIN sizes na ON na.doc_id = doc_a
         |JOIN sizes nb ON nb.doc_id = doc_b
         |WHERE i * 1.0 / (na.n + nb.n - i) >= 0.15""".stripMargin,
+    "d14_dup_spans" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(toks[i+1:i+6], ' ')) AS h
+        |  FROM tk, LATERAL (SELECT unnest(
+        |    generate_series(0, len(toks) - 6)) AS i)
+        |  WHERE len(toks) >= 6),
+        |dup AS (SELECT h FROM sh GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos FROM sh
+        |  WHERE h IN (SELECT h FROM dup)),
+        |g AS (SELECT doc_id, pos, pos - row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS grp FROM hits)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 5 AS BIGINT) AS span_end,
+        |  count(*) AS n_shingles
+        |FROM g GROUP BY doc_id, grp""".stripMargin,
     "d5_minhash_portable" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),

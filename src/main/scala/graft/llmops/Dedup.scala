@@ -104,6 +104,50 @@ object Dedup {
           - coalesce(col("__kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Cross-document duplicated-span detection — the relational lowering
+    * of exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": their suffix array finds
+    * verbatim runs shared between documents; a single-node suffix array
+    * over 100 TB doesn't distribute, but every shared run of ≥ k tokens
+    * is a chain of shared k-shingles, so shingle-hash grouping + island
+    * merge recovers the same spans).
+    *
+    * Stages, one shuffle each: (1) positional k-shingles, hashed — the
+    * shuffle key is a digest, never text; (2) shingles seen in ≥ 2
+    * DISTINCT docs (partial aggs combine map-side); (3) semi-join back;
+    * (4) per-doc gaps-and-islands merge of adjacent duplicated positions
+    * (window bounded by doc length). Boilerplate mega-shingles only
+    * widen the group count, not any single partition.
+    *
+    * Output: (id, span_start, span_end, n_shingles) — token positions,
+    * end inclusive; spans are maximal runs whose every k-window also
+    * appears in some other document. */
+  def duplicateSpans(docs: DataFrame, id: String, text: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(id).as("__id"),
+      TextFunctions.tokens(col(text)).as("__t"))
+    val sh = toks
+      .select(col("__id"),
+        when(size(col("__t")) < k, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("__t")) - k),
+            i => concat_ws(" ", slice(col("__t"), i + 1, lit(k))))).as("__sh"))
+      .select(col("__id"), posexplode(col("__sh")).as(Seq("__pos", "__s")))
+      .select(col("__id"), col("__pos"), md5(col("__s")).as("__h"))
+    val dup = sh.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .where(col("__nd") >= 2).select(col("__h"))
+    val hits = sh.join(dup, Seq("__h"), "left_semi")
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    hits
+      .withColumn("__grp", col("__pos") - row_number().over(w))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(min(col("__pos")).cast("long").as("span_start"),
+        (max(col("__pos")) + (k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select(col("__id").as(id), col("span_start"), col("span_end"),
+        col("n_shingles"))
+  }
+
   /** Portable 32-bit SimHash: bit b of each token's hash is the top bit of
     * hex digit b+1 of `md5(token)` (digit ≥ '8'), so the whole signature —
     * tokenize → per-token hash → ±1 votes → sign bits — is replicable in

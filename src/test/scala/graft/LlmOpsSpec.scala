@@ -428,4 +428,23 @@ class LlmOpsSpec extends AnyFunSuite {
       100L, 0.03).count()
     assert(all == incoming.count())
   }
+
+  test("duplicateSpans: shared runs merge to maximal islands, cross-doc only") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),
+      (2L, "z a b c d e f g h q"),
+      // doc 3 repeats a run of doc 1 twice, separated by noise → 2 islands
+      (3L, "a b c d e f n1 n2 n3 a b c d e f"),
+      (4L, "totally different words here indeed okay fine"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", k = 6)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // docs 1&2 share "a b c d e f g h" (8 tokens → 3 six-shingles);
+    // doc 3 shares only "a b c d e f" at positions 0 and 9
+    assert(got == Set((1L, 0L, 7L, 3L), (2L, 1L, 8L, 3L),
+      (3L, 0L, 5L, 1L), (3L, 9L, 14L, 1L)))
+    // a lone intra-doc repeat is NOT cross-doc duplication
+    val solo = Seq((9L, "p q r s t u p q r s t u")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(solo, "doc_id", "text", 6).count() == 0)
+  }
 }
