@@ -126,13 +126,21 @@ object Dedup {
       k: Int): DataFrame = {
     val toks = docs.select(col(id).as("__id"),
       TextFunctions.tokens(col(text)).as("__t"))
+    // Explode POSITIONS and hash the k-token slice afterwards. The obvious
+    // form — build the shingle array with `transform` and posexplode it —
+    // is quadratic per doc: projection collapse makes the `transform` the
+    // Generate's child, and Generate re-evaluates its child per emitted
+    // element (measured 27× slower at sf0.1). A position generator's child
+    // is a cheap int sequence, and the slice hash then runs once per row.
+    // xxhash64 over the slice array: the hash is engine-internal (output
+    // columns are positions only), so no portable-md5 string building.
     val sh = toks
-      .select(col("__id"),
-        when(size(col("__t")) < k, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(col("__t")) - k),
-            i => concat_ws(" ", slice(col("__t"), i + 1, lit(k))))).as("__sh"))
-      .select(col("__id"), posexplode(col("__sh")).as(Seq("__pos", "__s")))
-      .select(col("__id"), col("__pos"), md5(col("__s")).as("__h"))
+      .select(col("__id"), col("__t"),
+        explode(when(size(col("__t")) >= k,
+            sequence(lit(0), size(col("__t")) - k))
+          .otherwise(array().cast("array<int>"))).as("__pos"))
+      .select(col("__id"), col("__pos"),
+        xxhash64(slice(col("__t"), col("__pos") + 1, lit(k))).as("__h"))
     val dup = sh.groupBy(col("__h"))
       .agg(countDistinct(col("__id")).as("__nd"))
       .where(col("__nd") >= 2).select(col("__h"))
