@@ -1237,6 +1237,16 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id")), col("doc_id"), 8)
       .select(col("doc_id"), col("shard"), col("pos"))
 
+  /** LLM-X15: curriculum ordering ([[Sampling.curriculumOrder]], 8
+    * equal-width n_chars bins) — easy→hard interleaved training order;
+    * within-bin ranks via the PrefixSum two-level lowering, bin offsets
+    * from the cheap-lineage bucket histogram, so no data-sized window
+    * partition at any corpus width. */
+  private val x15Curriculum: Q = (s, dir) =>
+    Sampling.curriculumOrder(
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", nBuckets = 8)
+
   /** LLM-X10: per-source token-budget fill — keep docs (in deterministic
     * md5 order) until each source's running token total reaches the
     * budget: the "fill k tokens per domain" step of corpus mixing. One
@@ -1812,6 +1822,14 @@ object SparkEntry {
     TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
       window = 40, stride = 20)
 
+  /** T22: Okapi BM25 retrieval ([[TextAnalysis.bm25]], 4-term query,
+    * top 20) — the lexical side of hybrid (BM25 ∪ ANN) retrieval; the
+    * explode is filtered to query-term hits before any shuffle and the
+    * cut is `TakeOrderedAndProject`, never a global sort. */
+  private val t22Bm25: Q = (s, dir) =>
+    TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text",
+      terms = Seq("hash", "join", "scan", "vector"), k = 20)
+
   /** T19: DSIR importance weights ([[TextAnalysis.dsirWeights]]) —
     * hashed-bigram target/raw log-likelihood ratio per document; target
     * sample = the English slice of the corpus, 64 hash buckets. */
@@ -2061,6 +2079,7 @@ object SparkEntry {
     "j9_salted_join" -> j9SaltedJoin,
     "mm2_frame_sample" -> mm2FrameSample,
     "t10_lm_score" -> t10LmScore,
+    "t22_bm25" -> t22Bm25,
     "t19_dsir" -> t19Dsir,
     "t20_chunk" -> t20Chunk,
     "t11_bpe_pairs" -> t11BpePairs,
@@ -2087,6 +2106,7 @@ object SparkEntry {
     "x11_exact_n_per_group" -> x11ExactNPerGroup,
     "x13_shard_assign" -> x13ShardAssign,
     "x14_pref_pairs" -> x14PrefPairs,
+    "x15_curriculum" -> x15Curriculum,
     "x12_weighted_negatives" -> x12WeightedNegatives,
     "w8_ewma" -> w8Ewma,
     "w9_rolling_window" -> w9RollingWindow,
@@ -3540,6 +3560,44 @@ object SparkEntry {
         |  WHEN bucket = 'middle'
         |    THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
         |  ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' END""".stripMargin,
+    "t22_bm25" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+        |  FROM dl),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM tk)
+        |  WHERE token IN ('hash', 'join', 'scan', 'vector')
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf
+        |  GROUP BY token),
+        |sc AS (SELECT doc_id, count(*) AS n_hits,
+        |    round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+        |    CROSS JOIN st
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_hits, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |    AS rank
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "x15_curriculum" ->
+      """WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
+        |  FROM documents),
+        |bk AS (SELECT doc_id, n_chars,
+        |    (n_chars - mn) * 8 // (mx - mn + 1) AS bucket
+        |  FROM documents CROSS JOIN b),
+        |r AS (SELECT doc_id, n_chars, bucket,
+        |    row_number() OVER (PARTITION BY bucket
+        |      ORDER BY n_chars, doc_id) - 1 AS intra
+        |  FROM bk)
+        |SELECT doc_id, n_chars, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(intra AS BIGINT) AS intra_rank,
+        |  CAST(intra * 8 + bucket AS BIGINT) AS pos
+        |FROM r""".stripMargin,
     "t10_lm_score" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),

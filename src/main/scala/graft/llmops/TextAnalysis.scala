@@ -170,6 +170,61 @@ object TextAnalysis {
         coalesce(col("avg_neg_logp"), lit(0.0)).as("avg_neg_logp"))
   }
 
+  /** Okapi BM25 retrieval scoring — the lexical counterpart of the ANN
+    * family ([[SimSearch]]): score every document against a query term
+    * set with the standard `idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * weighting (Robertson & Zaragoza 2009; idf in the Lucene form
+    * `ln(1 + (N−df+0.5)/(df+0.5))`, which never goes negative). The
+    * hybrid-retrieval pattern every RAG pipeline runs is exactly
+    * BM25 ∪ ANN → rerank.
+    *
+    * Lowering: one explode, filtered to query-term MATCHES before the
+    * aggregate — the shuffled (doc, term, tf) stream is bounded by
+    * query hits, not corpus tokens; the doc length rides the explode
+    * row (a per-row expression) so no second corpus scan or dl-join is
+    * needed. df per term and the (N, avgdl) pair are tiny aggregates
+    * (≤ |terms| + 1 rows) broadcast back; the top-k cut is
+    * `TakeOrderedAndProject` (per-partition heap, k·P driver merge),
+    * never a global sort. No step is corpus-quadratic and nothing
+    * data-sized funnels to one partition (the rank window runs over
+    * the ≤ k surviving rows).
+    *
+    * Scores are ROUNDED (6 dp) before ranking with the doc id as
+    * tie-break, so ordering is bit-reproducible across engines (same
+    * contract as [[tfidfKeywords]]). Docs with no query hit never
+    * surface (score 0 — retrieval drops them).
+    * Output: (id, n_hits, score, rank), the top `k` docs. */
+  def bm25(docs: DataFrame, id: String, text: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = docs
+      .select(TextFunctions.tokenCount(col(text)).cast("double").as("__dl"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl"))
+    val tf = docs
+      .select(col(id),
+        TextFunctions.tokenCount(col(text)).cast("double").as("__dl"),
+        explode(TextFunctions.tokens(col(text))).as("__t"))
+      .where(col("__t").isin(terms: _*))
+      .groupBy(col(id), col("__t"))
+      .agg(count(lit(1)).cast("double").as("__tf"), max(col("__dl")).as("__dl"))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).cast("double").as("__df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .select(col(id),
+        (log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+          col("__tf") * (k1 + 1) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) *
+            col("__dl") / col("__avgdl")))).as("__c"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hits"), round(sum(col("__c")), 6).as("score"))
+    val top = graft.ops.TopK.global(scored,
+      Seq(col("score").desc, col(id)), k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(id))).cast("long"))
+  }
+
   /** Overlapping token-window chunking — the standard prep step between
     * a raw corpus and an embedding/RAG index (every retrieval pipeline
     * slices documents into fixed windows with stride overlap so

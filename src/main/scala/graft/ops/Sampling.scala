@@ -248,4 +248,54 @@ object Sampling {
       .select(col("__k").as(key), col("pos_id"), col("neg_id"),
         round(col("__ps") - col("__ns"), 6).as("gap"))
   }
+
+  /** Curriculum ordering (Bengio et al. 2009): schedule training
+    * examples easy→hard, but INTERLEAVED so every difficulty level
+    * appears throughout an epoch — the standard anti-forgetting
+    * variant a dataloader consumes as a sort key. Rows are binned into
+    * `nBuckets` equal-width difficulty bins, ranked inside each bin,
+    * and the emitted position `pos = intra_rank · nBuckets + bucket`
+    * round-robins across bins (all bins' first examples, then all
+    * seconds, …) without ever computing a global permutation.
+    *
+    * Scale posture: the bin bounds are a 1-row min/max broadcast; the
+    * within-bin rank is the [[PrefixSum]] two-level lowering ordered on
+    * (bucket, difficulty, id) — a global rank whose per-bin offset is
+    * subtracted back out via a ≤ nBuckets-row broadcast — so no
+    * data-sized window partition exists at any width (a plain
+    * `row_number() OVER (PARTITION BY bucket)` would funnel 1/nBuckets
+    * of the corpus through single partitions). Bucket arithmetic is
+    * integral (`(d − min)·nBuckets div (max − min + 1)`) — bit-exact in
+    * any engine, no float boundary hazards.
+    *
+    * `difficulty` must be integral and `id` unique (the PrefixSum order
+    * key (bucket, difficulty, id) must be a total order).
+    * Output: (id, difficulty, bucket, intra_rank, pos). */
+  def curriculumOrder(df: DataFrame, id: String, difficulty: String,
+      nBuckets: Int): DataFrame = {
+    val base = df.select(col(id).as("__id"),
+      col(difficulty).cast("long").as("__d"))
+    val bounds = base.agg(min(col("__d")).as("__mn"), max(col("__d")).as("__mx"))
+    val bucketed = base.crossJoin(broadcast(bounds))
+      .select(col("__id"), col("__d"),
+        expr(s"(__d - __mn) * $nBuckets div (__mx - __mn + 1)").as("__b"))
+    val ranked = PrefixSum.ranges(bucketed, Seq("__b", "__d", "__id"),
+      lit(1L), "__lo", "__hi")
+    // Bin-start offsets come from the bucket HISTOGRAM (cheap lineage:
+    // scan + 1-row bounds broadcast), not from the ranked frame — a
+    // broadcast input re-executes its whole lineage as an eager job
+    // (PLANS.md round-5 rule), and the histogram's running sum over
+    // ≤ nBuckets rows equals min(__lo) per bucket by construction.
+    val binStart = bucketed.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__b0", coalesce(sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__b"), col("__b0"))
+    ranked.join(broadcast(binStart), Seq("__b"))
+      .select(col("__id").as(id), col("__d").as(difficulty),
+        col("__b").as("bucket"),
+        (col("__lo") - col("__b0")).as("intra_rank"),
+        ((col("__lo") - col("__b0")) * nBuckets + col("__b")).as("pos"))
+  }
 }

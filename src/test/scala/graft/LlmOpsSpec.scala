@@ -447,4 +447,28 @@ class LlmOpsSpec extends AnyFunSuite {
     val solo = Seq((9L, "p q r s t u p q r s t u")).toDF("doc_id", "text")
     assert(Dedup.duplicateSpans(solo, "doc_id", "text", 6).count() == 0)
   }
+
+  test("bm25: okapi scores, no-hit docs dropped, rank deterministic") {
+    val docs = Seq((1L, "cat dog cat"), (2L, "cat fish"), (3L, "bird bird"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text",
+        terms = Seq("cat", "fish"), k = 10)
+      .select($"doc_id", $"n_hits", $"score", $"rank")
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // replicate the formula with the engine's operation order
+    val n = 3.0; val avgdl = (3.0 + 2.0 + 2.0) / 3
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def c(tf: Double, dl: Double, df: Double) =
+      idf(df) * tf * (1.2 + 1) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = r6(c(2.0, 3.0, 2.0))            // doc1: cat×2
+    val s2 = r6(c(1.0, 2.0, 2.0) + c(1.0, 2.0, 1.0)) // doc2: cat + fish
+    assert(!got.contains(3L), "no-hit doc must not surface")
+    assert(got(1L)._1 == 1L && got(2L)._1 == 2L) // distinct matched terms
+    assert(got(1L)._2 == s1 && got(2L)._2 == s2)
+    // fish is rarer → doc2 outranks doc1
+    assert(s2 > s1 && got(2L)._3 == 1L && got(1L)._3 == 2L)
+  }
 }

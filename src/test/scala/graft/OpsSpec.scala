@@ -420,4 +420,22 @@ class OpsSpec extends AnyFunSuite {
       .select($"pos_id", $"neg_id").as[(Long, Long)].collect().toSet
     assert(tied == Set((6L, 6L), (6L, 7L), (7L, 6L), (7L, 7L)))
   }
+
+  test("curriculumOrder: equal-width bins, interleaved positions") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L),
+      (6L, 60L)).toDF("id", "d")
+    // width 3 over [10,60]: (d-10)*3 div 51 → {10,20}=b0 {30,40}=b1 {50,60}=b2
+    val got = Sampling.curriculumOrder(df, "id", "d", nBuckets = 3)
+      .select($"id", $"bucket", $"intra_rank", $"pos")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 0L, 0L), (3L, 1L, 0L, 1L), (5L, 2L, 0L, 2L),
+      (2L, 0L, 1L, 3L), (4L, 1L, 1L, 4L), (6L, 2L, 1L, 5L)))
+    // curriculum order by pos = perfect difficulty round-robin
+    val order = Sampling.curriculumOrder(df, "id", "d", 3)
+      .orderBy($"pos").select($"d").as[Long].collect().toSeq
+    assert(order == Seq(10L, 30L, 50L, 20L, 40L, 60L))
+    // all ranks dense within bucket, positions globally unique
+    val all = Sampling.curriculumOrder(df, "id", "d", 3)
+    assert(all.select($"pos").distinct().count() == 6)
+  }
 }
