@@ -351,6 +351,28 @@ object SparkEntry {
         round(col("auc"), 6).as("auc"))
   }
 
+  /** A23: per-user AUC ([[Metrics.groupAuc]]) — the per-group rank-sum
+    * AUC; users missing a class are dropped (AUC undefined). */
+  private val a23UserAuc: Q = (s, dir) => {
+    val scored = Tables.events(s, dir).where(col("value").isNotNull)
+      .select(col("user_id"), (col("value") / 500.0).as("score"),
+        when(col("event_type") === "purchase", 1.0).otherwise(0.0).as("y"))
+    Metrics.groupAuc(scored, "user_id", "score", "y")
+      .select(col("user_id"), col("n_pos"), col("n_neg"),
+        round(col("auc"), 6).as("auc"))
+  }
+
+  /** A24: GAUC ([[Metrics.gauc]]) — impression-weighted mean per-user
+    * AUC, the session-level ranking metric reco evals report next to
+    * corpus AUC (a10). */
+  private val a24Gauc: Q = (s, dir) => {
+    val scored = Tables.events(s, dir).where(col("value").isNotNull)
+      .select(col("user_id"), (col("value") / 500.0).as("score"),
+        when(col("event_type") === "purchase", 1.0).otherwise(0.0).as("y"))
+    Metrics.gauc(scored, "user_id", "score", "y")
+      .select(col("n_groups"), round(col("gauc"), 6).as("gauc"))
+  }
+
   /** A11: per-user Precision/Recall/NDCG@5 (reference arithmetic,
     * `lightgcn/utils.py:205-222`). */
   private val a11RankingMetrics: Q = (s, dir) => {
@@ -2014,6 +2036,8 @@ object SparkEntry {
     "x2_negatives" -> x2Negatives,
     "x3_stratified" -> x3Stratified,
     "a10_classification" -> a10Classification,
+    "a23_user_auc" -> a23UserAuc,
+    "a24_gauc" -> a24Gauc,
     "a11_ranking_metrics" -> a11RankingMetrics,
     "a12_pairwise" -> a12Pairwise,
     "g2_degree_norm" -> g2DegreeNorm,
@@ -2363,6 +2387,44 @@ object SparkEntry {
         |FROM (SELECT user_id, value FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT user_id, value FROM events WHERE event_type = 'click') n
         |  USING (user_id)""".stripMargin,
+    "a23_user_auc" ->
+      """WITH s AS (SELECT user_id, value / 500.0 AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT user_id, score, count(*) AS n, sum(y) AS pos
+        |  FROM s GROUP BY user_id, score),
+        |r AS (SELECT user_id, n, pos,
+        |    coalesce(sum(n) OVER (PARTITION BY user_id ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM h),
+        |a AS (SELECT user_id,
+        |    sum(pos * (bef + (n + 1) / 2.0)) AS spr,
+        |    sum(pos) AS np, CAST(sum(n) AS DOUBLE) AS nt
+        |  FROM r GROUP BY user_id
+        |  HAVING sum(pos) > 0 AND sum(n) - sum(pos) > 0)
+        |SELECT user_id, CAST(np AS BIGINT) AS n_pos,
+        |  CAST(nt - np AS BIGINT) AS n_neg,
+        |  round((spr - np * (np + 1) / 2.0) / (np * (nt - np)), 6) AS auc
+        |FROM a""".stripMargin,
+    "a24_gauc" ->
+      """WITH s AS (SELECT user_id, value / 500.0 AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT user_id, score, count(*) AS n, sum(y) AS pos
+        |  FROM s GROUP BY user_id, score),
+        |r AS (SELECT user_id, n, pos,
+        |    coalesce(sum(n) OVER (PARTITION BY user_id ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM h),
+        |a AS (SELECT user_id,
+        |    sum(pos * (bef + (n + 1) / 2.0)) AS spr,
+        |    sum(pos) AS np, CAST(sum(n) AS DOUBLE) AS nt
+        |  FROM r GROUP BY user_id
+        |  HAVING sum(pos) > 0 AND sum(n) - sum(pos) > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  round(sum(nt * ((spr - np * (np + 1) / 2.0) / (np * (nt - np))))
+        |    / sum(nt), 6) AS gauc
+        |FROM a""".stripMargin,
     "g2_degree_norm" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
         |ds AS (SELECT src, count(*) AS d FROM e GROUP BY src),

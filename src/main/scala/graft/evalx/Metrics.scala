@@ -92,6 +92,51 @@ object Metrics {
           (sum(col("__n").cast("double")) - sum(col("__pos"))))).as("auc"))
   }
 
+  /** Per-group AUC via the same rank-sum identity as [[auc]], one row per
+    * group that has BOTH classes (AUC is undefined otherwise — groups
+    * missing a class are dropped, matching how GAUC is reported in the
+    * reco literature). Grouped first to a per-(group, score) histogram —
+    * map-side combined, so a group's window input is its DISTINCT score
+    * count, not its event count; the rank window partitions by group
+    * (bounded by per-group cardinality, never corpus-sized — the global
+    * single-sequence hazard [[auc]]'s two-level lowering exists for
+    * doesn't arise when the partition key IS the group). */
+  def groupAuc(scored: DataFrame, group: String, score: String,
+      label: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.where(col(label).isNotNull)
+      .groupBy(col(group), col(score).as("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col(label).cast("double")).as("__pos"))
+    val w = Window.partitionBy(col(group)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__avgRank",
+        col("__before").cast("double") + (col("__n").cast("double") + 1) / 2.0)
+    ranked.groupBy(col(group))
+      .agg(sum(col("__pos") * col("__avgRank")).as("__spr"),
+        sum(col("__pos")).as("__np"),
+        sum(col("__n")).cast("double").as("__nt"))
+      .where(col("__np") > 0 && col("__nt") - col("__np") > 0)
+      .select(col(group),
+        col("__np").cast("long").as("n_pos"),
+        (col("__nt") - col("__np")).cast("long").as("n_neg"),
+        ((col("__spr") - col("__np") * (col("__np") + 1) / 2.0) /
+          (col("__np") * (col("__nt") - col("__np")))).as("auc"))
+  }
+
+  /** GAUC — impression-weighted mean of per-group AUCs (the reco-industry
+    * session/user-level AUC: corpus AUC rewards cross-user score
+    * calibration that a per-user ranker never exploits; GAUC scores each
+    * group's ranking on its own). Weight = the group's scored impressions
+    * (n_pos + n_neg). One extra 1-row aggregate over [[groupAuc]]. */
+  def gauc(scored: DataFrame, group: String, score: String,
+      label: String): DataFrame =
+    groupAuc(scored, group, score, label)
+      .agg(count(lit(1)).as("n_groups"),
+        (sum((col("n_pos") + col("n_neg")).cast("double") * col("auc")) /
+          sum((col("n_pos") + col("n_neg")).cast("double"))).as("gauc"))
+
   /** Log-loss + accuracy@0.5 (reference `din/utils.py:286-316`), with the
     * standard 1e-15 clip. */
   def classification(scored: DataFrame, score: String, label: String): DataFrame = {

@@ -131,4 +131,19 @@ class MetricsSpec extends AnyFunSuite {
     assert(Metrics.ksTest(base, far, "value")
       .as[(Double, Long, Long)].head()._1 == 1.0)
   }
+
+  test("groupAuc/gauc: hand-computed per-user rank-sums, one-class drop") {
+    val df = Seq(
+      (1L, 0.1, 0.0), (1L, 0.4, 1.0), (1L, 0.3, 0.0), (1L, 0.2, 1.0),
+      (2L, 0.5, 1.0), (2L, 0.5, 0.0), (2L, 0.9, 0.0), // tie → avg rank 1.5
+      (3L, 0.3, 1.0), (3L, 0.7, 1.0),                 // all-pos → dropped
+      (4L, 0.6, 0.0))                                 // all-neg → dropped
+      .toDF("u", "s", "y")
+    val per = Metrics.groupAuc(df, "u", "s", "y")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // u1: pos ranks {2,4} → (6−3)/4 = 0.75; u2: pos avg-rank 1.5 → (1.5−1)/2
+    assert(per == Set((1L, 2L, 2L, 0.75), (2L, 1L, 2L, 0.25)))
+    val (n, g) = Metrics.gauc(df, "u", "s", "y").as[(Long, Double)].head()
+    assert(n == 2L && g == (4.0 * 0.75 + 3.0 * 0.25) / 7.0)
+  }
 }
