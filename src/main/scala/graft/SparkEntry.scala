@@ -1852,6 +1852,13 @@ object SparkEntry {
     TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text",
       terms = Seq("hash", "join", "scan", "vector"), k = 20)
 
+  /** T23: BPE merge training ([[TextAnalysis.bpeTrain]], first 3
+    * merges) — the tokenizer-training step t11's pair counting feeds;
+    * trains on the word-count vocabulary so corpus size drops out
+    * after one aggregate. */
+  private val t23BpeTrain: Q = (s, dir) =>
+    TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", rounds = 3)
+
   /** T19: DSIR importance weights ([[TextAnalysis.dsirWeights]]) —
     * hashed-bigram target/raw log-likelihood ratio per document; target
     * sample = the English slice of the corpus, 64 hash buckets. */
@@ -2104,6 +2111,7 @@ object SparkEntry {
     "mm2_frame_sample" -> mm2FrameSample,
     "t10_lm_score" -> t10LmScore,
     "t22_bm25" -> t22Bm25,
+    "t23_bpe_train" -> t23BpeTrain,
     "t19_dsir" -> t19Dsir,
     "t20_chunk" -> t20Chunk,
     "t11_bpe_pairs" -> t11BpePairs,
@@ -3646,6 +3654,63 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
         |    AS rank
         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "t23_bpe_train" ->
+      """WITH tk AS (SELECT list_filter(string_split_regex(lower(text),
+        |      '\s+'), x -> len(x) > 0) AS t FROM documents),
+        |w AS (SELECT token AS word, count(*) AS n
+        |  FROM (SELECT unnest(t) AS token FROM tk) GROUP BY token),
+        |s1 AS (SELECT word, n, i AS pos, substring(word, i, 1) AS sym
+        |  FROM w, LATERAL (SELECT unnest(
+        |    generate_series(1, len(word))) AS i)),
+        |p1 AS (SELECT word, n, pos, sym, lead(sym) OVER (
+        |    PARTITION BY word ORDER BY pos) AS nxt FROM s1),
+        |c1 AS (SELECT sym, nxt, sum(n) AS c FROM p1
+        |  WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        |b1 AS (SELECT sym AS l, nxt AS r, c FROM c1
+        |  ORDER BY c DESC, sym, nxt LIMIT 1),
+        |q1 AS (SELECT word, n, pos, sym, nxt,
+        |    coalesce(sym = (SELECT l FROM b1)
+        |      AND nxt = (SELECT r FROM b1), false) AS isc FROM p1),
+        |g1 AS (SELECT *, pos - sum(CASE WHEN isc THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY pos) AS grp FROM q1),
+        |k1 AS (SELECT *, isc AND (pos - min(CASE WHEN isc THEN pos END)
+        |    OVER (PARTITION BY word, grp)) % 2 = 0 AS keep FROM g1),
+        |m1 AS (SELECT *, coalesce(lag(keep) OVER (
+        |    PARTITION BY word ORDER BY pos), false) AS ab FROM k1),
+        |s2 AS (SELECT word, n, row_number() OVER (
+        |      PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+        |  FROM m1 WHERE NOT ab),
+        |p2 AS (SELECT word, n, pos, sym, lead(sym) OVER (
+        |    PARTITION BY word ORDER BY pos) AS nxt FROM s2),
+        |c2 AS (SELECT sym, nxt, sum(n) AS c FROM p2
+        |  WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        |b2 AS (SELECT sym AS l, nxt AS r, c FROM c2
+        |  ORDER BY c DESC, sym, nxt LIMIT 1),
+        |q2 AS (SELECT word, n, pos, sym, nxt,
+        |    coalesce(sym = (SELECT l FROM b2)
+        |      AND nxt = (SELECT r FROM b2), false) AS isc FROM p2),
+        |g2 AS (SELECT *, pos - sum(CASE WHEN isc THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY pos) AS grp FROM q2),
+        |k2 AS (SELECT *, isc AND (pos - min(CASE WHEN isc THEN pos END)
+        |    OVER (PARTITION BY word, grp)) % 2 = 0 AS keep FROM g2),
+        |m2 AS (SELECT *, coalesce(lag(keep) OVER (
+        |    PARTITION BY word ORDER BY pos), false) AS ab FROM k2),
+        |s3 AS (SELECT word, n, row_number() OVER (
+        |      PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+        |  FROM m2 WHERE NOT ab),
+        |p3 AS (SELECT word, n, pos, sym, lead(sym) OVER (
+        |    PARTITION BY word ORDER BY pos) AS nxt FROM s3),
+        |c3 AS (SELECT sym, nxt, sum(n) AS c FROM p3
+        |  WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        |b3 AS (SELECT sym AS l, nxt AS r, c FROM c3
+        |  ORDER BY c DESC, sym, nxt LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS merge_round, l AS lhs, r AS rhs,
+        |  CAST(c AS BIGINT) AS pair_count FROM b1
+        |UNION ALL SELECT CAST(2 AS BIGINT), l, r, CAST(c AS BIGINT) FROM b2
+        |UNION ALL SELECT CAST(3 AS BIGINT), l, r, CAST(c AS BIGINT)
+        |  FROM b3""".stripMargin,
     "x15_curriculum" ->
       """WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
         |  FROM documents),

@@ -225,6 +225,82 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("score").desc, col(id))).cast("long"))
   }
 
+  /** BPE merge training (Sennrich et al. 2016) — learn the first
+    * `rounds` byte-pair merges from the corpus. Each round counts
+    * adjacent symbol pairs over the VOCABULARY (distinct words × word
+    * count — the aggregation that makes corpus size irrelevant: a
+    * 100 TB crawl and its word-count table train identically), picks
+    * the most frequent pair (count desc, then lexicographic — fully
+    * deterministic), and merges its occurrences left-to-right greedily
+    * ("aaaa" + merge (a,a) → [aa][aa], not three overlapping merges).
+    *
+    * Relational lowering, no joins in the loop: pair alignment is a
+    * `lead` window per word; greedy overlap resolution is
+    * gaps-and-islands — candidate runs group by `pos − running
+    * candidate count`, and a candidate merges iff its offset from the
+    * island's first candidate is even; absorbed rows are `lag(keep)`.
+    * All windows partition by word (bounded by word length); the only
+    * driver fetch is the per-round 1-row argmax (same bounded
+    * plan-time-fetch class as the IVF centroid pull). The evolving
+    * segmentation is persisted per round so round r+1 reads the
+    * cached round-r frame instead of replaying the whole chain.
+    *
+    * Stops early when no adjacent pair remains. Output: one row per
+    * learned merge, (merge_round, lhs, rhs, pair_count). */
+  def bpeTrain(docs: DataFrame, text: String, rounds: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(text))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+    var syms = words
+      .select(col("__w"), col("__n"),
+        explode(sequence(lit(1), length(col("__w")))).as("__pos"))
+      .select(col("__w"), col("__n"), col("__pos"),
+        col("__w").substr(col("__pos"), lit(1)).as("__sym"))
+    val cached = scala.collection.mutable.Buffer(syms.persist())
+    val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
+    val byPos = Window.partitionBy(col("__w")).orderBy(col("__pos"))
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val paired = syms.withColumn("__nxt", lead(col("__sym"), 1).over(byPos))
+      val best = paired.where(col("__nxt").isNotNull)
+        .groupBy(col("__sym"), col("__nxt")).agg(sum(col("__n")).as("__c"))
+        .orderBy(col("__c").desc, col("__sym"), col("__nxt"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((round.toLong, l, r, c))
+        val isc = coalesce(col("__sym") === l && col("__nxt") === r, lit(false))
+        val next = paired
+          .withColumn("__isc", isc)
+          .withColumn("__grp", col("__pos") -
+            sum(when(col("__isc"), 1L).otherwise(0L)).over(byPos))
+          .withColumn("__keep", col("__isc") &&
+            (col("__pos") - min(when(col("__isc"), col("__pos")))
+              .over(Window.partitionBy(col("__w"), col("__grp")))) % 2 === 0)
+          .withColumn("__abs",
+            coalesce(lag(col("__keep"), 1).over(byPos), lit(false)))
+          .where(!col("__abs"))
+          .select(col("__w"), col("__n"),
+            row_number().over(byPos).as("__pos"),
+            when(col("__keep"), concat(col("__sym"), col("__nxt")))
+              .otherwise(col("__sym")).as("__sym"))
+        syms = next.persist()
+        cached += syms
+        round += 1
+      }
+    }
+    // `out` is a local relation (the merges were already fetched), so the
+    // per-round caches can be released before returning it.
+    val out = merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+    cached.foreach(_.unpersist())
+    out
+  }
+
   /** Overlapping token-window chunking — the standard prep step between
     * a raw corpus and an embedding/RAG index (every retrieval pipeline
     * slices documents into fixed windows with stride overlap so

@@ -471,4 +471,22 @@ class LlmOpsSpec extends AnyFunSuite {
     // fish is rarer → doc2 outranks doc1
     assert(s2 > s1 && got(2L)._3 == 1L && got(1L)._3 == 2L)
   }
+
+  test("bpeTrain: hand-computed merges, deterministic ties, greedy overlaps") {
+    // words: low×3, lower×2, newest×1
+    val docs = Seq("low low lower", "low lower newest").toDF("text")
+    val got = TextAnalysis.bpeTrain(docs, "text", rounds = 3)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    // r1: (l,o)=5 ties (o,w)=5 → lexicographic → (l,o)
+    // r2: (lo,w)=5 beats (w,e)=3
+    // r3: (low,e)=2 ties (e,r)=2 → 'e' < 'low' → (e,r)
+    assert(got == Seq((1L, "l", "o", 5L), (2L, "lo", "w", 5L),
+      (3L, "e", "r", 2L)))
+    // overlapping runs merge left-to-right: aaaa → [aa][aa] → [aaaa];
+    // pair exhaustion stops the loop early (2 merges from 3 requested)
+    val runs = Seq("aaaa aaaa").toDF("text")
+    val g2 = TextAnalysis.bpeTrain(runs, "text", rounds = 3)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(g2 == Seq((1L, "a", "a", 6L), (2L, "aa", "aa", 2L)))
+  }
 }
