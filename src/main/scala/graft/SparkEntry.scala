@@ -1859,6 +1859,17 @@ object SparkEntry {
   private val t23BpeTrain: Q = (s, dir) =>
     TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", rounds = 3)
 
+  /** T24: BPE segmentation ([[TextAnalysis.bpeSegment]]) with the
+    * t23-learned merge table — per-doc BPE token counts, the number
+    * token-budget / packing / billing pipelines consume. */
+  private val t24BpeSegment: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val merges = TextAnalysis.bpeTrain(docs, "text", rounds = 3)
+      .orderBy(col("merge_round"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    TextAnalysis.bpeSegment(docs, "doc_id", "text", merges)
+  }
+
   /** T19: DSIR importance weights ([[TextAnalysis.dsirWeights]]) —
     * hashed-bigram target/raw log-likelihood ratio per document; target
     * sample = the English slice of the corpus, 64 hash buckets. */
@@ -2112,6 +2123,7 @@ object SparkEntry {
     "t10_lm_score" -> t10LmScore,
     "t22_bm25" -> t22Bm25,
     "t23_bpe_train" -> t23BpeTrain,
+    "t24_bpe_segment" -> t24BpeSegment,
     "t19_dsir" -> t19Dsir,
     "t20_chunk" -> t20Chunk,
     "t11_bpe_pairs" -> t11BpePairs,
@@ -3711,6 +3723,77 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS BIGINT), l, r, CAST(c AS BIGINT) FROM b2
         |UNION ALL SELECT CAST(3 AS BIGINT), l, r, CAST(c AS BIGINT)
         |  FROM b3""".stripMargin,
+    "t24_bpe_segment" ->
+      """WITH tkd AS (SELECT doc_id, list_filter(string_split_regex(
+        |      lower(text), '\s+'), x -> len(x) > 0) AS t FROM documents),
+        |w AS (SELECT token AS word, count(*) AS n
+        |  FROM (SELECT unnest(t) AS token FROM tkd) GROUP BY token),
+        |s1 AS (SELECT word, n, i AS pos, substring(word, i, 1) AS sym
+        |  FROM w, LATERAL (SELECT unnest(
+        |    generate_series(1, len(word))) AS i)),
+        |p1 AS (SELECT word, n, pos, sym, lead(sym) OVER (
+        |    PARTITION BY word ORDER BY pos) AS nxt FROM s1),
+        |c1 AS (SELECT sym, nxt, sum(n) AS c FROM p1
+        |  WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        |b1 AS (SELECT sym AS l, nxt AS r, c FROM c1
+        |  ORDER BY c DESC, sym, nxt LIMIT 1),
+        |q1 AS (SELECT word, n, pos, sym, nxt,
+        |    coalesce(sym = (SELECT l FROM b1)
+        |      AND nxt = (SELECT r FROM b1), false) AS isc FROM p1),
+        |g1 AS (SELECT *, pos - sum(CASE WHEN isc THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY pos) AS grp FROM q1),
+        |k1 AS (SELECT *, isc AND (pos - min(CASE WHEN isc THEN pos END)
+        |    OVER (PARTITION BY word, grp)) % 2 = 0 AS keep FROM g1),
+        |m1 AS (SELECT *, coalesce(lag(keep) OVER (
+        |    PARTITION BY word ORDER BY pos), false) AS ab FROM k1),
+        |s2 AS (SELECT word, n, row_number() OVER (
+        |      PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+        |  FROM m1 WHERE NOT ab),
+        |p2 AS (SELECT word, n, pos, sym, lead(sym) OVER (
+        |    PARTITION BY word ORDER BY pos) AS nxt FROM s2),
+        |c2 AS (SELECT sym, nxt, sum(n) AS c FROM p2
+        |  WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        |b2 AS (SELECT sym AS l, nxt AS r, c FROM c2
+        |  ORDER BY c DESC, sym, nxt LIMIT 1),
+        |q2 AS (SELECT word, n, pos, sym, nxt,
+        |    coalesce(sym = (SELECT l FROM b2)
+        |      AND nxt = (SELECT r FROM b2), false) AS isc FROM p2),
+        |g2 AS (SELECT *, pos - sum(CASE WHEN isc THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY pos) AS grp FROM q2),
+        |k2 AS (SELECT *, isc AND (pos - min(CASE WHEN isc THEN pos END)
+        |    OVER (PARTITION BY word, grp)) % 2 = 0 AS keep FROM g2),
+        |m2 AS (SELECT *, coalesce(lag(keep) OVER (
+        |    PARTITION BY word ORDER BY pos), false) AS ab FROM k2),
+        |s3 AS (SELECT word, n, row_number() OVER (
+        |      PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+        |  FROM m2 WHERE NOT ab),
+        |p3 AS (SELECT word, n, pos, sym, lead(sym) OVER (
+        |    PARTITION BY word ORDER BY pos) AS nxt FROM s3),
+        |c3 AS (SELECT sym, nxt, sum(n) AS c FROM p3
+        |  WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        |b3 AS (SELECT sym AS l, nxt AS r, c FROM c3
+        |  ORDER BY c DESC, sym, nxt LIMIT 1),
+        |q3 AS (SELECT word, n, pos, sym, nxt,
+        |    coalesce(sym = (SELECT l FROM b3)
+        |      AND nxt = (SELECT r FROM b3), false) AS isc FROM p3),
+        |g3 AS (SELECT *, pos - sum(CASE WHEN isc THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY pos) AS grp FROM q3),
+        |k3 AS (SELECT *, isc AND (pos - min(CASE WHEN isc THEN pos END)
+        |    OVER (PARTITION BY word, grp)) % 2 = 0 AS keep FROM g3),
+        |m3 AS (SELECT *, coalesce(lag(keep) OVER (
+        |    PARTITION BY word ORDER BY pos), false) AS ab FROM k3),
+        |s4 AS (SELECT word, n, row_number() OVER (
+        |      PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+        |  FROM m3 WHERE NOT ab),
+        |wl AS (SELECT word, count(*) AS bpe FROM s4 GROUP BY word),
+        |dw AS (SELECT doc_id, token AS word
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM tkd))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens
+        |FROM dw JOIN wl USING (word) GROUP BY doc_id""".stripMargin,
     "x15_curriculum" ->
       """WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
         |  FROM documents),

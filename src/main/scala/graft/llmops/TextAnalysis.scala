@@ -274,22 +274,7 @@ object TextAnalysis {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         merges += ((round.toLong, l, r, c))
-        val isc = coalesce(col("__sym") === l && col("__nxt") === r, lit(false))
-        val next = paired
-          .withColumn("__isc", isc)
-          .withColumn("__grp", col("__pos") -
-            sum(when(col("__isc"), 1L).otherwise(0L)).over(byPos))
-          .withColumn("__keep", col("__isc") &&
-            (col("__pos") - min(when(col("__isc"), col("__pos")))
-              .over(Window.partitionBy(col("__w"), col("__grp")))) % 2 === 0)
-          .withColumn("__abs",
-            coalesce(lag(col("__keep"), 1).over(byPos), lit(false)))
-          .where(!col("__abs"))
-          .select(col("__w"), col("__n"),
-            row_number().over(byPos).as("__pos"),
-            when(col("__keep"), concat(col("__sym"), col("__nxt")))
-              .otherwise(col("__sym")).as("__sym"))
-        syms = next.persist()
+        syms = applyMerge(paired, l, r).persist()
         cached += syms
         round += 1
       }
@@ -299,6 +284,61 @@ object TextAnalysis {
     val out = merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
     cached.foreach(_.unpersist())
     out
+  }
+
+  /** One greedy left-to-right application of merge (l, r) over a paired
+    * symbol frame (__w, __n, __pos, __sym, __nxt): gaps-and-islands over
+    * candidate positions, even island offsets merge, the following row is
+    * absorbed, positions re-densified. All windows partition by word. */
+  private def applyMerge(paired: DataFrame, l: String, r: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("__w")).orderBy(col("__pos"))
+    paired
+      .withColumn("__isc",
+        coalesce(col("__sym") === l && col("__nxt") === r, lit(false)))
+      .withColumn("__grp", col("__pos") -
+        sum(when(col("__isc"), 1L).otherwise(0L)).over(byPos))
+      .withColumn("__keep", col("__isc") &&
+        (col("__pos") - min(when(col("__isc"), col("__pos")))
+          .over(Window.partitionBy(col("__w"), col("__grp")))) % 2 === 0)
+      .withColumn("__abs",
+        coalesce(lag(col("__keep"), 1).over(byPos), lit(false)))
+      .where(!col("__abs"))
+      .select(col("__w"), col("__n"),
+        row_number().over(byPos).as("__pos"),
+        when(col("__keep"), concat(col("__sym"), col("__nxt")))
+          .otherwise(col("__sym")).as("__sym"))
+  }
+
+  /** BPE segmentation with a LEARNED merge table — the inference half of
+    * [[bpeTrain]]: re-derive the vocabulary segmentation by applying the
+    * merges in priority order, then count BPE tokens per document (the
+    * number every token-budget / packing / billing pipeline consumes;
+    * whitespace token count rides along for the compression ratio).
+    * The merge list is plan-side data (a handful of rows), so the chain
+    * is |merges| window stages over the vocabulary — corpus cost is one
+    * tokenize + one word join, independent of merge count. */
+  def bpeSegment(docs: DataFrame, id: String, text: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("__w")).orderBy(col("__pos"))
+    val docWords = docs
+      .select(col(id), explode(TextFunctions.tokens(col(text))).as("__w"))
+    val words = docWords.groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+    var syms = words
+      .select(col("__w"), col("__n"),
+        explode(sequence(lit(1), length(col("__w")))).as("__pos"))
+      .select(col("__w"), col("__n"), col("__pos"),
+        col("__w").substr(col("__pos"), lit(1)).as("__sym"))
+    merges.foreach { case (l, r) =>
+      syms = applyMerge(
+        syms.withColumn("__nxt", lead(col("__sym"), 1).over(byPos)), l, r)
+    }
+    val wordLens = syms.groupBy(col("__w")).agg(count(lit(1)).as("__bpe"))
+    docWords.join(wordLens, Seq("__w"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("__bpe")).cast("long").as("n_bpe_tokens"))
   }
 
   /** Overlapping token-window chunking — the standard prep step between

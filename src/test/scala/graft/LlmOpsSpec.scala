@@ -489,4 +489,19 @@ class LlmOpsSpec extends AnyFunSuite {
       .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
     assert(g2 == Seq((1L, "a", "a", 6L), (2L, "aa", "aa", 2L)))
   }
+
+  test("bpeSegment: per-doc BPE token counts under a given merge table") {
+    val docs = Seq((1L, "low low lower"), (2L, "newest low"))
+      .toDF("doc_id", "text")
+    // merges (l,o) then (lo,w): low → [low]; lower → [low,e,r];
+    // newest stays 6 chars
+    val got = TextAnalysis.bpeSegment(docs, "doc_id", "text",
+        Seq(("l", "o"), ("lo", "w")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 5L), (2L, 2L, 7L)))
+    // empty merge table → pure character counts
+    val none = TextAnalysis.bpeSegment(docs, "doc_id", "text", Seq.empty)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(none == Set((1L, 3L, 11L), (2L, 2L, 9L)))
+  }
 }
