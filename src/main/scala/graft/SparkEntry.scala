@@ -109,6 +109,19 @@ object SparkEntry {
             p => p.getField("event_id").cast("string"))).as("history"),
         count(lit(1)).as("n_events"))
 
+  /** W11: per-user rolling feature bank ([[PrefixWindow.rollingFeatures]],
+    * last-5 frame) — inter-event gap + short-horizon count/sum/mean, the
+    * recency/frequency features a ranker consumes next to embeddings.
+    * Event time is truncated to MICROSECONDS before the window (DuckDB
+    * reads the nanos parquet timestamp at µs precision — same contract
+    * as j6's stream-join oracle). */
+  private val w11RollingFeatures: Q = (s, dir) =>
+    PrefixWindow.rollingFeatures(
+        Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "value", lastN = 5, tieBreak = Seq(col("event_id")))
+      .select(col("event_id"), col("user_id"), col("gap"),
+        col("roll_n"), col("roll_sum"), col("roll_mean"))
+
   /** W2/W3: prefix-window training samples with bounded last-5 history,
     * stride 2, min history 3 (reference `generate_training_data.py:115-178`
     * shape). */
@@ -2032,6 +2045,7 @@ object SparkEntry {
     "j11_asof_nearest" -> j11AsofNearest,
     "a3_user_history" -> a3UserHistory,
     "w2_prefix_samples" -> w2PrefixSamples,
+    "w11_rolling_features" -> w11RollingFeatures,
     "w4_topk_per_group" -> w4TopkPerGroup,
     "j8_anti_join" -> j8AntiJoin,
     "a6_minmax" -> a6MinMax,
@@ -2241,6 +2255,19 @@ object SparkEntry {
         |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS h
         |  FROM events)
         |WHERE idx > 3 AND (idx - 4) % 2 = 0""".stripMargin,
+    "w11_rolling_features" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_ns(ts) // 1000 AS tsu, value
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  tsu - lag(tsu) OVER w AS gap,
+        |  count(value) OVER w5 AS roll_n,
+        |  round(sum(value) OVER w5, 6) AS roll_sum,
+        |  round(avg(value) OVER w5, 6) AS roll_mean
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id),
+        |  w5 AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
     "w4_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

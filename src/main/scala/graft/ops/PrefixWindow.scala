@@ -43,6 +43,32 @@ object PrefixWindow {
         (col("idx") - minHistory - 1) % stride === 0)
   }
 
+  /** Per-entity rolling-window features — the standard real-time feature
+    * bank build (recency, frequency, short-horizon aggregates) every
+    * ranker consumes alongside embeddings: inter-event gap and the
+    * last-`lastN`-rows running count / sum / mean of `value`, per entity
+    * in event-time order.
+    *
+    * One shuffle (the entity window); the `rowsBetween(-(lastN−1), 0)`
+    * frame keeps per-row state O(lastN) — flat memory at any entity
+    * activity. The rolling mean is ROUNDED (6 dp): a bounded frame sums
+    * ≤ lastN doubles whose accumulation order is engine-internal
+    * (segment-tree vs streaming), and 6 dp absorbs the ulp gap — same
+    * contract as the other float-emitting operators.
+    * `tieBreak` must complete a total order or lag/frames are
+    * nondeterministic. Output: input keys + (gap, roll_n, roll_sum,
+    * roll_mean). */
+  def rollingFeatures(df: DataFrame, entity: String, ts: String,
+      value: String, lastN: Int,
+      tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(col(ts) +: tieBreak: _*)
+    val frame = w.rowsBetween(-(lastN.toLong - 1), 0L)
+    df.withColumn("gap", col(ts) - lag(col(ts), 1).over(w))
+      .withColumn("roll_n", count(col(value)).over(frame))
+      .withColumn("roll_sum", round(sum(col(value)).over(frame), 6))
+      .withColumn("roll_mean", round(avg(col(value)).over(frame), 6))
+  }
+
   /** Pad a sequence column to exactly `len` entries with `padValue`,
     * appending, and expose the true length (reference `din/utils.py:74-92`).
     * Returns (padded, length) columns.

@@ -421,6 +421,20 @@ class OpsSpec extends AnyFunSuite {
     assert(tied == Set((6L, 6L), (6L, 7L), (7L, 6L), (7L, 7L)))
   }
 
+  test("rollingFeatures: bounded frame, gap null on first event") {
+    val ev = Seq((1L, 1L, 10L, 2.0), (1L, 2L, 20L, 4.0), (1L, 3L, 30L, 6.0),
+      (2L, 4L, 15L, 1.0)).toDF("u", "eid", "t", "v")
+    val got = PrefixWindow.rollingFeatures(ev, "u", "t", "v", lastN = 2,
+        tieBreak = Seq($"eid"))
+      .select($"eid", $"gap", $"roll_n", $"roll_sum", $"roll_mean")
+      .as[(Long, Option[Long], Long, Double, Double)].collect().toSet
+    assert(got == Set(
+      (1L, None, 1L, 2.0, 2.0),       // first event: no gap, frame = itself
+      (2L, Some(10L), 2L, 6.0, 3.0),  // last-2 frame = {2,4}
+      (3L, Some(10L), 2L, 10.0, 5.0), // frame slides: {4,6}
+      (4L, None, 1L, 1.0, 1.0)))      // other user isolated
+  }
+
   test("curriculumOrder: equal-width bins, interleaved positions") {
     val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L),
       (6L, 60L)).toDF("id", "d")
