@@ -1382,6 +1382,17 @@ object SparkEntry {
     * billion-vector deployment stores on disk. Same corpus/query split
     * and codebook derivation as sim6, so the oracle reuses its proven
     * SQL machinery plus sim5's cell logic. */
+  /** SIM8: MMR diversified re-ranking ([[SimSearch.mmrRerank]], 20
+    * candidates → 5 picks, λ = 0.5) — the rerank stage after BM25/ANN
+    * recall; greedy steps are driver-side plan steps, never data
+    * fetches, and every per-step frame is candidate-pool-bounded. */
+  private val sim8Mmr: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.mmrRerank(emb.where(col("vec_id") < 10),
+      emb.where(col("vec_id") >= 10), "vec_id", "embedding",
+      "vec_id", "embedding", nCand = 20, k = 5, lam = 0.5)
+  }
+
   private val sim7IvfPq: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val corpus = emb.where(col("vec_id") >= 10)
@@ -2113,6 +2124,7 @@ object SparkEntry {
     "v5_random_projection" -> v5RandomProjection,
     "sim6_pq_adc" -> sim6PqAdc,
     "sim7_ivfpq" -> sim7IvfPq,
+    "sim8_mmr" -> sim8Mmr,
     "d2_minhash_pairs" -> d2MinHashPairs,
     "sim2_lsh_topk" -> sim2LshTopk,
     "sim4_lsh_portable" -> sim4LshPortable,
@@ -3060,6 +3072,48 @@ object SparkEntry {
         |    item_id, adc_dist, row_number() OVER (PARTITION BY query_id
         |      ORDER BY adc_dist, item_id) AS rank FROM sc)
         |WHERE rank <= 5""".stripMargin,
+    "sim8_mmr" -> {
+      // Steps 2..5 are the same CTE triple (pool minus selected → max
+      // sim-to-selected → rounded argmax); generated, not hand-unrolled.
+      def step(i: Int): String =
+        s"""r$i AS (SELECT c.query_id, c.item_id, c.rel,
+           |    max(list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+           |      CAST(se.embedding AS DOUBLE[]))) AS msim
+           |  FROM cand c
+           |  JOIN sel${i - 1} s ON s.query_id = c.query_id
+           |  JOIN embeddings ce ON ce.vec_id = c.item_id
+           |  JOIN embeddings se ON se.vec_id = s.item_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+           |    WHERE x.query_id = c.query_id AND x.item_id = c.item_id)
+           |  GROUP BY c.query_id, c.item_id, c.rel),
+           |s$i AS (SELECT query_id, item_id, mmr FROM (
+           |    SELECT query_id, item_id,
+           |      round(0.5 * rel - 0.5 * msim, 6) AS mmr,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY round(0.5 * rel - 0.5 * msim, 6) DESC,
+           |          item_id) AS rk
+           |    FROM r$i) WHERE rk = 1),
+           |sel$i AS (SELECT query_id, item_id FROM sel${i - 1}
+           |  UNION ALL SELECT query_id, item_id FROM s$i)""".stripMargin
+      val head =
+        """WITH cand AS (SELECT query_id, item_id, rel FROM (
+          |    SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+          |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |        CAST(c.embedding AS DOUBLE[])) AS rel,
+          |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rk
+          |    FROM embeddings q, embeddings c
+          |    WHERE q.vec_id < 10 AND c.vec_id >= 10) WHERE rk <= 20),
+          |s1 AS (SELECT query_id, item_id, round(rel, 6) AS mmr FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id
+          |      ORDER BY rel DESC, item_id) AS rk FROM cand) WHERE rk = 1),
+          |sel1 AS (SELECT query_id, item_id FROM s1)""".stripMargin
+      val tail = (1 to 5).map(i =>
+        s"SELECT query_id, item_id, mmr, CAST($i AS BIGINT) AS step FROM s$i")
+        .mkString("\nUNION ALL ")
+      (head +: (2 to 5).map(step)).mkString(",\n") + "\n" + tail
+    },
     "sim7_ivfpq" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE vec_id >= 10),

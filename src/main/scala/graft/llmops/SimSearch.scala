@@ -343,4 +343,60 @@ object SimSearch {
     TopK.perGroup(scored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("item_id")), k)
   }
+
+  /** MMR diversified re-ranking (Carbonell & Goldstein 1998) — the rerank
+    * stage hybrid retrieval runs after BM25/ANN recall: greedily pick the
+    * candidate maximizing `λ·rel − (1−λ)·max sim-to-already-selected`,
+    * k times, so the final list trades relevance against redundancy.
+    *
+    * Greedy selection is inherently sequential in k, so the loop runs on
+    * the DRIVER as k plan steps (no driver data fetch — selections stay
+    * DataFrames); everything inside a step is bounded by the candidate
+    * pool: per query ≤ nCand candidates × ≤ k selected rows join per
+    * step. The candidate stage (the only corpus-sized work) runs once
+    * and is persisted; at deployment scale it is the recall stage's
+    * already-materialized output. Scores are ROUNDED (6 dp) before each
+    * argmax with the item id as tie-break — bit-reproducible selection
+    * at every step. Output: (query_id, item_id, mmr, step 1..k). */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      nCand: Int, k: Int, lam: Double): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"),
+      col(qVec).cast("array<double>").as("__qv"))
+    val c = corpus.select(col(cId).as("item_id"),
+      col(cVec).cast("array<double>").as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("rel",
+        graft.functions.GraftFunctions.cosine(col("__qv"), col("__cv")))
+      .select(col("query_id"), col("item_id"), col("rel"), col("__cv"))
+    val cands = TopK.perGroup(scored, Seq(col("query_id")),
+        Seq(col("rel").desc, col("item_id")), nCand)
+      .drop("rank").persist()
+    var selected = TopK.perGroup(cands, Seq(col("query_id")),
+        Seq(col("rel").desc, col("item_id")), 1)
+      .select(col("query_id"), col("item_id"),
+        round(col("rel"), 6).as("mmr"), lit(1L).as("step"), col("__cv"))
+      .persist()
+    (2 to k).foreach { step =>
+      val picked = selected.select(col("query_id"), col("item_id"))
+      val remaining = cands
+        .join(picked, Seq("query_id", "item_id"), "left_anti")
+      val sims = remaining
+        .join(selected.select(col("query_id"), col("__cv").as("__sv")),
+          Seq("query_id"))
+        .withColumn("__sim",
+          graft.functions.GraftFunctions.cosine(col("__cv"), col("__sv")))
+        .groupBy(col("query_id"), col("item_id"))
+        .agg(first(col("rel")).as("rel"), first(col("__cv")).as("__cv"),
+          max(col("__sim")).as("__msim"))
+        .withColumn("__mmr",
+          round(lit(lam) * col("rel") - lit(1.0 - lam) * col("__msim"), 6))
+      val next = TopK.perGroup(sims, Seq(col("query_id")),
+          Seq(col("__mmr").desc, col("item_id")), 1)
+        .select(col("query_id"), col("item_id"), col("__mmr").as("mmr"),
+          lit(step.toLong).as("step"), col("__cv"))
+      selected = selected.union(next).persist()
+    }
+    selected.select(col("query_id"), col("item_id"), col("mmr"), col("step"))
+  }
 }

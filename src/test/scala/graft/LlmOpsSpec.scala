@@ -490,6 +490,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(g2 == Seq((1L, "a", "a", 6L), (2L, "aa", "aa", 2L)))
   }
 
+  test("mmrRerank: diversity overrides relevance, greedy order deterministic") {
+    // q=(1,0); A=(7,1) rel≈.990, B=(5,1) rel≈.981 but sim(A,B)≈.998,
+    // C=(2,-1) rel≈.894, sim(A,C)≈.822 → λ=.5 picks A, then C (diverse),
+    // then B — pure relevance order would be A, B, C
+    val qs = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cs = Seq((10L, Seq(7.0f, 1.0f)), (11L, Seq(5.0f, 1.0f)),
+      (12L, Seq(2.0f, -1.0f))).toDF("vec_id", "embedding")
+    val got = SimSearch.mmrRerank(qs, cs, "vec_id", "embedding",
+        "vec_id", "embedding", nCand = 3, k = 3, lam = 0.5)
+      .select($"step", $"item_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 12L, 3L -> 11L))
+  }
+
   test("bpeSegment: per-doc BPE token counts under a given merge table") {
     val docs = Seq((1L, "low low lower"), (2L, "newest low"))
       .toDF("doc_id", "text")
