@@ -386,6 +386,13 @@ object SparkEntry {
       .select(col("n_groups"), round(col("gauc"), 6).as("gauc"))
   }
 
+  /** A25: Spearman rank correlation ([[Metrics.spearman]]) — ranker
+    * agreement / monotonicity diagnostic; exact average-rank ties via
+    * the PrefixSum histogram lowering. */
+  private val a25Spearman: Q = (s, dir) =>
+    Metrics.spearman(Tables.lineitem(s, dir), "l_quantity", "l_extendedprice")
+      .select(col("n"), round(col("rho"), 6).as("rho"))
+
   /** A11: per-user Precision/Recall/NDCG@5 (reference arithmetic,
     * `lightgcn/utils.py:205-222`). */
   private val a11RankingMetrics: Q = (s, dir) => {
@@ -2081,6 +2088,7 @@ object SparkEntry {
     "a10_classification" -> a10Classification,
     "a23_user_auc" -> a23UserAuc,
     "a24_gauc" -> a24Gauc,
+    "a25_spearman" -> a25Spearman,
     "a11_ranking_metrics" -> a11RankingMetrics,
     "a12_pairwise" -> a12Pairwise,
     "g2_degree_norm" -> g2DegreeNorm,
@@ -2446,6 +2454,27 @@ object SparkEntry {
         |FROM (SELECT user_id, value FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT user_id, value FROM events WHERE event_type = 'click') n
         |  USING (user_id)""".stripMargin,
+    "a25_spearman" ->
+      """WITH base AS (SELECT l_quantity AS a, l_extendedprice AS b
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |ha AS (SELECT a, count(*) AS n FROM base GROUP BY a),
+        |ra AS (SELECT a, coalesce(sum(n) OVER (ORDER BY a
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (n + 1) / 2.0 AS rka FROM ha),
+        |hb AS (SELECT b, count(*) AS n FROM base GROUP BY b),
+        |rb AS (SELECT b, coalesce(sum(n) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (n + 1) / 2.0 AS rkb FROM hb),
+        |j AS (SELECT rka, rkb FROM base
+        |  JOIN ra USING (a) JOIN rb USING (b)),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(rka) AS sa, sum(rkb) AS sb, sum(rka * rka) AS saa,
+        |    sum(rkb * rkb) AS sbb, sum(rka * rkb) AS sab FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((n * sab - sa * sb) / (sqrt(n * saa - sa * sa)
+        |    * sqrt(n * sbb - sb * sb)), 6) AS rho
+        |FROM s""".stripMargin,
     "a23_user_auc" ->
       """WITH s AS (SELECT user_id, value / 500.0 AS score,
         |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y

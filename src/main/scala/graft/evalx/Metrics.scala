@@ -137,6 +137,46 @@ object Metrics {
         (sum((col("n_pos") + col("n_neg")).cast("double") * col("auc")) /
           sum((col("n_pos") + col("n_neg")).cast("double"))).as("gauc"))
 
+  /** Spearman rank correlation between two columns — the standard
+    * "do two rankers agree" diagnostic (score drift between model
+    * versions, feature-vs-label monotonicity). ρ = Pearson correlation
+    * of the AVERAGE ranks (exact tie handling, not the no-ties
+    * shortcut formula).
+    *
+    * Ranks come from per-column value histograms run through the
+    * [[graft.ops.PrefixSum]] two-level lowering (continuous columns
+    * make the histogram data-sized, so a global rank window would
+    * funnel the dataset through one partition); rows join their ranks
+    * back by value (two distributed equi-joins), and the five moment
+    * sums reduce in one scalar aggregate. Average ranks are halves, so
+    * every sum is exact in doubles up to 2⁵² — the only inexact op is
+    * the final ratio. Null rows in either column are excluded. */
+  def spearman(df: DataFrame, a: String, b: String): DataFrame = {
+    import graft.ops.PrefixSum
+    val base = df.where(col(a).isNotNull && col(b).isNotNull)
+      .select(col(a).as("__a"), col(b).as("__b"))
+    def rankMap(c: String, out: String): DataFrame = {
+      val hist = base.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+      PrefixSum.ranges(hist, Seq(c), col("__n"), "__lo", "__hi")
+        .select(col(c),
+          (col("__lo").cast("double") +
+            (col("__n").cast("double") + 1) / 2.0).as(out))
+    }
+    val ranked = base
+      .join(rankMap("__a", "__ra"), Seq("__a"))
+      .join(rankMap("__b", "__rb"), Seq("__b"))
+    ranked.agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__ra")).as("__sa"), sum(col("__rb")).as("__sb"),
+        sum(col("__ra") * col("__ra")).as("__saa"),
+        sum(col("__rb") * col("__rb")).as("__sbb"),
+        sum(col("__ra") * col("__rb")).as("__sab"))
+      .select(col("__n").cast("long").as("n"),
+        ((col("__n") * col("__sab") - col("__sa") * col("__sb")) /
+          (sqrt(col("__n") * col("__saa") - col("__sa") * col("__sa")) *
+            sqrt(col("__n") * col("__sbb") - col("__sb") * col("__sb"))))
+          .as("rho"))
+  }
+
   /** Log-loss + accuracy@0.5 (reference `din/utils.py:286-316`), with the
     * standard 1e-15 clip. */
   def classification(scored: DataFrame, score: String, label: String): DataFrame = {

@@ -146,4 +146,22 @@ class MetricsSpec extends AnyFunSuite {
     val (n, g) = Metrics.gauc(df, "u", "s", "y").as[(Long, Double)].head()
     assert(n == 2L && g == (4.0 * 0.75 + 3.0 * 0.25) / 7.0)
   }
+
+  test("spearman: monotone ±1, tie-averaged ranks, null rows excluded") {
+    // compare at the query contract's 6-dp rounding (the raw ratio can
+    // sit one ulp off ±1 after the sqrt product)
+    def rho6(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      Metrics.spearman(df, a, b)
+        .select($"n", round($"rho", 6)).as[(Long, Double)].head()
+    val mono = Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0)).toDF("a", "b")
+    assert(rho6(mono, "a", "b") == ((3L, 1.0)))
+    val anti = Seq((1.0, 9.0), (2.0, 4.0), (3.0, 1.0)).toDF("a", "b")
+    assert(rho6(anti, "a", "b")._2 == -1.0)
+    // ties in a → avg ranks (1.5, 1.5, 3); b ranks (1, 3, 2) → ρ = 0
+    val tied = Seq((1.0, 3.0), (1.0, 5.0), (2.0, 4.0)).toDF("a", "b")
+    assert(rho6(tied, "a", "b")._2 == 0.0)
+    val withNull = Seq((Some(1.0), Some(1.0)), (Some(2.0), None),
+      (Some(3.0), Some(4.0))).toDF("a", "b")
+    assert(rho6(withNull, "a", "b") == ((2L, 1.0)))
+  }
 }
