@@ -334,4 +334,57 @@ object BehaviorIngest {
       .transformWithState(processor, TimeMode.None(), OM.Update(),
         Encoders.product[TopKUpdate])
   }
+
+  case class FeatEvent(user_id: String, event_id: Long, ts: Long,
+      value: Double)
+  case class FeatRow(event_id: Long, user_id: String, gap: Option[Long],
+      roll_n: Long, roll_sum: Double, roll_mean: Double)
+  case class FeatState(lastTs: Long, hasLast: Boolean, window: Seq[Double])
+
+  /** Streaming per-user rolling feature bank (state-v2) — the online twin
+    * of [[graft.ops.PrefixWindow.rollingFeatures]]: state holds the
+    * previous event time and the last `lastN − 1` values per user, each
+    * event emits its gap + last-`lastN` count/sum/mean and shifts the
+    * buffer — O(lastN) state per key, the feature-store write path a
+    * ranker reads at serving time. Batch parity (StreamingSpec) holds
+    * when events arrive in event-time order per user — the streaming
+    * contract; late rows would need the watermark/dedup front
+    * ([[dedupedEvents]]) upstream. Sums fold in the same ascending
+    * order as the batch frame, and the same 6-dp rounding applies. */
+  def rollingFeaturesStream(events: Dataset[FeatEvent],
+      lastN: Int): Dataset[FeatRow] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode => OM, StatefulProcessor, TimeMode, TimerValues, ValueState}
+    val spark = events.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val processor = new StatefulProcessor[String, FeatEvent, FeatRow] {
+      @transient private var state: ValueState[FeatState] = _
+      override def init(outputMode: OM, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[FeatState]("rollfeat",
+          Encoders.product[FeatState],
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInputRows(user: String, rows: Iterator[FeatEvent],
+          tv: TimerValues): Iterator[FeatRow] = {
+        var st = Option(state.get()).getOrElse(FeatState(0L, false, Nil))
+        // micro-batch rows re-sorted on (ts, event_id): arrival order
+        // within a batch is not the event-time order the batch twin uses
+        val out = rows.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+          val frame = (st.window :+ e.value).takeRight(lastN)
+          val sum = frame.foldLeft(0.0)(_ + _)
+          val row = FeatRow(e.event_id, user,
+            if (st.hasLast) Some(e.ts - st.lastTs) else None,
+            frame.size.toLong, r6(sum), r6(sum / frame.size))
+          st = FeatState(e.ts, true, frame.takeRight(lastN - 1))
+          row
+        }
+        state.update(st)
+        out.iterator
+      }
+    }
+    events.groupByKey(_.user_id)
+      .transformWithState(processor, TimeMode.None(), OM.Append(),
+        Encoders.product[FeatRow])
+  }
 }

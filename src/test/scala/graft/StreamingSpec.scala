@@ -186,6 +186,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("rollingFeaturesStream (state-v2) equals batch rollingFeatures") {
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // per-user event-time order across batches (the streaming contract);
+      // batch 1 arrives shuffled WITHIN the batch to exercise the re-sort
+      val batch1 = Seq(("u1", 3L, 30L, 6.0), ("u1", 1L, 10L, 2.0),
+        ("u2", 4L, 15L, 1.0), ("u1", 2L, 20L, 4.0))
+      val batch2 = Seq(("u1", 5L, 45L, 8.0), ("u2", 6L, 90L, 3.0))
+      val mem = MemoryStream[(String, Long, Long, Double)]
+      val feats = BehaviorIngest.rollingFeaturesStream(
+        mem.toDF().toDF("user_id", "event_id", "ts", "value")
+          .as[BehaviorIngest.FeatEvent], lastN = 2)
+      val q = feats.writeStream.outputMode("append")
+        .format("memory").queryName("tws_rollfeat").start()
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("tws_rollfeat")
+        .as[(Long, String, Option[Long], Long, Double, Double)]
+        .collect().toSet
+      q.stop()
+      val expect = graft.ops.PrefixWindow.rollingFeatures(
+          (batch1 ++ batch2).toDF("user_id", "event_id", "ts", "value"),
+          "user_id", "ts", "value", lastN = 2, tieBreak = Seq($"event_id"))
+        .select($"event_id", $"user_id", $"gap", $"roll_n", $"roll_sum",
+          $"roll_mean")
+        .as[(Long, String, Option[Long], Long, Double, Double)]
+        .collect().toSet
+      assert(got == expect)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("partitionedTableSink restates only touched partitions on replay") {
     implicit val sql = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("ptsink_out").toString
