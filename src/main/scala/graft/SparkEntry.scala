@@ -1938,6 +1938,14 @@ object SparkEntry {
       .select(col("item"), col("neighbor"), col("co"), col("cosine"),
         col("rank").cast("long").as("rank"))
 
+  /** G9: Adamic–Adar link prediction ([[ItemCf.adamicAdar]]) — weighted
+    * common-neighbor item-item scores on the order–part graph; completes
+    * the item-CF ladder (g6 raw counts ▷ g9 neighbor-degree damping ▷
+    * g7 user-pair damping). */
+  private val g9AdamicAdar: Q = (s, dir) =>
+    ItemCf.adamicAdar(Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+      maxBasket = 50, minCo = 2L)
+
   /** Q2: one-scan column profile of `orders` (completeness, cardinality,
     * range per column — [[Validate.profile]]); the data-quality gate a
     * pipeline publishes beside every output. Profiled columns are
@@ -2164,6 +2172,7 @@ object SparkEntry {
     "t12_quality_classifier" -> t12QualityClassifier,
     "g5_pagerank" -> g5PageRank,
     "g6_item_cf" -> g6ItemCf,
+    "g9_adamic_adar" -> g9AdamicAdar,
     "m9_itemcf_recommend" -> m9ItemCfRecommend,
     "g7_swing" -> g7Swing,
     "m10_itemcf_backtest" -> m10ItemCfBacktest,
@@ -3486,6 +3495,16 @@ object SparkEntry {
         |UNION ALL SELECT 'custkey_in_customer', count(*) FROM orders o
         |WHERE o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1
         |  FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
+    "g9_adamic_adar" ->
+      """WITH ui AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |cap AS (SELECT b, i, bc FROM (SELECT b, i,
+        |    count(*) OVER (PARTITION BY b) AS bc FROM ui) WHERE bc <= 50)
+        |SELECT a.i AS item_a, c.i AS item_b,
+        |  count(*) AS co,
+        |  round(sum(1.0 / ln(CAST(a.bc AS DOUBLE))), 6) AS aa
+        |FROM cap a JOIN cap c ON a.b = c.b AND a.i < c.i
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "g6_item_cf" ->
       """WITH ui AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |  FROM lineitem),

@@ -260,6 +260,21 @@ class MiscApiSpec extends AnyFunSuite {
     assert(top == Map(1L -> 2L, 2L -> 3L, 3L -> 2L))
   }
 
+  test("g9 adamic-adar: hand-computed 1/ln(deg) common-neighbor weights") {
+    import spark.implicits._
+    import graft.recall.ItemCf
+    // baskets: b1={1,2} (w=1/ln2), b2={1,2,3} (w=1/ln3), b3={2,3} (w=1/ln2)
+    // aa(1,2) = aa(2,3) = 1/ln2 + 1/ln3; (1,3) has co=1 → dropped at minCo=2
+    val ui = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 2L), (3L, 3L)).toDF("b", "i")
+    val got = ItemCf.adamicAdar(ui, "b", "i", maxBasket = 10, minCo = 2L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    val w = BigDecimal(1 / math.log(2) + 1 / math.log(3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map((1L, 2L) -> ((2L, w)), (2L, 3L) -> ((2L, w))))
+  }
+
   test("g7 swing: hand-computed damped user-pair credits") {
     import spark.implicits._
     import graft.recall.ItemCf
