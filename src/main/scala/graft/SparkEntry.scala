@@ -1938,6 +1938,38 @@ object SparkEntry {
       .select(col("item"), col("neighbor"), col("co"), col("cosine"),
         col("rank").cast("long").as("rank"))
 
+  /** M13: hybrid retrieval — BM25 ∪ ANN fused by Reciprocal Rank Fusion
+    * (Cormack et al. 2009, the standard hybrid-search combiner:
+    * `Σ 1/(60 + rank)` over the source lists, rank-only so the two
+    * scoring scales never need calibration). Lexical side =
+    * [[TextAnalysis.bm25]] top-50; semantic side =
+    * [[SimSearch.bruteForceTopK]] top-50 for the query embedding
+    * (doc_id ≡ vec_id in the fixture corpus); full-outer fuse on the
+    * doc id, top-10 by fused score via `TakeOrderedAndProject`. The
+    * composition every RAG stack runs as its recall front. */
+  private val m13HybridRrf: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).where(col("doc_id") >= 1)
+    val emb = Tables.embeddings(s, dir)
+    val lex = TextAnalysis.bm25(docs, "doc_id", "text",
+        terms = Seq("hash", "join", "scan", "vector"), k = 50)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val sem = SimSearch.bruteForceTopK(emb.where(col("vec_id") === 0),
+        emb.where(col("vec_id") >= 1),
+        "vec_id", "embedding", "vec_id", "embedding", k = 50)
+      .select(col("item_id").as("doc_id"),
+        col("rank").cast("long").as("sem_rank"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)), 6))
+    val top = graft.ops.TopK.global(fused,
+      Seq(col("rrf").desc, col("doc_id")), 10)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        col("rrf"), col("rank"))
+  }
+
   /** G9: Adamic–Adar link prediction ([[ItemCf.adamicAdar]]) — weighted
     * common-neighbor item-item scores on the order–part graph; completes
     * the item-CF ladder (g6 raw counts ▷ g9 neighbor-degree damping ▷
@@ -2155,6 +2187,7 @@ object SparkEntry {
     "m0_recommend_slice" -> m0RecommendSlice,
     "m11_coldstart_recall" -> m11ColdstartRecall,
     "m12_coldstart_cascade" -> m12ColdstartCascade,
+    "m13_hybrid_rrf" -> m13HybridRrf,
     "p5_isin" -> p5Isin,
     "p9_history_contains" -> p9HistoryContains,
     "j5_history_fetch" -> j5HistoryFetch,
@@ -3495,6 +3528,45 @@ object SparkEntry {
         |UNION ALL SELECT 'custkey_in_customer', count(*) FROM orders o
         |WHERE o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1
         |  FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
+    "m13_hybrid_rrf" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id >= 1),
+        |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+        |  FROM dl),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM tk)
+        |  WHERE token IN ('hash', 'join', 'scan', 'vector')
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf
+        |  GROUP BY token),
+        |sc AS (SELECT doc_id, count(*) AS n_hits,
+        |    round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+        |    CROSS JOIN st
+        |  GROUP BY doc_id),
+        |lex AS (SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM sc ORDER BY score DESC, doc_id LIMIT 50),
+        |sem AS (SELECT item_id AS doc_id,
+        |    CAST(rnk AS BIGINT) AS sem_rank FROM (
+        |    SELECT c.vec_id AS item_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id = 0 AND c.vec_id >= 1) WHERE rnk <= 50),
+        |fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        |    lex_rank, sem_rank,
+        |    round(coalesce(1.0 / (60 + lex_rank), 0)
+        |      + coalesce(1.0 / (60 + sem_rank), 0), 6) AS rrf
+        |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+        |SELECT doc_id, lex_rank, sem_rank, rrf,
+        |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+        |    AS rank
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "g9_adamic_adar" ->
       """WITH ui AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |  FROM lineitem),
