@@ -409,6 +409,20 @@ object SparkEntry {
         round(col("ndcg"), 6).as("ndcg_k"))
   }
 
+  /** A26: per-user MRR@5 ([[Metrics.mrrAtK]]) on the same fixture as
+    * a11 — reciprocal rank of the first relevant order in the top-5. */
+  private val a26Mrr: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val ranked = TopK.perGroup(o, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 5)
+      .select(col("o_custkey"), col("o_orderkey"), col("rank"))
+    val relevant = o.where(col("o_orderstatus") === "F")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Metrics.mrrAtK(ranked, relevant, "o_custkey", "o_orderkey", "rank", 5)
+      .select(col("o_custkey"), col("first_rank"),
+        round(col("mrr"), 6).as("mrr"))
+  }
+
   /** A12: pairwise ranking accuracy (pos beats neg). */
   private val a12Pairwise: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
@@ -2129,6 +2143,7 @@ object SparkEntry {
     "a23_user_auc" -> a23UserAuc,
     "a24_gauc" -> a24Gauc,
     "a25_spearman" -> a25Spearman,
+    "a26_mrr" -> a26Mrr,
     "a11_ranking_metrics" -> a11RankingMetrics,
     "a12_pairwise" -> a12Pairwise,
     "g2_degree_norm" -> g2DegreeNorm,
@@ -2496,6 +2511,20 @@ object SparkEntry {
         |FROM (SELECT user_id, value FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT user_id, value FROM events WHERE event_type = 'click') n
         |  USING (user_id)""".stripMargin,
+    "a26_mrr" ->
+      """WITH ranked AS (SELECT o_custkey AS u, o_orderkey AS item,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders),
+        |rel AS (SELECT o_custkey AS u, o_orderkey AS item FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |fr AS (SELECT r.u, min(r.rank) AS f
+        |  FROM ranked r JOIN rel ON r.u = rel.u AND r.item = rel.item
+        |  WHERE r.rank <= 5 GROUP BY r.u)
+        |SELECT users.u AS o_custkey,
+        |  CAST(coalesce(f, 0) AS BIGINT) AS first_rank,
+        |  round(coalesce(1.0 / f, 0.0), 6) AS mrr
+        |FROM (SELECT DISTINCT u FROM rel) users
+        |LEFT JOIN fr ON users.u = fr.u""".stripMargin,
     "a25_spearman" ->
       """WITH base AS (SELECT l_quantity AS a, l_extendedprice AS b
         |  FROM lineitem

@@ -43,6 +43,22 @@ object Metrics {
       .select(col(user), col("precision"), col("recall"), col("ndcg"))
   }
 
+  /** Per-user MRR@k — reciprocal rank of the FIRST relevant item in the
+    * top-k list, 0 when none hits (the navigational-search / next-item
+    * metric reported next to NDCG). Same input contract as
+    * [[rankingAtK]]; one semi-join + min aggregate per user. */
+  def mrrAtK(ranked: DataFrame, relevant: DataFrame,
+      user: String, item: String, rank: String, k: Int): DataFrame = {
+    val first = ranked.where(col(rank) <= k)
+      .join(relevant, Seq(user, item), "left_semi")
+      .groupBy(col(user)).agg(min(col(rank)).as("__fr"))
+    relevant.select(col(user)).distinct()
+      .join(first, Seq(user), "left")
+      .select(col(user),
+        coalesce(col("__fr"), lit(0L)).cast("long").as("first_rank"),
+        coalesce(lit(1.0) / col("__fr"), lit(0.0)).as("mrr"))
+  }
+
   /** Corpus-level AUC via the rank-sum (Mann-Whitney) identity:
     * AUC = (Σ ranks(pos) − nPos(nPos+1)/2) / (nPos·nNeg); ties get average
     * rank. Two shuffles (rank window + final scalar agg), no O(n²) pairs.

@@ -27,6 +27,22 @@ class MetricsSpec extends AnyFunSuite {
     assert(got("B") == ((0.0, 0.0, 0.0)))
   }
 
+  test("MRR@K: first-hit reciprocal, zero on miss, k cutoff honored") {
+    // A: relevant {i2, i3}, first hit at rank 2 → mrr 0.5
+    // B: relevant {i9} never ranked → first_rank 0, mrr 0
+    // C: only hit at rank 4 > k=3 → excluded by cutoff → mrr 0
+    val ranked = Seq(("A", "i1", 1), ("A", "i2", 2), ("A", "i3", 3),
+      ("B", "i1", 1), ("C", "i1", 1), ("C", "i2", 4)).toDF("u", "i", "rank")
+    val rel = Seq(("A", "i2"), ("A", "i3"), ("B", "i9"), ("C", "i2"))
+      .toDF("u", "i")
+    val got = Metrics.mrrAtK(ranked, rel, "u", "i", "rank", 3)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("A") == ((2L, 0.5)))
+    assert(got("B") == ((0L, 0.0)))
+    assert(got("C") == ((0L, 0.0)))
+  }
+
   test("AUC matches hand-computed rank-sum incl. ties") {
     // scores: pos {0.9, 0.5}, neg {0.5, 0.1} → pairs: (0.9>0.5)=1, (0.9>0.1)=1,
     // (0.5=0.5)=0.5, (0.5>0.1)=1 → AUC = 3.5/4 = 0.875
