@@ -557,6 +557,19 @@ object SparkEntry {
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** LLM-S9: k-NN majority-vote pseudo-labeling
+    * ([[SimSearch.knnClassify]]) — label the "unlabeled" query slice
+    * from its 10 nearest labeled neighbors; the semi-supervised
+    * bootstrap a training-data pipeline runs to expand a seed label
+    * set. Neighbor stage = m1's broadcast pattern; vote stage touches
+    * |queries|·k rows only. */
+  private val sim9KnnClassify: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.knnClassify(
+      emb.where(col("vec_id") < 25), emb.where(col("vec_id") >= 25),
+      "vec_id", "embedding", "vec_id", "embedding", "label", k = 10)
+  }
+
   /** S2: JSON value parse (the Kafka-payload contract, batch form). */
   private val s2JsonParse: Q = (s, dir) =>
     Tables.events(s, dir).select(col("event_id"),
@@ -2191,6 +2204,7 @@ object SparkEntry {
     "d2_minhash_pairs" -> d2MinHashPairs,
     "sim2_lsh_topk" -> sim2LshTopk,
     "sim4_lsh_portable" -> sim4LshPortable,
+    "sim9_knn_classify" -> sim9KnnClassify,
     "sim5_ivf_portable" -> sim5IvfPortable,
     "mm1_media_features" -> mm1MediaFeatures,
     "g4_lightgcn" -> g4LightGcn,
@@ -2386,6 +2400,26 @@ object SparkEntry {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
         |WHERE rank <= 5""".stripMargin,
+    "sim9_knn_classify" ->
+      """WITH nn AS (SELECT query_id, item_id, sim FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 25 AND c.vec_id >= 25)
+        |  WHERE rank <= 10),
+        |v AS (SELECT query_id, label, count(*) AS votes,
+        |    round(avg(sim), 6) AS mean_sim
+        |  FROM nn JOIN embeddings e ON nn.item_id = e.vec_id
+        |  GROUP BY query_id, label)
+        |SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes,
+        |  mean_sim
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY votes DESC, label) AS rn FROM v)
+        |WHERE rn = 1""".stripMargin,
     "p4_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

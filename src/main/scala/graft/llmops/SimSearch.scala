@@ -33,6 +33,33 @@ object SimSearch {
       Seq(col("cosine").desc, col("item_id")), k)
   }
 
+  /** k-NN majority-vote classification (pseudo-labeling): each query row
+    * takes the majority label among its k nearest labeled corpus rows by
+    * cosine, vote ties broken toward the smaller label for determinism.
+    * Output: (query_id, pred_label, votes, mean_sim) — mean_sim is the
+    * winning class's average neighbor similarity (6-dp rounded per pair
+    * before the mean so the result is engine-portable). The scoring
+    * stage is [[bruteForceTopK]]'s broadcast pattern; the vote runs over
+    * only |queries|·k rows, so past the broadcast threshold swap the
+    * neighbor stage for [[ivfTopK]] and keep the vote unchanged. */
+  def knnClassify(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      labelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(queries, corpus, qId, qVec, cId, cVec, k)
+      .select(col("query_id"), col("item_id"),
+        round(col("cosine"), 6).as("__sim"))
+    val labeled = nn.join(
+      corpus.select(col(cId).as("item_id"), col(labelCol).as("__lbl")),
+      Seq("item_id"))
+    val votes = labeled.groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"),
+        round(avg(col("__sim")), 6).as("mean_sim"))
+    TopK.perGroup(votes, Seq(col("query_id")),
+        Seq(col("votes").desc, col("__lbl")), 1)
+      .select(col("query_id"), col("__lbl").cast("long").as("pred_label"),
+        col("votes"), col("mean_sim"))
+  }
+
   /** All pairs with cosine ≥ threshold (near-duplicate detection).
     * O(n²/2) scoring with no shuffle until the final projection — fine to a
     * few 10⁵ rows; above that use `lshBuckets` candidates first. */

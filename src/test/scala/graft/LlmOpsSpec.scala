@@ -448,6 +448,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.duplicateSpans(solo, "doc_id", "text", 6).count() == 0)
   }
 
+  test("knnClassify: majority vote, smaller-label tie break, k cutoff") {
+    // 2-D vectors; cosine ranks by ANGLE to the query (1,0). Label-7
+    // rows sit ~0.6° off-axis, label-3 rows ~1-3° off, label 9 is
+    // orthogonal. k=4 → both 7s + both 3s: votes 2-2 tie → smaller
+    // label 3 wins; k=2 → only the two 7s.
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (1L, Array(1.0f, 0.01f), 7), (2L, Array(1.0f, -0.01f), 7),
+      (3L, Array(0.9f, 0.05f), 3), (4L, Array(0.95f, -0.02f), 3),
+      (5L, Array(0.0f, 1.0f), 9)).toDF("vec_id", "embedding", "label")
+    val got = SimSearch.knnClassify(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", "label", k = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val (qid, pred, votes, meanSim) = got.head
+    assert(qid == 100L && pred == 3L && votes == 2L)
+    assert(meanSim > 0.99 && meanSim < 1.0)
+    // single-class dominance: k=2 keeps only the two label-7 rows
+    val top2 = SimSearch.knnClassify(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", "label", k = 2)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(top2._2 == 7L && top2._3 == 2L)
+  }
+
   test("bm25: okapi scores, no-hit docs dropped, rank deterministic") {
     val docs = Seq((1L, "cat dog cat"), (2L, "cat fish"), (3L, "bird bird"))
       .toDF("doc_id", "text")
