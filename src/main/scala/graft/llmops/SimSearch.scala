@@ -48,9 +48,14 @@ object SimSearch {
     val nn = bruteForceTopK(queries, corpus, qId, qVec, cId, cVec, k)
       .select(col("query_id"), col("item_id"),
         round(col("cosine"), 6).as("__sim"))
-    val labeled = nn.join(
-      corpus.select(col(cId).as("item_id"), col(labelCol).as("__lbl")),
-      Seq("item_id"))
+    // build the hash relation from nn — bounded at |queries|·k rows by
+    // construction; the corpus side is the one that grows to 100 TB and
+    // must never be the broadcast build (Spark's size estimate for nn
+    // descends from the cross join and looks huge, so it would pick the
+    // corpus scan without the hint)
+    val labeled = corpus
+      .select(col(cId).as("item_id"), col(labelCol).as("__lbl"))
+      .join(broadcast(nn), Seq("item_id"))
     val votes = labeled.groupBy(col("query_id"), col("__lbl"))
       .agg(count(lit(1)).as("votes"),
         round(avg(col("__sim")), 6).as("mean_sim"))
