@@ -94,6 +94,46 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: MRR@K equals the naive first-relevant-rank reciprocal") {
+    val relGen = Gen.listOfN(6, Gen.choose(1, 12))
+    forAll(relGen, Gen.choose(1, 8)) { (relIdx, k) =>
+      // ranked list i1..i12 in rank order; random subset is relevant
+      val ranked = (1 to 12).map(i => ("u", s"i$i", i)).toDF("u", "i", "rank")
+      val rel = relIdx.distinct.map(i => ("u", s"i$i")).toDF("u", "i")
+      val (fr, mrr) = Metrics.mrrAtK(ranked, rel, "u", "i", "rank", k)
+        .select($"first_rank", $"mrr").as[(Long, Double)].head()
+      val naive = relIdx.distinct.filter(_ <= k).sorted.headOption
+      assert(fr == naive.getOrElse(0).toLong)
+      assert(math.abs(mrr - naive.map(1.0 / _).getOrElse(0.0)) < 1e-9)
+    }
+  }
+
+  test("property: knnClassify picks the modal label of the naive k nearest") {
+    val vecGen = Gen.listOfN(10, for {
+      x <- Gen.choose(-5, 5); y <- Gen.choose(-5, 5); z <- Gen.choose(1, 5)
+      lbl <- Gen.choose(0, 2)
+    } yield (x.toFloat, y.toFloat, z.toFloat, lbl))
+    forAll(vecGen, Gen.choose(1, 6)) { (rows, k) =>
+      val q = Seq((100L, Array(1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+      val c = rows.zipWithIndex.map { case ((x, y, z, l), i) =>
+        (i.toLong, Array(x, y, z), l) }.toDF("vec_id", "embedding", "label")
+      val got = graft.llmops.SimSearch.knnClassify(q, c, "vec_id",
+          "embedding", "vec_id", "embedding", "label", k)
+        .select($"pred_label", $"votes").as[(Long, Long)].head()
+      def cos(v: (Float, Float, Float, Int)): Double = {
+        val dot = v._1 + v._2 + v._3
+        dot / (math.sqrt(3.0) * math.sqrt(
+          v._1 * v._1.toDouble + v._2 * v._2 + v._3 * v._3))
+      }
+      val nn = rows.zipWithIndex
+        .sortBy { case (v, i) => (-cos(v), i) }.take(k)
+      val byLabel = nn.groupBy(_._1._4).view.mapValues(_.size)
+      val best = byLabel.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      assert(got == ((best._1.toLong, best._2.toLong)),
+        s"k=$k rows=$rows got=$got expect=$best")
+    }
+  }
+
   test("property: denseIds is a dense 0..n-1 rank in key order at ANY partition count") {
     val keysGen = Gen.listOfN(60, Gen.choose(-500L, 500L))
     forAll(keysGen, Gen.choose(1, 9)) { (keys, nParts) =>
