@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CmsEstimate, CosineSim, DotProduct, MinHashSig, MinHashSigMd5, TopKLargest}
+import graft.functions.{CmsEstimate, CosineSim, DotProduct, KmvSmallest, MinHashSig, MinHashSigMd5, TopKLargest}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
@@ -67,6 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(e, IntegerLiteral(k)) => TopKLargest(e, k)
         case other => throw new IllegalArgumentException(
           s"graft_topk expects (expr, int literal), got ${other.size} args")
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_kmv"),
+      info("graft_kmv",
+        "graft_kmv(hash, k) - aggregate: k smallest distinct BIGINT hashes, ascending (KMV distinct/overlap sketch)"),
+      {
+        case Seq(e, IntegerLiteral(k)) => KmvSmallest(e, k)
+        case other => throw new IllegalArgumentException(
+          s"graft_kmv expects (hash, int literal), got ${other.size} args")
       }))
     ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
       info("graft_cms_estimate",

@@ -1,7 +1,7 @@
 package graft
 
 import graft.evalx.Metrics
-import graft.functions.{Features, SketchFunctions, TextFunctions, VectorOps}
+import graft.functions.{Features, KmvAgg, SketchFunctions, TextFunctions, VectorOps}
 import graft.llmops.{Dedup, SimSearch, TextAnalysis}
 import graft.ops.{AsOf, DictIndex, Graph, Layout, PrefixWindow, Sampling, TopK, Validate}
 import graft.recall.{Cascade, ItemCf, NeuralForward, NeuralOracle}
@@ -930,6 +930,40 @@ object SparkEntry {
     Tables.documents(s, dir)
       .groupBy(col("source"))
       .agg(countDistinct(md5(col("text"))).as("n_distinct"))
+
+  /** A27: audience-overlap estimate via KMV sketches
+    * ([[graft.functions.KmvAgg]]) — the intersection question HLL (a14)
+    * cannot answer: |click ∩ purchase| users without shuffling raw ids.
+    * ONE pass builds both sketches as conditional aggregates (null-
+    * skipping update), state ≤k longs per side per task; the estimator
+    * runs on the two ≤k arrays in a 1-row projection. Rows-only (the
+    * hash domain is engine-specific); [[a28OverlapExact]] is the
+    * oracle-exact twin, and TopKAggSpec pins estimate-vs-exact bounds
+    * plus unsaturated-sketch exactness. */
+  private val a27KmvOverlap: Q = (s, dir) => {
+    val k = 256
+    val ev = Tables.events(s, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), KmvAgg.hash64(col("user_id")).as("h"))
+    val sk = ev.agg(
+      KmvAgg.kmv(when(col("event_type") === "click", col("h")), k).as("sa"),
+      KmvAgg.kmv(when(col("event_type") === "purchase", col("h")), k).as("sb"))
+    val (ea, eb, eo) = KmvAgg.overlap(col("sa"), col("sb"), k)
+    sk.select(round(ea, 2).as("est_click"), round(eb, 2).as("est_purchase"),
+      round(eo, 2).as("est_overlap"))
+  }
+
+  /** A27-twin: exact audience overlap — one scan, one distinct-shuffle
+    * on user_id (per-user flag fold, then a 1-row sum). */
+  private val a28OverlapExact: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+      .agg(sum(col("c")).cast("long").as("n_click"),
+        sum(col("p")).cast("long").as("n_purchase"),
+        sum(col("c") * col("p")).cast("long").as("n_overlap"))
 
   /** LLM-X8: CCNet-style perplexity-bucketed mixture — docs split into
     * head/middle/tail by unigram-LM score terciles, then sampled at
@@ -2251,6 +2285,8 @@ object SparkEntry {
     "l2_bucketed_join" -> l2BucketedJoin,
     "l3_partition_pruning" -> l3PartitionPruning,
     "a14_hll_distinct" -> a14HllDistinct,
+    "a27_kmv_overlap" -> a27KmvOverlap,
+    "a28_overlap_exact" -> a28OverlapExact,
     "a15_distinct_exact" -> a15DistinctExact,
     "x11_exact_n_per_group" -> x11ExactNPerGroup,
     "x13_shard_assign" -> x13ShardAssign,
@@ -2545,6 +2581,15 @@ object SparkEntry {
         |FROM (SELECT user_id, value FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT user_id, value FROM events WHERE event_type = 'click') n
         |  USING (user_id)""".stripMargin,
+    "a28_overlap_exact" ->
+      """WITH f AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY user_id)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_click,
+        |  CAST(sum(p) AS BIGINT) AS n_purchase,
+        |  CAST(sum(c * p) AS BIGINT) AS n_overlap FROM f""".stripMargin,
     "a26_mrr" ->
       """WITH ranked AS (SELECT o_custkey AS u, o_orderkey AS item,
         |    row_number() OVER (PARTITION BY o_custkey

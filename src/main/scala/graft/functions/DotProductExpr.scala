@@ -204,6 +204,12 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_topk expects (expr, int literal), got ${other.size} args")
     })
+    GraftSqlShim.registerFunction(spark, "graft_kmv", {
+      case Seq(e, org.apache.spark.sql.catalyst.expressions.IntegerLiteral(k)) =>
+        KmvSmallest(e, k)
+      case other => throw new IllegalArgumentException(
+        s"graft_kmv expects (hash, int literal), got ${other.size} args")
+    })
   }
 
   def dot(x: Column, y: Column): Column =

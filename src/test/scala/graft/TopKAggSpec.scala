@@ -69,4 +69,52 @@ class TopKAggSpec extends AnyFunSuite {
       .as[(Int, Seq[Int])].collect().toSeq
     assert(got == Seq((1, Seq(9, 5)), (2, Seq(2))))
   }
+
+  test("kmv: unsaturated sketch is exact; duplicates occupy one slot") {
+    import graft.functions.KmvAgg
+    // 40 ids, each appearing 3 times, k=64 > 40 → sketch holds every
+    // distinct hash and ALL estimates are exactly the true counts
+    val ids = (1L to 40L)
+    val df = ids.flatMap(i => Seq.fill(3)(i)).toDF("id")
+      .repartition(7) // exercise the partial-merge path
+      .select(KmvAgg.hash64($"id").as("h"))
+    val sk = df.agg(KmvAgg.kmv($"h", 64).as("s"))
+    val n = sk.select(size($"s")).as[Int].head()
+    assert(n == 40, s"dedup failed: $n slots for 40 distinct ids")
+    val est = sk.select(KmvAgg.estimateDistinct($"s", 64)).as[Double].head()
+    assert(est == 40.0)
+  }
+
+  test("kmv: overlap estimator is exact unsaturated, within 20% saturated") {
+    import graft.functions.KmvAgg
+    // A = 1..3000, B = 2001..5000 → |A|=3000 |B|=3000 |A∩B|=1000
+    val a = (1L to 3000L).toDF("id").select(lit("a").as("s"), KmvAgg.hash64($"id").as("h"))
+    val b = (2001L to 5000L).toDF("id").select(lit("b").as("s"), KmvAgg.hash64($"id").as("h"))
+    val ev = a.union(b).repartition(9)
+    def run(k: Int): (Double, Double, Double) = {
+      val sk = ev.agg(
+        KmvAgg.kmv(when($"s" === "a", $"h"), k).as("sa"),
+        KmvAgg.kmv(when($"s" === "b", $"h"), k).as("sb"))
+      val (ea, eb, eo) = KmvAgg.overlap($"sa", $"sb", k)
+      sk.select(ea, eb, eo).as[(Double, Double, Double)].head()
+    }
+    // k beyond both cardinalities: everything exact
+    val (xa, xb, xo) = run(8192)
+    assert(xa == 3000.0 && xb == 3000.0 && xo == 1000.0)
+    // saturated sketch: estimates within 20% (k=256 → σ ≈ 1/√k ≈ 6%)
+    val (sa, sb, so) = run(256)
+    assert(math.abs(sa - 3000) / 3000.0 < 0.2, s"est_a $sa")
+    assert(math.abs(sb - 3000) / 3000.0 < 0.2, s"est_b $sb")
+    assert(math.abs(so - 1000) / 1000.0 < 0.2, s"est_overlap $so")
+  }
+
+  test("graft_kmv is callable from SQL via the extensions registry") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = (1L to 5L).toDF("id")
+    df.createOrReplaceTempView("kmv_in")
+    val got = spark.sql(
+      """SELECT size(graft_kmv(xxhash64(id) & 9223372036854775807, 3)) AS n
+        |FROM kmv_in""".stripMargin).as[Int].head()
+    assert(got == 3)
+  }
 }
