@@ -63,6 +63,7 @@ object Bench {
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       // let AQE re-coalesce partitions INSIDE cached plans: the CC/pagerank
       // fixpoints act on small persisted frames each round, and without this

@@ -13,6 +13,7 @@ object BenchOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       // let AQE re-coalesce partitions INSIDE cached plans: the CC/pagerank
       // fixpoints act on small persisted frames each round, and without this

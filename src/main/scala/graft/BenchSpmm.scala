@@ -21,6 +21,7 @@ object BenchSpmm {
     val widths = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 8, 64)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

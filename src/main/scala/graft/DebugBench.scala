@@ -10,6 +10,7 @@ object DebugBench {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", "32")
       // let AQE re-coalesce partitions INSIDE cached plans: the CC/pagerank
       // fixpoints act on small persisted frames each round, and without this

@@ -9,6 +9,7 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", "4")
       // let AQE re-coalesce partitions INSIDE cached plans: the CC/pagerank
       // fixpoints act on small persisted frames each round, and without this

@@ -24,13 +24,27 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read it as epoch-nanos BIGINT (lossless) — every
-    * event-time operator downstream treats `ts` as a monotonic long and
-    * converts to TimestampType only where windowing needs it. */
+  /** `events.ts` arrives as epoch-nanos BIGINT regardless of how the
+    * driver generated the file: early fixtures wrote parquet
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — the
+    * legacy conf reads it as a lossless long), later regenerations write
+    * TIMESTAMP(MICROS) (a real timestamp column, normalized back to
+    * ns-longs here). Every event-time operator downstream treats `ts` as
+    * a monotonic epoch-ns long and converts to TimestampType only where
+    * windowing needs it; the DuckDB oracles' `epoch_ns(ts)` yields the
+    * same integers for both encodings. Callers run with
+    * `spark.sql.session.timeZone=UTC`, so the NTZ→timestamp cast below
+    * is instant-preserving. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
+    val df = table(spark, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp")) *
+          1000L)
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
