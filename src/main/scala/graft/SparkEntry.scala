@@ -3,7 +3,7 @@ package graft
 import graft.evalx.Metrics
 import graft.functions.{Features, KmvAgg, SketchFunctions, TextFunctions, VectorOps}
 import graft.llmops.{Dedup, SimSearch, TextAnalysis}
-import graft.ops.{AsOf, DictIndex, Graph, Layout, PrefixWindow, Sampling, TopK, Validate}
+import graft.ops.{AsOf, Behavior, DictIndex, Graph, Layout, PrefixWindow, Sampling, TopK, Validate}
 import graft.recall.{Cascade, ItemCf, NeuralForward, NeuralOracle}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2140,6 +2140,29 @@ object SparkEntry {
       n.cast("long").as("true_len"))
   }
 
+  /** W12: ordered conversion funnel over the behavior log
+    * ([[graft.ops.Behavior.funnel]]): earliest view, then earliest click
+    * STRICTLY AFTER it, then earliest purchase after that — the
+    * sequential-funnel semantics product analytics runs on exactly the
+    * event stream the reference produces (`data_pipeline/producer.py`).
+    * Every stage shuffles on the user key only. */
+  private val w12Funnel: Q = (s, dir) =>
+    Behavior.funnel(
+      Tables.events(s, dir).select(col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_type")),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+
+  /** W13: weekly cohort retention ([[graft.ops.Behavior.retention]]):
+    * cohort = week of a user's first event, one row per
+    * (cohort, week-offset) with the distinct users still active — the
+    * triangular retention matrix. Exact integer week bucketing on µs
+    * epochs (no float division anywhere near the bucket boundary). */
+  private val w13Retention: Q = (s, dir) =>
+    Behavior.retention(
+      Tables.events(s, dir).select(col("user_id"),
+        expr("ts div 1000").as("ts")),
+      "user_id", "ts", 7L * 86400 * 1000 * 1000)
+
   /** S12 (batch twin): latest snapshot per key — the batch equivalent of
     * `BehaviorIngest.latestProfiles` keyed state (and the reference's
     * Redis `KEYS *` + max-version scan): one row per user with the most
@@ -2296,6 +2319,8 @@ object SparkEntry {
     "w8_ewma" -> w8Ewma,
     "w9_rolling_window" -> w9RollingWindow,
     "w10_scd2" -> w10Scd2,
+    "w12_funnel" -> w12Funnel,
+    "w13_retention" -> w13Retention,
     "a17_window_anomaly" -> a17WindowAnomaly,
     "a18_calibration" -> a18Calibration,
     "a19_psi" -> a19Psi,
@@ -3498,6 +3523,30 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id
         |  ORDER BY epoch_ns(ts) // 1000, event_id)""".stripMargin,
+    "w12_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_type
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ts) AS t_click FROM e
+        |  JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ts) AS t_purchase FROM e
+        |  JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t_click
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id, t_view, t_click, t_purchase,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |    WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "w13_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts FROM events),
+        |f AS (SELECT user_id, min(ts) // 604800000000 AS cohort FROM e
+        |  GROUP BY user_id)
+        |SELECT cohort, (ts // 604800000000) - cohort AS offset,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
     "m10_itemcf_backtest" ->
       """WITH tl AS (SELECT l_orderkey, l_partkey FROM orders
         |  JOIN lineitem ON o_orderkey = l_orderkey

@@ -452,4 +452,44 @@ class OpsSpec extends AnyFunSuite {
     val all = Sampling.curriculumOrder(df, "id", "d", 3)
     assert(all.select($"pos").distinct().count() == 6)
   }
+
+  test("funnel: strict ordering, partial depths, out-of-order excluded") {
+    val ev = Seq(
+      // u1 completes the full funnel in order
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2 purchases BEFORE clicking → depth 2, no t_purchase
+      (2L, 10L, "view"), (2L, 15L, "purchase"), (2L, 20L, "click"),
+      // u3 views only
+      (3L, 10L, "view"),
+      // u4 clicks without viewing → not in the funnel at all
+      (4L, 10L, "click"),
+      // u5: click at the SAME ts as view is not strictly after → depth 1
+      (5L, 10L, "view"), (5L, 10L, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = ops.Behavior.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select($"user_id", $"t_view", $"t_click", $"t_purchase", $"depth")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, Some(10L), Some(20L), Some(30L), 3L)))
+    assert(got(2L) == ((2L, Some(10L), Some(20L), None, 2L)))
+    assert(got(3L) == ((3L, Some(10L), None, None, 1L)))
+    assert(!got.contains(4L))
+    assert(got(5L) == ((5L, Some(10L), None, None, 1L)))
+  }
+
+  test("retention: cohort from first event, offsets count distinct users") {
+    // bucket = 10: u1 first at 5 (cohort 0), active in buckets 0,1,3;
+    // u2 first at 12 (cohort 1), active in 1,3; u3 first at 5, only 0
+    val ev = Seq(
+      (1L, 5L), (1L, 15L), (1L, 17L), (1L, 35L),
+      (2L, 12L), (2L, 33L),
+      (3L, 5L))
+      .toDF("user_id", "ts")
+    val got = ops.Behavior.retention(ev, "user_id", "ts", 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 2L, 1L)))
+  }
 }
