@@ -1203,6 +1203,73 @@ object SparkEntry {
       ev.where(col("event_type") === "purchase"), "value")
   }
 
+  /** A29: recommendation exposure diversity
+    * ([[Metrics.exposureStats]]) — catalog coverage and exposure Gini of
+    * a top-5-per-customer recommendation set (per-customer favorite
+    * parts by purchased quantity; quantities are exact small integers,
+    * so the ranking can't drift on float-sum order). The long-tail
+    * health gauge every production recommender monitors next to its
+    * accuracy metrics; the global exposure rank rides the two-level
+    * [[graft.ops.PrefixSum]], not a single-partition window. */
+  private val a29ExposureGini: Q = (s, dir) => {
+    val ui = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    val recs = TopK.perGroup(ui, Seq(col("user")),
+      Seq(col("qty").desc, col("item").asc), 5)
+    Metrics.exposureStats(recs, "item",
+      Tables.part(s, dir).agg(count(lit(1))))
+  }
+
+  /** L4: CDC merge-upsert ([[Layout.mergeUpsert]]) — MERGE INTO
+    * semantics on plain parquet: a 1992-97 order snapshot absorbs a
+    * change set of inserts (1998+ orders), full-row updates (+1000 on
+    * keys ≡ 3 mod 10) and deletes (keys ≡ 7 mod 10), with provenance.
+    * The nightly-upsert primitive an incremental 100 TB pipeline runs;
+    * against an [[Layout.writeBucketed]] base the base-side shuffle
+    * disappears (l2's plan pin). */
+  private val l4MergeUpsert: Q = (s, dir) => {
+    val base = Tables.orders(s, dir)
+      .where(year(col("o_orderdate")) <= 1997)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val changes = Tables.orders(s, dir)
+      .where(year(col("o_orderdate")) >= 1998)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit(false).as("__is_del"))
+      .unionAll(base.where(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 1000).as("o_totalprice"),
+          lit(false).as("__is_del")))
+      .unionAll(base.where(col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit(true).as("__is_del")))
+    Layout.mergeUpsert(base, changes, Seq("o_orderkey"),
+        col("__is_del"), provenance = Some("src"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("src"))
+  }
+
+  /** G10: majority-vote label propagation
+    * ([[Graph.labelPropagation]]) — 3 synchronous LPA rounds over the
+    * bought-together graph (parts sharing an order; order baskets are
+    * bounded, so the pair build is linear). Community structure for the
+    * co-purchase graph, distinct from d7's connected components: min
+    * labels merge everything reachable, majority voting keeps dense
+    * groups apart. Oracle replays all 3 rounds relationally. */
+  private val g10LabelProp: Q = (s, dir) => {
+    val ui = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      .distinct()
+    val pairs = ui.as("x").join(ui.as("y"), "b")
+      .where(col("x.i") < col("y.i"))
+      .select(col("x.i").as("pa"), col("y.i").as("pb"))
+      .distinct()
+    Graph.labelPropagation(pairs, "pa", "pb", rounds = 3)
+      .select(col("pa").as("item"), col("label"))
+  }
+
   /** G7: Swing item similarity ([[ItemCf.swingPairs]]) — user-pair
     * damped co-occurrence over the same "parts bought together" baskets
     * as g6; the pair (i,j) score sums 1/(α + |shared items of (u,v)|)
@@ -2292,6 +2359,7 @@ object SparkEntry {
     "g5_pagerank" -> g5PageRank,
     "g6_item_cf" -> g6ItemCf,
     "g9_adamic_adar" -> g9AdamicAdar,
+    "g10_label_prop" -> g10LabelProp,
     "m9_itemcf_recommend" -> m9ItemCfRecommend,
     "g7_swing" -> g7Swing,
     "m10_itemcf_backtest" -> m10ItemCfBacktest,
@@ -2307,6 +2375,7 @@ object SparkEntry {
     "l1_zorder" -> l1Zorder,
     "l2_bucketed_join" -> l2BucketedJoin,
     "l3_partition_pruning" -> l3PartitionPruning,
+    "l4_merge_upsert" -> l4MergeUpsert,
     "a14_hll_distinct" -> a14HllDistinct,
     "a27_kmv_overlap" -> a27KmvOverlap,
     "a28_overlap_exact" -> a28OverlapExact,
@@ -2327,6 +2396,7 @@ object SparkEntry {
     "a20_bootstrap_ci" -> a20BootstrapCi,
     "a21_ab_delta" -> a21AbDelta,
     "a22_ks_drift" -> a22KsDrift,
+    "a29_exposure_gini" -> a29ExposureGini,
     "t17_html_strip" -> t17HtmlStrip,
     "t18_url_canonical" -> t18UrlCanonical,
     "m8_param_stats" -> m8ParamStats,
@@ -3547,6 +3617,67 @@ object SparkEntry {
         |SELECT cohort, (ts // 604800000000) - cohort AS offset,
         |  count(DISTINCT user_id) AS n_active
         |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "a29_exposure_gini" ->
+      """WITH ui AS (SELECT o_custkey AS u, l_partkey AS item,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qty
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |recs AS (SELECT u, item FROM (SELECT u, item,
+        |    row_number() OVER (PARTITION BY u
+        |      ORDER BY qty DESC, item) AS rn FROM ui) WHERE rn <= 5),
+        |ex AS (SELECT item, count(*) AS cnt FROM recs GROUP BY item),
+        |rk AS (SELECT item, cnt,
+        |    row_number() OVER (ORDER BY cnt, item) AS i FROM ex)
+        |SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  round(count(*) * 1.0 / (SELECT count(*) FROM part), 6)
+        |    AS coverage,
+        |  round(2.0 * sum(i * cnt) / (count(*) * sum(cnt))
+        |    - (count(*) + 1.0) / count(*), 6) AS gini,
+        |  CAST(sum(cnt) AS BIGINT) AS total_exposures
+        |FROM rk""".stripMargin,
+    "l4_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice FROM orders WHERE year(o_orderdate) <= 1997),
+        |chg AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    false AS del FROM orders WHERE year(o_orderdate) >= 1998
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 1000, false FROM base WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    true FROM base WHERE o_orderkey % 10 = 7)
+        |SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  coalesce(c.o_custkey, b.o_custkey) AS o_custkey,
+        |  coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |  round(coalesce(c.o_totalprice, b.o_totalprice), 2)
+        |    AS o_totalprice,
+        |  CASE WHEN c.o_orderkey IS NOT NULL THEN 'changes'
+        |    ELSE 'base' END AS src
+        |FROM base b FULL JOIN chg c ON b.o_orderkey = c.o_orderkey
+        |WHERE NOT coalesce(del, false)""".stripMargin,
+    "g10_label_prop" ->
+      """WITH ui AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT x.i AS n, y.i AS m FROM ui x
+        |  JOIN ui y ON x.b = y.b AND x.i <> y.i),
+        |l0 AS (SELECT DISTINCT n AS id, n AS lbl FROM e),
+        |f1 AS (SELECT e.n AS id, l.lbl, count(*) AS c FROM e
+        |  JOIN l0 l ON l.id = e.m GROUP BY 1, 2),
+        |l1 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
+        |    OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM f1)
+        |  WHERE rn = 1),
+        |f2 AS (SELECT e.n AS id, l.lbl, count(*) AS c FROM e
+        |  JOIN l1 l ON l.id = e.m GROUP BY 1, 2),
+        |l2 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
+        |    OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM f2)
+        |  WHERE rn = 1),
+        |f3 AS (SELECT e.n AS id, l.lbl, count(*) AS c FROM e
+        |  JOIN l2 l ON l.id = e.m GROUP BY 1, 2),
+        |l3 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
+        |    OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM f3)
+        |  WHERE rn = 1)
+        |SELECT id AS item, lbl AS label FROM l3""".stripMargin,
     "m10_itemcf_backtest" ->
       """WITH tl AS (SELECT l_orderkey, l_partkey FROM orders
         |  JOIN lineitem ON o_orderkey = l_orderkey

@@ -404,4 +404,37 @@ object Metrics {
         first(col("__ta")).as("n_base"),
         first(col("__tb")).as("n_current"))
   }
+
+  /** Exposure concentration of a recommendation set: catalog coverage
+    * (distinct recommended items / catalog size) and the Gini coefficient
+    * of per-item exposure counts — the standard diversity/long-tail
+    * health gauges for a recommender (a cascade that always surfaces the
+    * same popular items has coverage → 0 and Gini → 1).
+    *
+    * `recs`: one row per (recommendation, item); `catalogSize`: 1-row
+    * frame with the item-universe count (kept as a frame so the caller's
+    * count stays lazy — it broadcasts as a scalar).
+    *
+    * Gini = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over exposure counts x sorted
+    * ascending. The global rank i comes from [[graft.ops.PrefixSum]]
+    * (two-level offsets), NOT a single-partition window — at 100 TB the
+    * exposure table is catalog-sized. Ties on the count share identical
+    * xᵢ, so any tie order yields the same sum; the item id tiebreaker
+    * just keeps the plan deterministic. */
+  def exposureStats(recs: DataFrame, item: String,
+      catalogSize: DataFrame): DataFrame = {
+    val exposure = recs.groupBy(col(item).as("__item"))
+      .agg(count(lit(1)).as("__cnt"))
+    graft.ops.PrefixSum.ranges(exposure, Seq("__cnt", "__item"), lit(1L),
+        "__lo", "__hi")
+      .crossJoin(broadcast(catalogSize.toDF("__catalog")))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(count(lit(1)).cast("double") / first(col("__catalog")), 6)
+          .as("coverage"),
+        round(lit(2.0) * sum((col("__lo") + 1) * col("__cnt")) /
+            (count(lit(1)) * sum(col("__cnt"))) -
+          (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"),
+        sum(col("__cnt")).as("total_exposures"))
+  }
 }

@@ -118,6 +118,48 @@ object Graph {
     labels.select(col("__n").as(src), col("__lbl").as("component"))
   }
 
+  /** Synchronous label propagation (LPA) for community detection: every
+    * node starts labeled with its own id; each round a node adopts the
+    * MAJORITY label among its neighbors, ties broken toward the smallest
+    * label — deterministic, so the result is reproducible and
+    * oracle-checkable (classic async LPA is run-order dependent).
+    * Distinct from [[connectedComponents]]: min-label fixpoints merge
+    * everything reachable, majority voting keeps densely-connected
+    * groups apart even inside one component — the community structure a
+    * co-purchase graph actually has.
+    *
+    * `rounds` is fixed (LPA oscillates on bipartite-ish graphs under
+    * synchronous updates, so production runs bound rounds rather than
+    * wait for a fixpoint). Per round: one join of the symmetrized edges
+    * against the labels (shuffle on the node key) + one (node, label)
+    * frequency count + a top-1 per node — all partial-aggregated,
+    * nothing driver-side. Input: undirected edge list, either
+    * orientation, duplicates tolerated (symmetrize + distinct below);
+    * output (node, label) for every node with ≥ 1 edge. */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+      rounds: Int): DataFrame = {
+    // persist the symmetrized edges — reused every round; the cache fills
+    // during round 1's first scan and later rounds' stages reuse it (the
+    // upstream pair generation is often the expensive part)
+    val sym = edges.select(explode(array(
+        struct(col(src).as("__n"), col(dst).as("__m")),
+        struct(col(dst).as("__n"), col(src).as("__m")))).as("__e"))
+      .select(col("__e.__n"), col("__e.__m")).distinct().persist()
+    var labels = sym.select(col("__n")).distinct()
+      .select(col("__n"), col("__n").as("__lbl"))
+    for (_ <- 1 to rounds) {
+      val freq = sym
+        .join(labels.select(col("__n").as("__m"), col("__lbl")), "__m")
+        .groupBy(col("__n"), col("__lbl")).agg(count(lit(1)).as("__c"))
+      labels = TopK.perGroup(freq, Seq(col("__n")),
+          Seq(col("__c").desc, col("__lbl").asc), 1)
+        .select(col("__n"), col("__lbl"))
+    }
+    // sym stays persisted until the caller's action has run; the
+    // ContextCleaner reclaims the blocks once the frame is unreferenced
+    labels.select(col("__n").as(src), col("__lbl").as("label"))
+  }
+
   /** Personalized PageRank, `iters` synchronous rounds:
     * `r'(v) = (1-d)·e(v) + d·Σ_{(u,v)∈E} r(u)/outdeg(u)` with `e` the
     * personalization vector (1.0 on `seeds`, 0 elsewhere) — the classic

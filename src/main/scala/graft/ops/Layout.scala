@@ -115,4 +115,38 @@ object Layout {
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
   }
+
+  /** CDC merge (MERGE INTO semantics on plain parquet): apply a change
+    * set to a base snapshot — matched keys take the change row
+    * (full-row image, last-writer-wins), unmatched change rows insert,
+    * and rows whose change has `deleted` true are dropped. `changes`
+    * must share the base schema and carry AT MOST ONE row per key —
+    * compact a multi-change log with the s12 latest-wins reduction
+    * first, exactly like a lakehouse MERGE pre-aggregates its source.
+    *
+    * One shuffle per side on the merge key; against a bucketed base
+    * ([[writeBucketed]]) the base-side exchange disappears and the
+    * nightly 100 TB upsert runs as a sort-merge join co-located at
+    * write time. `provenance` optionally appends a column recording
+    * which side each surviving row came from. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, key: Seq[String],
+      deleted: Column, provenance: Option[String] = None): DataFrame = {
+    val cols = base.columns.toSeq
+    val b = base.select(cols.map(c => col(c).as("__b_" + c)): _*)
+    val c = changes.withColumn("__del", coalesce(deleted, lit(false)))
+      .select(cols.map(cn => col(cn).as("__c_" + cn)) :+ col("__del"): _*)
+    val merged = b.join(c,
+        key.map(k => col("__b_" + k) === col("__c_" + k)).reduce(_ && _),
+        "full_outer")
+      .where(col("__del").isNull || !col("__del"))
+    val out = merged.select(cols.map(cn =>
+      coalesce(col("__c_" + cn), col("__b_" + cn)).as(cn)): _*)
+    provenance match {
+      case None => out
+      case Some(p) => merged.select(cols.map(cn =>
+        coalesce(col("__c_" + cn), col("__b_" + cn)).as(cn)) :+
+        when(col("__c_" + key.head).isNotNull, lit("changes"))
+          .otherwise(lit("base")).as(p): _*)
+    }
+  }
 }

@@ -180,4 +180,20 @@ class MetricsSpec extends AnyFunSuite {
       (Some(3.0), Some(4.0))).toDF("a", "b")
     assert(rho6(withNull, "a", "b") == ((2L, 1.0)))
   }
+
+  test("exposureStats: uniform exposure gini 0, concentration raises it") {
+    val catalog = Seq(10L).toDF("n").agg(first($"n"))
+    def stats(recs: Seq[(Long, Long)]) =
+      Metrics.exposureStats(recs.toDF("u", "item"), "item", catalog)
+        .as[(Long, Double, Double, Long)].head()
+    // 5 items exposed once each: coverage 5/10, gini exactly 0
+    val uniform = (1L to 5L).map(i => (i, 100L + i))
+    assert(stats(uniform) == ((5L, 0.5, 0.0, 5L)))
+    // one item takes 99 of 103 exposures → gini ≈ 0.761165
+    val skewed = (1L to 99L).map(u => (u, 100L)) ++
+      Seq((1L, 101L), (2L, 102L), (3L, 103L), (4L, 104L))
+    val (n, cov, gini, tot) = stats(skewed)
+    assert(n == 5L && tot == 103L && cov == 0.5)
+    assert(gini == 0.761165)
+  }
 }

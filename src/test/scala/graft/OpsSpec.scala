@@ -478,6 +478,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L) == ((5L, Some(10L), None, None, 1L)))
   }
 
+  test("mergeUpsert: update, insert, delete, delete-missing, provenance") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v")
+    val changes = Seq(
+      (2L, "b2", 22.0, false),  // update
+      (3L, "c", 30.0, true),    // delete existing
+      (5L, "e", 50.0, false),   // insert
+      (6L, "f", 60.0, true))    // delete of a missing key → no-op
+      .toDF("k", "s", "v", "del")
+    val got = Layout.mergeUpsert(base, changes, Seq("k"), $"del",
+        provenance = Some("src"))
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(got == Set(
+      (1L, "a", 10.0, "base"),
+      (2L, "b2", 22.0, "changes"),
+      (4L, "d", 40.0, "base"),
+      (5L, "e", 50.0, "changes")))
+    // without provenance the schema is exactly the base schema
+    val plain = Layout.mergeUpsert(base, changes, Seq("k"), $"del")
+    assert(plain.columns.toSeq == Seq("k", "s", "v"))
+    assert(plain.count() == 4)
+  }
+
+  test("labelPropagation: two triangles with a bridge stay separate communities") {
+    // triangle {1,2,3} — bridge 3-4 — triangle {4,5,6}; 3 sync rounds
+    // with min tie-breaks resolve to label 1 and label 3 (hand-traced)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val got = ops.Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
   test("retention: cohort from first event, offsets count distinct users") {
     // bucket = 10: u1 first at 5 (cohort 0), active in buckets 0,1,3;
     // u2 first at 12 (cohort 1), active in 1,3; u3 first at 5, only 0
