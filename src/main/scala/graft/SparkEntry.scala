@@ -2164,6 +2164,83 @@ object SparkEntry {
     multimodal.Multimodal.audioWindows(assets, winMs = 50, hopMs = 10)
   }
 
+  /** MM4: perceptual-hash near-dup detection over media assets — the
+    * image-dedup stage of a multimodal curation pipeline
+    * ([[graft.multimodal.Multimodal.mediaPHash]] kernel; decode is
+    * DETERMINISTIC-FAKE, the banded matching is the real design). Each
+    * doc yields an original asset and a tail-trimmed "re-encode"; the
+    * 60-bit hash splits into 4 × 15-bit bands, candidates equi-join on
+    * (band, bits) — Hamming ≤ 3 guarantees ≥ 1 clean band by pigeonhole,
+    * so banding finds every true pair without an all-pairs product — and
+    * the exact popcount filter verifies. Duplicate-saturated corpora
+    * would add the d2-style hot-bucket cap before the self-join. */
+  private val mm4PhashDedup: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val orig = multimodal.Multimodal.assetsFromText(
+      docs.select((col("doc_id") * 2).as("doc_id"), col("text")),
+      "doc_id", "text")
+    val trimmed = multimodal.Multimodal.assetsFromText(
+      docs.where(length(col("text")) > 3)
+        .select((col("doc_id") * 2 + 1).as("doc_id"),
+          col("text").substr(lit(1), length(col("text")) - 3).as("text")),
+      "doc_id", "text")
+    val ph = multimodal.Multimodal.mediaPHash(orig.unionByName(trimmed))
+    val bands = ph.select(col("asset_id"), col("phash"),
+        explode(array((0 until 4).map(bnd => struct(
+          lit(bnd).as("band"),
+          shiftright(col("phash"), bnd * 15).bitwiseAND(lit(0x7fffL))
+            .as("bits"))): _*)).as("b"))
+      .select(col("asset_id"), col("phash"), col("b.band"), col("b.bits"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("a"), col("y.asset_id").as("b"),
+        col("x.phash").as("__pa"), col("y.phash").as("__pb"))
+      .distinct() // a close pair collides in several bands
+      .select(col("a"), col("b"),
+        expr("CAST(bit_count(__pa ^ __pb) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= 3)
+  }
+
+  /** Per-user sessions of one event type (the w6 lag plan, filtered):
+    * shared by j13's overlap join below. */
+  private def typedSessions(s: SparkSession, dir: String, et: String,
+      pfx: String, gapUs: Long = 3600L * 1000 * 1000): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir).where(col("event_type") === et)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("ts") - col("__prev") >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid").as(s"${pfx}_sid"))
+      .agg(min(col("ts")).as(s"${pfx}_start"),
+        max(col("ts")).as(s"${pfx}_end"))
+  }
+
+  /** J13: interval-overlap join ([[AsOf.overlapJoin]]) — each user's
+    * browse (view) sessions against their purchase sessions, pairs whose
+    * time ranges intersect plus the overlap length: the attribution
+    * primitive j6's point-in-window join can't express when BOTH sides
+    * are ranges. Bucket width = the session gap (1 h); the
+    * canonical-bucket trick emits each pair once with no distinct
+    * shuffle. */
+  private val j13OverlapJoin: Q = (s, dir) =>
+    // 24 h session gap: browse/click sessions long enough that overlaps
+    // are a real population at fixture scale (197 pairs at sf0.01)
+    AsOf.overlapJoin(
+      typedSessions(s, dir, "view", "v", gapUs = 86400L * 1000 * 1000),
+      typedSessions(s, dir, "click", "p", gapUs = 86400L * 1000 * 1000),
+      Seq("user_id"), "v_start", "v_end", "p_start", "p_end",
+      bucket = 86400L * 1000 * 1000)
+      .select(col("user_id"), col("v_sid"), col("p_sid"),
+        col("v_start"), col("v_end"), col("p_start"), col("p_end"),
+        (least(col("v_end"), col("p_end")) -
+          greatest(col("v_start"), col("p_start"))).as("overlap_us"))
+
   /** W6: lag-based sessionization — the window-function twin of
     * `session_window` (`stream_session_window`): event-time gap > 1 h
     * opens a new session; session id = running count of gap-breaks per
@@ -2252,6 +2329,7 @@ object SparkEntry {
     "j1_star_join" -> j1StarJoin,
     "j3_asof" -> j3AsOf,
     "j11_asof_nearest" -> j11AsofNearest,
+    "j13_overlap_join" -> j13OverlapJoin,
     "a3_user_history" -> a3UserHistory,
     "w2_prefix_samples" -> w2PrefixSamples,
     "w11_rolling_features" -> w11RollingFeatures,
@@ -2367,6 +2445,7 @@ object SparkEntry {
     "q3_constraints" -> q3Constraints,
     "q4_profile_drift" -> q4ProfileDrift,
     "mm3_audio_windows" -> mm3AudioWindows,
+    "mm4_phash_dedup" -> mm4PhashDedup,
     "w6_sessionize" -> w6Sessionize,
     "w6_padding" -> w6Padding,
     "s12_latest_snapshot" -> s12LatestSnapshot,
@@ -2462,6 +2541,53 @@ object SparkEntry {
         |       WHEN tsq - back[1] <= fwd[1] - tsq THEN tsq - back[1]
         |       ELSE fwd[1] - tsq END AS dist_us
         |FROM bk""".stripMargin,
+    "j13_overlap_join" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id,
+        |    event_type FROM events
+        |  WHERE event_type IN ('view', 'click')),
+        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS prev FROM e),
+        |b AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= 86400000000
+        |    THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS sid FROM b),
+        |g AS (SELECT user_id, event_type, CAST(sid AS BIGINT) AS sid,
+        |    min(ts) AS t0, max(ts) AS t1
+        |  FROM s GROUP BY user_id, event_type, sid),
+        |v AS (SELECT user_id, sid AS v_sid, t0 AS v_start, t1 AS v_end
+        |  FROM g WHERE event_type = 'view'),
+        |p AS (SELECT user_id, sid AS p_sid, t0 AS p_start, t1 AS p_end
+        |  FROM g WHERE event_type = 'click')
+        |SELECT v.user_id, v_sid, p_sid, v_start, v_end, p_start, p_end,
+        |  least(v_end, p_end) - greatest(v_start, p_start) AS overlap_us
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND v_start <= p_end AND p_start <= v_end""".stripMargin,
+    "mm4_phash_dedup" ->
+      """WITH assets AS (
+        |  SELECT doc_id * 2 AS asset_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, substring(text, 1, length(text) - 3)
+        |  FROM documents WHERE length(text) > 3),
+        |vals AS (SELECT asset_id, (i - 1) % 60 AS slot,
+        |    ((ord(substring(text, i, 1)) * 2654435761
+        |      + (i - 1) * 40503) % 1000) AS v
+        |  FROM (SELECT asset_id, text,
+        |      unnest(generate_series(1, length(text))) AS i FROM assets)),
+        |slots AS (SELECT asset_id, slot, CAST(sum(v) % 2 AS BIGINT) AS bit
+        |  FROM vals GROUP BY 1, 2),
+        |ph AS (SELECT asset_id, CAST(sum(bit << slot) AS BIGINT) AS phash
+        |  FROM slots GROUP BY asset_id),
+        |bands AS (SELECT asset_id, phash, bd.band,
+        |    (phash >> (bd.band * 15)) & 32767 AS bits
+        |  FROM ph CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 3)) AS band) bd),
+        |cand AS (SELECT DISTINCT x.asset_id AS a, y.asset_id AS b,
+        |    x.phash AS pa, y.phash AS pb
+        |  FROM bands x JOIN bands y ON x.band = y.band
+        |    AND x.bits = y.bits AND x.asset_id < y.asset_id)
+        |SELECT a, b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 3""".stripMargin,
     "a3_user_history" ->
       """SELECT user_id,
         |  array_to_string(list(event_id ORDER BY ts, event_id), '|') AS history,

@@ -78,6 +78,44 @@ object Multimodal {
       }(enc)
   }
 
+  /** 60-bit parity perceptual hash (DETERMINISTIC-FAKE decode, real
+    * mapPartitions plumbing): bit j = parity of the summed position-mix
+    * over content bytes at positions ≡ j (mod 60). Integer arithmetic
+    * end-to-end, so the hash is bit-exact replicable in ANSI SQL — a
+    * float pHash could never be oracle-compared across engines. The
+    * property a real pHash would share: a k-byte tail edit/truncation
+    * touches ≤ k slots ⇒ Hamming distance ≤ k, so banded matching finds
+    * re-encoded variants. 60 bits (not 64) keeps the hash and every
+    * band value positive in both engines' signed BIGINTs. */
+  private val phashBits = 60
+
+  private def fakePHash(bytes: Array[Byte]): Long = {
+    val par = new Array[Long](phashBits)
+    var i = 0
+    while (i < bytes.length) {
+      par(i % phashBits) +=
+        ((bytes(i) & 0xff) * 2654435761L + i.toLong * 40503L) % 1000L
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < phashBits) { h |= (par(j) & 1L) << j; j += 1 }
+    h
+  }
+
+  /** Content → perceptual fingerprint, one row per asset. Same
+    * iterator→iterator batching contract as [[extractFeatures]]. */
+  def mediaPHash(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("phash", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    assets.select(col("asset_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map(r => Row(r.getLong(0), fakePHash(r.getAs[Array[Byte]](1))))
+      }(enc)
+  }
+
   /** Resize stub: metadata-only transform (real impl would re-encode
     * content); demonstrates pushdown-friendly metadata handling. */
   def resize(assets: DataFrame, w: Int, h: Int): DataFrame =

@@ -174,6 +174,40 @@ object AsOf {
     joined.drop("__bucket", "__lts", "__rts")
   }
 
+  /** Interval × interval overlap join: pairs (a, b) sharing `keys` whose
+    * [lo, hi] ranges intersect — the two-sided generalization of
+    * [[rangeJoin]] (point-in-band) used for session-vs-session /
+    * exposure-vs-outage alignment.
+    *
+    * Lowered to an equi-join on covered buckets: each interval explodes
+    * into the buckets it spans, the join runs on `keys :+ bucket`, and
+    * the exact overlap predicate filters. A pair overlapping across many
+    * shared buckets is emitted ONCE without a distinct shuffle: the
+    * overlap of a matching pair starts at max(aLo, bLo), so exactly the
+    * bucket containing that point — greatest of the two lo-buckets,
+    * which both sides provably cover — is kept. `bucket` should sit near
+    * the median interval length: too small multiplies copies of long
+    * intervals, too big fills buckets with non-overlapping candidates.
+    * Interval bounds must be non-negative longs with lo ≤ hi; non-key
+    * column names must be disjoint across `a` and `b` (rename before
+    * calling). */
+  def overlapJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
+      aLo: String, aHi: String, bLo: String, bHi: String,
+      bucket: Long): DataFrame = {
+    // exact integer bucketing (see Behavior.retention): float division
+    // on epoch-µs magnitudes could round a boundary into the wrong bucket
+    def bk(c: Column): Column =
+      ((c - pmod(c, lit(bucket))) / lit(bucket)).cast("long")
+    val ae = a.withColumn("__bk",
+      explode(sequence(bk(col(aLo)), bk(col(aHi)))))
+    val be = b.withColumn("__bk",
+      explode(sequence(bk(col(bLo)), bk(col(bHi)))))
+    ae.join(be, (keys :+ "__bk").toSeq)
+      .where(col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
+        col("__bk") === greatest(bk(col(aLo)), bk(col(bLo))))
+      .drop("__bk")
+  }
+
   /** Timestamp columns → epoch micros; numeric columns pass through (the
     * events fixture carries epoch-nanos longs). */
   private def numericTs(df: DataFrame, c: String): Column =

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.llmops.Dedup
-import graft.ops.{Sampling, Skew}
+import graft.ops.{AsOf, Sampling, Skew}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -137,6 +137,57 @@ class MiscApiSpec extends AnyFunSuite {
     // len 7, win 4, hop 2 → starts 0, 2 (start 4 would need len 8); len 2 < win → dropped
     assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 0L), (1L, 2L)))
     assert(out.forall(_._3 == 97.0)) // all-'a' windows: mean codepoint 97
+  }
+
+  test("mediaPHash: tail trim flips ≤ k bits; banding finds every close pair (MM4)") {
+    val docs = (1L to 30L).map(i => (i, s"doc $i " + ("payload " * 12)))
+      .toDF("doc_id", "text")
+    val orig = graft.multimodal.Multimodal.assetsFromText(
+      docs.select(($"doc_id" * 2).as("doc_id"), $"text"), "doc_id", "text")
+    val trimmed = graft.multimodal.Multimodal.assetsFromText(
+      docs.select(($"doc_id" * 2 + 1).as("doc_id"),
+        $"text".substr(lit(1), length($"text") - 3).as("text")),
+      "doc_id", "text")
+    val ph = graft.multimodal.Multimodal.mediaPHash(orig.unionByName(trimmed))
+      .as[(Long, Long)].collect().toMap
+    // 60-bit positive hashes; trimming 3 trailing bytes flips ≤ 3 bits
+    assert(ph.values.forall(h => h >= 0 && h < (1L << 60)))
+    (1L to 30L).foreach { i =>
+      val d = java.lang.Long.bitCount(ph(i * 2) ^ ph(i * 2 + 1))
+      assert(d <= 3, s"doc $i hamming $d")
+    }
+    // banded candidate generation (4 × 15 bits) is complete for ham ≤ 3:
+    // every such pair shares at least one intact band
+    val ids = ph.keys.toSeq.sorted
+    for (a <- ids; b <- ids if a < b) {
+      val x = ph(a) ^ ph(b)
+      if (java.lang.Long.bitCount(x) <= 3) {
+        val shared = (0 until 4).exists(k => ((x >> (k * 15)) & 0x7fffL) == 0)
+        assert(shared, s"pair ($a,$b) missed by banding")
+      }
+    }
+  }
+
+  test("overlapJoin equals the naive overlap predicate, each pair once") {
+    val a = Seq((1L, 10L, 0L, 100L), (1L, 11L, 150L, 260L),
+      (1L, 12L, 300L, 300L), (2L, 20L, 0L, 50L))
+      .toDF("k", "aid", "a_lo", "a_hi")
+    val b = Seq((1L, 30L, 90L, 160L), (1L, 31L, 200L, 1000L),
+      (1L, 32L, 301L, 302L), (2L, 40L, 60L, 70L))
+      .toDF("k", "bid", "b_lo", "b_hi")
+    val got = AsOf.overlapJoin(a, b, Seq("k"), "a_lo", "a_hi",
+        "b_lo", "b_hi", bucket = 25L)
+      .select($"aid", $"bid").as[(Long, Long)].collect().sorted.toSeq
+    // naive reference: cross join + overlap predicate
+    val expect = (for {
+      (ka, aid, alo, ahi) <- Seq((1L, 10L, 0L, 100L), (1L, 11L, 150L, 260L),
+        (1L, 12L, 300L, 300L), (2L, 20L, 0L, 50L))
+      (kb, bid, blo, bhi) <- Seq((1L, 30L, 90L, 160L), (1L, 31L, 200L, 1000L),
+        (1L, 32L, 301L, 302L), (2L, 40L, 60L, 70L))
+      if ka == kb && alo <= bhi && blo <= ahi
+    } yield (aid, bid)).sorted
+    assert(got == expect && got.distinct == got)
+    assert(got == Seq((10L, 30L), (11L, 30L), (11L, 31L), (12L, 31L)))
   }
 
   test("stratifiedByActivity (xxhash64 variant) keeps hi stratum at a higher rate") {
