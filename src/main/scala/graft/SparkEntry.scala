@@ -1270,6 +1270,53 @@ object SparkEntry {
       .select(col("pa").as("item"), col("label"))
   }
 
+  /** G11: triangle counting on the co-purchase graph via degree
+    * orientation — THE scale-safe formulation: orient every undirected
+    * edge from its lower-(degree, id) endpoint to the higher one, build
+    * wedges only from each node's outgoing edges (out-degree is
+    * O(√|E|) after orientation regardless of hub size), and close them
+    * against the oriented edge list. A naive wedge join on raw
+    * adjacency explodes on hubs; orientation bounds the quadratic step,
+    * which is why every production triangle counter (COST, GraphX's
+    * TriangleCount) orients first. Output: one row, total triangles +
+    * oriented-wedge count (the closure ratio is the global clustering
+    * coefficient's numerator/denominator). */
+  private val g11Triangles: Q = (s, dir) => {
+    val ui = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      .distinct()
+    val und = ui.as("x").join(ui.as("y"), "b")
+      .where(col("x.i") < col("y.i"))
+      .select(col("x.i").as("u"), col("y.i").as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("n")).unionAll(
+        und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // keep the target's degree: wedges must be ordered by the SAME
+    // (degree, id) total order the orientation uses, or the closing
+    // edge of a triangle whose degree order disagrees with id order
+    // would be looked up in the wrong direction
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(
+            struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("e"))
+      .select(col("e.s"), col("e.t"), col("e.dt"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"), "s")
+      .where(col("e1.dt") < col("e2.dt") ||
+        (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t")))
+      .select(col("e1.t").as("a"), col("e2.t").as("b"))
+    val tri = wedges.join(oriented.select(col("s").as("a"),
+        col("t").as("b")), Seq("a", "b"), "left_semi")
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+  }
+
   /** G7: Swing item similarity ([[ItemCf.swingPairs]]) — user-pair
     * damped co-occurrence over the same "parts bought together" baskets
     * as g6; the pair (i,j) score sums 1/(α + |shared items of (u,v)|)
@@ -2307,6 +2354,28 @@ object SparkEntry {
         expr("ts div 1000").as("ts")),
       "user_id", "ts", 7L * 86400 * 1000 * 1000)
 
+  /** W14: first-order behavior transition matrix — P(next event type |
+    * current event type) from each user's time-ordered stream (lag
+    * window, ties on event_id), the Markov-chain view of the behavior
+    * log that session-based recommenders and bot detectors both start
+    * from. One shuffle on the user key for the ordering, then a 25-cell
+    * aggregate; probabilities renormalize per source type with exact
+    * integer counts. */
+  private val w14Transitions: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__next", lead(col("event_type"), 1).over(byUser))
+      .where(col("__next").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("from_type"))
+    pairs.withColumn("p",
+      round(col("n") / sum(col("n")).over(totals), 6))
+  }
+
   /** S12 (batch twin): latest snapshot per key — the batch equivalent of
     * `BehaviorIngest.latestProfiles` keyed state (and the reference's
     * Redis `KEYS *` + max-version scan): one row per user with the most
@@ -2438,6 +2507,7 @@ object SparkEntry {
     "g6_item_cf" -> g6ItemCf,
     "g9_adamic_adar" -> g9AdamicAdar,
     "g10_label_prop" -> g10LabelProp,
+    "g11_triangles" -> g11Triangles,
     "m9_itemcf_recommend" -> m9ItemCfRecommend,
     "g7_swing" -> g7Swing,
     "m10_itemcf_backtest" -> m10ItemCfBacktest,
@@ -2469,6 +2539,7 @@ object SparkEntry {
     "w10_scd2" -> w10Scd2,
     "w12_funnel" -> w12Funnel,
     "w13_retention" -> w13Retention,
+    "w14_transitions" -> w14Transitions,
     "a17_window_anomaly" -> a17WindowAnomaly,
     "a18_calibration" -> a18Calibration,
     "a19_psi" -> a19Psi,
@@ -3743,6 +3814,39 @@ object SparkEntry {
         |SELECT cohort, (ts // 604800000000) - cohort AS offset,
         |  count(DISTINCT user_id) AS n_active
         |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "w14_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, nxt AS to_type,
+        |    count(*) AS n FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c""".stripMargin,
+    "g11_triangles" ->
+      """WITH ui AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |und AS (SELECT DISTINCT x.i AS u, y.i AS v FROM ui x
+        |  JOIN ui y ON x.b = y.b AND x.i < y.i),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |    SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY n),
+        |ori AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v)
+        |      THEN u ELSE v END AS s,
+        |    CASE WHEN du < dv OR (du = dv AND u < v)
+        |      THEN v ELSE u END AS t,
+        |    CASE WHEN du < dv OR (du = dv AND u < v)
+        |      THEN dv ELSE du END AS dt
+        |  FROM (SELECT und.u, und.v, d1.d AS du, d2.d AS dv FROM und
+        |    JOIN deg d1 ON d1.n = und.u JOIN deg d2 ON d2.n = und.v)),
+        |w AS (SELECT e1.t AS a, e2.t AS b FROM ori e1 JOIN ori e2
+        |  ON e1.s = e2.s AND (e1.dt < e2.dt
+        |    OR (e1.dt = e2.dt AND e1.t < e2.t)))
+        |SELECT (SELECT count(*) FROM w
+        |    WHERE EXISTS (SELECT 1 FROM ori
+        |      WHERE ori.s = w.a AND ori.t = w.b)) AS n_triangles,
+        |  (SELECT count(*) FROM w) AS n_wedges""".stripMargin,
     "a29_exposure_gini" ->
       """WITH ui AS (SELECT o_custkey AS u, l_partkey AS item,
         |    CAST(sum(l_quantity) AS BIGINT) AS qty
