@@ -1282,7 +1282,13 @@ object SparkEntry {
     * oriented-wedge count (the closure ratio is the global clustering
     * coefficient's numerator/denominator). */
   private val g11Triangles: Q = (s, dir) => {
-    val ui = Tables.lineitem(s, dir)
+    // one order-year window (the g7 posture): triangle counting is the
+    // super-linear step of the pipeline, so production bounds the graph
+    // to the recent interaction window before orienting
+    val ui = Tables.orders(s, dir)
+      .where(year(col("o_orderdate")) === 1995)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
       .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
       .distinct()
     val und = ui.as("x").join(ui.as("y"), "b")
@@ -3826,7 +3832,8 @@ object SparkEntry {
         |FROM c""".stripMargin,
     "g11_triangles" ->
       """WITH ui AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
-        |  FROM lineitem),
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE year(o_orderdate) = 1995),
         |und AS (SELECT DISTINCT x.i AS u, y.i AS v FROM ui x
         |  JOIN ui y ON x.b = y.b AND x.i < y.i),
         |deg AS (SELECT n, count(*) AS d FROM (
