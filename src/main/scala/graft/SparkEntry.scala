@@ -1270,6 +1270,52 @@ object SparkEntry {
       .select(col("pa").as("item"), col("label"))
   }
 
+  /** X16: skip-gram pair extraction (item2vec training data) — each
+    * customer's time-ordered purchase sequence yields (center, context)
+    * item pairs within a ±2-position window, the exact corpus a
+    * word2vec-family item-embedding trainer consumes. Lowered LINEARLY:
+    * each center row explodes into its 4 probe positions and equi-joins
+    * on (customer, position) — never a per-customer self-join, so a
+    * hyperactive customer costs 4× rows, not |history|². Both shuffles
+    * key on the customer (window + join), then one (center, context)
+    * aggregate with the inverse-distance weight word2vec uses. */
+  private val x16SkipgramPairs: Q = (s, dir) => {
+    val w = Window.partitionBy(col("cust"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"),
+        col("l_linenumber"), col("item"))
+    val seq = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      // (orderkey, linenumber) is NOT unique in the synthetic fixture
+      // (driver data is TPC-H-ish, not TPC-H): l_partkey joins the sort
+      // key so tied rows carry the same item and the sequence is
+      // deterministic
+      .select(col("o_custkey").as("cust"), col("o_orderdate"),
+        col("o_orderkey"), col("l_linenumber"),
+        col("l_partkey").as("item"))
+    // forward neighbors via lead, then both orientations: a (center,
+    // context) pair at distance d forward IS the (context, center) pair
+    // at distance d backward — so two lead columns replace the
+    // position-probe join (one window shuffle + one aggregate instead
+    // of window + join + aggregate over 4x probe rows)
+    val fwd = seq.select(col("cust"), col("item"),
+      lead(col("item"), 1).over(w).as("__n1"),
+      lead(col("item"), 2).over(w).as("__n2"))
+    fwd.select(explode(array(
+        struct(col("item").as("center"), col("__n1").as("context"),
+          lit(1).as("d")),
+        struct(col("__n1").as("center"), col("item").as("context"),
+          lit(1).as("d")),
+        struct(col("item").as("center"), col("__n2").as("context"),
+          lit(2).as("d")),
+        struct(col("__n2").as("center"), col("item").as("context"),
+          lit(2).as("d")))).as("p"))
+      .select(col("p.*"))
+      .where(col("center").isNotNull && col("context").isNotNull)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(lit(1.0) / col("d")), 6).as("w"))
+  }
+
   /** G11: triangle counting on the co-purchase graph via degree
     * orientation — THE scale-safe formulation: orient every undirected
     * edge from its lower-(degree, id) endpoint to the higher one, build
@@ -2539,6 +2585,7 @@ object SparkEntry {
     "x13_shard_assign" -> x13ShardAssign,
     "x14_pref_pairs" -> x14PrefPairs,
     "x15_curriculum" -> x15Curriculum,
+    "x16_skipgram_pairs" -> x16SkipgramPairs,
     "x12_weighted_negatives" -> x12WeightedNegatives,
     "w8_ewma" -> w8Ewma,
     "w9_rolling_window" -> w9RollingWindow,
@@ -3820,6 +3867,18 @@ object SparkEntry {
         |SELECT cohort, (ts // 604800000000) - cohort AS offset,
         |  count(DISTINCT user_id) AS n_active
         |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "x16_skipgram_pairs" ->
+      """WITH seq AS (SELECT o_custkey AS cust,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey, l_linenumber,
+        |        l_partkey) AS pos,
+        |    l_partkey AS item
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT a.item AS center, b.item AS context, count(*) AS n,
+        |  round(sum(1.0 / abs(b.pos - a.pos)), 6) AS w
+        |FROM seq a JOIN seq b ON a.cust = b.cust
+        |  AND b.pos BETWEEN a.pos - 2 AND a.pos + 2 AND b.pos <> a.pos
+        |GROUP BY 1, 2""".stripMargin,
     "w14_transitions" ->
       """WITH o AS (SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id
