@@ -1565,6 +1565,25 @@ object SparkEntry {
     Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text",
       k = 6)
 
+  /** LLM-D15: shingle-containment pairs ([[Dedup.containmentPairs]]) —
+    * the asymmetric dedup signal: |A∩B| / min(|A|,|B|) scores an excerpt
+    * inside a longer parent ~1.0 where Jaccard caps at the size ratio
+    * (d4 at 0.15 can never surface a 3×-length mismatch). Fixture: every
+    * fifth doc gains a first-third excerpt twin (ids +1,000,000), the
+    * quotation/expanded-rewrite population web dedup actually meets. */
+  private val d15Containment: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val excerpts = Tables.documents(s, dir)
+      .where(col("doc_id") % 5 === 2)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        col("text").substr(lit(1),
+          (length(col("text")) / 3).cast("int")).as("text"))
+    Dedup.containmentPairs(docs.unionAll(excerpts), "doc_id", "text",
+        shingleN = 3, minContainment = 0.5, maxBucket = 10000)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** LLM-T8: Gopher-style within-doc repetition signals. */
   private val t8Repetition: Q = (s, dir) =>
     TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
@@ -2512,6 +2531,7 @@ object SparkEntry {
     "d8_simhash_portable" -> d8SimhashPortable,
     "d9_chunk_scrub" -> d9ChunkScrub,
     "d14_dup_spans" -> d14DupSpans,
+    "d15_containment" -> d15Containment,
     "t8_repetition" -> t8Repetition,
     "x7_source_mix" -> x7SourceMix,
     "x8_ppl_mixture" -> x8PplMixture,
@@ -3234,6 +3254,37 @@ object SparkEntry {
         |  round((n0.v + coalesce(l1.v, 0) + coalesce(l2.v, 0)) * (1.0 / 3), 6)
         |    AS score
         |FROM n0 LEFT JOIN l1 USING (id) LEFT JOIN l2 USING (id)""".stripMargin,
+    "d15_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substring(text, 1, length(text) // 3)
+        |  FROM documents WHERE doc_id % 5 = 2),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM corpus),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS shingles
+        |  FROM tk),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |capped AS (SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle)
+        |      AS c FROM inv) WHERE c <= 10000),
+        |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    count(*) AS i
+        |  FROM capped l JOIN capped r
+        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(i * 1.0 / least(na.n, nb.n), 6) AS containment
+        |FROM inter
+        |JOIN sizes na ON na.doc_id = doc_a
+        |JOIN sizes nb ON nb.doc_id = doc_b
+        |WHERE i * 1.0 / least(na.n, nb.n) >= 0.5""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),

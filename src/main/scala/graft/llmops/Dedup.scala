@@ -393,10 +393,38 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
       shingleN: Int, minJaccard: Double,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    shinglePairCounts(docs, id, text, shingleN, maxBucket)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Shingle-containment near-dup pairs: score = |A∩B| / min(|A|, |B|) —
+    * the asymmetric companion to [[ngramJaccardPairs]]. Jaccard punishes
+    * size mismatch (an excerpt inside a 3×-longer parent caps at ~1/3),
+    * so quotation/excerpt/expanded-rewrite relations need containment:
+    * a subset scores ~1.0 regardless of the size ratio. Same inverted
+    * index, hot-shingle cap and bucket-local pair generation as d4 —
+    * only the final normalization differs. */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+      shingleN: Int, minContainment: Double,
+      maxBucket: Int = 1000): DataFrame =
+    shinglePairCounts(docs, id, text, shingleN, maxBucket)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .where(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+
+  /** Shared exact shingle-set intersection counting behind
+    * [[ngramJaccardPairs]] / [[containmentPairs]]:
+    * (doc_a, doc_b, na, nb, inter) for every pair sharing ≥ 1 surviving
+    * shingle. */
+  private def shinglePairCounts(docs: DataFrame, id: String, text: String,
+      shingleN: Int, maxBucket: Int): DataFrame = {
     val sets = docs.select(col(id).as("doc"),
       array_distinct(TextFunctions.shingles(col(text), shingleN)).as("sh"))
-    // set size rides along each inverted-index row so the final jaccard
+    // set size rides along each inverted-index row so the final score
     // needs no extra join back to a sizes table (each join-back would
     // recompute the whole tokenize+shingle pipeline); the shingle string
     // is hashed to 64 bits BEFORE the shuffle — the window/groupBy keys
@@ -423,10 +451,6 @@ object Dedup {
       .groupBy(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
         col("p.a.n").as("na"), col("p.b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Embedding-cosine near-dup pairs, brute-force form (delegates to

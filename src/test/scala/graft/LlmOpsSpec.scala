@@ -541,4 +541,24 @@ class LlmOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(none == Set((1L, 3L, 11L), (2L, 2L, 9L)))
   }
+
+  test("containmentPairs scores an excerpt ~1.0 where jaccard caps at the size ratio") {
+    val parent = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val excerpt = "alpha beta gamma delta epsilon zeta eta"  // first 7 of 20
+    val docs = Seq((1L, parent), (2L, excerpt),
+      (3L, "totally unrelated words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 3, minContainment = 0.9)
+      .as[(Long, Long, Double)].collect()
+    // excerpt's 5 shingles all appear in the parent → containment 1.0
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    // jaccard on the same pair is bounded by the size ratio (5/18)
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(math.abs(jac - 5.0 / 18.0) < 1e-9)
+  }
 }
