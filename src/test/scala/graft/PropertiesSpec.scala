@@ -189,4 +189,69 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  private val intervalsGen: Gen[List[(Long, Long, Long)]] =
+    Gen.listOf(for {
+      k <- Gen.choose(0L, 2L)
+      lo <- Gen.choose(0L, 300L)
+      len <- Gen.choose(0L, 120L)
+    } yield (k, lo, lo + len))
+
+  test("property: overlapJoin ≡ naive cross-filter at any bucket width") {
+    forAll(intervalsGen, intervalsGen) { (as, bs) =>
+      whenever(as.nonEmpty && bs.nonEmpty) {
+        val aIdx = as.zipWithIndex.map { case ((k, lo, hi), i) =>
+          (k, i.toLong, lo, hi) }
+        val bIdx = bs.zipWithIndex.map { case ((k, lo, hi), i) =>
+          (k, i.toLong, lo, hi) }
+        val expect = (for {
+          (ka, ai, alo, ahi) <- aIdx
+          (kb, bi, blo, bhi) <- bIdx
+          if ka == kb && alo <= bhi && blo <= ahi
+        } yield (ai, bi)).sorted
+        for (bucket <- Seq(7L, 64L, 1000L)) {
+          val got = AsOf.overlapJoin(
+              aIdx.toDF("k", "aid", "a_lo", "a_hi"),
+              bIdx.toDF("k", "bid", "b_lo", "b_hi"),
+              Seq("k"), "a_lo", "a_hi", "b_lo", "b_hi", bucket)
+            .select($"aid", $"bid").as[(Long, Long)].collect().sorted.toSeq
+          assert(got == expect, s"bucket=$bucket")
+        }
+      }
+    }
+  }
+
+  private val docsGen: Gen[List[String]] =
+    Gen.listOfN(6, for {
+      n <- Gen.choose(3, 12)
+      words <- Gen.listOfN(n, Gen.oneOf("red", "blue", "ox", "sky",
+        "run", "dog", "cat", "sun"))
+    } yield words.mkString(" "))
+
+  test("property: containment ≡ naive shingle-set math, ≥ jaccard always") {
+    forAll(docsGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def shingleSet(t: String): Set[String] =
+        t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      val sets = docs.map { case (i, t) => i -> shingleSet(t) }.toMap
+      val cont = llmops.Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", shingleN = 3, minContainment = 0.0)
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val jac = llmops.Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", shingleN = 3, minJaccard = 0.0)
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      for (a <- docs.indices; b <- docs.indices if a < b) {
+        val (sa, sb) = (sets(a.toLong), sets(b.toLong))
+        val inter = (sa & sb).size
+        if (inter > 0) {
+          val expect = inter.toDouble / math.min(sa.size, sb.size)
+          assert(math.abs(cont((a.toLong, b.toLong)) - expect) < 1e-9)
+          assert(cont((a.toLong, b.toLong)) >= jac((a.toLong, b.toLong)) - 1e-9)
+        } else assert(!cont.contains((a.toLong, b.toLong)))
+      }
+    }
+  }
 }
