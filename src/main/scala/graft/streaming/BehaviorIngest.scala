@@ -387,4 +387,57 @@ object BehaviorIngest {
       .transformWithState(processor, TimeMode.None(), OM.Append(),
         Encoders.product[FeatRow])
   }
+
+  case class FunnelEvent(user_id: String, event_id: Long, ts: Long,
+      event_type: String)
+  case class FunnelRow(user_id: String, t_view: Option[Long],
+      t_click: Option[Long], t_purchase: Option[Long], depth: Long)
+
+  /** Streaming twin of the batch funnel (`Behavior.funnel` / w12) on
+    * state-v2: per-user `ValueState` holds the earliest strictly-ordered
+    * (view, click, purchase) chain; each batch's rows are re-sorted to
+    * event-time order (the same in-batch posture as
+    * [[rollingFeaturesStream]]), and the user's CURRENT funnel row is
+    * emitted whenever the chain advances — an online conversion tracker
+    * whose state converges to the batch answer when events arrive
+    * per-user time-ordered across batches. State is three optional
+    * timestamps per user: O(1), no history buffer. */
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelRow] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode => OM, StatefulProcessor, TimeMode, TimerValues, ValueState}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val processor = new StatefulProcessor[String, FunnelEvent, FunnelRow] {
+      @transient private var state: ValueState[FunnelRow] = _
+      override def init(outputMode: OM, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[FunnelRow]("funnel",
+          Encoders.product[FunnelRow],
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInputRows(user: String, rows: Iterator[FunnelEvent],
+          tv: TimerValues): Iterator[FunnelRow] = {
+        var st = Option(state.get())
+          .getOrElse(FunnelRow(user, None, None, None, 0L))
+        var advanced = false
+        rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+          val next = e.event_type match {
+            case "view" if st.t_view.isEmpty =>
+              st.copy(t_view = Some(e.ts), depth = 1L)
+            case "click" if st.t_click.isEmpty &&
+                st.t_view.exists(e.ts > _) =>
+              st.copy(t_click = Some(e.ts), depth = 2L)
+            case "purchase" if st.t_purchase.isEmpty &&
+                st.t_click.exists(e.ts > _) =>
+              st.copy(t_purchase = Some(e.ts), depth = 3L)
+            case _ => st
+          }
+          if (next != st) { st = next; advanced = true }
+        }
+        if (advanced) { state.update(st); Iterator.single(st) }
+        else Iterator.empty
+      }
+    }
+    events.groupByKey(_.user_id)
+      .transformWithState(processor, TimeMode.None(), OM.Update(),
+        Encoders.product[FunnelRow])
+  }
 }

@@ -226,6 +226,57 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelStream (state-v2) final state equals the batch funnel") {
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // u1 full funnel split across batches; u2 purchases before
+      // clicking (depth stalls at 2); u3 views only; u4 clicks with no
+      // view (never enters). Batch 1 arrives shuffled within the batch.
+      val batch1 = Seq(("u1", 2L, 20L, "click"), ("u1", 1L, 10L, "view"),
+        ("u2", 4L, 10L, "view"), ("u2", 5L, 15L, "purchase"),
+        ("u4", 9L, 5L, "click"))
+      val batch2 = Seq(("u1", 3L, 30L, "purchase"), ("u2", 6L, 20L, "click"),
+        ("u3", 7L, 12L, "view"), ("u2", 8L, 25L, "view"))
+      val mem = MemoryStream[(String, Long, Long, String)]
+      val rows = BehaviorIngest.funnelStream(
+        mem.toDF().toDF("user_id", "event_id", "ts", "event_type")
+          .as[BehaviorIngest.FunnelEvent])
+      val q = rows.writeStream.outputMode("update")
+        .format("memory").queryName("tws_funnel").start()
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      // update-mode memory sink keeps every emission: the LAST row per
+      // user is the converged funnel state
+      val got = spark.table("tws_funnel")
+        .withColumn("__r", monotonically_increasing_id())
+        .groupBy($"user_id").agg(max_by(
+          struct($"t_view", $"t_click", $"t_purchase", $"depth"), $"__r")
+          .as("s"))
+        .select($"user_id", $"s.*")
+        .as[(String, Option[Long], Option[Long], Option[Long], Long)]
+        .collect().map(r => r._1 -> r).toMap
+      q.stop()
+      val batch = graft.ops.Behavior.funnel(
+          (batch1 ++ batch2).toDF("user_id", "event_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .select($"user_id", $"t_view", $"t_click", $"t_purchase", $"depth")
+        .as[(String, Option[Long], Option[Long], Option[Long], Long)]
+        .collect().map(r => r._1 -> r).toMap
+      assert(got == batch)
+      assert(got("u1")._5 == 3L && got("u2")._5 == 2L &&
+        got("u3")._5 == 1L && !got.contains("u4"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("partitionedTableSink restates only touched partitions on replay") {
     implicit val sql = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("ptsink_out").toString
