@@ -1222,6 +1222,68 @@ object SparkEntry {
       Tables.part(s, dir).agg(count(lit(1))))
   }
 
+  /** A30: recommendation novelty — mean self-information
+    * −log₂(p(item)) of the a29 top-5 recommendation set, where p is the
+    * item's share of all (user, item) interactions: the long-tail
+    * companion to a29's Gini (a recommender can have decent coverage
+    * yet still point everyone at head items; novelty catches that).
+    * Same shuffles as a29 plus one broadcast scalar. */
+  private val a30Novelty: Q = (s, dir) => {
+    val ui = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    val recs = TopK.perGroup(ui, Seq(col("user")),
+      Seq(col("qty").desc, col("item").asc), 5)
+    val pop = ui.groupBy(col("item")).agg(count(lit(1)).as("__cnt"))
+    recs.join(pop, "item")
+      .crossJoin(broadcast(ui.agg(count(lit(1)).as("__tot"))))
+      .select((-log(2.0, col("__cnt").cast("double") / col("__tot")))
+        .as("__si"))
+      .agg(count(lit(1)).as("n_recs"),
+        round(avg(col("__si")), 6).as("mean_novelty"),
+        round(min(col("__si")), 6).as("min_novelty"),
+        round(max(col("__si")), 6).as("max_novelty"))
+  }
+
+  /** W15: churn/return label generation — for every event, whether the
+    * user produced ANOTHER event within the following 7 days (the next
+    * event's gap decides: it is the earliest later event). The label a
+    * retention model trains on, derived with one lead window per user —
+    * the labeling twin of w13's aggregate retention view. */
+  private val w15ChurnLabels: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+      .withColumn("__next", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("__next") - col("ts")).as("next_gap_us"),
+        (col("__next").isNotNull &&
+          col("__next") - col("ts") <= 7L * 86400 * 1000 * 1000)
+          .as("returns_7d"))
+  }
+
+  /** X17: class-balanced oversampling — deterministic repetition
+    * factors ⌈maxN/n_c⌉ per label class, each row emitted `factor`
+    * times with a copy index (`explode(sequence)`): the
+    * class-imbalance fix a classifier-training pipeline applies when
+    * downsampling the majority would starve it. The ≤|classes|-row
+    * factor table broadcasts; no shuffle touches the replicated rows. */
+  private val x17Oversample: Q = (s, dir) => {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val counts = base.groupBy(col("label")).agg(count(lit(1)).as("__n"))
+    val factors = counts
+      .crossJoin(broadcast(counts.agg(max(col("__n")).as("__max"))))
+      .select(col("label"),
+        ceil(col("__max").cast("double") / col("__n")).cast("long")
+          .as("__f"))
+    base.join(broadcast(factors), "label")
+      .select(col("vec_id"), col("label"),
+        explode(sequence(lit(1L), col("__f"))).as("copy"))
+  }
+
   /** L4: CDC merge-upsert ([[Layout.mergeUpsert]]) — MERGE INTO
     * semantics on plain parquet: a 1992-97 order snapshot absorbs a
     * change set of inserts (1998+ orders), full-row updates (+1000 on
@@ -2606,6 +2668,7 @@ object SparkEntry {
     "x14_pref_pairs" -> x14PrefPairs,
     "x15_curriculum" -> x15Curriculum,
     "x16_skipgram_pairs" -> x16SkipgramPairs,
+    "x17_oversample" -> x17Oversample,
     "x12_weighted_negatives" -> x12WeightedNegatives,
     "w8_ewma" -> w8Ewma,
     "w9_rolling_window" -> w9RollingWindow,
@@ -2613,6 +2676,7 @@ object SparkEntry {
     "w12_funnel" -> w12Funnel,
     "w13_retention" -> w13Retention,
     "w14_transitions" -> w14Transitions,
+    "w15_churn_labels" -> w15ChurnLabels,
     "a17_window_anomaly" -> a17WindowAnomaly,
     "a18_calibration" -> a18Calibration,
     "a19_psi" -> a19Psi,
@@ -2620,6 +2684,7 @@ object SparkEntry {
     "a21_ab_delta" -> a21AbDelta,
     "a22_ks_drift" -> a22KsDrift,
     "a29_exposure_gini" -> a29ExposureGini,
+    "a30_novelty" -> a30Novelty,
     "t17_html_strip" -> t17HtmlStrip,
     "t18_url_canonical" -> t18UrlCanonical,
     "m8_param_stats" -> m8ParamStats,
@@ -3918,6 +3983,40 @@ object SparkEntry {
         |SELECT cohort, (ts // 604800000000) - cohort AS offset,
         |  count(DISTINCT user_id) AS n_active
         |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "a30_novelty" ->
+      """WITH ui AS (SELECT o_custkey AS u, l_partkey AS item,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qty
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |recs AS (SELECT u, item FROM (SELECT u, item,
+        |    row_number() OVER (PARTITION BY u
+        |      ORDER BY qty DESC, item) AS rn FROM ui) WHERE rn <= 5),
+        |pop AS (SELECT item, count(*) AS cnt FROM ui GROUP BY item),
+        |tot AS (SELECT count(*) AS t FROM ui),
+        |si AS (SELECT -log2(cnt * 1.0 / t) AS si FROM recs
+        |  JOIN pop USING (item) CROSS JOIN tot)
+        |SELECT CAST(count(*) AS BIGINT) AS n_recs,
+        |  round(avg(si), 6) AS mean_novelty,
+        |  round(min(si), 6) AS min_novelty,
+        |  round(max(si), 6) AS max_novelty FROM si""".stripMargin,
+    "w15_churn_labels" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts
+        |  FROM events),
+        |l AS (SELECT user_id, event_id, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS nxt FROM e)
+        |SELECT user_id, event_id, ts, nxt - ts AS next_gap_us,
+        |  coalesce(nxt - ts <= 604800000000, false) AS returns_7d
+        |FROM l""".stripMargin,
+    "x17_oversample" ->
+      """WITH base AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+        |  FROM embeddings),
+        |counts AS (SELECT label, count(*) AS n FROM base GROUP BY label),
+        |f AS (SELECT label, CAST(ceil(mx * 1.0 / n) AS BIGINT) AS f
+        |  FROM counts CROSS JOIN (SELECT max(n) AS mx FROM counts))
+        |SELECT vec_id, label,
+        |  unnest(generate_series(1, f)) AS copy
+        |FROM base JOIN f USING (label)""".stripMargin,
     "x16_skipgram_pairs" ->
       """WITH seq AS (SELECT o_custkey AS cust,
         |    row_number() OVER (PARTITION BY o_custkey
