@@ -1410,6 +1410,10 @@ object SparkEntry {
     // (degree, id) total order the orientation uses, or the closing
     // edge of a triangle whose degree order disagrees with id order
     // would be looked up in the wrong direction
+    // persist: `oriented` feeds three consumers (both wedge sides + the
+    // closure semi-join); unpersisted, each re-expands the whole
+    // ui→und→deg lineage and the static plan balloons to ~150 shuffles
+    // (PlanAudit) — cached, the first stage fills it and the rest reuse
     val oriented = und
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
@@ -1421,6 +1425,7 @@ object SparkEntry {
             struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
           .as("e"))
       .select(col("e.s"), col("e.t"), col("e.dt"))
+      .persist()
     val wedges = oriented.as("e1").join(oriented.as("e2"), "s")
       .where(col("e1.dt") < col("e2.dt") ||
         (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t")))
