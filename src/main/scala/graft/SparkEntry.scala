@@ -1246,6 +1246,20 @@ object SparkEntry {
         round(max(col("__si")), 6).as("max_novelty"))
   }
 
+  /** A31: average precision (PR-AUC) — [[Metrics.averagePrecision]]
+    * over the same scored frame as a10: the metric that stays honest at
+    * purchase-rate base rates where ROC-AUC flatters. Threshold-step
+    * (sklearn) semantics so score ties are block-exact, not
+    * order-dependent. */
+  private val a31AveragePrecision: Q = (s, dir) => {
+    val scored = Tables.events(s, dir).select(
+      (col("value") / 500.0).as("score"),
+      when(col("event_type") === "purchase", 1.0).otherwise(0.0).as("y"))
+    Metrics.averagePrecision(scored, "score", "y")
+      .select(col("n"), col("n_pos"),
+        round(col("average_precision"), 6).as("average_precision"))
+  }
+
   /** W15: churn/return label generation — for every event, whether the
     * user produced ANOTHER event within the following 7 days (the next
     * event's gap decides: it is the earliest later event). The label a
@@ -2690,6 +2704,7 @@ object SparkEntry {
     "a22_ks_drift" -> a22KsDrift,
     "a29_exposure_gini" -> a29ExposureGini,
     "a30_novelty" -> a30Novelty,
+    "a31_average_precision" -> a31AveragePrecision,
     "t17_html_strip" -> t17HtmlStrip,
     "t18_url_canonical" -> t18UrlCanonical,
     "m8_param_stats" -> m8ParamStats,
@@ -4004,6 +4019,18 @@ object SparkEntry {
         |  round(avg(si), 6) AS mean_novelty,
         |  round(min(si), 6) AS min_novelty,
         |  round(max(si), 6) AS max_novelty FROM si""".stripMargin,
+    "a31_average_precision" ->
+      """WITH sc AS (SELECT value / 500.0 AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events),
+        |h AS (SELECT s, count(*) AS n, sum(y) AS pos FROM sc GROUP BY s),
+        |c AS (SELECT s, n, pos, sum(n) OVER w AS cn, sum(pos) OVER w AS cp
+        |  FROM h WINDOW w AS (ORDER BY s DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  round(sum(pos * cp / cn) / sum(pos), 6) AS average_precision
+        |FROM c""".stripMargin,
     "w15_churn_labels" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts
         |  FROM events),

@@ -108,6 +108,43 @@ object Metrics {
           (sum(col("__n").cast("double")) - sum(col("__pos"))))).as("auc"))
   }
 
+  /** Average precision (the "PR-AUC" classifiers report when positives
+    * are rare and ROC-AUC flatters): AP = Σ_blocks P_b · pos_b / n_pos
+    * over DISTINCT scores descending, with P_b = precision at the
+    * block's inclusive cumulative cut — the threshold-step definition
+    * (sklearn's `average_precision_score`), which makes ties
+    * well-defined as blocks instead of an arbitrary within-tie order.
+    * Same histogram + two-level prefix-sum lowering as [[auc]]: the
+    * cumulative counts never meet a data-sized single partition. */
+  def averagePrecision(scored: DataFrame, score: String,
+      label: String): DataFrame = {
+    val hist = scored.where(col(label).isNotNull)
+      .groupBy(col(score).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(label).cast("double")).as("__pos"))
+    val parts = hist.repartitionByRange(col("__s").desc)
+      .sortWithinPartitions(col("__s").desc)
+      .withColumn("__pid", spark_partition_id())
+    val pidW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(sum(col("__n")).as("__cn"), sum(col("__pos")).as("__cp"))
+      .withColumn("__offn", coalesce(sum(col("__cn")).over(pidW), lit(0L)))
+      .withColumn("__offp", coalesce(sum(col("__cp")).over(pidW), lit(0.0)))
+      .select(col("__pid"), col("__offn"), col("__offp"))
+    val localW = Window.partitionBy(col("__pid")).orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    parts
+      .withColumn("__ln", sum(col("__n")).over(localW))
+      .withColumn("__lp", sum(col("__pos")).over(localW))
+      .join(broadcast(offsets), Seq("__pid"))
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__pos")).cast("long").as("n_pos"),
+        (sum(col("__pos") * ((col("__offp") + col("__lp")) /
+            (col("__offn") + col("__ln")).cast("double"))) /
+          sum(col("__pos"))).as("average_precision"))
+  }
+
   /** Per-group AUC via the same rank-sum identity as [[auc]], one row per
     * group that has BOTH classes (AUC is undefined otherwise — groups
     * missing a class are dropped, matching how GAUC is reported in the

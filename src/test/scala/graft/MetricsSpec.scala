@@ -181,6 +181,24 @@ class MetricsSpec extends AnyFunSuite {
     assert(rho6(withNull, "a", "b") == ((2L, 1.0)))
   }
 
+  test("averagePrecision: threshold-step AP with block-exact ties") {
+    // blocks desc: 0.9 (1 pos) P=1; 0.8 (neg); 0.7 (2 pos tie) P=3/4;
+    // 0.6 (neg) → AP = (1·1 + 2·0.75) / 3 = 0.833333…
+    val scored = Seq((0.9, 1.0), (0.8, 0.0), (0.7, 1.0), (0.7, 1.0),
+      (0.6, 0.0)).toDF("score", "y")
+    val (n, np, ap) = Metrics.averagePrecision(scored, "score", "y")
+      .select($"n", $"n_pos", round($"average_precision", 6))
+      .as[(Long, Long, Double)].head()
+    assert(n == 5L && np == 3L && ap == 0.833333)
+    // perfect ranking → AP 1.0; all-negative scores above → AP = 0.5
+    val perfect = Seq((0.9, 1.0), (0.8, 1.0), (0.1, 0.0)).toDF("score", "y")
+    assert(Metrics.averagePrecision(perfect, "score", "y")
+      .select($"average_precision").as[Double].head() == 1.0)
+    val inverted = Seq((0.9, 0.0), (0.8, 1.0)).toDF("score", "y")
+    assert(Metrics.averagePrecision(inverted, "score", "y")
+      .select($"average_precision").as[Double].head() == 0.5)
+  }
+
   test("exposureStats: uniform exposure gini 0, concentration raises it") {
     val catalog = Seq(10L).toDF("n").agg(first($"n"))
     def stats(recs: Seq[(Long, Long)]) =
