@@ -1222,6 +1222,23 @@ object SparkEntry {
       Tables.part(s, dir).agg(count(lit(1))))
   }
 
+  /** W16: half-life-decayed activity — per-user recency-weighted event
+    * mass Σ 2^(−Δt/halflife) with a 7-day half-life against the corpus
+    * max-ts "now": the standard freshness feature a recommender stores
+    * beside raw counts (yesterday's burst outweighs last month's). One
+    * broadcast scalar + one user-keyed aggregate; exact integer Δt in µs
+    * feeds the float pow, output rounded. */
+  private val w16DecayActivity: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"))
+    ev.crossJoin(broadcast(ev.agg(max(col("ts")).as("__tmax"))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(pow(lit(2.0),
+          -(col("__tmax") - col("ts")).cast("double") / 6.048e11)), 6)
+          .as("decayed_activity"))
+  }
+
   /** A30: recommendation novelty — mean self-information
     * −log₂(p(item)) of the a29 top-5 recommendation set, where p is the
     * item's share of all (user, item) interactions: the long-tail
@@ -1663,6 +1680,26 @@ object SparkEntry {
         shingleN = 3, minContainment = 0.5, maxBucket = 10000)
       .select(col("doc_a"), col("doc_b"),
         round(col("containment"), 6).as("containment"))
+  }
+
+  /** LLM-T26: per-doc character entropy — the gibberish/encoding-junk
+    * detector quality pipelines run beside t1's ratio signals (random
+    * bytes score ≈ 8 bits, natural English ≈ 4, repeated filler → 0;
+    * both tails get cut). Explode to (doc, char) then two aggregates
+    * keyed by (doc, char) / doc — partial-aggregated, shuffle rows
+    * bounded by |doc|·|alphabet|. Entropy in bits from exact integer
+    * counts, so both engines round the same doubles. */
+  private val t26CharEntropy: Q = (s, dir) => {
+    val freq = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("__c"))
+      .where(length(col("__c")) > 0)
+      .groupBy(col("doc_id"), col("__c")).agg(count(lit(1)).as("__n"))
+    freq.groupBy(col("doc_id"))
+      .agg(sum(col("__n")).as("__tot"),
+        sum(col("__n") * log(2.0, col("__n"))).as("__nlogn"))
+      .select(col("doc_id"), col("__tot").as("n_chars"),
+        round(log(2.0, col("__tot")) - col("__nlogn") / col("__tot"), 6)
+          .as("char_entropy"))
   }
 
   /** LLM-T8: Gopher-style within-doc repetition signals. */
@@ -2614,6 +2651,7 @@ object SparkEntry {
     "d14_dup_spans" -> d14DupSpans,
     "d15_containment" -> d15Containment,
     "t8_repetition" -> t8Repetition,
+    "t26_char_entropy" -> t26CharEntropy,
     "x7_source_mix" -> x7SourceMix,
     "x8_ppl_mixture" -> x8PplMixture,
     "x9_exact_n" -> x9ExactN,
@@ -2696,6 +2734,7 @@ object SparkEntry {
     "w13_retention" -> w13Retention,
     "w14_transitions" -> w14Transitions,
     "w15_churn_labels" -> w15ChurnLabels,
+    "w16_decay_activity" -> w16DecayActivity,
     "a17_window_anomaly" -> a17WindowAnomaly,
     "a18_calibration" -> a18Calibration,
     "a19_psi" -> a19Psi,
@@ -4019,6 +4058,24 @@ object SparkEntry {
         |  round(avg(si), 6) AS mean_novelty,
         |  round(min(si), 6) AS min_novelty,
         |  round(max(si), 6) AS max_novelty FROM si""".stripMargin,
+    "w16_decay_activity" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts
+        |  FROM events),
+        |t AS (SELECT max(ts) AS tmax FROM e)
+        |SELECT user_id, count(*) AS n,
+        |  round(sum(pow(2.0, -(tmax - ts) / 6.048e11)), 6)
+        |    AS decayed_activity
+        |FROM e CROSS JOIN t GROUP BY user_id""".stripMargin,
+    "t26_char_entropy" ->
+      """WITH f AS (SELECT doc_id, c, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |    FROM documents WHERE length(text) > 0)
+        |  WHERE length(c) > 0
+        |  GROUP BY doc_id, c)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+        |  round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6)
+        |    AS char_entropy
+        |FROM f GROUP BY doc_id""".stripMargin,
     "a31_average_precision" ->
       """WITH sc AS (SELECT value / 500.0 AS s,
         |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
