@@ -1222,6 +1222,29 @@ object SparkEntry {
       Tables.part(s, dir).agg(count(lit(1))))
   }
 
+  /** W17: inter-event burstiness — per-user coefficient of variation of
+    * consecutive event gaps (CV ≈ 1 for memoryless arrivals, ≫ 1 for
+    * bursty humans, ≈ 0 for metronomic bots — the classic
+    * Goh–Barabási signal and a first-line bot gate). One lag window on
+    * the user key; variance via E[g²]−E[g]² on exact-integer-derived
+    * gaps in seconds, clamped at 0 before the sqrt. */
+  private val w17Burstiness: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+      .withColumn("__gap",
+        (col("ts") - lag(col("ts"), 1).over(byUser)).cast("double") / 1e6)
+      .where(col("__gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("__gap")), 6).as("mean_gap_s"),
+        round(sqrt(greatest(
+            avg(col("__gap") * col("__gap")) -
+              avg(col("__gap")) * avg(col("__gap")), lit(0.0))) /
+          avg(col("__gap")), 6).as("burstiness"))
+  }
+
   /** W16: half-life-decayed activity — per-user recency-weighted event
     * mass Σ 2^(−Δt/halflife) with a 7-day half-life against the corpus
     * max-ts "now": the standard freshness feature a recommender stores
@@ -1293,6 +1316,39 @@ object SparkEntry {
         (col("__next").isNotNull &&
           col("__next") - col("ts") <= 7L * 86400 * 1000 * 1000)
           .as("returns_7d"))
+  }
+
+  /** X18: mixup augmentation pairing — each embedding convexly combined
+    * with a hash-shuffled partner (rank i pairs with i+1 mod n in
+    * md5-of-id order — a deterministic random permutation), λ ∈
+    * [0.3, 0.7) from the hash: the vicinal-risk augmentation recipe
+    * (Zhang et al. 2018) as a relational transform. The global rank
+    * rides [[DictIndex.denseIds]]' two-level lowering, so no
+    * single-partition window; output pins the pairing, λ, label pair
+    * and the mixed-vector checksum λ·Σa + (1−λ)·Σb. */
+  private val x18Mixup: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      col("label").cast("long").as("label"),
+      md5(col("vec_id").cast("string")).as("__h"))
+    val withIdx = emb.join(DictIndex.denseIds(emb, "__h", "__idx"), "__h")
+    val sumV: Column => Column =
+      v => aggregate(v, lit(0.0), (acc, x) => acc + x)
+    val lam = (conv(substring(col("__h"), 1, 4), 16, 10).cast("long") % 400)
+      .cast("double") / 1000.0 + 0.3
+    val left = withIdx
+      .crossJoin(broadcast(emb.agg(count(lit(1)).as("__n"))))
+      .select(pmod(col("__idx") + 1, col("__n")).as("__idx"),
+        col("vec_id").as("vec_id_a"),
+        sumV(col("v")).as("__sa"), col("label").as("label_a"), col("__h"))
+    val right = withIdx.select(col("__idx"),
+      col("vec_id").as("vec_id_b"), sumV(col("v")).as("__sb"),
+      col("label").as("label_b"))
+    left.join(right, "__idx")
+      .select(col("vec_id_a"), col("vec_id_b"),
+        round(lam, 6).as("lam"), col("label_a"), col("label_b"),
+        round(lam * col("__sa") + (lit(1.0) - lam) * col("__sb"), 6)
+          .as("mix_sum"))
   }
 
   /** X17: class-balanced oversampling — deterministic repetition
@@ -1465,6 +1521,39 @@ object SparkEntry {
         col("t").as("b")), Seq("a", "b"), "left_semi")
     tri.agg(count(lit(1)).as("n_triangles"))
       .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+  }
+
+  /** G12: k-core peeling (k = 3, 3 synchronous rounds) on the g11
+    * co-purchase window — the graph-cleanup stage run before community
+    * or embedding work: peripheral nodes (degree < k) drop, degrees
+    * recompute on the induced subgraph, repeat. Bounded rounds like
+    * g10 (full decomposition iterates to fixpoint; 3 rounds is the
+    * production compromise and keeps the oracle unrollable). Each
+    * round: one degree aggregate + two semi-joins; per-round persist
+    * stops consumer fan-out from re-expanding the lineage (the g11
+    * lesson). Output: surviving (item, degree). */
+  private val g12KCore: Q = (s, dir) => {
+    val ui = Tables.orders(s, dir)
+      .where(year(col("o_orderdate")) === 1995)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      .distinct()
+    var edges = ui.as("x").join(ui.as("y"), "b")
+      .where(col("x.i") < col("y.i"))
+      .select(col("x.i").as("u"), col("y.i").as("v"))
+      .distinct().persist()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    for (_ <- 1 to 3) {
+      val keep = degrees(edges).where(col("d") >= 3).select(col("n"))
+      edges = edges
+        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).persist()
+    }
+    degrees(edges).select(col("n").as("item"), col("d").as("degree"))
   }
 
   /** G7: Swing item similarity ([[ItemCf.swingPairs]]) — user-pair
@@ -2699,6 +2788,7 @@ object SparkEntry {
     "g9_adamic_adar" -> g9AdamicAdar,
     "g10_label_prop" -> g10LabelProp,
     "g11_triangles" -> g11Triangles,
+    "g12_kcore" -> g12KCore,
     "m9_itemcf_recommend" -> m9ItemCfRecommend,
     "g7_swing" -> g7Swing,
     "m10_itemcf_backtest" -> m10ItemCfBacktest,
@@ -2726,6 +2816,7 @@ object SparkEntry {
     "x15_curriculum" -> x15Curriculum,
     "x16_skipgram_pairs" -> x16SkipgramPairs,
     "x17_oversample" -> x17Oversample,
+    "x18_mixup" -> x18Mixup,
     "x12_weighted_negatives" -> x12WeightedNegatives,
     "w8_ewma" -> w8Ewma,
     "w9_rolling_window" -> w9RollingWindow,
@@ -2735,6 +2826,7 @@ object SparkEntry {
     "w14_transitions" -> w14Transitions,
     "w15_churn_labels" -> w15ChurnLabels,
     "w16_decay_activity" -> w16DecayActivity,
+    "w17_burstiness" -> w17Burstiness,
     "a17_window_anomaly" -> a17WindowAnomaly,
     "a18_calibration" -> a18Calibration,
     "a19_psi" -> a19Psi,
@@ -4058,6 +4150,56 @@ object SparkEntry {
         |  round(avg(si), 6) AS mean_novelty,
         |  round(min(si), 6) AS min_novelty,
         |  round(max(si), 6) AS max_novelty FROM si""".stripMargin,
+    "x18_mixup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    CAST(label AS BIGINT) AS label,
+        |    md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
+        |i AS (SELECT vec_id, v, label, h,
+        |    row_number() OVER (ORDER BY h) - 1 AS idx FROM e),
+        |n AS (SELECT count(*) AS n FROM e),
+        |j AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.h,
+        |    a.label AS label_a, b.label AS label_b,
+        |    list_sum(a.v) AS sa, list_sum(b.v) AS sb
+        |  FROM i a JOIN i b ON b.idx = (a.idx + 1) % (SELECT n FROM n)),
+        |l AS (SELECT *, (CAST(('0x' || substring(h, 1, 4)) AS BIGINT)
+        |    % 400) / 1000.0 + 0.3 AS lam FROM j)
+        |SELECT vec_id_a, vec_id_b, round(lam, 6) AS lam,
+        |  label_a, label_b,
+        |  round(lam * sa + (1 - lam) * sb, 6) AS mix_sum
+        |FROM l""".stripMargin,
+    "w17_burstiness" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id
+        |  FROM events),
+        |g AS (SELECT user_id, (ts - lag(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id)) / 1e6 AS gap FROM e)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  round(avg(gap), 6) AS mean_gap_s,
+        |  round(sqrt(greatest(avg(gap * gap) - avg(gap) * avg(gap), 0))
+        |    / avg(gap), 6) AS burstiness
+        |FROM g WHERE gap IS NOT NULL GROUP BY user_id""".stripMargin,
+    "g12_kcore" ->
+      """WITH ui AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE year(o_orderdate) = 1995),
+        |e0 AS (SELECT DISTINCT x.i AS u, y.i AS v FROM ui x
+        |  JOIN ui y ON x.b = y.b AND x.i < y.i),
+        |d1 AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM e0
+        |    UNION ALL SELECT v FROM e0) GROUP BY n),
+        |k1 AS (SELECT n FROM d1 WHERE d >= 3),
+        |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT n FROM k1)
+        |  AND v IN (SELECT n FROM k1)),
+        |d2 AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM e1
+        |    UNION ALL SELECT v FROM e1) GROUP BY n),
+        |k2 AS (SELECT n FROM d2 WHERE d >= 3),
+        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT n FROM k2)
+        |  AND v IN (SELECT n FROM k2)),
+        |d3 AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM e2
+        |    UNION ALL SELECT v FROM e2) GROUP BY n),
+        |k3 AS (SELECT n FROM d3 WHERE d >= 3),
+        |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT n FROM k3)
+        |  AND v IN (SELECT n FROM k3))
+        |SELECT n AS item, count(*) AS degree FROM (SELECT u AS n FROM e3
+        |  UNION ALL SELECT v FROM e3) GROUP BY n""".stripMargin,
     "w16_decay_activity" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts
         |  FROM events),
