@@ -2443,6 +2443,68 @@ object SparkEntry {
     * even/odd order-key halves stand in for yesterday/today partitions;
     * per-column null-rate, cardinality and range comparison in two
     * scans. */
+  /** Q5: duplicate-rate monitor — per-source exact-dup health gauge
+    * (share of docs whose content digest repeats within the source):
+    * the number a curation pipeline alerts on between full d1 runs.
+    * One aggregate; distinct-count reduces on (source, digest). */
+  private val q5DupRate: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        round(lit(1.0) -
+          countDistinct(md5(col("text"))).cast("double") / count(lit(1)), 6)
+          .as("dup_rate"))
+
+  /** X19: split manifest — the reproducibility card written beside every
+    * training export: per split (x1's hash assignment), row count,
+    * distinct users and an ORDER-INDEPENDENT content digest (sum of
+    * 48-bit md5 prefixes — commutative, so any partitioning/arrival
+    * order yields the same manifest; a concat-based digest would be
+    * plan-dependent). Verifying yesterday's manifest against today's
+    * re-read is the cheap tripwire for silent data drift. */
+  private val x19SplitManifest: Q = (s, dir) => {
+    val users = Tables.events(s, dir).select(col("user_id")).distinct()
+      .withColumn("split",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "c",
+          "train").otherwise("holdout"))
+    users.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(conv(substring(md5(col("user_id").cast("string")), 1, 12),
+          16, 10).cast("long")).as("digest"))
+  }
+
+  /** J14: temporal dimension join — purchases joined to the profile
+    * version (SCD2 intervals from the user's non-purchase events, w10's
+    * plan) active at purchase time: the versioned-dimension lookup every
+    * warehouse fact load runs, composed from [[AsOf.overlapJoin]] with
+    * point intervals on the fact side and the open current-version end
+    * capped at the corpus max-ts. Exclusive upper bounds via −1 on exact
+    * µs integers. */
+  private val j14TemporalJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"),
+        col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"),
+      col("event_id"))
+    val dim = ev.where(col("event_type") =!= "purchase")
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .crossJoin(broadcast(ev.agg(max(col("ts")).as("__tmax"))))
+      .select(col("user_id"), col("event_id").as("version_id"),
+        col("valid_from"),
+        (coalesce(col("valid_to"), col("__tmax") + 1) - 1).as("__hi"))
+    val facts = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("fact_ts"), col("ts").as("__flo"),
+        col("ts").as("__fhi"))
+    AsOf.overlapJoin(facts, dim, Seq("user_id"),
+        "__flo", "__fhi", "valid_from", "__hi",
+        bucket = 86400L * 1000 * 1000)
+      .select(col("user_id"), col("purchase_id"), col("fact_ts"),
+        col("version_id"), col("valid_from"))
+  }
+
   private val q4ProfileDrift: Q = (s, dir) => {
     val o = Tables.orders(s, dir)
     Validate.profileDrift(
@@ -2677,6 +2739,7 @@ object SparkEntry {
     "j3_asof" -> j3AsOf,
     "j11_asof_nearest" -> j11AsofNearest,
     "j13_overlap_join" -> j13OverlapJoin,
+    "j14_temporal_join" -> j14TemporalJoin,
     "a3_user_history" -> a3UserHistory,
     "w2_prefix_samples" -> w2PrefixSamples,
     "w11_rolling_features" -> w11RollingFeatures,
@@ -2795,6 +2858,7 @@ object SparkEntry {
     "q2_data_profile" -> q2DataProfile,
     "q3_constraints" -> q3Constraints,
     "q4_profile_drift" -> q4ProfileDrift,
+    "q5_dup_rate" -> q5DupRate,
     "mm3_audio_windows" -> mm3AudioWindows,
     "mm4_phash_dedup" -> mm4PhashDedup,
     "w6_sessionize" -> w6Sessionize,
@@ -2817,6 +2881,7 @@ object SparkEntry {
     "x16_skipgram_pairs" -> x16SkipgramPairs,
     "x17_oversample" -> x17Oversample,
     "x18_mixup" -> x18Mixup,
+    "x19_split_manifest" -> x19SplitManifest,
     "x12_weighted_negatives" -> x12WeightedNegatives,
     "w8_ewma" -> w8Ewma,
     "w9_rolling_window" -> w9RollingWindow,
@@ -4150,6 +4215,37 @@ object SparkEntry {
         |  round(avg(si), 6) AS mean_novelty,
         |  round(min(si), 6) AS min_novelty,
         |  round(max(si), 6) AS max_novelty FROM si""".stripMargin,
+    "q5_dup_rate" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  round(1 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
+        |    AS dup_rate
+        |FROM documents GROUP BY source""".stripMargin,
+    "x19_split_manifest" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |sp AS (SELECT user_id,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < 'c'
+        |      THEN 'train' ELSE 'holdout' END AS split FROM u)
+        |SELECT split, count(*) AS n_users,
+        |  CAST(sum(CAST(('0x' ||
+        |    substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT))
+        |    AS BIGINT) AS digest
+        |FROM sp GROUP BY split""".stripMargin,
+    "j14_temporal_join" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id,
+        |    event_type FROM events),
+        |d AS (SELECT user_id, event_id AS version_id, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM e WHERE event_type <> 'purchase'),
+        |f AS (SELECT user_id, event_id AS purchase_id, ts AS fact_ts
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT max(ts) AS tmax FROM e)
+        |SELECT f.user_id, purchase_id, fact_ts, version_id, valid_from
+        |FROM f JOIN d ON f.user_id = d.user_id
+        |  AND fact_ts >= valid_from
+        |  AND fact_ts <= coalesce(valid_to, (SELECT tmax FROM t) + 1) - 1"""
+        .stripMargin,
     "x18_mixup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    CAST(label AS BIGINT) AS label,
