@@ -120,6 +120,52 @@ object BehaviorIngest {
           .partitionBy(partCol).parquet(outDir)
       }
 
+  /** Streaming CDC apply: each micro-batch of change rows (full-row
+    * images + a delete flag) merges into the parquet snapshot at
+    * `tableDir` via [[graft.ops.Layout.mergeUpsert]] — the streaming
+    * half of the l4 nightly upsert (a change FEED instead of a change
+    * SET). Per batch: latest-wins compaction on (key, seqCol) first —
+    * a feed can carry several changes for one key in one batch, and
+    * MERGE requires at most one — then full-outer merge against the
+    * current snapshot, then an atomic directory swap (write fresh,
+    * rename). Exactly-once by checkpointed batch id: replaying a batch
+    * re-merges idempotently (same keys → same final rows). `seqCol`
+    * must be unique per key within a batch (a CDC LSN/offset is), or
+    * the latest-wins pick is arbitrary among the tied changes. */
+  def cdcApplySink(changes: DataFrame, key: String, seqCol: String,
+      deleted: String, tableDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val compacted = graft.ops.TopK.perGroup(batch,
+            Seq(col(key)), Seq(col(seqCol).desc), 1)
+          .drop("rank", seqCol)
+        val dir = new java.io.File(tableDir)
+        val merged =
+          if (!dir.exists() || dir.listFiles().forall(_.getName.startsWith("_")))
+            compacted.where(!col(deleted)).drop(deleted)
+          else {
+            val base = spark.read.parquet(tableDir)
+            // compacted still carries the flag column; mergeUpsert only
+            // selects base.columns from the change side, so it rides
+            // along for the `deleted` predicate without entering output
+            graft.ops.Layout.mergeUpsert(base,
+              compacted, Seq(key), col(deleted))
+          }
+        val tmp = tableDir + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        val old = new java.io.File(tableDir)
+        val bak = new java.io.File(tableDir + ".old")
+        if (bak.exists()) { bak.listFiles().foreach(_.delete()); bak.delete() }
+        if (old.exists()) old.renameTo(bak)
+        new java.io.File(tmp).renameTo(old)
+        if (bak.exists()) { bak.listFiles().foreach(_.delete()); bak.delete() }
+        ()
+      }
+
   /** Event-time sliding-window activity aggregation — the design-doc
     * operator the reference never implemented (`README.md:503-507`):
     * per (window, user) event count, plus a distinct item count

@@ -221,6 +221,68 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  private val cdcGen: Gen[(List[(Long, Long)], List[(Long, Long, Boolean)])] =
+    for {
+      baseKeys <- Gen.listOf(Gen.choose(0L, 20L)).map(_.distinct)
+      chgKeys <- Gen.listOf(Gen.choose(0L, 25L)).map(_.distinct)
+      dels <- Gen.listOfN(chgKeys.length, Gen.oneOf(true, false))
+    } yield (baseKeys.map(k => (k, k * 10)),
+      chgKeys.zip(dels).map { case (k, d) => (k, k * 100, d) })
+
+  test("property: mergeUpsert ≡ map-merge reference") {
+    forAll(cdcGen) { case (base, changes) =>
+      whenever(base.nonEmpty && changes.nonEmpty) {
+        val got = ops.Layout.mergeUpsert(
+            base.toDF("k", "v"),
+            changes.map(c => (c._1, c._2)).toDF("k", "v"),
+            Seq("k"), {
+              val delKeys = changes.filter(_._3).map(_._1).toSet
+              col("k").isin(delKeys.toSeq: _*)
+            })
+          .as[(Long, Long)].collect().toMap
+        val expect = (base.toMap ++
+          changes.filterNot(_._3).map(c => c._1 -> c._2).toMap) --
+          changes.filter(_._3).map(_._1)
+        assert(got == expect)
+      }
+    }
+  }
+
+  private val funnelGen: Gen[List[(Long, Long, String)]] =
+    Gen.listOf(for {
+      u <- Gen.choose(0L, 3L)
+      ts <- Gen.choose(0L, 40L)
+      et <- Gen.oneOf("view", "click", "purchase", "other")
+    } yield (u, ts, et))
+
+  test("property: funnel ≡ naive per-user earliest-chain scan") {
+    forAll(funnelGen) { evs =>
+      whenever(evs.nonEmpty) {
+        val steps = Seq("view", "click", "purchase")
+        val got = ops.Behavior.funnel(evs.toDF("user_id", "ts", "event_type"),
+            "user_id", "ts", "event_type", steps)
+          .select($"user_id", $"t_view", $"t_click", $"t_purchase", $"depth")
+          .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
+          .collect().map(r => r._1 -> r).toMap
+        evs.groupBy(_._1).foreach { case (u, rows) =>
+          val ts = rows.map(r => (r._2, r._3))
+          val tv = ts.filter(_._2 == "view").map(_._1).sorted.headOption
+          val tc = tv.flatMap(t0 => ts.filter(r => r._2 == "click" && r._1 > t0)
+            .map(_._1).sorted.headOption)
+          val tp = tc.flatMap(t1 => ts.filter(r => r._2 == "purchase" && r._1 > t1)
+            .map(_._1).sorted.headOption)
+          tv match {
+            case None => assert(!got.contains(u))
+            case Some(_) =>
+              val depth = 1L + (if (tc.isDefined) 1 else 0) +
+                (if (tp.isDefined) 1 else 0)
+              assert(got(u) == ((u, tv, tc, tp, depth)))
+          }
+        }
+      }
+    }
+  }
+
   private val docsGen: Gen[List[String]] =
     Gen.listOfN(6, for {
       n <- Gen.choose(3, 12)

@@ -277,6 +277,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcApplySink merges a change feed into the snapshot across batches") {
+    implicit val sql = spark.sqlContext
+    val tableDir = java.nio.file.Files.createTempDirectory("cdc_tbl").toString
+    new java.io.File(tableDir).delete() // sink creates it on first batch
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ck").toString
+    val mem = MemoryStream[(Long, String, Double, Long, Boolean)]
+    val q = BehaviorIngest.cdcApplySink(
+        mem.toDF().toDF("k", "s", "v", "seq", "del"),
+        "k", "seq", "del", tableDir, ckpt)
+      .start()
+    // batch 1: three inserts (one of them deleted-before-seen → dropped)
+    mem.addData((1L, "a", 1.0, 10L, false), (2L, "b", 2.0, 11L, false),
+      (9L, "x", 9.0, 12L, true))
+    q.processAllAvailable()
+    // batch 2: update k1, delete k2, insert k3, and TWO changes for k4
+    // in one batch (seq 20 then 21 — latest must win)
+    mem.addData((1L, "a2", 1.5, 20L, false), (2L, "b", 2.0, 21L, true),
+      (3L, "c", 3.0, 22L, false),
+      (4L, "d-old", 4.0, 20L, false), (4L, "d-new", 4.5, 21L, false))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(tableDir)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "a2", 1.5), (3L, "c", 3.0), (4L, "d-new", 4.5)))
+  }
+
   test("partitionedTableSink restates only touched partitions on replay") {
     implicit val sql = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("ptsink_out").toString
