@@ -557,6 +557,25 @@ object SparkEntry {
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** LLM-S10: metadata-filtered ANN — the vector-DB feature a plain
+    * index can't serve: top-k under a structured predicate ("only items
+    * of this class/tenant/license"). Pre-filter semantics — the corpus
+    * is filtered BEFORE the IVF build/probe, so recall never degrades
+    * from post-filter starvation (a post-filter top-k can return < k
+    * when the predicate is selective). Same portable cell machinery as
+    * sim5, predicate pushed to the corpus scan. */
+  private val sim10FilteredAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.ivfTopKPortable(
+        emb.where(col("vec_id") < 10),
+        emb.where(col("vec_id") >= 10 && col("label") % 2 === 0),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 4)
+      .select(col("query_id"), col("item_id"),
+        round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** LLM-S9: k-NN majority-vote pseudo-labeling
     * ([[SimSearch.knnClassify]]) — label the "unlabeled" query slice
     * from its 10 nearest labeled neighbors; the semi-supervised
@@ -2820,6 +2839,7 @@ object SparkEntry {
     "sim4_lsh_portable" -> sim4LshPortable,
     "sim9_knn_classify" -> sim9KnnClassify,
     "sim5_ivf_portable" -> sim5IvfPortable,
+    "sim10_filtered_ann" -> sim10FilteredAnn,
     "mm1_media_features" -> mm1MediaFeatures,
     "g4_lightgcn" -> g4LightGcn,
     "m4_cascade" -> m4Cascade,
@@ -4780,6 +4800,34 @@ object SparkEntry {
         |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
         |  (d.vec_id IS NULL) AS keep
         |FROM assigned c LEFT JOIN dropped d USING (vec_id)""".stripMargin,
+    "sim10_filtered_ann" ->
+      """WITH corpus AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10 AND label % 2 = 0),
+        |queries AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |cent AS (SELECT rn - 1 AS cell, v AS cv FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |    FROM corpus) WHERE rn <= 8),
+        |assigned AS (SELECT item_id, v, cell FROM (
+        |    SELECT c.item_id, c.v, ct.cell, row_number() OVER (
+        |      PARTITION BY c.item_id
+        |      ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+        |probed AS (SELECT query_id, v, cell FROM (
+        |    SELECT q.query_id, q.v, ct.cell, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM queries q CROSS JOIN cent ct) WHERE rn <= 4),
+        |scored AS (SELECT p.query_id, a.item_id,
+        |    list_cosine_similarity(p.v, a.v) AS cosine
+        |  FROM probed p JOIN assigned a USING (cell))
+        |SELECT query_id, item_id, round(cosine, 6) AS cosine, rank FROM (
+        |  SELECT query_id, item_id, cosine, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
     "sim5_ivf_portable" ->
       """WITH corpus AS (SELECT vec_id AS item_id,
         |    CAST(embedding AS DOUBLE[]) AS v
