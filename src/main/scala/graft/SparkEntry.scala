@@ -1810,6 +1810,27 @@ object SparkEntry {
           .as("char_entropy"))
   }
 
+  /** LLM-T27: per-doc memorization exposure — the share of a doc's
+    * distinct 5-gram shingles that also occur in ≥ 1 OTHER document
+    * (document frequency ≥ 2): the doc-level rollup of d14's span
+    * analysis and the per-example duplication risk score train-set
+    * audits report (Lee et al. 2022 §4). Shingles hash to 64 bits
+    * before the shuffle (d4's argument); one df aggregate + one join
+    * back on the same shingle partitioning + one doc rollup. */
+  private val t27Memorization: Q = (s, dir) => {
+    val inv = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        TextFunctions.shingles(col("text"), 5))).as("__s"))
+      .select(col("doc_id"), xxhash64(col("__s")).as("sh"))
+    val df = inv.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+    inv.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"),
+        round(sum(when(col("__df") >= 2, 1.0).otherwise(0.0)) /
+          count(lit(1)), 6).as("memorization_ratio"))
+  }
+
   /** LLM-T8: Gopher-style within-doc repetition signals. */
   private val t8Repetition: Q = (s, dir) =>
     TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
@@ -2823,6 +2844,7 @@ object SparkEntry {
     "d15_containment" -> d15Containment,
     "t8_repetition" -> t8Repetition,
     "t26_char_entropy" -> t26CharEntropy,
+    "t27_memorization" -> t27Memorization,
     "x7_source_mix" -> x7SourceMix,
     "x8_ppl_mixture" -> x8PplMixture,
     "x9_exact_n" -> x9ExactN,
@@ -4324,6 +4346,23 @@ object SparkEntry {
         |  round(sum(pow(2.0, -(tmax - ts) / 6.048e11)), 6)
         |    AS decayed_activity
         |FROM e CROSS JOIN t GROUP BY user_id""".stripMargin,
+    "t27_memorization" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 5),
+        |      i -> array_to_string(toks[i+1:i+5], ' ')) END) AS shingles
+        |  FROM tk),
+        |inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |df AS (SELECT s, count(*) AS df FROM inv GROUP BY s)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  round(sum(CASE WHEN df >= 2 THEN 1.0 ELSE 0.0 END) / count(*), 6)
+        |    AS memorization_ratio
+        |FROM inv JOIN df USING (s) GROUP BY doc_id""".stripMargin,
     "t26_char_entropy" ->
       """WITH f AS (SELECT doc_id, c, count(*) AS n
         |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
