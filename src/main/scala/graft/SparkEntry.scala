@@ -1319,6 +1319,59 @@ object SparkEntry {
         round(col("average_precision"), 6).as("average_precision"))
   }
 
+  /** A32: decile lift table — the model-evaluation artifact campaign
+    * targeting reads: events ranked by score descending, split into 10
+    * equal-count bins, each reporting its positive rate and lift over
+    * the base rate. The global rank rides [[graft.ops.PrefixSum]]
+    * (deterministic via the event-id tiebreak), bin assignment is exact
+    * integer arithmetic ⌊rank·10/n⌋ — no ntile, whose tie placement is
+    * engine-dependent. */
+  private val a32LiftDeciles: Q = (s, dir) => {
+    val scored = Tables.events(s, dir).select(col("event_id"),
+      (-col("value") / 500.0).as("__neg"),
+      when(col("event_type") === "purchase", 1.0).otherwise(0.0).as("__y"))
+    val ranked = graft.ops.PrefixSum.ranges(scored,
+      Seq("__neg", "event_id"), lit(1L), "__lo", "__hi")
+    val n = broadcast(scored.agg(count(lit(1)).as("__n"),
+      sum(col("__y")).as("__pos")))
+    ranked.crossJoin(n)
+      .withColumn("decile", ((col("__lo") * 10 -
+        pmod(col("__lo") * 10, col("__n"))) / col("__n")).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__y")).cast("long").as("n_pos"),
+        round(sum(col("__y")) / count(lit(1)), 6).as("response_rate"),
+        round((sum(col("__y")) / count(lit(1))) /
+          (first(col("__pos")) / first(col("__n"))), 6).as("lift"))
+  }
+
+  /** W18: session conversion rates — w6's gap sessions rolled up per
+    * user: how many browse sessions exist and how many contain a
+    * purchase, the session-level success metric the funnel (w12) views
+    * event-level. Same one-shuffle session build, one extra rollup. */
+  private val w18SessionConversion: Q = (s, dir) => {
+    val gapUs = 3600L * 1000 * 1000
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("ts") - col("__prev") >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("__conv"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("__conv")).as("n_converted"),
+        round(sum(col("__conv")).cast("double") / count(lit(1)), 6)
+          .as("conversion_rate"))
+  }
+
   /** W15: churn/return label generation — for every event, whether the
     * user produced ANOTHER event within the following 7 days (the next
     * event's gap decides: it is the earliest later event). The label a
@@ -2934,6 +2987,7 @@ object SparkEntry {
     "w15_churn_labels" -> w15ChurnLabels,
     "w16_decay_activity" -> w16DecayActivity,
     "w17_burstiness" -> w17Burstiness,
+    "w18_session_conversion" -> w18SessionConversion,
     "a17_window_anomaly" -> a17WindowAnomaly,
     "a18_calibration" -> a18Calibration,
     "a19_psi" -> a19Psi,
@@ -2943,6 +2997,7 @@ object SparkEntry {
     "a29_exposure_gini" -> a29ExposureGini,
     "a30_novelty" -> a30Novelty,
     "a31_average_precision" -> a31AveragePrecision,
+    "a32_lift_deciles" -> a32LiftDeciles,
     "t17_html_strip" -> t17HtmlStrip,
     "t18_url_canonical" -> t18UrlCanonical,
     "m8_param_stats" -> m8ParamStats,
@@ -4373,6 +4428,37 @@ object SparkEntry {
         |  round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6)
         |    AS char_entropy
         |FROM f GROUP BY doc_id""".stripMargin,
+    "a32_lift_deciles" ->
+      """WITH sc AS (SELECT event_id, value / 500.0 AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (ORDER BY s DESC, event_id) - 1
+        |    AS rk FROM sc),
+        |t AS (SELECT count(*) AS n, sum(y) AS pos FROM sc)
+        |SELECT (rk * 10) // (SELECT n FROM t) AS decile,
+        |  count(*) AS n_rows, CAST(sum(y) AS BIGINT) AS n_pos,
+        |  round(sum(y) / count(*), 6) AS response_rate,
+        |  round((sum(y) / count(*)) /
+        |    ((SELECT pos FROM t) * 1.0 / (SELECT n FROM t)), 6) AS lift
+        |FROM r GROUP BY 1""".stripMargin,
+    "w18_session_conversion" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id,
+        |    event_type FROM events),
+        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev FROM e),
+        |b AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= 3600000000
+        |    THEN 1 ELSE 0 END AS brk FROM l),
+        |sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS sid FROM b),
+        |g AS (SELECT user_id, sid,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(conv) AS BIGINT) AS n_converted,
+        |  round(sum(conv) * 1.0 / count(*), 6) AS conversion_rate
+        |FROM g GROUP BY user_id""".stripMargin,
     "a31_average_precision" ->
       """WITH sc AS (SELECT value / 500.0 AS s,
         |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
