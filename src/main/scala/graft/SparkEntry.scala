@@ -1423,6 +1423,23 @@ object SparkEntry {
           .as("mix_sum"))
   }
 
+  /** X20: rank normalization — each event value mapped to its global
+    * percentile rank (rank−1)/(n−1) ∈ [0,1]: the distribution-free
+    * feature transform (rank-gauss minus the probit) tabular trainers
+    * apply to heavy-tailed inputs. Global rank via
+    * [[graft.ops.PrefixSum]] with the event-id tiebreak — deterministic
+    * and never a single-partition sort. */
+  private val x20RankNormalize: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("value"))
+    graft.ops.PrefixSum.ranges(ev, Seq("value", "event_id"), lit(1L),
+        "__lo", "__hi")
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("__n"))))
+      .select(col("event_id"), round(col("value"), 6).as("value"),
+        round(col("__lo").cast("double") / (col("__n") - 1), 6)
+          .as("pct_rank"))
+  }
+
   /** X17: class-balanced oversampling — deterministic repetition
     * factors ⌈maxN/n_c⌉ per label class, each row emitted `factor`
     * times with a copy index (`explode(sequence)`): the
@@ -2977,6 +2994,7 @@ object SparkEntry {
     "x17_oversample" -> x17Oversample,
     "x18_mixup" -> x18Mixup,
     "x19_split_manifest" -> x19SplitManifest,
+    "x20_rank_normalize" -> x20RankNormalize,
     "x12_weighted_negatives" -> x12WeightedNegatives,
     "w8_ewma" -> w8Ewma,
     "w9_rolling_window" -> w9RollingWindow,
@@ -4318,6 +4336,14 @@ object SparkEntry {
         |  round(1 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
         |    AS dup_rate
         |FROM documents GROUP BY source""".stripMargin,
+    "x20_rank_normalize" ->
+      """WITH r AS (SELECT event_id, value,
+        |    row_number() OVER (ORDER BY value, event_id) - 1 AS rk
+        |  FROM events),
+        |t AS (SELECT count(*) AS n FROM events)
+        |SELECT event_id, round(value, 6) AS value,
+        |  round(rk * 1.0 / ((SELECT n FROM t) - 1), 6) AS pct_rank
+        |FROM r""".stripMargin,
     "x19_split_manifest" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |sp AS (SELECT user_id,
