@@ -2571,8 +2571,12 @@ object SparkEntry {
     * distinct users and an ORDER-INDEPENDENT content digest (sum of
     * 48-bit md5 prefixes — commutative, so any partitioning/arrival
     * order yields the same manifest; a concat-based digest would be
-    * plan-dependent). Verifying yesterday's manifest against today's
-    * re-read is the cheap tripwire for silent data drift. */
+    * plan-dependent). The sum accumulates in decimal(38) and is taken
+    * modulo 2^48 so the digest stays exact and bounded at ANY user
+    * count — a plain long sum overflows past ~65k users per split
+    * (ANSI mode would throw at exactly the scale the manifest is
+    * for). Verifying yesterday's manifest against today's re-read is
+    * the cheap tripwire for silent data drift. */
   private val x19SplitManifest: Q = (s, dir) => {
     val users = Tables.events(s, dir).select(col("user_id")).distinct()
       .withColumn("split",
@@ -2580,8 +2584,10 @@ object SparkEntry {
           "train").otherwise("holdout"))
     users.groupBy(col("split"))
       .agg(count(lit(1)).as("n_users"),
-        sum(conv(substring(md5(col("user_id").cast("string")), 1, 12),
-          16, 10).cast("long")).as("digest"))
+        pmod(sum(conv(substring(md5(col("user_id").cast("string")), 1, 12),
+            16, 10).cast("decimal(20,0)")),
+          lit(281474976710656L).cast("decimal(20,0)"))
+          .cast("long").as("digest"))
   }
 
   /** J14: temporal dimension join — purchases joined to the profile
@@ -2670,9 +2676,17 @@ object SparkEntry {
     * (band, bits) — Hamming ≤ 3 guarantees ≥ 1 clean band by pigeonhole,
     * so banding finds every true pair without an all-pairs product — and
     * the exact popcount filter verifies. Duplicate-saturated corpora
-    * would add the d2-style hot-bucket cap before the self-join. */
+    * would add the d2-style hot-bucket cap before the self-join.
+    *
+    * ASCII-only by construction: the fake decode hashes UTF-8 BYTES
+    * (binary plumbing, the honest contract for a media column) while
+    * the oracle can only index CHARACTERS, so both engines filter to
+    * docs whose byte length equals their char length — the two
+    * iterations coincide exactly on that set and the comparison is
+    * well-defined for any fixture, not just an all-ASCII one. */
   private val mm4PhashDedup: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
+      .where(octet_length(col("text")) === length(col("text")))
     val orig = multimodal.Multimodal.assetsFromText(
       docs.select((col("doc_id") * 2).as("doc_id"), col("text")),
       "doc_id", "text")
@@ -2719,10 +2733,11 @@ object SparkEntry {
   }
 
   /** J13: interval-overlap join ([[AsOf.overlapJoin]]) — each user's
-    * browse (view) sessions against their purchase sessions, pairs whose
+    * browse (view) sessions against their CLICK sessions (the `p_`
+    * column prefix is just the "probe side" label), pairs whose
     * time ranges intersect plus the overlap length: the attribution
     * primitive j6's point-in-window join can't express when BOTH sides
-    * are ranges. Bucket width = the session gap (1 h); the
+    * are ranges. Bucket width = the session gap; the
     * canonical-bucket trick emits each pair once with no distinct
     * shuffle. */
   private val j13OverlapJoin: Q = (s, dir) =>
@@ -3104,11 +3119,13 @@ object SparkEntry {
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND v_start <= p_end AND p_start <= v_end""".stripMargin,
     "mm4_phash_dedup" ->
-      """WITH assets AS (
-        |  SELECT doc_id * 2 AS asset_id, text FROM documents
+      """WITH ascii_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)),
+        |assets AS (
+        |  SELECT doc_id * 2 AS asset_id, text FROM ascii_docs
         |  UNION ALL
         |  SELECT doc_id * 2 + 1, substring(text, 1, length(text) - 3)
-        |  FROM documents WHERE length(text) > 3),
+        |  FROM ascii_docs WHERE length(text) > 3),
         |vals AS (SELECT asset_id, (i - 1) % 60 AS slot,
         |    ((ord(substring(text, i, 1)) * 2654435761
         |      + (i - 1) * 40503) % 1000) AS v
@@ -4352,7 +4369,7 @@ object SparkEntry {
         |SELECT split, count(*) AS n_users,
         |  CAST(sum(CAST(('0x' ||
         |    substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT))
-        |    AS BIGINT) AS digest
+        |    % 281474976710656 AS BIGINT) AS digest
         |FROM sp GROUP BY split""".stripMargin,
     "j14_temporal_join" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id,

@@ -139,14 +139,18 @@ object Layout {
         key.map(k => col("__b_" + k) === col("__c_" + k)).reduce(_ && _),
         "full_outer")
       .where(col("__del").isNull || !col("__del"))
+    // a change row is present iff __del survived the outer join (it is
+    // coalesced non-null on every change row); per-column coalesce would
+    // instead resurrect the stale base value when a change legitimately
+    // sets a column to NULL, breaking full-row-image semantics
+    val fromChange = col("__del").isNotNull
     val out = merged.select(cols.map(cn =>
-      coalesce(col("__c_" + cn), col("__b_" + cn)).as(cn)): _*)
+      when(fromChange, col("__c_" + cn)).otherwise(col("__b_" + cn)).as(cn)): _*)
     provenance match {
       case None => out
       case Some(p) => merged.select(cols.map(cn =>
-        coalesce(col("__c_" + cn), col("__b_" + cn)).as(cn)) :+
-        when(col("__c_" + key.head).isNotNull, lit("changes"))
-          .otherwise(lit("base")).as(p): _*)
+        when(fromChange, col("__c_" + cn)).otherwise(col("__b_" + cn)).as(cn)) :+
+        when(fromChange, lit("changes")).otherwise(lit("base")).as(p): _*)
     }
   }
 }

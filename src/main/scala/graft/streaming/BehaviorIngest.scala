@@ -131,7 +131,31 @@ object BehaviorIngest {
     * rename). Exactly-once by checkpointed batch id: replaying a batch
     * re-merges idempotently (same keys → same final rows). `seqCol`
     * must be unique per key within a batch (a CDC LSN/offset is), or
-    * the latest-wins pick is arbitrary among the tied changes. */
+    * the latest-wins pick is arbitrary among the tied changes.
+    *
+    * Crash safety of the snapshot swap: the commit sequence is
+    * write `.next` (Spark stamps `_SUCCESS` on completion) → rename
+    * live → `.old` → rename `.next` → live. A crash between the two
+    * renames leaves the live dir absent; [[recoverSwap]] runs at the
+    * top of every batch and rolls FORWARD (a `_SUCCESS`-complete
+    * `.next` becomes live — its merge already happened) or BACK
+    * (restore `.old`) before any read, so a replayed batch always
+    * merges against the last complete snapshot instead of mistaking
+    * the table for empty. All renames are checked. */
+  private[graft] def recoverSwap(tableDir: String): Unit = {
+    val live = new java.io.File(tableDir)
+    val nxt = new java.io.File(tableDir + ".next")
+    val bak = new java.io.File(tableDir + ".old")
+    def mustRename(from: java.io.File, to: java.io.File): Unit =
+      require(from.renameTo(to), s"rename $from -> $to failed")
+    if (!live.exists()) {
+      if (nxt.exists() && new java.io.File(nxt, "_SUCCESS").exists())
+        mustRename(nxt, live)   // write finished; complete the commit
+      else if (bak.exists())
+        mustRename(bak, live)   // write unfinished; restore prior snapshot
+    }
+  }
+
   def cdcApplySink(changes: DataFrame, key: String, seqCol: String,
       deleted: String, tableDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -140,6 +164,7 @@ object BehaviorIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        recoverSwap(tableDir)
         val compacted = graft.ops.TopK.perGroup(batch,
             Seq(col(key)), Seq(col(seqCol).desc), 1)
           .drop("rank", seqCol)
@@ -160,8 +185,9 @@ object BehaviorIngest {
         val old = new java.io.File(tableDir)
         val bak = new java.io.File(tableDir + ".old")
         if (bak.exists()) { bak.listFiles().foreach(_.delete()); bak.delete() }
-        if (old.exists()) old.renameTo(bak)
-        new java.io.File(tmp).renameTo(old)
+        if (old.exists())
+          require(old.renameTo(bak), s"rename $old -> $bak failed")
+        require(new java.io.File(tmp).renameTo(old), s"rename $tmp -> $old failed")
         if (bak.exists()) { bak.listFiles().foreach(_.delete()); bak.delete() }
         ()
       }
