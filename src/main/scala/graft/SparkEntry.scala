@@ -668,10 +668,12 @@ object SparkEntry {
     * clustering of the embedding space, then cell-local near-dup drop:
     * a row is dropped iff a smaller-id row in the SAME cell has cosine
     * ≥ 0.4 (the threshold d6 established for this synthetic corpus).
+    * Cells above the hot-cell cap (mirrored in the oracle) are excluded
+    * from pair generation — no unbounded quadratic task at scale.
     * Output: every vector with its cell and keep verdict. */
   private val d13SemDedup: Q = (s, dir) =>
     Dedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
-        nCells = 4, minCosine = 0.4)
+        nCells = 4, minCosine = 0.4, maxCell = 10000)
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("keep"))
 
@@ -4962,8 +4964,11 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(x.v, ct.cv) DESC, ct.cell)
         |      AS rn
         |    FROM v x CROSS JOIN cent ct) WHERE rn = 1),
-        |dropped AS (SELECT DISTINCT b.vec_id FROM assigned a
-        |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |inplay AS (SELECT vec_id, v, cell FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY cell) AS cn
+        |    FROM assigned) WHERE cn <= 10000),
+        |dropped AS (SELECT DISTINCT b.vec_id FROM inplay a
+        |  JOIN inplay b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
         |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
         |  (d.vec_id IS NULL) AS keep

@@ -490,11 +490,18 @@ object Dedup {
     * candidate quadratic is bounded by the CLUSTER (cells ≈ n/k — that
     * bound is SemDeDup's whole point), generated by a cell-keyed
     * self-equi-join (spillable sort-merge, no broadcast, no
-    * collect_list); extreme cells can be capped like [[SimSearch
-    * .lshPairs]]' buckets. Output: every input row as (id, cell, keep).
-    */
+    * collect_list). Because the dedup workload is exactly the one that
+    * concentrates near-identical vectors into ONE cell, a degenerate
+    * cell would make one task emit O(|cell|²) pairs — so cells larger
+    * than `maxCell` are excluded from pair generation entirely (their
+    * rows all come back `keep = true`), the same spillable
+    * window-count posture as [[ngramJaccardPairs]]' hot-shingle cap
+    * and [[SimSearch.lshPairs]]' bucket cap; an oversized cell is a
+    * centroid-fit problem to solve upstream (more cells), not a
+    * license for a quadratic task. Output: every input row as
+    * (id, cell, keep). */
   def semDedup(embs: DataFrame, id: String, vec: String,
-      nCells: Int, minCosine: Double): DataFrame = {
+      nCells: Int, minCosine: Double, maxCell: Int = 100000): DataFrame = {
     import graft.functions.GraftFunctions
     val v = embs.select(col(id).as("__id"),
       col(vec).cast("array<double>").as("__v"))
@@ -509,9 +516,13 @@ object Dedup {
     }: _*))
     val assigned = v.withColumn("__cell",
       element_at(ranked, 1).getField("cell"))
-    val dropped = assigned
+    val inPlay = assigned
+      .withColumn("__cn",
+        count(lit(1)).over(Window.partitionBy(col("__cell"))))
+      .where(col("__cn") <= maxCell)
+    val dropped = inPlay
       .select(col("__cell"), col("__id").as("__lo"), col("__v").as("__vl"))
-      .join(assigned.select(col("__cell"), col("__id").as("__hi"),
+      .join(inPlay.select(col("__cell"), col("__id").as("__hi"),
         col("__v").as("__vr")), "__cell")
       .where(col("__lo") < col("__hi"))
       .where(GraftFunctions.cosine(col("__vl"), col("__vr")) >= minCosine)

@@ -289,6 +289,47 @@ class LlmOpsSpec extends AnyFunSuite {
       Map(1L -> true, 2L -> false, 3L -> false, 10L -> true, 11L -> false))
   }
 
+  test("semDedup hot-cell cap bounds the pair join and keeps capped rows") {
+    // a degenerate concentration of near-identical vectors (the exact
+    // workload that piles duplicates into one cell) plus a small
+    // far-away group. Cell membership depends on which rows md5-rank
+    // as centroids, so the expectation is DERIVED from the uncapped
+    // run's own cell column rather than hand-assumed: every cell
+    // larger than maxCell must come back all-keep under the cap
+    // (excluded from pairing), every cell at or under it must match
+    // the uncapped verdicts exactly.
+    val hot = (1L to 8L).map(i => (i, Seq(1.0, 0.0001 * i)))
+    val cold = Seq((100L, Seq(0.0, 1.0)), (101L, Seq(0.001, 1.0)))
+    val emb = (hot ++ cold).toDF("vec_id", "embedding")
+    def run(cap: Int): Map[Long, (Long, Boolean)] =
+      Dedup.semDedup(emb, "vec_id", "embedding",
+          nCells = 2, minCosine = 0.99, maxCell = cap)
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val maxCell = 4
+    val uncapped = run(cap = 100)
+    val capped = run(maxCell)
+    // all 10 rows survive to output regardless of the cap, same cells
+    assert(capped.keySet == ((1L to 8L) ++ Seq(100L, 101L)).toSet)
+    assert(capped.view.mapValues(_._1).toMap ==
+      uncapped.view.mapValues(_._1).toMap)
+    val cellSize = uncapped.values.groupBy(_._1).view.mapValues(_.size)
+    // the fixture must actually produce an oversized cell or the test
+    // is vacuous — 8 near-identical vectors guarantee one >4 cell
+    // whichever rows become centroids
+    assert(cellSize.values.exists(_ > maxCell))
+    uncapped.foreach { case (id, (cell, keepUncapped)) =>
+      if (cellSize(cell) > maxCell)
+        assert(capped(id)._2, s"row $id in oversized cell $cell must be kept")
+      else
+        assert(capped(id)._2 == keepUncapped,
+          s"row $id in small cell $cell must dedup normally")
+    }
+    // and the uncapped control actually deduped the hot mass: however
+    // the 10 rows split over 2 cells, at most 2 hot + 2 cold survive
+    assert(uncapped.count(!_._2._2) >= 6)
+  }
+
   test("connected components close a chain transitively and split components") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("doc_a", "doc_b")
