@@ -1639,10 +1639,16 @@ object SparkEntry {
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
     for (_ <- 1 to 3) {
       val keep = degrees(edges).where(col("d") >= 3).select(col("n"))
+      val prev = edges
       edges = edges
         .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v")).persist()
+      // materialize the new round FROM the predecessor's cache, then
+      // release it — cache footprint stays O(1) rounds, not O(depth)
+      // (only the final round's frame survives for the caller's action)
+      edges.count()
+      prev.unpersist(false)
     }
     degrees(edges).select(col("n").as("item"), col("d").as("degree"))
   }

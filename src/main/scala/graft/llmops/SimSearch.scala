@@ -427,7 +427,12 @@ object SimSearch {
           Seq(col("__mmr").desc, col("item_id")), 1)
         .select(col("query_id"), col("item_id"), col("__mmr").as("mmr"),
           lit(step.toLong).as("step"), col("__cv"))
-      selected = selected.union(next).persist()
+      val prev = selected
+      selected = prev.union(next).persist()
+      // materialize from the predecessor's cache, then release it —
+      // the greedy walk keeps one cached frame, not one per step
+      selected.count()
+      prev.unpersist(false)
     }
     selected.select(col("query_id"), col("item_id"), col("mmr"), col("step"))
   }

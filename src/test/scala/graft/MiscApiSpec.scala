@@ -12,6 +12,35 @@ class MiscApiSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("iterative fixpoints release superseded per-round caches") {
+    // g12's 3 peel rounds persist a frame per round; only the FINAL
+    // round's frame (plus nothing else) may survive the terminal action
+    // — a leaked round would show up as extra entries here. Delta-based
+    // so frames persisted by other suites don't interfere.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    SparkEntry.queries("g12_kcore")(spark, TestSpark.sf).collect()
+    val after = sc.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"k-core peel leaked caches: before=$before after=$after")
+  }
+
+  test("mmrRerank greedy walk releases superseded per-step caches") {
+    val emb = (1L to 12L)
+      .map(i => (i, Seq(math.cos(i * 0.5), math.sin(i * 0.5))))
+      .toDF("id", "v")
+    val q = Seq((100L, Seq(1.0, 0.0))).toDF("id", "v")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val out = graft.llmops.SimSearch.mmrRerank(q, emb,
+      "id", "v", "id", "v", nCand = 8, k = 4, lam = 0.5)
+    assert(out.count() == 4)
+    val after = sc.getPersistentRDDs.size
+    // cands + final selected may remain; no per-step frame may
+    assert(after - before <= 2,
+      s"mmr walk leaked caches: before=$before after=$after")
+  }
+
   test("subwordCount splits words, digits and punctuation") {
     val df = Seq("Hello, world! 42 tokens-here").toDF("t")
     // chunks: hello, world, 42, tokens, here = 5; punct: , ! - = 3
