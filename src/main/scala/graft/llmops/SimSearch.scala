@@ -427,10 +427,13 @@ object SimSearch {
           Seq(col("__mmr").desc, col("item_id")), 1)
         .select(col("query_id"), col("item_id"), col("__mmr").as("mmr"),
           lit(step.toLong).as("step"), col("__cv"))
+      // eager release: materialize the new selection from its
+      // predecessor's cache, then free the predecessor — one live step
+      // frame, not O(k). Costs ~1.5 s at sf0.1 vs never releasing
+      // (repeat invocations then reused prior runs' caches), but the
+      // greedy walk must not accumulate a cache per step at depth.
       val prev = selected
       selected = prev.union(next).persist()
-      // materialize from the predecessor's cache, then release it —
-      // the greedy walk keeps one cached frame, not one per step
       selected.count()
       prev.unpersist(false)
     }
