@@ -2276,10 +2276,14 @@ object SparkEntry {
 
   /** M12 — the deployment-shaped composition: [[m11ColdstartRecall]]'s
     * 3-branch decision feeding an IVF ANN recall (the past-broadcast-
-    * threshold path), then rank ▷ rerank. Rows-only fast-path twin of
-    * the oracle-exact m11 (kmeans cell assignment isn't SQL-portable);
-    * CascadeSpec pins the composition against brute-force recall and
-    * the per-branch routing. */
+    * threshold path), then rank ▷ rerank. Registered with the PORTABLE
+    * IVF ([[SimSearch.ivfTopKPortable]], sim5's md5-centroid contract)
+    * so the ENTIRE composition — branch routing, cell assignment/probe,
+    * ANN top-k, history exclusion, popularity fallback, both mixScorer
+    * rank stages — hash-checks against the DuckDB oracle end-to-end;
+    * CascadeSpec separately pins the same composition wired with the
+    * TRAINED-centroid [[SimSearch.ivfTopK]] (kmeans fit isn't SQL-
+    * portable) against brute-force recall and per-branch routing. */
   private val m12ColdstartCascade: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val nItems = broadcast(emb.agg(count(lit(1)).as("__n")))
@@ -2303,7 +2307,7 @@ object SparkEntry {
         Cascade.mixScorer("user_id", "item_id"),
         Cascade.mixScorer("item_id", "user_id"),
         n1 = 20, n2 = 10, n3 = 5) { (queries, corpus) =>
-      SimSearch.ivfTopK(queries, corpus, "user_id", "uemb",
+      SimSearch.ivfTopKPortable(queries, corpus, "user_id", "uemb",
           "item_id", "iemb", k = 20, nCells = 4, nProbe = 2)
         .select(col("query_id").as("user_id"), col("item_id"))
     }.select(col("user_id"), col("branch"), col("item_id"),
@@ -3942,6 +3946,83 @@ object SparkEntry {
         |SELECT user_id, CAST(branch AS BIGINT) AS branch, item_id,
         |  round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
         |FROM (SELECT * FROM top12 UNION ALL SELECT * FROM b3)""".stripMargin,
+    "m12_coldstart_cascade" ->
+      """WITH users AS (SELECT c_custkey AS user_id FROM customer
+        |  WHERE c_custkey < 15),
+        |hist AS (SELECT user_id,
+        |    event_id % (SELECT count(*) FROM embeddings) AS item_id, ts
+        |  FROM events WHERE user_id < 8),
+        |recent AS (SELECT user_id, item_id FROM (
+        |    SELECT user_id, item_id, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, item_id DESC) AS rn FROM hist)
+        |  WHERE rn <= 10),
+        |ue AS (SELECT vec_id AS user_id, CAST(embedding AS DOUBLE[]) AS uemb
+        |  FROM embeddings WHERE vec_id < 4),
+        |items AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS iemb FROM embeddings),
+        |b1 AS (SELECT u.user_id, e.uemb, 1 AS branch
+        |  FROM users u JOIN ue e USING (user_id)),
+        |mh AS (SELECT r.user_id, i.item_id, i.iemb FROM recent r
+        |  JOIN users u ON u.user_id = r.user_id
+        |  JOIN items i ON i.item_id = r.item_id
+        |  WHERE r.user_id NOT IN (SELECT user_id FROM ue)),
+        |b2v AS (SELECT user_id, pos, avg(v) AS uv FROM (
+        |    SELECT user_id, unnest(iemb) AS v,
+        |      unnest(generate_series(1, len(iemb))) AS pos FROM mh)
+        |  GROUP BY user_id, pos),
+        |b2 AS (SELECT user_id, list(uv ORDER BY pos) AS uemb, 2 AS branch
+        |  FROM b2v GROUP BY user_id),
+        |q AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+        |cent AS (SELECT rn - 1 AS cell, iemb AS cv FROM (
+        |    SELECT iemb, row_number() OVER (
+        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |    FROM items) WHERE rn <= 4),
+        |assigned AS (SELECT item_id, iemb, cell FROM (
+        |    SELECT i.item_id, i.iemb, ct.cell, row_number() OVER (
+        |      PARTITION BY i.item_id
+        |      ORDER BY list_cosine_similarity(i.iemb, ct.cv) DESC, ct.cell)
+        |      AS rn
+        |    FROM items i CROSS JOIN cent ct) WHERE rn = 1),
+        |probed AS (SELECT user_id, uemb, cell FROM (
+        |    SELECT b.user_id, b.uemb, ct.cell, row_number() OVER (
+        |      PARTITION BY b.user_id
+        |      ORDER BY list_cosine_similarity(b.uemb, ct.cv) DESC, ct.cell)
+        |      AS rn
+        |    FROM q b CROSS JOIN cent ct) WHERE rn <= 2),
+        |ann AS (SELECT user_id, item_id FROM (
+        |    SELECT p.user_id, a.item_id, row_number() OVER (
+        |      PARTITION BY p.user_id
+        |      ORDER BY list_cosine_similarity(p.uemb, a.iemb) DESC, a.item_id)
+        |      AS rank
+        |    FROM probed p JOIN assigned a USING (cell)) WHERE rank <= 20),
+        |recalled AS (SELECT a.user_id, qb.branch, a.item_id FROM ann a
+        |  JOIN (SELECT user_id, branch FROM q) qb USING (user_id)
+        |  WHERE NOT EXISTS (SELECT 1 FROM recent r
+        |    WHERE r.user_id = a.user_id AND r.item_id = a.item_id)),
+        |inter AS (SELECT event_id % (SELECT count(*) FROM embeddings)
+        |    AS item_id FROM events),
+        |pop AS (SELECT item_id FROM (
+        |    SELECT item_id, row_number() OVER (ORDER BY count(*) DESC,
+        |      item_id) AS rank
+        |    FROM inter GROUP BY item_id) WHERE rank <= 20),
+        |b3 AS (SELECT u.user_id, 3 AS branch, p.item_id
+        |  FROM users u CROSS JOIN pop p
+        |  WHERE u.user_id NOT IN (SELECT user_id FROM q)),
+        |cand AS (SELECT user_id, branch, item_id FROM recalled
+        |  UNION ALL SELECT user_id, branch, item_id FROM b3),
+        |r2 AS (SELECT user_id, branch, item_id FROM (
+        |    SELECT user_id, branch, item_id, row_number() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY (user_id*2654435761 + item_id*40503) % 1000000 DESC,
+        |        item_id) AS rn
+        |    FROM cand) WHERE rn <= 10)
+        |SELECT user_id, CAST(branch AS BIGINT) AS branch, item_id,
+        |  CAST(rn AS BIGINT) AS final_rank FROM (
+        |  SELECT user_id, branch, item_id, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY (item_id*2654435761 + user_id*40503) % 1000000 DESC,
+        |      item_id) AS rn
+        |  FROM r2) WHERE rn <= 5""".stripMargin,
     "m4_cascade" ->
       """WITH users AS (SELECT vec_id AS user_id,
         |    CAST(embedding AS DOUBLE[]) AS uemb
