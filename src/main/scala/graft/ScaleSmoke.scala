@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-growth evidence harness (round-6 verdict item 4).
+  *
+  * The container has no sf1 fixtures, so the "capped plans grow
+  * ~linearly" claims for the heaviest query families were argument,
+  * not measurement. This main synthesizes a ~KxX corpus from sf0.1 by
+  * unioning K key-shifted copies of each input table (keys shifted by
+  * `max(key)+1` per copy, so key cardinality AND row count both scale
+  * by K while per-key group sizes — basket width, doc length, node
+  * degree — stay constant: the growth model of "more users, more
+  * docs, more items", which is how a real corpus reaches 100 TB), then
+  * times the heavy families at 1x and Kx on the same JVM.
+  *
+  * Families measured (the three the round-5 verdict named, plus the
+  * banded-dedup representative):
+  *   - item-CF baskets: g6_item_cf (lineitem co-occurrence)
+  *   - BM25 / token pipeline: t22_bm25, t24_bpe_segment (documents)
+  *   - k-core edges: g12_kcore (orders ⋈ lineitem co-purchase graph)
+  *   - banded near-dup: d5_minhash_portable (documents; MinHash+LSH)
+  *
+  * Expected: warm-time ratio ≈ K for linear plans (every family caps
+  * its quadratic stage per-bucket, so doubling buckets doubles work).
+  * A super-linear ratio here is a scale bug no sf0.1 bench can see.
+  *
+  * Usage: runMain graft.ScaleSmoke [sfDir] [workDir] [factor]
+  */
+object ScaleSmoke {
+  private val families = Seq(
+    "g6_item_cf", "t22_bm25", "t24_bpe_segment", "g12_kcore",
+    "d5_minhash_portable")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // --- synthesize the scaled corpus ---------------------------------
+    val copies = spark.range(factor).select(col("id").as("__copy"))
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0) + 1L
+
+    def scaleTable(name: String, keyCols: Map[String, Long]): Unit = {
+      val df = Tables.table(spark, sfDir, name)
+      val shifted = keyCols.foldLeft(df.crossJoin(broadcast(copies))) {
+        case (acc, (c, s)) =>
+          acc.withColumn(c, col(c) + col("__copy") * s)
+      }.drop("__copy")
+      shifted.repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$workDir/$name.parquet")
+    }
+
+    val t0 = System.nanoTime()
+    val ord = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val okStride = stride(ord, "o_orderkey")
+    val ckStride = stride(ord, "o_custkey")
+    val pkStride = stride(li, "l_partkey")
+    val dStride = stride(docs, "doc_id")
+    scaleTable("orders", Map("o_orderkey" -> okStride, "o_custkey" -> ckStride))
+    scaleTable("lineitem", Map("l_orderkey" -> okStride, "l_partkey" -> pkStride))
+    scaleTable("documents", Map("doc_id" -> dStride))
+    println(f"SCALESMOKE synth ${factor}x done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    for (t <- Seq("orders", "lineitem", "documents")) {
+      val n1 = Tables.table(spark, sfDir, t).count()
+      val nK = Tables.table(spark, workDir, t).count()
+      println(s"SCALESMOKE rows $t 1x=$n1 ${factor}x=$nK")
+    }
+
+    // --- time each family at both scales (same JVM, warm best-of-2) ---
+    def timeOnce(f: => Unit): Double = {
+      val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e9
+    }
+    def warm(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      System.gc()
+      timeOnce { fn(spark, dir).count(): Unit } // cold, discarded
+      math.min(
+        timeOnce { fn(spark, dir).count(): Unit },
+        timeOnce { fn(spark, dir).count(): Unit })
+    }
+    val rows = families.map { q =>
+      val w1 = warm(q, sfDir)
+      val wK = warm(q, workDir)
+      println(f"SCALESMOKE $q%-18s 1x=$w1%7.2f s  ${factor}x=$wK%7.2f s  ratio=${wK / w1}%5.2f (linear=$factor)")
+      (q, w1, wK)
+    }
+    val json = rows.map { case (q, w1, wK) =>
+      f""""$q":{"w1":$w1%.2f,"wK":$wK%.2f,"ratio":${wK / w1}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","factor":$factor,"families":$json}""")
+    spark.stop()
+  }
+}
