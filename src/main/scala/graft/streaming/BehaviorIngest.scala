@@ -33,13 +33,19 @@ object BehaviorIngest {
       .where(col("user_id").isNotNull && col("timestamp").isNotNull &&
         col("history_items").isNotNull)
 
-  /** S1 shape: Kafka source (not exercisable in this container — no broker;
-    * covered by file/memory-source tests with identical downstream plan). */
-  def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+  /** S1 shape: Kafka source. Not exercisable in this container (no
+    * broker; covered by file/memory-source tests with identical
+    * downstream plan) — but StreamingSpec carries a real-broker E2E
+    * round-trip that runs whenever `KAFKA_BOOTSTRAP` is set and the
+    * connector jar is present. `startingOffsets` defaults to the
+    * reference consumer's tail-read (`consumer.py:37-42`); the E2E
+    * test reads from `earliest` to see its own produced records. */
+  def kafkaSource(spark: SparkSession, servers: String, topic: String,
+      startingOffsets: String = "latest"): DataFrame =
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("subscribe", topic)
-      .option("startingOffsets", "latest")
+      .option("startingOffsets", startingOffsets)
       .load()
 
   /** S4 write side: the Kafka producer payload — one JSON value per record

@@ -446,6 +446,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(opts.get("kafka.bootstrap.servers") == "broker:9092")
   }
 
+  // The one gap the container can't close by itself: a real-broker
+  // round-trip. Runs only when the driver provides a broker via
+  // KAFKA_BOOTSTRAP (and the spark-sql-kafka connector jar); otherwise
+  // cancels with a clear reason. Produce goes through the SAME
+  // (key, value) payload contract the streaming kafkaSink uses, consume
+  // through the S1 source → S2 parse → S3 executor-side profile upsert.
+  test("Kafka E2E: produce -> readStream -> profileSink round-trip " +
+      "(S1/S3/S4, gated on KAFKA_BOOTSTRAP)") {
+    assume(sys.env.contains("KAFKA_BOOTSTRAP"),
+      "set KAFKA_BOOTSTRAP=<host:port> to run the real-broker round-trip")
+    assume(
+      try {
+        Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+        true
+      } catch { case _: ClassNotFoundException => false },
+      "spark-sql-kafka connector jar not on the classpath")
+    val servers = sys.env("KAFKA_BOOTSTRAP")
+    val topic = s"graft_e2e_${java.util.UUID.randomUUID().toString.take(8)}"
+    BehaviorIngest.kafkaPayload(BehaviorIngest.parse(msgs.toDF("value")))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .save()
+    BehaviorIngest.InMemoryKV.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("kafka_e2e").toString
+    val q = BehaviorIngest.profileSink(
+      BehaviorIngest.parse(
+        BehaviorIngest.kafkaSource(spark, servers, topic,
+          startingOffsets = "earliest")),
+      BehaviorIngest.InMemoryKV, ckpt).start()
+    try {
+      // poll: broker publish→fetch latency is real, processAllAvailable
+      // only drains offsets the source has already discovered
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (BehaviorIngest.InMemoryKV.data.size() < 3 &&
+          System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(200)
+      }
+    } finally q.stop()
+    val kv = BehaviorIngest.InMemoryKV.data
+    assert(kv.containsKey("user_profile:u1:100"), s"missing u1:100 in $kv")
+    assert(kv.containsKey("user_profile:u2:200"), s"missing u2:200 in $kv")
+    assert(kv.containsKey("user_profile:u1:300"), s"missing u1:300 in $kv")
+    assert(kv.get("user_profile:u2:200") == """["i3"]""")
+  }
+
   test("observe counters report per-batch ingest metrics (A8)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[String]
