@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   *   - BM25 / token pipeline: t22_bm25, t24_bpe_segment (documents)
   *   - k-core edges: g12_kcore (orders ⋈ lineitem co-purchase graph)
   *   - banded near-dup: d5_minhash_portable (documents; MinHash+LSH)
+  *   - event-time analytics: w6_sessionize, w12_funnel (events)
+  *   - vector families: d6_embedding_dedup, sim5_ivf_portable
+  *     (embeddings; each copy's vectors are ROTATED by the copy index
+  *     so cross-copy pairs aren't exact duplicates — rotation preserves
+  *     norms and within-copy structure, so bucket sizes stay constant
+  *     instead of every LSH bucket collecting K identical vectors)
   *
   * Expected: warm-time ratio ≈ K for linear plans (every family caps
   * its quadratic stage per-bucket, so doubling buckets doubles work).
@@ -31,7 +37,8 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   private val families = Seq(
     "g6_item_cf", "t22_bm25", "t24_bpe_segment", "g12_kcore",
-    "d5_minhash_portable")
+    "d5_minhash_portable", "w6_sessionize", "w12_funnel",
+    "d6_embedding_dedup", "sim5_ivf_portable")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -65,18 +72,37 @@ object ScaleSmoke {
     }
 
     val t0 = System.nanoTime()
+    // events may carry parquet TIMESTAMP(NANOS) in older fixtures —
+    // the same legacy conf Tables.events sets lets the raw copy read
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ord = Tables.orders(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
+    val ev = Tables.table(spark, sfDir, "events")
+    val emb = Tables.embeddings(spark, sfDir)
     val okStride = stride(ord, "o_orderkey")
     val ckStride = stride(ord, "o_custkey")
     val pkStride = stride(li, "l_partkey")
     val dStride = stride(docs, "doc_id")
+    val eStride = stride(ev, "event_id")
+    val uStride = stride(ev, "user_id")
+    val vStride = stride(emb, "vec_id")
     scaleTable("orders", Map("o_orderkey" -> okStride, "o_custkey" -> ckStride))
     scaleTable("lineitem", Map("l_orderkey" -> okStride, "l_partkey" -> pkStride))
     scaleTable("documents", Map("doc_id" -> dStride))
+    scaleTable("events", Map("event_id" -> eStride, "user_id" -> uStride))
+    // embeddings: shift the id AND rotate the vector by the copy index
+    emb.crossJoin(broadcast(copies))
+      .withColumn("vec_id", col("vec_id") + col("__copy") * vStride)
+      .withColumn("embedding", expr(
+        "concat(slice(embedding, cast(__copy as int) + 1, " +
+          "size(embedding) - cast(__copy as int)), " +
+          "slice(embedding, 1, cast(__copy as int)))"))
+      .drop("__copy")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
     println(f"SCALESMOKE synth ${factor}x done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    for (t <- Seq("orders", "lineitem", "documents")) {
+    for (t <- Seq("orders", "lineitem", "documents", "events", "embeddings")) {
       val n1 = Tables.table(spark, sfDir, t).count()
       val nK = Tables.table(spark, workDir, t).count()
       println(s"SCALESMOKE rows $t 1x=$n1 ${factor}x=$nK")

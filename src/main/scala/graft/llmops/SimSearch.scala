@@ -135,7 +135,16 @@ object SimSearch {
     * band (probability rises steeply with cosine — near-identical rows
     * are essentially always caught); [[cosinePairs]] remains the exact
     * small-n verifier. Reference analogue: the all-pairs similarity
-    * matmul (`lightgcn/model.py:133-152`) SURVEY J7 bucketizes. */
+    * matmul (`lightgcn/model.py:133-152`) SURVEY J7 bucketizes.
+    *
+    * Sizing `nBits` at scale: each band has `2^(nBits/bands)` possible
+    * keys, so average bucket size is ~`n / 2^(nBits/bands)` — a FIXED
+    * signature width means buckets (and candidate cost, ~bands ×
+    * bucketSize × n) grow linearly with the corpus. Pick
+    * `nBits ≈ bands × log2(n / targetBucketSize)`: the fixture query
+    * (16 bits, 4 bands) is sized for 10³–10⁵ rows; a 10⁹-row corpus
+    * wants ~64 bits over 4 bands. ScaleSmoke measures this family at
+    * 10× to catch capacity regressions. */
   def lshPairs(embs: DataFrame, id: String, vec: String, dim: Int,
       minCosine: Double, nBits: Int = 16, bands: Int = 4,
       maxBucket: Int = 2000): DataFrame = {
@@ -155,21 +164,23 @@ object SimSearch {
     }
     val banded = v.select(col("__id"), col("__v"),
       explode(array(bandKeys: _*)).as("bk"))
-    val members = banded
+    // Pair generation is a bucket-keyed SELF-JOIN (the d13 semDedup
+    // shape), not collect_list + flatten: members here carry the full
+    // vector (~0.5 KB each), so the old one-row-per-bucket pair array
+    // allocated ~|bucket|² × 1 KB in a single non-spillable task
+    // row — ScaleSmoke measured an executor OOM at 10× sf0.1 (1250-
+    // member buckets → ~860 MB rows) long before the maxBucket cap
+    // (2000) bound anything. A sort-merge self-join on the band key
+    // spills, and the cap still bounds per-bucket candidate count.
+    val capped = banded
       .withColumn("__bc", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
       .where(col("__bc") <= maxBucket)
-      .groupBy(col("bk"))
-      .agg(sort_array(collect_list(
-        struct(col("__id").as("id"), col("__v").as("v")))).as("ms"))
-      .where(size(col("ms")) >= 2)
-    val pairs = members.select(explode(flatten(
-      transform(sequence(lit(0), size(col("ms")) - 2), i =>
-        transform(sequence(i + 1, size(col("ms")) - 1), j =>
-          struct(element_at(col("ms"), i + 1).as("a"),
-            element_at(col("ms"), j + 1).as("b")))))).as("p"))
-    pairs.select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        graft.functions.GraftFunctions.cosine(col("p.a.v"), col("p.b.v"))
+      .select(col("bk"), col("__id"), col("__v"))
+    capped.as("l").join(capped.as("r"),
+        col("l.bk") === col("r.bk") && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        graft.functions.GraftFunctions.cosine(col("l.__v"), col("r.__v"))
           .as("cosine"))
       .where(col("cosine") >= minCosine)
       .distinct()
