@@ -501,6 +501,20 @@ class OpsSpec extends AnyFunSuite {
     assert(plain.count() == 4)
   }
 
+  test("mergeUpsert: matched change row with a NULL column wins verbatim") {
+    // full-row-image semantics: a change that legitimately NULLs a
+    // column must not resurrect the stale base value (the coalesce
+    // trap — a per-column coalesce passes the l4 fixture, which has no
+    // nulls, and silently corrupts streaming CDC)
+    val base = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0))
+      .toDF("k", "s", "v")
+    val changes = Seq((1L, None: Option[String], 11.0, false))
+      .toDF("k", "s", "v", "del")
+    val got = Layout.mergeUpsert(base, changes, Seq("k"), $"del")
+      .as[(Long, Option[String], Double)].collect().toSet
+    assert(got == Set((1L, None, 11.0), (2L, Some("b"), 20.0)))
+  }
+
   test("labelPropagation: two triangles with a bridge stay separate communities") {
     // triangle {1,2,3} — bridge 3-4 — triangle {4,5,6}; 3 sync rounds
     // with min tie-breaks resolve to label 1 and label 3 (hand-traced)

@@ -446,6 +446,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(opts.get("kafka.bootstrap.servers") == "broker:9092")
   }
 
+  test("recoverSwap heals both crash windows of the snapshot commit") {
+    def mkTable(dir: java.io.File, marker: String, success: Boolean): Unit = {
+      dir.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "part-00000").toPath, marker)
+      if (success)
+        java.nio.file.Files.writeString(
+          new java.io.File(dir, "_SUCCESS").toPath, "")
+    }
+    def marker(dir: java.io.File): String =
+      java.nio.file.Files.readString(
+        new java.io.File(dir, "part-00000").toPath)
+    val root = java.nio.file.Files.createTempDirectory("swap").toFile
+    // window 1 — crash BETWEEN the two renames: live absent, .old holds
+    // the prior snapshot, .next is _SUCCESS-complete (its merge already
+    // happened) → roll FORWARD, the replayed batch must see .next
+    val t1 = new java.io.File(root, "t1")
+    mkTable(new java.io.File(root, "t1.next"), "merged", success = true)
+    mkTable(new java.io.File(root, "t1.old"), "prior", success = true)
+    BehaviorIngest.recoverSwap(t1.getPath)
+    assert(t1.exists() && marker(t1) == "merged")
+    // window 2 — live absent but .next incomplete (no _SUCCESS): the
+    // merge never finished → roll BACK to the prior snapshot
+    val t2 = new java.io.File(root, "t2")
+    mkTable(new java.io.File(root, "t2.next"), "torn", success = false)
+    mkTable(new java.io.File(root, "t2.old"), "prior", success = true)
+    BehaviorIngest.recoverSwap(t2.getPath)
+    assert(t2.exists() && marker(t2) == "prior")
+    // healthy table: recoverSwap must be a no-op even with stale .next
+    val t3 = new java.io.File(root, "t3")
+    mkTable(t3, "live", success = true)
+    mkTable(new java.io.File(root, "t3.next"), "stale", success = true)
+    BehaviorIngest.recoverSwap(t3.getPath)
+    assert(marker(t3) == "live")
+  }
+
   // The one gap the container can't close by itself: a real-broker
   // round-trip. Runs only when the driver provides a broker via
   // KAFKA_BOOTSTRAP (and the spark-sql-kafka connector jar); otherwise
