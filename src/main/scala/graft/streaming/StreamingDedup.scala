@@ -44,7 +44,13 @@ object StreamingDedup {
   /** An incoming doc matched a previously-claimed doc in some band. */
   case class DupCandidate(doc_id: Long, dup_of: Long, est_jaccard: Double)
 
-  private case class Claim(doc_id: Long, sig: Seq[String])
+  /** Stored claimant of a band bucket (state rows). Public and
+    * object-nested (not method-local, not `private`): the state encoder's
+    * generated projection lives in a Janino class outside this file, and
+    * a `private` member fails compilation there — Spark then silently
+    * falls back to INTERPRETED per-row projection for every state access
+    * (observed as `Expr codegen error` warnings in the suite log). */
+  case class Claim(doc_id: Long, sig: Seq[String])
 
   /** Project a (doc_id, text) frame — batch or streaming — onto exploded
     * band rows with the portable signature. Degenerate empty-shingle docs
