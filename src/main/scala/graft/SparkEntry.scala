@@ -2868,6 +2868,91 @@ object SparkEntry {
       Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc), 1)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
 
+  /** L5: snapshot diff ([[Layout.snapshotDiff]]) — per-customer order
+    * state over the 1995–96 window vs the 1996–97 window: customers
+    * active only in the earlier window emit `removed`, only in the
+    * later `added`, in both with different (n_orders, total) `changed`
+    * with the exact differing columns listed; the unchanged majority is
+    * filtered before any wide row is built. The CDC primitive that
+    * audits a nightly load or regression-tests a pipeline rewrite. */
+  private val l5SnapshotDiff: Q = (s, dir) => {
+    def snap(years: Seq[Int]) = Tables.orders(s, dir)
+      .where(year(col("o_orderdate")).isin(years.map(Integer.valueOf): _*))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+    Layout.snapshotDiff(snap(Seq(1995, 1996)), snap(Seq(1996, 1997)),
+      Seq("custkey"))
+  }
+
+  /** G13: association rules ([[ItemCf.associationRules]]) — directed
+    * "bought X ⇒ also bought Y" rules with support / confidence / lift
+    * over the same capped parts-bought-together baskets as g6; minCo 2
+    * keeps singleton noise out, and both rule directions emit (their
+    * confidences differ even though support is shared). */
+  private val g13AssocRules: Q = (s, dir) =>
+    ItemCf.associationRules(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", maxBasket = 50, minCo = 2L)
+
+  /** X21: smoothed target encoding ([[Features.targetEncode]]) — the
+    * order-priority categorical encoded against order value with a
+    * 20-pseudo-count shrink toward the global mean: the table a
+    * training pipeline joins onto train AND eval features in place of
+    * a one-hot or hashed category. */
+  private val x21TargetEncode: Q = (s, dir) =>
+    Features.targetEncode(
+      Tables.orders(s, dir).select(col("o_orderpriority"),
+        col("o_totalprice")),
+      "o_orderpriority", "o_totalprice", m = 20.0)
+      .select(col("o_orderpriority").as("category"), col("n"),
+        col("enc"), col("prior"))
+
+  /** X22: equi-depth feature binning ([[Features.quantileBins]]) —
+    * order value discretized into 8 exact-quantile bins, then the bin
+    * histogram (count, span) that validates the discretizer: near-equal
+    * counts, contiguous spans. The boundary aggregate broadcasts; bin
+    * assignment is a pure expression scan, no sort of the data. */
+  private val x22QuantileBins: Q = (s, dir) =>
+    Features.quantileBins(
+      Tables.orders(s, dir).select(col("o_totalprice")),
+      "o_totalprice", nBins = 8, outCol = "bin")
+      .groupBy(col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+
+  /** X24: leave-one-out split ([[Sampling.leaveOneOut]]) — each
+    * customer's latest order (date, orderkey tiebreak) held out as the
+    * eval interaction with the remaining count as n_train: the standard
+    * offline-recsys protocol's data prep, one window shuffle. */
+  private val x24LeaveOneOut: Q = (s, dir) =>
+    Sampling.leaveOneOut(
+      Tables.orders(s, dir).select(col("o_custkey").as("cust"),
+        col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+      "cust", Seq(col("o_orderdate"), col("o_orderkey")))
+      .select(col("cust"), col("o_orderkey").as("test_order"),
+        round(col("o_totalprice"), 2).as("test_price"), col("n_train"))
+
+  /** T28: PMI collocations ([[TextAnalysis.pmiPairs]]) — document-level
+    * pointwise mutual information over the 150 highest-df tokens:
+    * which terms co-occur more than independence predicts. Vocabulary
+    * cap bounds the pair space at any corpus size. */
+  private val t28Pmi: Q = (s, dir) =>
+    TextAnalysis.pmiPairs(Tables.documents(s, dir), "doc_id", "text",
+      vocabSize = 150, minCo = 5L)
+
+  /** T29: interpolated bigram LM scoring ([[TextAnalysis.bigramLmScore]])
+    * — per-doc average negative log probability under a
+    * corpus-trained λ=0.75 bigram/unigram mixture; the word-order
+    * quality signal unigram profiling (t10) cannot see. λ=0.75 is
+    * binary-exact, so 1−λ is the SAME double in any engine — 0.7 would
+    * make Scala's `1.0 - 0.7` and the oracle's literal `0.3` differ in
+    * the last ulp. */
+  private val t29BigramLm: Q = (s, dir) =>
+    TextAnalysis.bigramLmScore(Tables.documents(s, dir), "doc_id", "text",
+      lambda = 0.75)
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -3054,6 +3139,13 @@ object SparkEntry {
     "t15_heavy_hitters_exact" -> t15HeavyHittersExact,
     "t16_winnowing" -> t16Winnowing,
     "a16_approx_percentiles" -> a16ApproxPercentiles,
+    "l5_snapshot_diff" -> l5SnapshotDiff,
+    "g13_assoc_rules" -> g13AssocRules,
+    "x21_target_encode" -> x21TargetEncode,
+    "x22_quantile_bins" -> x22QuantileBins,
+    "x24_leave_one_out" -> x24LeaveOneOut,
+    "t28_pmi" -> t28Pmi,
+    "t29_bigram_lm" -> t29BigramLm,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -5941,5 +6033,111 @@ object SparkEntry {
         NeuralOracle.rankNetCtes(NeuralForward.fixtureRankNet(), rnPairs, "r") + "\n" +
         tail
     },
+    "l5_snapshot_diff" ->
+      """WITH a AS (SELECT o_custkey AS custkey, count(*) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS total
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996) GROUP BY 1),
+        |b AS (SELECT o_custkey AS custkey, count(*) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS total
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1),
+        |j AS (SELECT coalesce(a.custkey, b.custkey) AS custkey,
+        |    a.custkey AS ak, b.custkey AS bk, a.n_orders AS an,
+        |    a.total AS at2, b.n_orders AS bn, b.total AS bt2
+        |  FROM a FULL JOIN b ON a.custkey = b.custkey)
+        |SELECT custkey,
+        |  CASE WHEN ak IS NULL THEN 'added'
+        |    WHEN bk IS NULL THEN 'removed' ELSE 'changed' END AS change,
+        |  CASE WHEN ak IS NULL OR bk IS NULL THEN CAST([] AS VARCHAR[])
+        |    ELSE list_sort(list_filter([
+        |      CASE WHEN an IS DISTINCT FROM bn THEN 'n_orders' END,
+        |      CASE WHEN at2 IS DISTINCT FROM bt2 THEN 'total' END],
+        |      x -> x IS NOT NULL)) END AS changed_cols
+        |FROM j WHERE ak IS NULL OR bk IS NULL
+        |  OR an IS DISTINCT FROM bn OR at2 IS DISTINCT FROM bt2""".stripMargin,
+    "g13_assoc_rules" ->
+      """WITH ui AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |deg AS (SELECT i, count(*) AS deg FROM ui GROUP BY i),
+        |nb AS (SELECT count(DISTINCT b) AS n FROM ui),
+        |cap AS (SELECT b, i FROM (SELECT b, i,
+        |    count(*) OVER (PARTITION BY b) AS bc FROM ui) WHERE bc <= 50),
+        |co AS (SELECT a.i AS ia, c.i AS ib, count(*) AS co
+        |  FROM cap a JOIN cap c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT ia AS antecedent, ib AS consequent, co FROM co
+        |  UNION ALL SELECT ib, ia, co FROM co)
+        |SELECT antecedent, consequent, co,
+        |  round(co * 1.0 / n, 6) AS support,
+        |  round(co * 1.0 / da.deg, 6) AS confidence,
+        |  round(co * 1.0 * n / (da.deg * dc.deg), 6) AS lift
+        |FROM d JOIN deg da ON da.i = antecedent
+        |  JOIN deg dc ON dc.i = consequent CROSS JOIN nb""".stripMargin,
+    "x21_target_encode" ->
+      """WITH p AS (SELECT avg(o_totalprice) AS pr FROM orders)
+        |SELECT o_orderpriority AS category, count(*) AS n,
+        |  round((sum(o_totalprice) + 20.0 * pr) / (count(*) + 20.0), 6)
+        |    AS enc,
+        |  round(pr, 6) AS prior
+        |FROM orders CROSS JOIN p GROUP BY o_orderpriority, pr""".stripMargin,
+    "x22_quantile_bins" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bounds
+        |  FROM orders),
+        |a AS (SELECT o_totalprice,
+        |    1 + len(list_filter(bounds, x -> x <= o_totalprice)) AS bin
+        |  FROM orders CROSS JOIN b)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM a GROUP BY 1""".stripMargin,
+    "x24_leave_one_out" ->
+      """SELECT o_custkey AS cust, o_orderkey AS test_order,
+        |  round(o_totalprice, 2) AS test_price,
+        |  CAST(cnt - 1 AS BIGINT) AS n_train
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+        |    count(*) OVER (PARTITION BY o_custkey) AS cnt
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "t28_pmi" ->
+      """WITH tk AS (SELECT doc_id AS d,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS t
+        |  FROM documents),
+        |dt AS (SELECT DISTINCT d, t FROM tk),
+        |df AS (SELECT t, count(*) AS dfc FROM dt GROUP BY t),
+        |v AS (SELECT t, dfc FROM (SELECT t, dfc,
+        |    row_number() OVER (ORDER BY dfc DESC, t) AS rk FROM df)
+        |  WHERE rk <= 150),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |co AS (SELECT a.t AS token_a, b.t AS token_b, count(*) AS n_ab
+        |  FROM dt a JOIN dt b ON a.d = b.d AND a.t < b.t
+        |  JOIN v va ON va.t = a.t JOIN v vb ON vb.t = b.t
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT token_a, token_b, n_ab,
+        |  round(ln(n_ab * 1.0 * n / (va.dfc * vb.dfc)), 6) AS pmi
+        |FROM co JOIN v va ON va.t = token_a
+        |  JOIN v vb ON vb.t = token_b CROSS JOIN nd""".stripMargin,
+    "t29_bigram_lm" ->
+      """WITH tk AS (SELECT doc_id AS d,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |toks AS (SELECT d, unnest(t) AS w FROM tk),
+        |uni AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+        |tot AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM toks),
+        |pr AS (SELECT d, unnest(t[1:len(t)-1]) AS prev,
+        |    unnest(t[2:len(t)]) AS w
+        |  FROM tk WHERE len(t) >= 2),
+        |bi AS (SELECT prev, w, count(*) AS cb FROM pr GROUP BY 1, 2),
+        |sc AS (SELECT p.d,
+        |    -ln(0.75 * bi.cb / up.cw + 0.25 * (uw.cw + 1) / (n + v))
+        |      AS nll
+        |  FROM pr p JOIN bi ON bi.prev = p.prev AND bi.w = p.w
+        |  JOIN uni up ON up.w = p.prev
+        |  JOIN uni uw ON uw.w = p.w CROSS JOIN tot)
+        |SELECT d AS doc_id, count(*) AS n_scored,
+        |  round(avg(nll), 6) AS avg_nll
+        |FROM sc GROUP BY d""".stripMargin,
   )
 }

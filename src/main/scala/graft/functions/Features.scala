@@ -62,4 +62,51 @@ object Features {
         sequence(lit(0), size(values) - 1),
         (v, j) => v * pow(lit(1.0 - alpha), j.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Smoothed target (mean) encoding table (Micci-Barreca, SIGKDD
+    * Explorations 2001): per category,
+    * `enc = (sum(target) + m · prior) / (n + m)` where `prior` is the
+    * global target mean and `m` the smoothing pseudo-count — rare
+    * categories shrink toward the prior instead of memorizing noise.
+    * Returns the encoding TABLE (category, n, enc) rather than the
+    * joined-back frame: the table is what a training pipeline persists
+    * (computed on the train split only, then joined to train AND eval —
+    * joining inside would invite leakage by recomputation). One keyed
+    * aggregate + a broadcast single-row prior; the join-back the caller
+    * does is a broadcast join for any real cardinality. Deterministic
+    * sum order via 6-dp rounding. */
+  def targetEncode(df: DataFrame, category: String, target: String,
+      m: Double = 20.0): DataFrame = {
+    val prior = df.agg(avg(col(target)).as("__prior"))
+    df.groupBy(col(category))
+      .agg(count(lit(1)).as("n"), sum(col(target)).as("__sum"))
+      .crossJoin(broadcast(prior))
+      .select(col(category), col("n"),
+        round((col("__sum") + lit(m) * col("__prior")) /
+          (col("n") + lit(m)), 6).as("enc"),
+        round(col("__prior"), 6).as("prior"))
+  }
+
+  /** Equi-depth (quantile) binning: exact interpolated `nBins`-quantile
+    * boundaries of `valueCol` (Spark `percentile` ≙ DuckDB
+    * `quantile_cont`), then each row is assigned the 1-based bin whose
+    * upper boundary first reaches its value — the feature discretizer a
+    * GBDT/embedding pipeline runs before hashing continuous features.
+    * The boundary aggregate is one small job whose result broadcasts;
+    * assignment is a pure expression scan (no shuffle, no sort of the
+    * data itself), so the op is a single pass at any scale — unlike an
+    * `ntile` lowering, which would force a global sort. Interior
+    * boundaries only: values below b(1) fall in bin 1 via the filter
+    * semantics, at-or-above the last interior boundary in bin nBins. */
+  def quantileBins(df: DataFrame, valueCol: String, nBins: Int,
+      outCol: String): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val bounds = df.agg(
+      percentile(col(valueCol), array(qs.map(lit): _*)).as("__bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(outCol,
+        size(filter(col("__bounds"), b => b <= col(valueCol))) + 1)
+      .drop("__bounds")
+  }
 }

@@ -523,6 +523,102 @@ object TextAnalysis {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Document-level PMI co-occurrence (Church & Hanks, CL 1990) over a
+    * bounded vocabulary: restrict to the `vocabSize` highest-document-
+    * frequency tokens (ties broken by token — deterministic), take each
+    * doc's DISTINCT vocab tokens, and for every co-occurring pair count
+    * docs and score `pmi = ln(n_ab · N / (n_a · n_b))` — the
+    * collocation / related-terms table a curation pipeline uses for
+    * query expansion and topic auditing. The vocabulary cap is the
+    * scale bound: pair space is ≤ |V|² regardless of corpus size, the
+    * per-doc pair explode is ≤ min(|doc∩V|, |V|)² per row, and the
+    * vocab itself broadcasts (vocabSize ≪ memory). Pairs are kept
+    * ordered (a < b); PMI is symmetric so one row serves both
+    * directions. 6-dp rounding for cross-engine log stability. */
+  def pmiPairs(docs: DataFrame, id: String, text: String,
+      vocabSize: Int, minCo: Long = 2L): DataFrame = {
+    val dt = docs.select(col(id).as("__d"),
+        explode(TextFunctions.tokens(col(text))).as("__t"))
+      .distinct()
+    // distributed global top-k (TakeOrderedAndProject) — a row_number
+    // window here would funnel the ENTIRE vocabulary through one
+    // partition, the exact single-partition hazard the W-family avoids
+    val vocab = dt.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .orderBy(col("__df").desc, col("__t"))
+      .limit(vocabSize)
+    val nDocs = docs.select(col(id)).distinct()
+      .agg(count(lit(1)).as("__nd"))
+    val members = dt.join(broadcast(vocab.select(col("__t"))), Seq("__t"))
+      .groupBy(col("__d"))
+      .agg(sort_array(collect_list(col("__t"))).as("ms"))
+      .where(size(col("ms")) >= 2)
+    members.select(explode(flatten(
+        transform(sequence(lit(0), size(col("ms")) - 2), i =>
+          transform(sequence(i + 1, size(col("ms")) - 1), j =>
+            struct(element_at(col("ms"), i + 1).as("a"),
+              element_at(col("ms"), j + 1).as("b")))))).as("p"))
+      .groupBy(col("p.a").as("token_a"), col("p.b").as("token_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCo)
+      .join(broadcast(vocab.select(col("__t").as("token_a"),
+        col("__df").as("__na"))), "token_a")
+      .join(broadcast(vocab.select(col("__t").as("token_b"),
+        col("__df").as("__nb"))), "token_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("token_a"), col("token_b"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("__nd") /
+          (col("__na") * col("__nb"))), 6).as("pmi"))
+  }
+
+  /** Interpolated bigram language-model scoring (Jelinek & Mercer 1980
+    * smoothing, the classic λ-interpolation) — one step up from the
+    * unigram LM quality signal: train bigram and unigram counts on the
+    * corpus itself, then score each doc's average negative log
+    * probability `-mean(ln(λ·P(w|prev) + (1-λ)·P(w)))` over positions
+    * 2..n (P(w) add-1 smoothed over the vocab so unseen rows stay
+    * finite). High avg_nll = surprising word order — boilerplate and
+    * shuffled/garbled text separate from fluent prose even when their
+    * unigram profiles match.
+    *
+    * Lowering: adjacent (prev, w) pairs come from zipping the token
+    * array with its own 1-shifted slice — array-local, no window, no
+    * self-join, no per-doc sort. The pair frame shuffle-joins against
+    * the bigram/unigram count tables on their keys (distributed,
+    * linear; the count tables are corpus-sized and NEVER collected or
+    * broadcast), then one per-doc aggregate. 6-dp rounding. */
+  def bigramLmScore(docs: DataFrame, id: String, text: String,
+      lambda: Double = 0.7): DataFrame = {
+    val tk = docs.select(col(id).as("__d"),
+      TextFunctions.tokens(col(text)).as("__tk"))
+    val toks = tk.select(col("__d"), explode(col("__tk")).as("__w"))
+    val uni = toks.groupBy(col("__w")).agg(count(lit(1)).as("__cw"))
+    val tot = toks.agg(count(lit(1)).as("__n"),
+      countDistinct(col("__w")).as("__v"))
+    val pairs = tk.where(size(col("__tk")) >= 2)
+      .select(col("__d"), explode(zip_with(
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+        (a, b) => struct(a.as("__prev"), b.as("__w")))).as("p"))
+      .select(col("__d"), col("p.__prev").as("__prev"), col("p.__w").as("__w"))
+    val bi = pairs.groupBy(col("__prev"), col("__w"))
+      .agg(count(lit(1)).as("__cb"))
+    // inner joins: every scored pair exists in `bi` (trained on the same
+    // corpus) and both endpoints in `uni` by construction
+    pairs
+      .join(bi, Seq("__prev", "__w"))
+      .join(uni.select(col("__w").as("__prev"), col("__cw").as("__cprev")),
+        Seq("__prev"))
+      .join(uni, Seq("__w"))
+      .crossJoin(broadcast(tot))
+      .select(col("__d"),
+        (-log(lit(lambda) * col("__cb").cast("double") / col("__cprev") +
+          lit(1.0 - lambda) * (col("__cw") + 1).cast("double") /
+            (col("__n") + col("__v")))).as("__nll"))
+      .groupBy(col("__d").as(id))
+      .agg(count(lit(1)).as("n_scored"),
+        round(avg(col("__nll")), 6).as("avg_nll"))
+  }
+
   /** Per-doc analysis record: token counts, quality, lang guess,
     * fingerprint. */
   def analyze(docs: DataFrame, id: String, text: String): DataFrame =

@@ -153,4 +153,46 @@ object Layout {
         when(fromChange, lit("changes")).otherwise(lit("base")).as(p): _*)
     }
   }
+
+  /** Snapshot diff — the inverse of [[mergeUpsert]]: given two
+    * snapshots of the same keyed table, emit one row per key whose
+    * state differs, tagged `added` / `removed` / `changed`, plus the
+    * sorted list of columns whose values differ (null-safe compare,
+    * so NULL→value and value→NULL both count as a change). This is the
+    * change-data-capture primitive a lakehouse derives incrementally
+    * and a plain table must compute: audit "what did last night's load
+    * touch", build a changes feed for [[mergeUpsert]] replication, or
+    * regression-test a pipeline rewrite by diffing old vs new output.
+    *
+    * One full-outer sort-merge join keyed on `key` — a single shuffle
+    * per side at any scale (bucketed snapshots co-locate it away), and
+    * the unchanged majority is filtered BEFORE any wide output is
+    * built, so a 100 TB diff with 0.1% churn emits 0.1% of rows.
+    * Output columns: the key columns, `change`, `changed_cols`. */
+  def snapshotDiff(base: DataFrame, next: DataFrame,
+      key: Seq[String]): DataFrame = {
+    val cols = base.columns.toSeq
+    val vals = cols.filterNot(key.contains)
+    val b = base.select(cols.map(c => col(c).as("__b_" + c)): _*)
+    val n = next.select(cols.map(c => col(c).as("__n_" + c)): _*)
+    // presence flags must be key-derived: a value column can be
+    // legitimately NULL on a present row
+    val inBase = key.map(k => col("__b_" + k).isNotNull).reduce(_ && _)
+    val inNext = key.map(k => col("__n_" + k).isNotNull).reduce(_ && _)
+    val diffs = vals.map(c =>
+      when(!(col("__b_" + c) <=> col("__n_" + c)), lit(c)))
+    b.join(n, key.map(k => col("__b_" + k) === col("__n_" + k))
+        .reduce(_ && _), "full_outer")
+      .withColumn("change",
+        when(!inBase, lit("added"))
+          .when(!inNext, lit("removed"))
+          .when(diffs.map(_.isNotNull).reduce(_ || _), lit("changed")))
+      .where(col("change").isNotNull)
+      .select(key.map(k =>
+          coalesce(col("__b_" + k), col("__n_" + k)).as(k)) ++ Seq(
+        col("change"),
+        when(col("change") === "changed", array_sort(
+          filter(array(diffs: _*), c => c.isNotNull)))
+          .otherwise(array().cast("array<string>")).as("changed_cols")): _*)
+  }
 }

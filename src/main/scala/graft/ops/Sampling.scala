@@ -298,4 +298,29 @@ object Sampling {
         (col("__lo") - col("__b0")).as("intra_rank"),
         ((col("__lo") - col("__b0")) * nBuckets + col("__b")).as("pos"))
   }
+
+  /** Leave-one-out evaluation split — the standard offline-recsys
+    * protocol (He et al., WWW 2017 and most sequential-rec papers):
+    * each user's LAST interaction under `order` becomes the held-out
+    * test item; everything earlier is train. Emits one row per user
+    * holding the test interaction's columns plus `n_train` (users with
+    * a single interaction get n_train = 0 — callers typically filter
+    * them). `order` must totally order each user's rows or the split is
+    * nondeterministic — include a unique tiebreaker.
+    *
+    * One window shuffle keyed on the user; per-user state is a
+    * single-row frame (`row_number` + a count over the same partition),
+    * so no per-user buffering beyond the sort — the same posture as
+    * every W-family window op. */
+  def leaveOneOut(df: DataFrame, user: String,
+      order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(user)).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col(user))))
+      .where(col("__rn") === 1)
+      .withColumn("n_train", col("__n") - 1)
+      .drop("__rn", "__n")
+  }
 }

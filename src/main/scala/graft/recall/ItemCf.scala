@@ -70,6 +70,58 @@ object ItemCf {
     TopK.perGroup(symmetric(co), Seq(col("item")),
       Seq(col("cosine").desc, col("neighbor")), k)
 
+  /** Association rules over the same capped basket machinery
+    * (Agrawal & Srikant, VLDB 1994, specialized to size-1 antecedents —
+    * the form a "frequently bought together" surface actually serves):
+    * each co-occurring item pair yields both directed rules a→b and
+    * b→a with `support = co / N` (N = distinct baskets),
+    * `confidence = co / deg(antecedent)` and
+    * `lift = co · N / (deg(a) · deg(b))`. Degrees and N count ALL
+    * baskets; only the quadratic pair step runs under the
+    * hyperactive-basket cap — identical posture to [[cooccurrence]],
+    * so rule mining stays O(maxBasket × baskets) at any scale. N rides
+    * a broadcast cross-join (single-row build side). Ratios rounded to
+    * 6 dp for cross-engine stability. */
+  def associationRules(baskets: DataFrame, basket: String, item: String,
+      maxBasket: Int = 1000, minCo: Long = 1L,
+      minConfidence: Double = 0.0): DataFrame = {
+    val ui = baskets.select(col(basket).as("__b"), col(item).as("__i"))
+      .distinct()
+    val deg = ui.groupBy(col("__i")).agg(count(lit(1)).as("__deg"))
+    val nB = ui.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val members = ui
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("__b"))))
+      .where(col("__bc") <= maxBasket)
+      .groupBy(col("__b"))
+      .agg(sort_array(collect_list(col("__i"))).as("ms"))
+      .where(size(col("ms")) >= 2)
+    val pairs = members.select(explode(flatten(
+        transform(sequence(lit(0), size(col("ms")) - 2), i =>
+          transform(sequence(i + 1, size(col("ms")) - 1), j =>
+            struct(element_at(col("ms"), i + 1).as("a"),
+              element_at(col("ms"), j + 1).as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= minCo)
+    val directed = pairs.select(col("a").as("antecedent"),
+        col("b").as("consequent"), col("co"))
+      .unionByName(pairs.select(col("b").as("antecedent"),
+        col("a").as("consequent"), col("co")))
+    directed
+      .join(deg.select(col("__i").as("antecedent"), col("__deg").as("__dA")),
+        "antecedent")
+      .join(deg.select(col("__i").as("consequent"), col("__deg").as("__dC")),
+        "consequent")
+      .crossJoin(broadcast(nB))
+      .where(col("co") >= col("__dA") * minConfidence)
+      .select(col("antecedent"), col("consequent"), col("co"),
+        round(col("co") / col("__n").cast("double"), 6).as("support"),
+        round(col("co") / col("__dA").cast("double"), 6).as("confidence"),
+        round(col("co") * col("__n").cast("double") /
+          (col("__dA") * col("__dC")), 6).as("lift"))
+  }
+
   /** Adamic–Adar item-item scoring (Adamic & Adar 2003) — the classic
     * link-prediction baseline on the co-interaction graph: a shared
     * user counts for `1 / ln(basket size)`, so promiscuous users

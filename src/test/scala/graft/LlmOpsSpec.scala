@@ -602,4 +602,51 @@ class LlmOpsSpec extends AnyFunSuite {
       .find(p => p._1 == 1L && p._2 == 2L).get._3
     assert(math.abs(jac - 5.0 / 18.0) < 1e-9)
   }
+
+  test("pmiPairs: vocab cap by df then token, doc-level counts, ln ratio") {
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "y q"))
+      .toDF("doc_id", "text")
+    // df: x=3, y=3, z=1, q=1 → top-3 vocab = x, y, q (tie 1 breaks to q)
+    val got = TextAnalysis.pmiPairs(docs, "doc_id", "text",
+        vocabSize = 3, minCo = 1L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.keySet == Set(("x", "y"), ("q", "y")))
+    assert(got(("x", "y"))._1 == 2L)
+    assert(math.abs(got(("x", "y"))._2 -
+      BigDecimal(math.log(8.0 / 9.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(got(("q", "y"))._2 -
+      BigDecimal(math.log(4.0 / 3.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("bigramLmScore: hand-traced interpolated probabilities") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "b a")).toDF("doc_id", "text")
+    // uni a=3 b=3, n=6 v=2; bi (a,b)=2 (b,a)=1; addone term 4/8=0.5*0.25
+    val got = TextAnalysis.bigramLmScore(docs, "doc_id", "text",
+        lambda = 0.75)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def nll(p: Double) = BigDecimal(-math.log(p)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((1L, nll(0.75 * 2 / 3 + 0.125))))
+    assert(got(2L) == got(1L))
+    assert(got(3L) == ((1L, nll(0.75 * 1 / 3 + 0.125))))
+  }
+
+  test("associationRules: support/confidence/lift hand-traced, minConfidence filters") {
+    val baskets = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 3L)).toDF("b", "i")
+    // N=3; deg 1→3, 2→2, 3→1; co (1,2)=2, (1,3)=1
+    val got = graft.recall.ItemCf.associationRules(baskets, "b", "i",
+        minCo = 1L, minConfidence = 0.5)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // 1→3 has confidence 1/3 < 0.5 → filtered; the other three survive
+    assert(got.keySet == Set((1L, 2L), (2L, 1L), (3L, 1L)))
+    assert(got((1L, 2L)) == ((2L, 0.666667, 0.666667, 1.0)))
+    assert(got((2L, 1L)) == ((2L, 0.666667, 1.0, 1.0)))
+    assert(got((3L, 1L)) == ((1L, 0.333333, 1.0, 1.0)))
+  }
 }

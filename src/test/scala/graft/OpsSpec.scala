@@ -540,4 +540,53 @@ class OpsSpec extends AnyFunSuite {
       (0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
       (1L, 0L, 1L), (1L, 2L, 1L)))
   }
+
+  test("snapshotDiff: added/removed/changed with exact column lists, null-safe") {
+    val base = Seq((1L, Some("a"), Some(10.0)), (2L, Some("b"), None),
+      (3L, Some("c"), Some(30.0)), (5L, None: Option[String], Some(50.0)))
+      .toDF("k", "s", "v")
+    val next = Seq((2L, Some("b2"), None), (3L, Some("c"), Some(30.0)),
+      (4L, Some("d"), Some(40.0)), (5L, None: Option[String], None))
+      .toDF("k", "s", "v")
+    val got = Layout.snapshotDiff(base, next, Seq("k"))
+      .as[(Long, String, Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> (("removed", Seq())),
+      2L -> (("changed", Seq("s"))),     // null v == null v (null-safe)
+      4L -> (("added", Seq())),
+      5L -> (("changed", Seq("v")))))    // value→NULL IS a change
+    // unchanged key 3 emits nothing
+    assert(!got.contains(3L))
+  }
+
+  test("leaveOneOut: latest row per user held out, n_train counts the rest") {
+    val df = Seq(
+      (1L, 101L, 10L), (1L, 102L, 20L), (1L, 103L, 20L), // tie on ts →
+      (2L, 201L, 5L))                                    // id breaks it
+      .toDF("u", "id", "ts")
+    val got = Sampling.leaveOneOut(df, "u", Seq(col("ts"), col("id")))
+      .select($"u", $"id", $"n_train").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 103L, 2L), (2L, 201L, 0L)))
+  }
+
+  test("quantileBins: 1..8 into 4 equi-depth bins of 2, boundary goes up") {
+    val df = (1 to 8).map(_.toDouble).toDF("x")
+    val got = graft.functions.Features.quantileBins(df, "x", 4, "bin")
+      .select($"x", $"bin".cast("long")).as[(Double, Long)]
+      .collect().toMap
+    // interpolated bounds 2.75 / 4.5 / 6.25
+    assert(got == Map(1.0 -> 1L, 2.0 -> 1L, 3.0 -> 2L, 4.0 -> 2L,
+      5.0 -> 3L, 6.0 -> 3L, 7.0 -> 4L, 8.0 -> 4L))
+  }
+
+  test("targetEncode: shrinks rare categories toward the global prior") {
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 0.0), ("b", 1.0))
+      .toDF("c", "y")
+    val got = graft.functions.Features.targetEncode(df, "c", "y", m = 1.0)
+      .select($"c", $"n", $"enc").as[(String, Long, Double)]
+      .collect().map { case (c, n, e) => c -> ((n, e)) }.toMap
+    assert(got == Map("a" -> ((3L, 0.6875)), "b" -> ((1L, 0.875))))
+  }
 }
