@@ -210,6 +210,28 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally assigned.unpersist(): Unit
   }
 
+  test("lshPairsAuto: width grows log2 with corpus size, matches the manual signature") {
+    val emb = Tables.embeddings(spark, TestSpark.sf).limit(200)
+    // n=200, target=50 → ratio 4 → width 2 → nBits 8 over 4 bands
+    val auto = SimSearch.lshPairsAuto(emb, "vec_id", "embedding", 64,
+        minCosine = 0.5, bands = 4, targetBucketSize = 50L)
+      .as[(Long, Long, Double)].collect().toSet
+    val manual = SimSearch.lshPairs(emb, "vec_id", "embedding", 64,
+        minCosine = 0.5, nBits = 8, bands = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == manual)
+    // n=200, target=1000 → ratio clamps to 1 → width 1 → nBits 4
+    val wide = SimSearch.lshPairsAuto(emb, "vec_id", "embedding", 64,
+        minCosine = 0.5, bands = 4, targetBucketSize = 1000L)
+      .as[(Long, Long, Double)].collect().toSet
+    val wideManual = SimSearch.lshPairs(emb, "vec_id", "embedding", 64,
+        minCosine = 0.5, nBits = 4, bands = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(wide == wideManual)
+    // coarser signature → same-or-more candidate coverage
+    assert(auto.subsetOf(wide))
+  }
+
   test("embedding cosine pairs are symmetric-free and above threshold") {
     val emb = Tables.embeddings(spark, TestSpark.sf).limit(100)
     val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding", -1.0)
