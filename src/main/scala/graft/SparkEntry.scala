@@ -1620,9 +1620,10 @@ object SparkEntry {
     * recompute on the induced subgraph, repeat. Bounded rounds like
     * g10 (full decomposition iterates to fixpoint; 3 rounds is the
     * production compromise and keeps the oracle unrollable). Each
-    * round: one degree aggregate + two semi-joins; per-round persist
-    * stops consumer fan-out from re-expanding the lineage (the g11
-    * lesson). Output: surviving (item, degree). */
+    * round: one degree aggregate + two semi-joins; round boundaries
+    * are [[graft.ops.Iterate.snapshot]]s — constant-size plans AND
+    * O(1)-round memory (the predecessor's blocks release as soon as
+    * the new round materializes). Output: surviving (item, degree). */
   private val g12KCore: Q = (s, dir) => {
     val ui = Tables.orders(s, dir)
       .where(year(col("o_orderdate")) === 1995)
@@ -1630,28 +1631,22 @@ object SparkEntry {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
       .distinct()
-    var edges = ui.as("x").join(ui.as("y"), "b")
-      .where(col("x.i") < col("y.i"))
-      .select(col("x.i").as("u"), col("y.i").as("v"))
-      .distinct().persist()
+    var edges = graft.ops.Iterate.snapshot(
+      ui.as("x").join(ui.as("y"), "b")
+        .where(col("x.i") < col("y.i"))
+        .select(col("x.i").as("u"), col("y.i").as("v"))
+        .distinct())
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // eager cache release: each round materializes from its
-    // predecessor's cache, then frees it — footprint stays O(1) rounds.
-    // This costs measured ~1.5 s at sf0.1 vs never releasing (repeat
-    // invocations then can't reuse prior caches), but an unreleased
-    // O(depth) chain is exactly the pattern that OOMs a deep peel at
-    // 100 TB; bounded memory wins over a benchmark artifact.
     for (_ <- 1 to 3) {
       val keep = degrees(edges).where(col("d") >= 3).select(col("n"))
       val prev = edges
-      edges = edges
+      edges = graft.ops.Iterate.snapshot(edges
         .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).persist()
-      edges.count()
-      prev.unpersist(false)
+        .select(col("u"), col("v")))
+      graft.ops.Iterate.release(prev)
     }
     degrees(edges).select(col("n").as("item"), col("d").as("degree"))
   }

@@ -434,14 +434,15 @@ object SimSearch {
       .withColumn("rel",
         graft.functions.GraftFunctions.cosine(col("__qv"), col("__cv")))
       .select(col("query_id"), col("item_id"), col("rel"), col("__cv"))
-    val cands = TopK.perGroup(scored, Seq(col("query_id")),
+    val cands = graft.ops.Iterate.snapshot(
+      TopK.perGroup(scored, Seq(col("query_id")),
         Seq(col("rel").desc, col("item_id")), nCand)
-      .drop("rank").persist()
-    var selected = TopK.perGroup(cands, Seq(col("query_id")),
+      .drop("rank"))
+    var selected = graft.ops.Iterate.snapshot(
+      TopK.perGroup(cands, Seq(col("query_id")),
         Seq(col("rel").desc, col("item_id")), 1)
       .select(col("query_id"), col("item_id"),
-        round(col("rel"), 6).as("mmr"), lit(1L).as("step"), col("__cv"))
-      .persist()
+        round(col("rel"), 6).as("mmr"), lit(1L).as("step"), col("__cv")))
     (2 to k).foreach { step =>
       val picked = selected.select(col("query_id"), col("item_id"))
       val remaining = cands
@@ -460,16 +461,18 @@ object SimSearch {
           Seq(col("__mmr").desc, col("item_id")), 1)
         .select(col("query_id"), col("item_id"), col("__mmr").as("mmr"),
           lit(step.toLong).as("step"), col("__cv"))
-      // eager release: materialize the new selection from its
-      // predecessor's cache, then free the predecessor — one live step
-      // frame, not O(k). Costs ~1.5 s at sf0.1 vs never releasing
-      // (repeat invocations then reused prior runs' caches), but the
-      // greedy walk must not accumulate a cache per step at depth.
+      // snapshot boundary: materialize the new selection from its
+      // predecessor's stored blocks, then free the predecessor — one
+      // live step frame (not O(k)), and each step plans against a
+      // constant-size LogicalRDD leaf instead of a per-step-nested
+      // cached-plan tree (see [[graft.ops.Iterate]]).
       val prev = selected
-      selected = prev.union(next).persist()
-      selected.count()
-      prev.unpersist(false)
+      selected = graft.ops.Iterate.snapshot(prev.union(next))
+      graft.ops.Iterate.release(prev)
     }
+    // the final selection is materialized (snapshots are eager), so the
+    // candidate pool releases now rather than waiting on the ContextCleaner
+    graft.ops.Iterate.release(cands)
     selected.select(col("query_id"), col("item_id"), col("mmr"), col("step"))
   }
 }

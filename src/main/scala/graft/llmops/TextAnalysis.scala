@@ -258,7 +258,11 @@ object TextAnalysis {
         explode(sequence(lit(1), length(col("__w")))).as("__pos"))
       .select(col("__w"), col("__n"), col("__pos"),
         col("__w").substr(col("__pos"), lit(1)).as("__sym"))
-    val cached = scala.collection.mutable.Buffer(syms.persist())
+    // round boundaries are [[graft.ops.Iterate.snapshot]]s: each merge
+    // round's symbol frame is materialized behind a LogicalRDD leaf and
+    // its predecessor released — constant-size plans (a per-round persist
+    // chain nests every prior round's tree) and O(1)-round memory.
+    syms = graft.ops.Iterate.snapshot(syms)
     val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
     val byPos = Window.partitionBy(col("__w")).orderBy(col("__pos"))
     var round = 1
@@ -274,15 +278,16 @@ object TextAnalysis {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         merges += ((round.toLong, l, r, c))
-        syms = applyMerge(paired, l, r).persist()
-        cached += syms
+        val prev = syms
+        syms = graft.ops.Iterate.snapshot(applyMerge(paired, l, r))
+        graft.ops.Iterate.release(prev)
         round += 1
       }
     }
     // `out` is a local relation (the merges were already fetched), so the
-    // per-round caches can be released before returning it.
+    // final round's blocks can be released before returning it.
+    graft.ops.Iterate.release(syms)
     val out = merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
-    cached.foreach(_.unpersist())
     out
   }
 

@@ -70,51 +70,53 @@ object Graph {
     * (the intended use: grouping [[graft.llmops.Dedup]] candidate pairs
     * into duplicate clusters) diameters are tiny, so this beats the
     * O(log n) large-star/small-star scheme that pays more per round.
-    * Each round is one shuffle (groupBy node); labels are persisted per
-    * round and the predecessor released, so cache footprint is O(1)
-    * rounds and the convergence-check action doesn't regrow lineage.
+    * Each round is one shuffle (groupBy node); round boundaries are
+    * [[Iterate.snapshot]]s — constant-size plans (a per-round persist
+    * nests the previous round's whole tree inside the InMemoryRelation,
+    * and AQE's per-stage explain render plus CacheManager matching then
+    * grow super-linearly in rounds), O(1)-round cache footprint, and
+    * the convergence-check action doesn't regrow lineage.
     *
     * Input: undirected edge list (pairs, either orientation). Output:
     * (node, component) for every node appearing in ≥ 1 edge. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 25): DataFrame = {
-    // persist the symmetrized edges: the upstream pair pipeline (often an
-    // expensive near-dup candidate generation) must not re-run per round.
-    // Symmetrize by exploding each edge into both orientations — a union
-    // of two selects would evaluate the upstream pipeline TWICE during
-    // this persist's first materialization
-    val sym = edges.select(explode(array(
+    // snapshot the symmetrized edges: the upstream pair pipeline (often
+    // an expensive near-dup candidate generation) must not re-run per
+    // round, and its (potentially huge) plan must not be nested by every
+    // round's tree. Symmetrize by exploding each edge into both
+    // orientations — a union of two selects would evaluate the upstream
+    // pipeline TWICE during this materialization
+    val sym = Iterate.snapshot(edges.select(explode(array(
         struct(col(src).as("__n"), col(dst).as("__m")),
         struct(col(dst).as("__n"), col(src).as("__m")))).as("__e"))
-      .select(col("__e.__n"), col("__e.__m"))
-      .persist()
-    var cached = sym.select(col("__n")).distinct()
-      .select(col("__n"), col("__n").as("__lbl")).persist()
+      .select(col("__e.__n"), col("__e.__m")))
+    var cached = Iterate.snapshot(sym.select(col("__n")).distinct()
+      .select(col("__n"), col("__n").as("__lbl")))
     var labels = cached
-    labels.count()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       // one pass per round: carry the old label through the neighbor-min
       // aggregation so the convergence check is a filter over the same
-      // cached frame instead of a third join + shuffle
-      val next = sym.join(labels.withColumnRenamed("__n", "__m"), "__m")
-        .groupBy(col("__n")).agg(min(col("__lbl")).as("__nbr"))
-        .join(labels, "__n")
-        .select(col("__n"), col("__lbl").as("__old"),
-          least(col("__lbl"), col("__nbr")).as("__lbl"))
-        .persist()
+      // materialized frame instead of a third join + shuffle
+      val next = Iterate.snapshot(
+        sym.join(labels.withColumnRenamed("__n", "__m"), "__m")
+          .groupBy(col("__n")).agg(min(col("__lbl")).as("__nbr"))
+          .join(labels, "__n")
+          .select(col("__n"), col("__lbl").as("__old"),
+            least(col("__lbl"), col("__nbr")).as("__lbl")))
       val changed = next.where(col("__lbl") =!= col("__old")).count()
-      cached.unpersist(false)
+      Iterate.release(cached)
       cached = next
       labels = next.select(col("__n"), col("__lbl"))
       converged = changed == 0
       iter += 1
     }
-    sym.unpersist(false)
-    // the final labels stay persisted: the caller's action reads the cached
-    // fixpoint instead of recomputing every iteration's lineage; once the
-    // result goes unreferenced the ContextCleaner reclaims the blocks
+    Iterate.release(sym)
+    // the final labels stay materialized: the caller's action reads the
+    // stored fixpoint instead of recomputing every iteration's lineage;
+    // once the result goes unreferenced the ContextCleaner reclaims it
     labels.select(col("__n").as(src), col("__lbl").as("component"))
   }
 
@@ -138,25 +140,29 @@ object Graph {
     * output (node, label) for every node with ≥ 1 edge. */
   def labelPropagation(edges: DataFrame, src: String, dst: String,
       rounds: Int): DataFrame = {
-    // persist the symmetrized edges — reused every round; the cache fills
-    // during round 1's first scan and later rounds' stages reuse it (the
-    // upstream pair generation is often the expensive part)
-    val sym = edges.select(explode(array(
+    // snapshot the symmetrized edges — reused every round (the upstream
+    // pair generation is often the expensive part), and the LogicalRDD
+    // leaf keeps each round's plan from nesting the whole pipeline
+    val sym = Iterate.snapshot(edges.select(explode(array(
         struct(col(src).as("__n"), col(dst).as("__m")),
         struct(col(dst).as("__n"), col(src).as("__m")))).as("__e"))
-      .select(col("__e.__n"), col("__e.__m")).distinct().persist()
+      .select(col("__e.__n"), col("__e.__m")).distinct())
     var labels = sym.select(col("__n")).distinct()
       .select(col("__n"), col("__n").as("__lbl"))
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       val freq = sym
         .join(labels.select(col("__n").as("__m"), col("__lbl")), "__m")
         .groupBy(col("__n"), col("__lbl")).agg(count(lit(1)).as("__c"))
-      labels = TopK.perGroup(freq, Seq(col("__n")),
-          Seq(col("__c").desc, col("__lbl").asc), 1)
-        .select(col("__n"), col("__lbl"))
+      val prev = labels
+      labels = Iterate.snapshot(
+        TopK.perGroup(freq, Seq(col("__n")),
+            Seq(col("__c").desc, col("__lbl").asc), 1)
+          .select(col("__n"), col("__lbl")))
+      if (i > 1) Iterate.release(prev)
     }
-    // sym stays persisted until the caller's action has run; the
-    // ContextCleaner reclaims the blocks once the frame is unreferenced
+    // the final labels are already materialized, so sym can release now;
+    // labels' blocks go to the ContextCleaner once unreferenced
+    if (rounds > 0) Iterate.release(sym)
     labels.select(col("__n").as(src), col("__lbl").as("label"))
   }
 
@@ -185,27 +191,29 @@ object Graph {
     // an iters-round walk would otherwise rebuild it iters(+1) times —
     // unlike lightGcn's LAYERS (whose recompute is cheaper than a persist
     // at bench scale, see scaladoc above), the edge table is loop-invariant
-    // and holds a shuffle (the degree agg), so one persist pays for itself
-    // from the second iteration on
-    val e = edges.select(col(src).as("__s"), col(dst).as("__t"))
-      .join(deg.select(col(src).as("__s"), col("__deg")), "__s")
-      .persist()
+    // and holds a shuffle (the degree agg). Snapshot (not persist) so the
+    // per-round plans stay constant-size — see [[Iterate]]
+    val e = Iterate.snapshot(
+      edges.select(col(src).as("__s"), col(dst).as("__t"))
+        .join(deg.select(col(src).as("__s"), col("__deg")), "__s"))
     val r0 = seeds.select(col(seedCol).as("__id")).distinct()
       .withColumn("__e", lit(1.0))
     var r = r0.select(col("__id"), col("__e").as("__r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(r, col("__s") === col("__id"))
         .groupBy(col("__t"))
         .agg(sum(col("__r") / col("__deg")).as("__c"))
         .select(col("__t").as("__id"), col("__c"))
-      r = r0.join(contrib, Seq("__id"), "full_outer")
+      val prev = r
+      r = Iterate.snapshot(r0.join(contrib, Seq("__id"), "full_outer")
         .select(col("__id"),
           (coalesce(col("__e"), lit(0.0)) * (1.0 - damping) +
-            lit(damping) * coalesce(col("__c"), lit(0.0))).as("__r"))
+            lit(damping) * coalesce(col("__c"), lit(0.0))).as("__r")))
+      if (i > 1) Iterate.release(prev)
     }
-    // no explicit unpersist: the result is still lazy here, so eagerly
-    // unpersisting would drop the cache before the caller's first action;
-    // the ContextCleaner reclaims it once the plan is unreachable
+    // the final ranks are materialized, so the edge table releases now;
+    // the last snapshot goes to the ContextCleaner once unreferenced
+    if (iters > 0) Iterate.release(e)
     r.select(col("__id").as("id"), col("__r").as("score"))
   }
 

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Round-boundary materialization for iterative (fixpoint) dataframe
+  * algorithms: k-core peeling, connected components, label propagation,
+  * PageRank, greedy MMR, BPE merge rounds.
+  *
+  * WHY NOT plain `persist()` per round: a persisted frame shortcuts
+  * EXECUTION, but the Catalyst plan of round N still nests round N-1's
+  * entire tree inside its `InMemoryRelation` (and so on, recursively).
+  * Two costs then grow with the round count even though no extra data
+  * is computed:
+  *
+  *  - AQE posts a `SparkListenerSQLAdaptiveExecutionUpdate` carrying a
+  *    freshly rendered `explainString` of the WHOLE plan on every query
+  *    stage materialization — even with the UI disabled. With nested
+  *    cached plans this rendering is super-linear in rounds; profiled
+  *    on the k-core bench query, the driver spent 150 s of a 167 s run
+  *    inside `generateTreeString` (a second invocation in the same JVM
+  *    reached 177 s cold, because of the next bullet).
+  *  - every new `persist()` adds a CacheManager entry, and every
+  *    subsequent plan is matched against ALL entries by canonicalized
+  *    subtree comparison — O(entries × plan size) at plan time.
+  *
+  * `snapshot` cuts both: `localCheckpoint(eager = true)` materializes
+  * the frame ONCE and replaces its plan with a `LogicalRDD` leaf, so
+  * every later round plans against a constant-size tree and the
+  * CacheManager never sees it. `release` frees a snapshot's blocks
+  * deterministically (the ContextCleaner would eventually reclaim them
+  * after GC, but a deep loop must not rely on GC timing for its memory
+  * bound).
+  *
+  * CLUSTER CAVEAT: local checkpointing truncates lineage, so on a
+  * multi-executor cluster a lost executor makes the snapshot's blocks
+  * unrecoverable (no recompute path). For long-running production
+  * fixpoints prefer `SparkContext.setCheckpointDir` + reliable
+  * `checkpoint()` at the same call sites; the plan-size pathology cured
+  * here exists there identically. On the bench topology (single-JVM
+  * local mode) local checkpoints are exactly as durable as cache.
+  */
+object Iterate {
+
+  /** Materialize `df` (one job) and return a frame backed by the stored
+    * partitions whose plan is a single `LogicalRDD` leaf. Use at every
+    * round boundary of an iterative algorithm; pair with [[release]] on
+    * the PREVIOUS round's snapshot once the new one is materialized. */
+  def snapshot(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+
+  /** Deterministically free the blocks behind a [[snapshot]] frame.
+    * No-op for frames that are not local-checkpoint-backed (the match
+    * finds no `LogicalRDD`), so callers may pass the loop's original
+    * input on round 1 without special-casing. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
+}
