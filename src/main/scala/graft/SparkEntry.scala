@@ -2948,6 +2948,134 @@ object SparkEntry {
     TextAnalysis.bigramLmScore(Tables.documents(s, dir), "doc_id", "text",
       lambda = 0.75)
 
+  /** G14: HITS hubs-and-authorities ([[Graph.hits]]) — 2 max-normalized
+    * power-iteration rounds over the directed supplier→part supply
+    * graph. Authority ranks parts by being supplied by well-connected
+    * (hub) suppliers — a different centrality than g5's seeded
+    * PageRank (authority flows AGAINST hub mass, not along a damped
+    * walk). Oracle replays both rounds relationally. */
+  private val g14Hits: Q = (s, dir) => {
+    val e = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").cast("long").as("src"),
+        col("l_partkey").cast("long").as("dst"))
+    Graph.hits(e, "src", "dst", rounds = 2)
+      .select(col("dst").as("part"),
+        round(col("authority"), 6).as("authority"))
+  }
+
+  /** X25: k-fold cross-validation manifest — every user lands in one
+    * of 5 folds via the PORTABLE hash (md5 prefix mod k, the x1/x19
+    * convention: any engine and any partitioning reproduces the
+    * assignment bit-exactly), and the manifest reports each fold's
+    * user/event mass so a training loop can verify balance before
+    * spending compute. One shuffle (the user-fold aggregate). */
+  private val x25Kfold: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .withColumn("fold",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 6),
+          16, 10).cast("long"), lit(5L)))
+    ev.groupBy(col("fold"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
+
+  /** V6: scalar (int8) quantization audit — the SQ8 compression path
+    * ANN indexes use when product quantization is overkill: per-dim
+    * corpus [min, max] (the trained "codebook" — 2×64 doubles, a
+    * broadcast), each coordinate encoded to an 8-bit level by uniform
+    * gridding, and the per-vector squared reconstruction error
+    * reported. Lowered relationally: posexplode to (vec, dim, x) —
+    * 64×N rows, linear — the 64-row stats aggregate broadcasts back,
+    * and the error re-aggregates per vector; no driver-side math.
+    * round(…,7) absorbs the sub-ulp summation-order drift of the
+    * 64-term error sum. */
+  private val v6Sq8: Q = (s, dir) => {
+    val d = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+    val stats = d.groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    d.join(broadcast(stats), "dim")
+      .withColumn("code",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(floor((col("x") - col("lo")) /
+            ((col("hi") - col("lo")) / 255.0) + 0.5).cast("long")))
+      .withColumn("recon",
+        col("lo") + col("code").cast("double") *
+          (col("hi") - col("lo")) / 255.0)
+      .groupBy(col("vec_id"))
+      // (x−recon)·(x−recon), not pow(…,2): libm pow differs in the last
+      // ulp between engines; multiplication is IEEE-exact in both
+      .agg(round(sum((col("x") - col("recon")) * (col("x") - col("recon"))),
+        7).as("sq_err"))
+  }
+
+  /** T30: last-touch campaign attribution — each purchase's value is
+    * credited to the campaign (the `k` field of the click's JSON
+    * props, mod 10) of the user's LAST click in the 24 h before it;
+    * unattributed purchases (no qualifying click) report as campaign
+    * −1. The classic marketing-analytics join: a per-user range join
+    * (bounded by per-user event counts), a deterministic rank-1 pick
+    * ordered by (click ts, click id) DESC, then the campaign rollup. */
+  private val t30Attribution: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("event_id").as("pid"), col("value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"),
+        col("event_id").as("cid"),
+        pmod(get_json_object(col("props"), "$.k").cast("long"),
+          lit(10L)).as("campaign"))
+    // the window condition lives IN the join: a post-join filter would
+    // drop purchases whose clicks all fall outside the 24 h window
+    // instead of attributing them to campaign −1
+    val joined = purchases.as("p").join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") &&
+          col("c.cts") <= col("p.pts") &&
+          col("c.cts") >= col("p.pts") - lit(86400000000000L),
+        "left")
+      .select(col("p.pid").as("pid"), col("p.value").as("value"),
+        col("c.cts").as("cts"), col("c.cid").as("cid"),
+        col("c.campaign").as("campaign"))
+    val ranked = joined.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid"))
+        .orderBy(col("cts").desc_nulls_last, col("cid").desc_nulls_last)))
+    ranked.where(col("rn") === 1)
+      .select(coalesce(col("campaign"), lit(-1L)).as("campaign"),
+        col("value"))
+      .groupBy(col("campaign"))
+      .agg(count(lit(1)).as("conversions"),
+        round(sum(col("value")), 2).as("revenue"))
+  }
+
+  /** L6: compaction plan — the OPTIMIZE planning step of lakehouse
+    * table maintenance: per month partition, the table's small files
+    * (simulated as o_orderkey mod 200 within the month) greedily
+    * bin-pack in file-id order into target-sized output groups
+    * (bin = cumulative-rows-before ÷ target). Pure window arithmetic —
+    * one shuffle on the partition key, no sort of the data rows — and
+    * the plan (partition, bin, files, rows) is what a rewrite job
+    * would execute. */
+  private val l6CompactionPlan: Q = (s, dir) => {
+    val files = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("part"),
+        pmod(col("o_orderkey"), lit(200L)).as("file_id"))
+      .agg(count(lit(1)).as("rows"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part")).orderBy(col("file_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .withColumn("bin",
+        (coalesce(sum(col("rows")).over(w), lit(0L)) / lit(60L))
+          .cast("long"))
+      .groupBy(col("part"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("total_rows"))
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -3141,6 +3269,11 @@ object SparkEntry {
     "x24_leave_one_out" -> x24LeaveOneOut,
     "t28_pmi" -> t28Pmi,
     "t29_bigram_lm" -> t29BigramLm,
+    "g14_hits" -> g14Hits,
+    "x25_kfold" -> x25Kfold,
+    "v6_sq8" -> v6Sq8,
+    "t30_attribution" -> t30Attribution,
+    "l6_compaction_plan" -> l6CompactionPlan,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -6134,5 +6267,71 @@ object SparkEntry {
         |SELECT d AS doc_id, count(*) AS n_scored,
         |  round(avg(nll), 6) AS avg_nll
         |FROM sc GROUP BY d""".stripMargin,
+    "g14_hits" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+        |    CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+        |a1r AS (SELECT p, CAST(count(*) AS DOUBLE) AS x FROM e GROUP BY p),
+        |a1 AS (SELECT p, x / (SELECT max(x) FROM a1r) AS x FROM a1r),
+        |h1r AS (SELECT e.s, sum(a1.x) AS x FROM e JOIN a1 USING (p)
+        |  GROUP BY e.s),
+        |h1 AS (SELECT s, x / (SELECT max(x) FROM h1r) AS x FROM h1r),
+        |a2r AS (SELECT e.p, sum(h1.x) AS x FROM e JOIN h1 USING (s)
+        |  GROUP BY e.p),
+        |a2 AS (SELECT p, x / (SELECT max(x) FROM a2r) AS x FROM a2r)
+        |SELECT p AS part, round(x, 6) AS authority FROM a2""".stripMargin,
+    "x25_kfold" ->
+      """WITH ev AS (SELECT user_id, value,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 6))
+        |      AS BIGINT) % 5 AS fold
+        |  FROM events)
+        |SELECT fold, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM ev GROUP BY fold""".stripMargin,
+    "v6_sq8" ->
+      """WITH d AS (SELECT vec_id,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings),
+        |st AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM d GROUP BY dim),
+        |c AS (SELECT vec_id, x, lo, hi,
+        |    CASE WHEN hi = lo THEN 0
+        |      ELSE CAST(floor((x - lo) / ((hi - lo) / 255.0) + 0.5)
+        |        AS BIGINT) END AS code
+        |  FROM d JOIN st USING (dim)),
+        |r AS (SELECT vec_id, x,
+        |    lo + CAST(code AS DOUBLE) * (hi - lo) / 255.0 AS recon FROM c)
+        |SELECT vec_id, round(sum((x - recon) * (x - recon)), 7) AS sq_err
+        |FROM r GROUP BY vec_id""".stripMargin,
+    "t30_attribution" ->
+      """WITH ev AS (SELECT event_id, epoch_ns(ts) AS ts, user_id,
+        |    event_type, value, props FROM events),
+        |p AS (SELECT user_id, ts AS pts, event_id AS pid, value FROM ev
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS cts, event_id AS cid,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+        |      AS campaign
+        |  FROM ev WHERE event_type = 'click'),
+        |j AS (SELECT p.pid, p.value, c.cts, c.cid, c.campaign
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |    AND c.cts <= p.pts AND c.cts >= p.pts - 86400000000000),
+        |r AS (SELECT pid, value, campaign,
+        |    row_number() OVER (PARTITION BY pid
+        |      ORDER BY cts DESC NULLS LAST, cid DESC NULLS LAST) AS rn
+        |  FROM j)
+        |SELECT coalesce(campaign, -1) AS campaign,
+        |  count(*) AS conversions, round(sum(value), 2) AS revenue
+        |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "l6_compaction_plan" ->
+      """WITH f AS (SELECT strftime(o_orderdate, '%Y-%m') AS part,
+        |    o_orderkey % 200 AS file_id, count(*) AS nrows
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (SELECT part, file_id, nrows,
+        |    CAST(coalesce(sum(nrows) OVER (PARTITION BY part
+        |      ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 60
+        |      AS BIGINT) AS bin
+        |  FROM f)
+        |SELECT part, bin, count(*) AS n_files,
+        |  CAST(sum(nrows) AS BIGINT) AS total_rows
+        |FROM b GROUP BY part, bin""".stripMargin,
   )
 }

@@ -256,4 +256,53 @@ object Graph {
     acc.withColumn(emb,
       VectorOps.vecScale(col("__sum"), lit(1.0 / (layers + 1)))).drop("__sum")
   }
+
+  /** HITS (Kleinberg hubs-and-authorities), `rounds` synchronous
+    * power-iteration rounds with MAX-normalized half-steps:
+    *
+    * {{{
+    *   a_r(v) = Σ_{u→v} h_{r-1}(u)   then  a_r /= max_v a_r(v)
+    *   h_r(u) = Σ_{u→v} a_r(v)       then  h_r /= max_u h_r(u)
+    * }}}
+    *
+    * with `h_0 ≡ 1` on every source. Max normalization (instead of the
+    * L2 norm of the original formulation) keeps every score in (0, 1]
+    * at O(1) magnitude — stable to round for a bit-exact oracle — and
+    * converges to the same ranking (power iteration is normalization-
+    * invariant up to scale). Each half-step is one shuffle (groupBy on
+    * the receiving side); the max is a broadcast scalar, not a sort.
+    * Round boundaries are [[Iterate.snapshot]]s — constant-size plans,
+    * O(1)-round memory.
+    *
+    * Input: directed edge list src→dst (duplicates tolerated — distinct
+    * below). Output: (dst, authority) for every dst, the `rounds`-round
+    * authority score. */
+  def hits(edges: DataFrame, src: String, dst: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"hits needs >= 1 round, got $rounds")
+    val e = Iterate.snapshot(
+      edges.select(col(src).as("__s"), col(dst).as("__t")).distinct())
+    def maxNorm(df: DataFrame, key: String): DataFrame = {
+      val m = df.agg(max(col("__x")).as("__m"))
+      df.crossJoin(broadcast(m))
+        .select(col(key), (col("__x") / col("__m")).as("__x"))
+    }
+    // h_0 = 1 on every source, so a_1's un-normalized form is in-degree
+    var h = e.select(col("__s")).distinct()
+      .select(col("__s"), lit(1.0).as("__x"))
+    var a = h // placeholder; rounds >= 1 expected by callers
+    for (i <- 1 to rounds) {
+      val aPrev = a
+      a = Iterate.snapshot(maxNorm(
+        e.join(h.select(col("__s"), col("__x").as("__h")), "__s")
+          .groupBy(col("__t")).agg(sum(col("__h")).as("__x")), "__t"))
+      val hPrev = h
+      h = Iterate.snapshot(maxNorm(
+        e.join(a.select(col("__t"), col("__x").as("__a")), "__t")
+          .groupBy(col("__s")).agg(sum(col("__a")).as("__x")), "__s"))
+      if (i > 1) { Iterate.release(aPrev); Iterate.release(hPrev) }
+    }
+    if (rounds > 0) Iterate.release(e)
+    a.select(col("__t").as(dst), col("__x").as("authority"))
+  }
 }

@@ -589,4 +589,38 @@ class OpsSpec extends AnyFunSuite {
       .collect().map { case (c, n, e) => c -> ((n, e)) }.toMap
     assert(got == Map("a" -> ((3L, 0.6875)), "b" -> ((1L, 0.875))))
   }
+
+  test("hits: star source is the top hub, shared sink the top authority") {
+    // s1 supplies p1,p2,p3; s2 supplies p1 only → p1's authority is
+    // boosted by both; after round 2, a(p1)=1 (max-normalized), and the
+    // other parts tie below it. Hand-computed: a1=(2,1,1)/2=(1,.5,.5);
+    // h1=(2,1)/2=(1,.5); a2=(1.5,1,1)/1.5=(1,2/3,2/3).
+    val e = Seq((1L, 101L), (1L, 102L), (1L, 103L), (2L, 101L))
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.hits(e, "src", "dst", rounds = 2)
+      .select($"dst", round($"authority", 6)).as[(Long, Double)]
+      .collect().toMap
+    assert(got(101L) == 1.0)
+    assert(got(102L) == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    assert(got(103L) == got(102L))
+  }
+
+  test("Iterate.snapshot truncates the plan and release frees the blocks") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val snap = graft.ops.Iterate.snapshot(
+      Tables.orders(spark, TestSpark.sf).limit(100)
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("n")))
+    // plan collapsed to a single leaf — no scan, no aggregate nodes
+    assert(snap.queryExecution.optimizedPlan.collectLeaves().size == 1)
+    assert(snap.queryExecution.optimizedPlan.toString.contains("LogicalRDD") ||
+      snap.queryExecution.optimizedPlan.collect { case _ => 1 }.size == 1)
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "snapshot should register persisted blocks")
+    assert(snap.count() > 0)
+    graft.ops.Iterate.release(snap)
+    val after = sc.getPersistentRDDs.keySet
+    assert(added.forall(id => !after.contains(id)),
+      "release should drop the snapshot's persisted RDD")
+  }
 }
