@@ -3076,6 +3076,281 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("total_rows"))
   }
 
+  /** Q6: exact column profiling — the data-quality sweep a pipeline
+    * runs before training on a new corpus drop: per column, row count,
+    * null count, exact distinct cardinality, and mean stringified
+    * length, all in ONE scan (a single multi-aggregate, then a `stack`
+    * unpivot of the 4×4 scalar results — no per-column pass, no
+    * driver-side loop). Exact-distinct shuffles by design; `a14`'s HLL
+    * sketch is the registered approximate twin for when 100 TB makes
+    * exactness optional. */
+  private val q6Profile: Q = (s, dir) => {
+    val cols = Seq("text", "lang", "source", "n_chars")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      round(avg(length(col(c).cast("string"))), 6).as(s"al_$c")))
+    Tables.documents(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.length}, " + cols.map(c =>
+          s"'$c', n_rows, n_rows - nn_$c, nd_$c, al_$c").mkString(", ") +
+          ") as (column_name, n_rows, n_null, n_distinct, avg_len)"))
+  }
+
+  /** M14: Markov next-event recommendation — compose the w14 transition
+    * matrix with each user's latest event (the s12 snapshot) and emit
+    * the top-3 predicted next event types per user. The matrix is a
+    * ≤25-row broadcast, so the only shuffle is the per-user ordering —
+    * and the final rank window reuses that same user partitioning (no
+    * second exchange). The simplest session-based recommender: a
+    * serving-time lookup that is pure relational algebra here. */
+  private val m14MarkovNext: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = ev
+      .withColumn("__next", lead(col("event_type"), 1).over(byUser))
+      .where(col("__next").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n") * lit(1.0) /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+    val last = TopK.perGroup(ev, Seq(col("user_id")),
+        Seq(col("ts").desc, col("event_id").desc), 1)
+      .select(col("user_id"), col("event_type").as("cur_type"))
+    val ranked = last.join(broadcast(trans),
+        col("cur_type") === col("from_type"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("p").desc, col("to_type"))))
+    ranked.where(col("rank") <= 3)
+      .select(col("user_id"), col("cur_type"),
+        col("to_type").as("next_type"), round(col("p"), 6).as("p"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** X26: k-anonymity audit — group the release-candidate table by its
+    * quasi-identifiers (nation, market segment, account-balance
+    * thousand-bucket) and flag every anonymity set smaller than k=5 for
+    * suppression; the privacy gate a training-data export runs before
+    * user-level features leave the pipeline. One shuffle (the QI
+    * aggregate); output is bounded by the QI-combination count, not the
+    * row count. */
+  private val x26Kanon: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("suppressed", col("n") < 5)
+
+  /** T31: lexical richness — per-document type/token counts, type-token
+    * ratio, and hapax-legomenon ratio over the same whitespace
+    * tokenization as t3. Explode → (doc, token) count → per-doc
+    * re-aggregate: two shuffles, both on keys that grow linearly with
+    * the corpus; no array materialization of per-doc vocabularies.
+    * The feature trio quality filters use to catch keyword-stuffed and
+    * boilerplate documents (low TTR) vs ones of organic prose. */
+  private val t31Lexical: Q = (s, dir) => {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(
+        filter(split(lower(col("text")), "\\s+"), t => length(t) > 0))
+        .as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("c") === 1, 1)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        round(col("n_types") * lit(1.0) / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax") * lit(1.0) / col("n_types"), 6)
+          .as("hapax_ratio"))
+  }
+
+  /** A33: intra-list diversity of the m1 retrieval lists — 1 − mean
+    * pairwise cosine among each query's top-5 items, the standard
+    * check that a recommender is not returning five near-copies.
+    * Per-list pairwise is k(k−1)/2 with k=5 — bounded by construction
+    * per query, never corpus-quadratic; the item-vector fetch is one
+    * hash join and the pair join is keyed on query_id. Each pairwise
+    * sim rounds to 6 before the mean (the sim9 convention) so both
+    * engines average identical values. */
+  private val a33Ild: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val top = SimSearch.bruteForceTopK(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("item_id"))
+      .join(emb.select(col("vec_id").as("item_id"), col("embedding")),
+        "item_id")
+    val a = top.select(col("query_id"), col("item_id").as("i"),
+      col("embedding").as("va"))
+    val b = top.select(col("query_id"), col("item_id").as("j"),
+      col("embedding").as("vb"))
+    a.join(b, Seq("query_id")).where(col("i") < col("j"))
+      .select(col("query_id"),
+        round(VectorOps.cosine(col("va"), col("vb")), 6).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(round(lit(1.0) - avg(col("sim")), 6).as("ild"),
+        count(lit(1)).as("n_pairs"))
+  }
+
+  /** G15: per-node local clustering coefficient on the g11 co-purchase
+    * window — cc(v) = 2·tri(v) / (d(v)·(d(v)−1)), the node-level
+    * community-density feature (g11 reports only the global closure
+    * ratio). Same degree-oriented wedge machinery as g11 (orientation
+    * bounds the quadratic step on hubs); the only addition is keeping
+    * the wedge apex so each closed triangle can credit all three
+    * corners via a 3-way explode — a bounded, linear post-pass. */
+  private val g15ClusteringCoeff: Q = (s, dir) => {
+    val ui = Tables.orders(s, dir)
+      .where(year(col("o_orderdate")) === 1995)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      .distinct()
+    val und = ui.as("x").join(ui.as("y"), "b")
+      .where(col("x.i") < col("y.i"))
+      .select(col("x.i").as("u"), col("y.i").as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("n")).unionAll(
+        und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(
+            struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("e"))
+      .select(col("e.s"), col("e.t"), col("e.dt"))
+      .persist()
+    val wedges = oriented.as("e1").join(oriented.as("e2"), "s")
+      .where(col("e1.dt") < col("e2.dt") ||
+        (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t")))
+      .select(col("s"), col("e1.t").as("a"), col("e2.t").as("b"))
+    val triNodes = wedges
+      .join(oriented.select(col("s").as("a"), col("t").as("b")),
+        Seq("a", "b"))
+      .select(explode(array(col("s"), col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
+    deg.where(col("d") >= 2)
+      .join(triNodes, Seq("n"), "left")
+      .select(col("n").as("part"), col("d"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(coalesce(col("n_tri"), lit(0L)) * lit(2.0) /
+          (col("d") * (col("d") - lit(1L))), 6).as("cc"))
+  }
+
+  /** SIM11: ANN quality evaluation — recall@5 of the portable LSH index
+    * (sim4's bucket+probe engine) against the exact brute-force top-5
+    * (m1's), per query. THE metric that decides whether an approximate
+    * index is shippable; here it is a join of two already-verified
+    * operators, so the recall numbers themselves are oracle-checkable.
+    * Left join from the exact side: a query whose LSH probes miss
+    * everything still reports recall 0 rather than vanishing. */
+  private val sim11AnnRecall: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val approx = SimSearch.lshTopKPortable(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, dim = 64, nBits = 8)
+      .select(col("query_id"), col("item_id"), lit(1).as("__hit"))
+    val exact = SimSearch.bruteForceTopK(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("item_id"))
+    exact.join(approx, Seq("query_id", "item_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit") * lit(1.0) / col("n_exact"), 6))
+  }
+
+  /** W19: inter-event gap statistics per user — median / p90 / max gap
+    * in integer nanoseconds over the time-ordered stream, the cadence
+    * features behind churn scoring (w15) and bot detection (w17's
+    * burstiness uses the same gaps' dispersion). DISCRETE (type-1)
+    * quantiles — the value at rank ⌈p·n⌉, picked by a rank window —
+    * not interpolated ones: ns gaps here are multiples of 1000, so a
+    * continuous median's two-point midpoint lands EXACTLY on the
+    * round-half boundary and the engines' tie rounding diverges;
+    * integer order statistics hash identically by construction. Two
+    * window passes over one user-partitioned shuffle. */
+  private val w19GapStats: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap", col("ts") - lag(col("ts"), 1).over(byUser))
+      .where(col("gap").isNotNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("gap"))))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))))
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        max(when(col("rn") <= ceil(lit(0.5) * col("cnt")), col("gap")))
+          .as("p50_ns"),
+        max(when(col("rn") <= ceil(lit(0.9) * col("cnt")), col("gap")))
+          .as("p90_ns"),
+        max(col("gap")).as("max_ns"))
+  }
+
+  /** L7: zone-map audit — per storage block (simulated as
+    * l_orderkey÷6000 row groups), min/max ship-date plus whether a
+    * 1995-window predicate could SKIP the block entirely: the
+    * file-skipping arithmetic behind parquet row-group pruning and
+    * lakehouse data-skipping indexes, surfaced as a query so layout
+    * quality (clustering by ship date vs by key) is measurable. One
+    * aggregate over the natural key order; timestamps exported as
+    * epoch-µs so both engines hash identical integers. */
+  private val l7ZoneMap: Q = (s, dir) => {
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1996-01-01").cast("timestamp")
+    Tables.lineitem(s, dir)
+      // parquet NTZ → TIMESTAMP: instant-preserving under the session's
+      // fixed UTC zone, and unix_micros/comparison require LTZ
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      .groupBy(expr("l_orderkey div 6000").as("file_id"))
+      .agg(count(lit(1)).as("nrows"),
+        min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"))
+      .select(col("file_id"), col("nrows"),
+        unix_micros(col("mn")).as("min_ship_us"),
+        unix_micros(col("mx")).as("max_ship_us"),
+        (col("mx") < lo || col("mn") >= hi).as("skip"))
+  }
+
+  /** D16: train/test split leakage audit — near-duplicate documents
+    * that cross the x1-style portable hash split, i.e. test documents
+    * whose near-copy sits in train: the contamination mode that
+    * silently inflates eval metrics. Pure composition of verified
+    * primitives: the portable md5 split (x1) feeding
+    * [[Dedup.minHashMatchesAgainst]] (d11's cross-set engine — banded
+    * signatures, per-side hot-bucket caps, no self-pairing), so the
+    * audit scales exactly as incremental dedup does. */
+  private val d16SplitLeakage: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).withColumn("__split",
+      when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c",
+        "train").otherwise("test"))
+    Dedup.minHashMatchesAgainst(
+        docs.where(col("__split") === "test"),
+        docs.where(col("__split") === "train"),
+        "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
+        minJaccard = 0.3)
+      .select(col("doc_new").as("doc_test"),
+        col("doc_base").as("doc_train"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -3274,6 +3549,16 @@ object SparkEntry {
     "v6_sq8" -> v6Sq8,
     "t30_attribution" -> t30Attribution,
     "l6_compaction_plan" -> l6CompactionPlan,
+    "q6_profile" -> q6Profile,
+    "m14_markov_next" -> m14MarkovNext,
+    "x26_kanon" -> x26Kanon,
+    "t31_lexical" -> t31Lexical,
+    "a33_ild" -> a33Ild,
+    "g15_clustering_coeff" -> g15ClusteringCoeff,
+    "sim11_ann_recall" -> sim11AnnRecall,
+    "w19_gap_stats" -> w19GapStats,
+    "l7_zone_map" -> l7ZoneMap,
+    "d16_split_leakage" -> d16SplitLeakage,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -6333,5 +6618,206 @@ object SparkEntry {
         |SELECT part, bin, count(*) AS n_files,
         |  CAST(sum(nrows) AS BIGINT) AS total_rows
         |FROM b GROUP BY part, bin""".stripMargin,
+    "q6_profile" ->
+      """SELECT 'text' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(text) AS n_null,
+        |  count(DISTINCT text) AS n_distinct,
+        |  round(avg(length(CAST(text AS VARCHAR))), 6) AS avg_len
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*), count(*) - count(lang),
+        |  count(DISTINCT lang),
+        |  round(avg(length(CAST(lang AS VARCHAR))), 6) FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(*) - count(source),
+        |  count(DISTINCT source),
+        |  round(avg(length(CAST(source AS VARCHAR))), 6) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |  count(DISTINCT n_chars),
+        |  round(avg(length(CAST(n_chars AS VARCHAR))), 6)
+        |FROM documents""".stripMargin,
+    "m14_markov_next" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, nxt AS to_type,
+        |    count(*) AS n FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, to_type,
+        |    n * 1.0 / sum(n) OVER (PARTITION BY from_type) AS p FROM c),
+        |l AS (SELECT user_id, event_type AS cur_type FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT user_id, cur_type, to_type AS next_type,
+        |  round(p, 6) AS p, rank
+        |FROM (SELECT l.user_id, l.cur_type, t.to_type, t.p,
+        |    row_number() OVER (PARTITION BY l.user_id
+        |      ORDER BY t.p DESC, t.to_type) AS rank
+        |  FROM l JOIN t ON l.cur_type = t.from_type)
+        |WHERE rank <= 3""".stripMargin,
+    "x26_kanon" ->
+      """SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |  count(*) AS n, count(*) < 5 AS suppressed
+        |FROM customer GROUP BY 1, 2, 3""".stripMargin,
+    "t31_lexical" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |f AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  count(*) FILTER (WHERE c = 1) AS n_hapax,
+        |  round(count(*) * 1.0 / CAST(sum(c) AS BIGINT), 6) AS ttr,
+        |  round((count(*) FILTER (WHERE c = 1)) * 1.0 / count(*), 6)
+        |    AS hapax_ratio
+        |FROM f GROUP BY doc_id""".stripMargin,
+    "a33_ild" ->
+      """WITH top AS (SELECT query_id, item_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(
+        |          CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |  WHERE rank <= 5),
+        |wv AS (SELECT top.query_id, top.item_id, e.embedding
+        |  FROM top JOIN embeddings e ON top.item_id = e.vec_id),
+        |p AS (SELECT a.query_id,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM wv a JOIN wv b ON a.query_id = b.query_id
+        |    AND a.item_id < b.item_id)
+        |SELECT query_id, round(1.0 - avg(sim), 6) AS ild,
+        |  count(*) AS n_pairs
+        |FROM p GROUP BY query_id""".stripMargin,
+    "g15_clustering_coeff" ->
+      """WITH ui AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE year(o_orderdate) = 1995),
+        |und AS (SELECT DISTINCT x.i AS u, y.i AS v FROM ui x
+        |  JOIN ui y ON x.b = y.b AND x.i < y.i),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |    SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY n),
+        |ori AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v)
+        |      THEN u ELSE v END AS s,
+        |    CASE WHEN du < dv OR (du = dv AND u < v)
+        |      THEN v ELSE u END AS t,
+        |    CASE WHEN du < dv OR (du = dv AND u < v)
+        |      THEN dv ELSE du END AS dt
+        |  FROM (SELECT und.u, und.v, d1.d AS du, d2.d AS dv FROM und
+        |    JOIN deg d1 ON d1.n = und.u JOIN deg d2 ON d2.n = und.v)),
+        |w AS (SELECT e1.s AS s, e1.t AS a, e2.t AS b FROM ori e1
+        |  JOIN ori e2 ON e1.s = e2.s AND (e1.dt < e2.dt
+        |    OR (e1.dt = e2.dt AND e1.t < e2.t))),
+        |tri AS (SELECT w.s, w.a, w.b FROM w
+        |  JOIN ori ON ori.s = w.a AND ori.t = w.b),
+        |tn AS (SELECT n, count(*) AS n_tri FROM (
+        |    SELECT s AS n FROM tri UNION ALL SELECT a FROM tri
+        |    UNION ALL SELECT b FROM tri) GROUP BY n)
+        |SELECT deg.n AS part, deg.d,
+        |  coalesce(tn.n_tri, 0) AS n_tri,
+        |  round(coalesce(tn.n_tri, 0) * 2.0 / (deg.d * (deg.d - 1)), 6)
+        |    AS cc
+        |FROM deg LEFT JOIN tn ON deg.n = tn.n
+        |WHERE deg.d >= 2""".stripMargin,
+    "sim11_ann_recall" ->
+      """WITH hyper AS (
+        |  SELECT b, list_transform(generate_series(0, 63), d ->
+        |    CASE WHEN substring(md5(d::VARCHAR || '§' || b::VARCHAR), 1, 1)
+        |      >= '8' THEN 1.0 ELSE -1.0 END) AS h
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS b)),
+        |corpus AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |queries AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |sigc AS (SELECT item_id, v,
+        |    CAST(sum(CASE WHEN list_dot_product(v, h) >= 0
+        |      THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM corpus CROSS JOIN hyper GROUP BY item_id, v),
+        |sigq AS (SELECT query_id, v,
+        |    CAST(sum(CASE WHEN list_dot_product(v, h) >= 0
+        |      THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS b0
+        |  FROM queries CROSS JOIN hyper GROUP BY query_id, v),
+        |probes AS (SELECT query_id, v, unnest(list_prepend(b0,
+        |    list_transform(generate_series(0, 7),
+        |      b -> xor(b0, 1::BIGINT << b)))) AS bucket
+        |  FROM sigq),
+        |approx AS (SELECT query_id, item_id FROM (
+        |  SELECT p.query_id, c.item_id, row_number() OVER (
+        |    PARTITION BY p.query_id
+        |    ORDER BY list_cosine_similarity(p.v, c.v) DESC, c.item_id)
+        |    AS rank
+        |  FROM probes p JOIN sigc c USING (bucket))
+        |  WHERE rank <= 5),
+        |exact AS (SELECT query_id, item_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |  WHERE rank <= 5)
+        |SELECT e.query_id, count(*) AS n_exact,
+        |  count(a.item_id) AS n_hit,
+        |  round(count(a.item_id) * 1.0 / count(*), 6) AS recall
+        |FROM exact e LEFT JOIN approx a
+        |  ON e.query_id = a.query_id AND e.item_id = a.item_id
+        |GROUP BY e.query_id""".stripMargin,
+    "w19_gap_stats" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS gap
+        |  FROM events),
+        |r AS (SELECT user_id, gap,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  max(CASE WHEN rn <= ceil(0.5 * cnt) THEN gap END) AS p50_ns,
+        |  max(CASE WHEN rn <= ceil(0.9 * cnt) THEN gap END) AS p90_ns,
+        |  max(gap) AS max_ns
+        |FROM r GROUP BY user_id""".stripMargin,
+    "l7_zone_map" ->
+      """SELECT l_orderkey // 6000 AS file_id, count(*) AS nrows,
+        |  epoch_us(min(l_shipdate)) AS min_ship_us,
+        |  epoch_us(max(l_shipdate)) AS max_ship_us,
+        |  (max(l_shipdate) < TIMESTAMP '1995-01-01'
+        |    OR min(l_shipdate) >= TIMESTAMP '1996-01-01') AS skip
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "d16_split_leakage" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+        |      THEN 'train' ELSE 'test' END AS split
+        |  FROM documents),
+        |sh AS (SELECT doc_id, split, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
+        |sig AS (SELECT doc_id, split, list_transform(generate_series(0, 15),
+        |      seed -> list_min(list_transform(s, x -> md5(seed || '§' || x)))) AS sg
+        |  FROM sh WHERE len(s) > 0),
+        |banded AS (SELECT doc_id, split, sg, b,
+        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+        |capped AS (SELECT doc_id, split, sg, b, key FROM (
+        |    SELECT banded.*, count(*) OVER (PARTITION BY split, b, key)
+        |      AS bc FROM banded) WHERE bc <= 200),
+        |pairs AS (SELECT DISTINCT n.doc_id AS doc_test,
+        |    o.doc_id AS doc_train,
+        |    len(list_filter(list_transform(generate_series(1, 16),
+        |      i -> n.sg[i] = o.sg[i]), x -> x)) / 16.0 AS ej
+        |  FROM capped n JOIN capped o ON n.b = o.b AND n.key = o.key
+        |  WHERE n.split = 'test' AND o.split = 'train')
+        |SELECT doc_test, doc_train, round(ej, 6) AS est_jaccard
+        |FROM pairs WHERE ej >= 0.3""".stripMargin,
   )
 }
