@@ -3497,6 +3497,101 @@ object SparkEntry {
       .select(col("page_rank"), col("part"), col("src"), col("first_pos"))
   }
 
+  /** D18: MinHash estimator calibration — for every candidate pair the
+    * portable LSH path (d5) surfaces, the EXACT shingle Jaccard
+    * computed pair-locally (set intersection of the two docs' distinct
+    * shingle arrays — bounded by |candidate pairs|·shingle width, never
+    * corpus-quadratic) beside the 16-hash estimate and the signed
+    * error. The audit that decides whether a signature budget is
+    * adequate before a 100 TB dedup run commits to it. */
+  private val d18EstimatorError: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val sh = docs.select(col("doc_id"),
+      array_distinct(TextFunctions.shingles(col("text"), 3)).as("sh"))
+    Dedup.minHashPairsPortable(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.3)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")),
+        "doc_b")
+      .withColumn("__i",
+        size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("exact_jaccard", col("__i") * lit(1.0) /
+        (size(col("sa")) + size(col("sb")) - col("__i")))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"),
+        round(col("exact_jaccard"), 6).as("exact_jaccard"),
+        round(col("est_jaccard") - col("exact_jaccard"), 6).as("err"))
+  }
+
+  /** X28: hard-negative mining — the highest-cosine WRONG-label items
+    * of each query's exact top-5 (m1's lists joined to labels, filtered
+    * to label mismatches): the contrastive-training negatives that
+    * actually move a metric, vs x2/x12's random ones. Bounded at
+    * |queries|·k rows by construction; the label fetch is one hash
+    * join per side. */
+  private val x28HardNegatives: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val lbl = emb.select(col("vec_id"), col("label"))
+    SimSearch.bruteForceTopK(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .join(lbl.select(col("vec_id").as("query_id"),
+        col("label").as("__ql")), "query_id")
+      .join(lbl.select(col("vec_id").as("item_id"),
+        col("label").as("__il")), "item_id")
+      .where(col("__ql") =!= col("__il"))
+      .select(col("query_id"), col("item_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("cosine"), 6).as("cosine"),
+        col("__il").cast("long").as("neg_label"))
+  }
+
+  /** W22: RFM segmentation — per-user recency (days since last event,
+    * against the corpus max), frequency, monetary (rounded BEFORE
+    * scoring so both engines cut identical values), each scored 1–5 by
+    * population quintile. Quintile cuts come from ONE scalar percentile
+    * aggregate broadcast back ([[Features.quantileBins]], the x22
+    * machinery) — no global ntile window, so the scoring pass stays
+    * embarrassingly parallel at any user count. Recency score is
+    * inverted (recent = 5) per the marketing convention. */
+  private val w22Rfm: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val per = ev.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("__last"), count(lit(1)).as("frequency"),
+        round(sum(col("value")), 2).as("monetary"))
+    val now = ev.agg(max(col("ts")).as("__now"))
+    val rfm = per.crossJoin(broadcast(now))
+      .withColumn("recency_days",
+        floor((col("__now") - col("__last")) / lit(86400.0e9)).cast("long"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"))
+    val b1 = Features.quantileBins(rfm, "recency_days", 5, "__rb")
+    val b2 = Features.quantileBins(b1, "frequency", 5, "__fb")
+    val b3 = Features.quantileBins(b2, "monetary", 5, "__mb")
+    b3.select(col("user_id"), col("recency_days"), col("frequency"),
+      col("monetary"),
+      (lit(6) - col("__rb")).cast("long").as("r_score"),
+      col("__fb").cast("long").as("f_score"),
+      col("__mb").cast("long").as("m_score"))
+  }
+
+  /** A35: k-NN confusion matrix — sim9's majority-vote predictions
+    * cross-tabulated against the queries' own labels: the (true, pred,
+    * n) cells that precision/recall-per-class and error analysis read.
+    * The prediction side is the verified sim9 engine; this adds one
+    * broadcast label fetch and a ≤|labels|² aggregate. */
+  private val a35Confusion: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.knnClassify(
+        emb.where(col("vec_id") < 25), emb.where(col("vec_id") >= 25),
+        "vec_id", "embedding", "vec_id", "embedding", "label", k = 10)
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("label").cast("long").as("true_label")), "query_id")
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -3710,6 +3805,10 @@ object SparkEntry {
     "g16_assortativity" -> g16Assortativity,
     "d17_canonicalize" -> d17Canonicalize,
     "x27_interleave" -> x27Interleave,
+    "d18_estimator_error" -> d18EstimatorError,
+    "x28_hard_negatives" -> x28HardNegatives,
+    "w22_rfm" -> w22Rfm,
+    "a35_confusion" -> a35Confusion,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -7081,5 +7180,100 @@ object SparkEntry {
         |    part, CASE WHEN first_pos % 2 = 1 THEN 'qty' ELSE 'rev' END
         |      AS src, first_pos
         |  FROM f) WHERE page_rank <= 10""".stripMargin,
+    "d18_estimator_error" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
+        |      seed -> list_min(list_transform(s, x -> md5(seed || '§' || x)))) AS sg
+        |  FROM sh WHERE len(s) > 0),
+        |banded AS (SELECT doc_id, sg, b,
+        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+        |hot AS (SELECT b, key FROM banded GROUP BY b, key
+        |  HAVING count(*) > 200),
+        |capped AS (SELECT banded.* FROM banded
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |    WHERE hot.b = banded.b AND hot.key = banded.key)),
+        |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    len(list_filter(list_transform(generate_series(1, 16),
+        |      i -> l.sg[i] = r.sg[i]), x -> x)) / 16.0 AS ej
+        |  FROM capped l JOIN capped r
+        |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+        |px AS (SELECT p.doc_a, p.doc_b, p.ej,
+        |    len(list_filter(a.s, x -> list_contains(b.s, x))) AS i,
+        |    len(a.s) AS na, len(b.s) AS nb
+        |  FROM pairs p JOIN sh a ON p.doc_a = a.doc_id
+        |  JOIN sh b ON p.doc_b = b.doc_id
+        |  WHERE p.ej >= 0.3)
+        |SELECT doc_a, doc_b, round(ej, 6) AS est_jaccard,
+        |  round(i * 1.0 / (na + nb - i), 6) AS exact_jaccard,
+        |  round(ej - i * 1.0 / (na + nb - i), 6) AS err
+        |FROM px""".stripMargin,
+    "x28_hard_negatives" ->
+      """WITH top AS (SELECT query_id, item_id, cosine, rank FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])) AS cosine,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |  WHERE rank <= 5)
+        |SELECT t.query_id, t.item_id, t.rank,
+        |  round(t.cosine, 6) AS cosine,
+        |  CAST(il.label AS BIGINT) AS neg_label
+        |FROM top t JOIN embeddings ql ON t.query_id = ql.vec_id
+        |JOIN embeddings il ON t.item_id = il.vec_id
+        |WHERE ql.label <> il.label""".stripMargin,
+    "w22_rfm" ->
+      """WITH per AS (SELECT user_id, max(epoch_ns(ts)) AS last_ns,
+        |    count(*) AS frequency, round(sum(value), 2) AS monetary
+        |  FROM events GROUP BY user_id),
+        |nw AS (SELECT max(epoch_ns(ts)) AS now_ns FROM events),
+        |rfm AS (SELECT user_id,
+        |    CAST(floor((now_ns - last_ns) / 86400.0e9) AS BIGINT)
+        |      AS recency_days,
+        |    frequency, monetary FROM per CROSS JOIN nw),
+        |rb AS (SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8])
+        |    AS b FROM rfm),
+        |fb AS (SELECT quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8])
+        |    AS b FROM rfm),
+        |mb AS (SELECT quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8])
+        |    AS b FROM rfm)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  CAST(6 - (1 + len(list_filter(rb.b, x -> x <= recency_days)))
+        |    AS BIGINT) AS r_score,
+        |  CAST(1 + len(list_filter(fb.b, x -> x <= frequency))
+        |    AS BIGINT) AS f_score,
+        |  CAST(1 + len(list_filter(mb.b, x -> x <= monetary))
+        |    AS BIGINT) AS m_score
+        |FROM rfm CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb""".stripMargin,
+    "a35_confusion" ->
+      """WITH nn AS (SELECT query_id, item_id, sim FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 25 AND c.vec_id >= 25)
+        |  WHERE rank <= 10),
+        |v AS (SELECT query_id, label, count(*) AS votes
+        |  FROM nn JOIN embeddings e ON nn.item_id = e.vec_id
+        |  GROUP BY query_id, label),
+        |pred AS (SELECT query_id, CAST(label AS BIGINT) AS pred_label
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, label) AS rn FROM v) WHERE rn = 1)
+        |SELECT CAST(q.label AS BIGINT) AS true_label, p.pred_label,
+        |  count(*) AS n
+        |FROM pred p JOIN embeddings q ON p.query_id = q.vec_id
+        |GROUP BY 1, 2""".stripMargin,
   )
 }
