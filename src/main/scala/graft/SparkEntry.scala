@@ -3592,6 +3592,123 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** J16: fuzzy entity-resolution join — deterministic typo'd probes
+    * (every 97th customer, 3rd character dropped) matched back to the
+    * catalog by char-trigram BLOCKING (inverted index, hot trigrams
+    * capped — the boilerplate 'Customer#' prefix trigrams drop out by
+    * count, exactly the d4 posture) and a bounded Levenshtein REFINE
+    * over the surviving candidates only, top-3 per probe. The standard
+    * two-phase design every production record-linkage system uses:
+    * never all-pairs edit distance, candidates bounded by block sizes. */
+  private val j16FuzzyJoin: Q = (s, dir) => {
+    val maxBucket = 500
+    def grams(name: Column): Column =
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(name) - 2, lit(1))),
+        i => substring(name, i, lit(3))))
+    val cat = Tables.customer(s, dir)
+      .select(col("c_custkey").as("cand_key"), col("c_name").as("cand_name"))
+    val probes = Tables.customer(s, dir)
+      .where(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("probe_key"),
+        concat(substring(col("c_name"), 1, 2), expr("substring(c_name, 4)"))
+          .as("dirty"))
+    val catIdx = cat.select(col("cand_key"), col("cand_name"),
+        explode(grams(col("cand_name"))).as("__g"))
+      .withColumn("__gc", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .where(col("__gc") <= maxBucket).drop("__gc")
+    val probeIdx = probes.select(col("probe_key"), col("dirty"),
+      explode(grams(col("dirty"))).as("__g"))
+    val cands = probeIdx.join(catIdx, "__g")
+      .select(col("probe_key"), col("dirty"), col("cand_key"),
+        col("cand_name"))
+      .distinct()
+      .withColumn("lev", levenshtein(col("dirty"), col("cand_name")))
+      .where(col("lev") <= 2)
+    TopK.perGroup(cands, Seq(col("probe_key")),
+        Seq(col("lev"), col("cand_name")), 3)
+      .select(col("probe_key"), col("dirty"), col("cand_key"),
+        col("cand_name"), col("lev").cast("long").as("lev"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** X30: length-bucketed batching audit — documents bucketed by token
+    * count (width 32), with the padding waste a per-bucket batcher pays
+    * (pad to bucket max) vs the naive global batcher (pad to corpus
+    * max): the measurement that justifies length-grouped batch sampling
+    * in any sequence-model training loop. One aggregate per bucket plus
+    * one broadcast scalar (the corpus max). */
+  private val x30LengthBuckets: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).cast("long").as("n_tokens"))
+    val gmax = toks.agg(max(col("n_tokens")).as("__gmax"))
+    toks.crossJoin(broadcast(gmax))
+      .withColumn("bucket", ceil(col("n_tokens") / lit(32.0)).cast("long"))
+      .withColumn("__bmax", max(col("n_tokens")).over(
+        Window.partitionBy(col("bucket"))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("__bmax") - col("n_tokens")).as("bucket_waste"),
+        sum(col("__gmax") - col("n_tokens")).as("naive_waste"))
+  }
+
+  /** W20: diurnal activity profile — events per (type, UTC
+    * hour-of-day) with each type's within-type share and its peak hour
+    * flagged: the seasonality fingerprint monitoring compares against
+    * before alerting on volume, and the feature bot detection reads
+    * (uniform hour profiles are machines). Integer hour bucketing on
+    * the ns epoch; one ≤24·|types| aggregate. */
+  private val w20Diurnal: Q = (s, dir) => {
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("(ts div 3600000000000) % 24").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    hourly
+      .withColumn("share", round(col("n") * lit(1.0) /
+        sum(col("n")).over(byType), 6))
+      .withColumn("is_peak", row_number().over(
+        byType.orderBy(col("n").desc, col("hour"))) === 1)
+  }
+
+  /** A36: per-class precision / recall / F1 from the sim9 k-NN
+    * predictions — the class-level quality report a35's confusion
+    * matrix feeds: per label, true positives over predicted (precision)
+    * and over actual (recall), F1 from exact integer counts. Classes
+    * with no predictions report precision 0 rather than dropping
+    * (full outer over the per-class marginals). */
+  private val a36ClassReport: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val pred = SimSearch.knnClassify(
+        emb.where(col("vec_id") < 25), emb.where(col("vec_id") >= 25),
+        "vec_id", "embedding", "vec_id", "embedding", "label", k = 10)
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("label").cast("long").as("true_label")), "query_id")
+    val tp = pred.where(col("pred_label") === col("true_label"))
+      .groupBy(col("true_label").as("class")).agg(count(lit(1)).as("tp"))
+    val actual = pred.groupBy(col("true_label").as("class"))
+      .agg(count(lit(1)).as("n_actual"))
+    val predicted = pred.groupBy(col("pred_label").as("class"))
+      .agg(count(lit(1)).as("n_pred"))
+    actual.join(predicted, Seq("class"), "full_outer")
+      .join(tp, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision", round(when(col("n_pred") > 0,
+        col("tp") * lit(1.0) / col("n_pred")).otherwise(lit(0.0)), 6))
+      .withColumn("recall", round(when(col("n_actual") > 0,
+        col("tp") * lit(1.0) / col("n_actual")).otherwise(lit(0.0)), 6))
+      .withColumn("f1", round(when(col("n_pred") + col("n_actual") > 0,
+        lit(2.0) * col("tp") / (col("n_pred") + col("n_actual")))
+        .otherwise(lit(0.0)), 6))
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -3809,6 +3926,10 @@ object SparkEntry {
     "x28_hard_negatives" -> x28HardNegatives,
     "w22_rfm" -> w22Rfm,
     "a35_confusion" -> a35Confusion,
+    "j16_fuzzy_join" -> j16FuzzyJoin,
+    "x30_length_buckets" -> x30LengthBuckets,
+    "w20_diurnal" -> w20Diurnal,
+    "a36_class_report" -> a36ClassReport,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -7275,5 +7396,93 @@ object SparkEntry {
         |  count(*) AS n
         |FROM pred p JOIN embeddings q ON p.query_id = q.vec_id
         |GROUP BY 1, 2""".stripMargin,
+    "j16_fuzzy_join" ->
+      """WITH cat AS (SELECT c_custkey AS cand_key, c_name AS cand_name
+        |  FROM customer),
+        |probes AS (SELECT c_custkey AS probe_key,
+        |    substring(c_name, 1, 2) || substring(c_name, 4) AS dirty
+        |  FROM customer WHERE c_custkey % 97 = 0),
+        |cg AS (SELECT cand_key, cand_name, unnest(list_distinct(
+        |    list_transform(generate_series(1, greatest(len(cand_name) - 2, 1)),
+        |      i -> substring(cand_name, i, 3)))) AS g FROM cat),
+        |cgc AS (SELECT cand_key, cand_name, g FROM (
+        |    SELECT cg.*, count(*) OVER (PARTITION BY g) AS gc FROM cg)
+        |  WHERE gc <= 500),
+        |pg AS (SELECT probe_key, dirty, unnest(list_distinct(
+        |    list_transform(generate_series(1, greatest(len(dirty) - 2, 1)),
+        |      i -> substring(dirty, i, 3)))) AS g FROM probes),
+        |cands AS (SELECT DISTINCT probe_key, dirty, cand_key, cand_name
+        |  FROM pg JOIN cgc USING (g)),
+        |scored AS (SELECT probe_key, dirty, cand_key, cand_name,
+        |    levenshtein(dirty, cand_name) AS lev FROM cands
+        |  WHERE levenshtein(dirty, cand_name) <= 2)
+        |SELECT probe_key, dirty, cand_key, cand_name, lev, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_key
+        |    ORDER BY lev, cand_name) AS rank FROM scored)
+        |WHERE rank <= 3""".stripMargin,
+    "x30_length_buckets" ->
+      """WITH toks AS (SELECT doc_id, CAST(len(list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) AS BIGINT) AS n_tokens FROM documents),
+        |g AS (SELECT max(n_tokens) AS gmax FROM toks),
+        |b AS (SELECT doc_id, n_tokens, gmax,
+        |    CAST(ceil(n_tokens / 32.0) AS BIGINT) AS bucket
+        |  FROM toks CROSS JOIN g),
+        |w AS (SELECT *, max(n_tokens) OVER (PARTITION BY bucket) AS bmax
+        |  FROM b)
+        |SELECT bucket, count(*) AS n_docs, max(n_tokens) AS max_tokens,
+        |  CAST(sum(bmax - n_tokens) AS BIGINT) AS bucket_waste,
+        |  CAST(sum(gmax - n_tokens) AS BIGINT) AS naive_waste
+        |FROM w GROUP BY bucket""".stripMargin,
+    "w20_diurnal" ->
+      """WITH h AS (SELECT event_type,
+        |    (epoch_ns(ts) // 3600000000000) % 24 AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hour, n,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6)
+        |    AS share,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, hour) = 1 AS is_peak
+        |FROM h""".stripMargin,
+    "a36_class_report" ->
+      """WITH nn AS (SELECT query_id, item_id, sim FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 25 AND c.vec_id >= 25)
+        |  WHERE rank <= 10),
+        |v AS (SELECT query_id, label, count(*) AS votes
+        |  FROM nn JOIN embeddings e ON nn.item_id = e.vec_id
+        |  GROUP BY query_id, label),
+        |pred AS (SELECT p.query_id, p.pred_label,
+        |    CAST(q.label AS BIGINT) AS true_label
+        |  FROM (SELECT query_id, CAST(label AS BIGINT) AS pred_label
+        |    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY votes DESC, label) AS rn FROM v) WHERE rn = 1) p
+        |  JOIN embeddings q ON p.query_id = q.vec_id),
+        |tp AS (SELECT true_label AS class, count(*) AS tp FROM pred
+        |  WHERE pred_label = true_label GROUP BY 1),
+        |act AS (SELECT true_label AS class, count(*) AS n_actual
+        |  FROM pred GROUP BY 1),
+        |prd AS (SELECT pred_label AS class, count(*) AS n_pred
+        |  FROM pred GROUP BY 1),
+        |m AS (SELECT coalesce(act.class, prd.class) AS class,
+        |    coalesce(n_actual, 0) AS n_actual, coalesce(n_pred, 0) AS n_pred
+        |  FROM act FULL OUTER JOIN prd ON act.class = prd.class),
+        |f AS (SELECT m.class, m.n_actual, m.n_pred,
+        |    coalesce(tp.tp, 0) AS tp
+        |  FROM m LEFT JOIN tp ON m.class = tp.class)
+        |SELECT class, n_actual, n_pred, tp,
+        |  round(CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred
+        |    ELSE 0.0 END, 6) AS precision,
+        |  round(CASE WHEN n_actual > 0 THEN tp * 1.0 / n_actual
+        |    ELSE 0.0 END, 6) AS recall,
+        |  round(CASE WHEN n_pred + n_actual > 0
+        |    THEN 2.0 * tp / (n_pred + n_actual) ELSE 0.0 END, 6) AS f1
+        |FROM f""".stripMargin,
   )
 }
