@@ -3709,6 +3709,88 @@ object SparkEntry {
         .otherwise(lit(0.0)), 6))
   }
 
+  /** T34: language-ID evaluation — t1's stopword-profile guesser
+    * cross-tabulated against the corpus's own lang labels, with each
+    * true language's within-class share: the confusion view that says
+    * WHERE the heuristic fails (zh detected fine, es/fr confusable)
+    * before anyone trusts its routing decisions. Composition of the
+    * verified t1 engine + one label join + a ≤|langs|² aggregate. */
+  private val t34LangidEval: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.analyze(docs, "doc_id", "text")
+      .select(col("doc_id"), col("lang_guess"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n") * lit(1.0) /
+        sum(col("n")).over(Window.partitionBy(col("lang"))), 6))
+  }
+
+  /** M15: popularity-baseline backtest — m10's exact test protocol
+    * (train 1998–99, test ≥ 2000, unseen-only recs, hit-rate /
+    * precision / coverage) run for the 5 globally most-popular train
+    * items instead of item-CF: THE baseline every recommender eval is
+    * judged against; publishing m10 without this number is how weak
+    * models look good. Top-5 is a TakeOrderedAndProject; recs are a
+    * |users|×5 broadcast cross join minus the per-user history
+    * anti-join — linear in users at any scale. */
+  private val m15PopBacktest: Q = (s, dir) => {
+    val oli = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+      col("o_orderkey") === col("l_orderkey"))
+    val hist = oli.where(year(col("o_orderdate")).between(1998, 1999))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .distinct()
+    val pop = hist.groupBy(col("i")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("i")).limit(5)
+      .select(col("i").as("item"))
+    val test = oli.where(year(col("o_orderdate")) >= 2000)
+      .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .distinct()
+    val recs = test.select(col("u")).distinct()
+      .crossJoin(broadcast(pop))
+      .join(hist.select(col("u"), col("i").as("item")),
+        Seq("u", "item"), "left_anti")
+    val m = recs.join(test.select(col("u"), col("i").as("item"),
+        lit(1).as("__hit")), Seq("u", "item"), "left")
+    val s1 = m.agg(countDistinct(col("u")).as("n_eval_users"),
+      count(lit(1)).as("n_recs"), count(col("__hit")).as("n_hits"),
+      countDistinct(when(col("__hit").isNotNull, col("u")))
+        .as("n_hit_users"))
+    val s2 = recs.agg(countDistinct(col("item")).as("n_rec_items"))
+    val s3 = hist.agg(countDistinct(col("i")).as("n_train_items"))
+    s1.crossJoin(broadcast(s2)).crossJoin(broadcast(s3))
+      .select(col("n_eval_users"),
+        round(col("n_hit_users").cast("double") / col("n_eval_users"), 6)
+          .as("hit_rate"),
+        round(col("n_hits").cast("double") / col("n_recs"), 6)
+          .as("precision_at_5"),
+        round(col("n_rec_items").cast("double") / col("n_train_items"), 6)
+          .as("coverage"))
+  }
+
+  /** D20: cross-source duplication matrix — d5's near-dup pairs rolled
+    * up by (source, source) with the pair order normalized so each
+    * unordered source pair lands in one cell: which feeds copy from
+    * which (news syndication, mirror sites) and how much each
+    * contributes to the dedup burden — the report that decides
+    * per-source dedup budgets in a multi-feed 100 TB ingest. */
+  private val d20SourceOverlap: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.minHashPairsPortable(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.3)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("__sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("__sb")),
+        "doc_b")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"),
+        col("est_jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("est_jaccard")), 6).as("mean_est_jaccard"))
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -3930,6 +4012,9 @@ object SparkEntry {
     "x30_length_buckets" -> x30LengthBuckets,
     "w20_diurnal" -> w20Diurnal,
     "a36_class_report" -> a36ClassReport,
+    "t34_langid_eval" -> t34LangidEval,
+    "m15_pop_backtest" -> m15PopBacktest,
+    "d20_source_overlap" -> d20SourceOverlap,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -7484,5 +7569,96 @@ object SparkEntry {
         |  round(CASE WHEN n_pred + n_actual > 0
         |    THEN 2.0 * tp / (n_pred + n_actual) ELSE 0.0 END, 6) AS f1
         |FROM f""".stripMargin,
+    "t34_langid_eval" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |h AS (SELECT doc_id,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['the','a','of','and','to','in','is','it'], t))) AS h_en,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['el','la','de','que','y','en','un','es'], t))) AS h_es,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['der','die','das','und','ist','von','ein','zu'], t))) AS h_de,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['le','la','de','et','un','est','que','en'], t))) AS h_fr,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['的','了','是','我','不','在','有','人'], t))) AS h_zh
+        |  FROM tk),
+        |m AS (SELECT doc_id,
+        |    greatest(h_en, h_es, h_de, h_fr, h_zh) AS best,
+        |    h_en, h_es, h_de, h_fr, h_zh FROM h),
+        |g AS (SELECT doc_id, CASE WHEN best = 0 THEN 'und'
+        |    WHEN h_zh = best THEN 'zh' WHEN h_fr = best THEN 'fr'
+        |    WHEN h_es = best THEN 'es' WHEN h_en = best THEN 'en'
+        |    ELSE 'de' END AS lang_guess FROM m)
+        |SELECT lang, lang_guess, n,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 6) AS share
+        |FROM (SELECT d.lang, g.lang_guess, count(*) AS n
+        |  FROM g JOIN documents d ON g.doc_id = d.doc_id
+        |  GROUP BY 1, 2)""".stripMargin,
+    "m15_pop_backtest" ->
+      """WITH hist AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE year(o_orderdate) BETWEEN 1998 AND 1999),
+        |pop AS (SELECT i AS item FROM (SELECT i,
+        |    row_number() OVER (ORDER BY count(*) DESC, i) AS rn
+        |  FROM hist GROUP BY i) WHERE rn <= 5),
+        |test AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE year(o_orderdate) >= 2000),
+        |recs AS (SELECT eu.u, p.item
+        |  FROM (SELECT DISTINCT u FROM test) eu CROSS JOIN pop p
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist h
+        |    WHERE h.u = eu.u AND h.i = p.item)),
+        |m AS (SELECT r.u, r.item,
+        |    CASE WHEN t.i IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM recs r LEFT JOIN test t ON t.u = r.u AND t.i = r.item),
+        |s1 AS (SELECT count(DISTINCT u) AS n_eval_users,
+        |    count(*) AS n_recs, sum(hit) AS n_hits,
+        |    count(DISTINCT CASE WHEN hit = 1 THEN u END) AS n_hit_users
+        |  FROM m),
+        |s2 AS (SELECT count(DISTINCT item) AS n_rec_items FROM recs),
+        |s3 AS (SELECT count(DISTINCT i) AS n_train_items FROM hist)
+        |SELECT n_eval_users,
+        |  round(CAST(n_hit_users AS DOUBLE) / n_eval_users, 6)
+        |    AS hit_rate,
+        |  round(CAST(n_hits AS DOUBLE) / n_recs, 6) AS precision_at_5,
+        |  round(CAST(n_rec_items AS DOUBLE) / n_train_items, 6)
+        |    AS coverage
+        |FROM s1 CROSS JOIN s2 CROSS JOIN s3""".stripMargin,
+    "d20_source_overlap" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
+        |      seed -> list_min(list_transform(s, x -> md5(seed || '§' || x)))) AS sg
+        |  FROM sh WHERE len(s) > 0),
+        |banded AS (SELECT doc_id, sg, b,
+        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+        |hot AS (SELECT b, key FROM banded GROUP BY b, key
+        |  HAVING count(*) > 200),
+        |capped AS (SELECT banded.* FROM banded
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |    WHERE hot.b = banded.b AND hot.key = banded.key)),
+        |pairs AS (SELECT doc_a, doc_b, ej FROM (
+        |    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |      len(list_filter(list_transform(generate_series(1, 16),
+        |        i -> l.sg[i] = r.sg[i]), x -> x)) / 16.0 AS ej
+        |    FROM capped l JOIN capped r
+        |      ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id)
+        |  WHERE ej >= 0.3)
+        |SELECT source_a, source_b, count(*) AS n_pairs,
+        |  round(avg(ej), 6) AS mean_est_jaccard
+        |FROM (SELECT least(da.source, db.source) AS source_a,
+        |    greatest(da.source, db.source) AS source_b, p.ej
+        |  FROM pairs p JOIN documents da ON p.doc_a = da.doc_id
+        |  JOIN documents db ON p.doc_b = db.doc_id)
+        |GROUP BY 1, 2""".stripMargin,
   )
 }
