@@ -3108,25 +3108,15 @@ object SparkEntry {
   private val m14MarkovNext: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val trans = ev
-      .withColumn("__next", lead(col("event_type"), 1).over(byUser))
-      .where(col("__next").isNotNull)
-      .groupBy(col("event_type").as("from_type"),
-        col("__next").as("to_type"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("p", col("n") * lit(1.0) /
-        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+    // per-from ranking in the matrix ≡ per-user ranking after the join
+    // (each user hits exactly one from_type row group); the same matrix
+    // serves the streaming twin (BehaviorIngest.nextEventPredictions)
+    val trans = Behavior.transitionTopK(ev, "user_id", "ts", "event_id",
+      "event_type", 3)
     val last = TopK.perGroup(ev, Seq(col("user_id")),
         Seq(col("ts").desc, col("event_id").desc), 1)
       .select(col("user_id"), col("event_type").as("cur_type"))
-    val ranked = last.join(broadcast(trans),
-        col("cur_type") === col("from_type"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("user_id"))
-          .orderBy(col("p").desc, col("to_type"))))
-    ranked.where(col("rank") <= 3)
+    last.join(broadcast(trans), col("cur_type") === col("from_type"))
       .select(col("user_id"), col("cur_type"),
         col("to_type").as("next_type"), round(col("p"), 6).as("p"),
         col("rank").cast("long").as("rank"))
@@ -3791,6 +3781,97 @@ object SparkEntry {
         round(avg(col("est_jaccard")), 6).as("mean_est_jaccard"))
   }
 
+  /** G17: k-hop reachability (BFS, 3 synchronous rounds) from the three
+    * lowest-id nodes of the co-purchase graph — the traversal primitive
+    * under "related within N hops" expansion and blast-radius queries.
+    * Each round is one join + min-aggregate over the frontier;
+    * [[graft.ops.Iterate.snapshot]] truncates lineage per round (the
+    * fixpoint lesson in PLANS.md), and 3 fixed rounds bound the work
+    * regardless of graph size. Distances are exact minima — a node
+    * reached twice keeps the earlier hop. */
+  private val g17Khop: Q = (s, dir) => {
+    val ui = Tables.orders(s, dir)
+      .where(year(col("o_orderdate")) === 1995)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      .distinct()
+    val und = ui.as("x").join(ui.as("y"), "b")
+      .where(col("x.i") < col("y.i"))
+      .select(col("x.i").as("u"), col("y.i").as("v"))
+      .distinct()
+    val sym = graft.ops.Iterate.snapshot(
+      und.select(col("u").as("n"), col("v").as("m")).unionAll(
+        und.select(col("v").as("n"), col("u").as("m"))))
+    val seeds = sym.select(col("n")).distinct().orderBy(col("n")).limit(3)
+      .withColumn("dist", lit(0L))
+    var dist = graft.ops.Iterate.snapshot(seeds)
+    for (r <- 1 to 3) {
+      val expanded = dist.join(sym, "n")
+        .select(col("m").as("n"), lit(r.toLong).as("dist"))
+      val prev = dist
+      dist = graft.ops.Iterate.snapshot(
+        dist.unionAll(expanded).groupBy(col("n"))
+          .agg(min(col("dist")).as("dist")))
+      graft.ops.Iterate.release(prev)
+    }
+    val out = dist.select(col("n").as("part"), col("dist"))
+    graft.ops.Iterate.release(sym)
+    out
+  }
+
+  /** L9: partition-skew report — rows per month partition of the fact
+    * table with each partition's share and ratio-to-mean, hot
+    * partitions (>1.5× mean) flagged: the layout-health check that
+    * catches the straggler partition BEFORE a 1000-executor job ships
+    * one task 40× the others. One aggregate; the ratio math runs on
+    * the ≤|partitions| aggregated frame. */
+  private val l9SkewReport: Q = (s, dir) => {
+    val parts = Tables.lineitem(s, dir)
+      .groupBy(date_format(col("l_shipdate").cast("timestamp"), "yyyy-MM")
+        .as("part"))
+      .agg(count(lit(1)).as("nrows"))
+    val tot = parts.agg(sum(col("nrows")).as("__tot"),
+      count(lit(1)).as("__np"))
+    parts.crossJoin(broadcast(tot))
+      .select(col("part"), col("nrows"),
+        round(col("nrows") * lit(1.0) / col("__tot"), 6).as("share"),
+        round(col("nrows") * col("__np") / col("__tot").cast("double"), 6)
+          .as("ratio_to_mean"))
+      .withColumn("hot", col("ratio_to_mean") > 1.5)
+  }
+
+  /** X31: temporal split manifest — train/val/test cut at DAY
+    * boundaries chosen from the cumulative event histogram (first day
+    * where cum ≥ 70% / 85% of events): the leakage-free protocol for
+    * anything time-ordered, where x1's random split would let the
+    * model peek at the future. The histogram aggregate is linear; the
+    * cumulative window runs over the ≤|days| aggregated frame, never
+    * the events; integer day arithmetic keeps both engines bit-equal.
+    * Reports per-split event/user mass and day range for balance
+    * checks before training. */
+  private val x31TemporalSplit: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val days = ev.groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val cum = days
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(days.agg(sum(col("n")).as("__tot"))))
+    val cuts = cum.agg(
+      min(when(col("cum") >= col("__tot") * 0.7, col("day"))).as("__c70"),
+      min(when(col("cum") >= col("__tot") * 0.85, col("day"))).as("__c85"))
+    ev.crossJoin(broadcast(cuts))
+      .withColumn("split",
+        when(col("day") <= col("__c70"), "train")
+          .when(col("day") <= col("__c85"), "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -4015,6 +4096,9 @@ object SparkEntry {
     "t34_langid_eval" -> t34LangidEval,
     "m15_pop_backtest" -> m15PopBacktest,
     "d20_source_overlap" -> d20SourceOverlap,
+    "g17_khop" -> g17Khop,
+    "l9_skew_report" -> l9SkewReport,
+    "x31_temporal_split" -> x31TemporalSplit,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -7660,5 +7744,53 @@ object SparkEntry {
         |  FROM pairs p JOIN documents da ON p.doc_a = da.doc_id
         |  JOIN documents db ON p.doc_b = db.doc_id)
         |GROUP BY 1, 2""".stripMargin,
+    "g17_khop" ->
+      """WITH RECURSIVE ui AS (SELECT DISTINCT l_orderkey AS b,
+        |    l_partkey AS i
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE year(o_orderdate) = 1995),
+        |und AS (SELECT DISTINCT x.i AS u, y.i AS v FROM ui x
+        |  JOIN ui y ON x.b = y.b AND x.i < y.i),
+        |sym AS (SELECT u AS n, v AS m FROM und
+        |  UNION ALL SELECT v, u FROM und),
+        |seeds AS (SELECT n FROM (SELECT DISTINCT n FROM sym)
+        |  ORDER BY n LIMIT 3),
+        |walk(n, d) AS (
+        |  SELECT n, CAST(0 AS BIGINT) FROM seeds
+        |  UNION
+        |  SELECT sym.m, walk.d + 1 FROM walk JOIN sym ON walk.n = sym.n
+        |  WHERE walk.d < 3)
+        |SELECT n AS part, min(d) AS dist FROM walk GROUP BY n""".stripMargin,
+    "l9_skew_report" ->
+      """WITH p AS (SELECT strftime(l_shipdate, '%Y-%m') AS part,
+        |    count(*) AS nrows
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(nrows) AS BIGINT) AS tot,
+        |    count(*) AS np FROM p)
+        |SELECT part, nrows,
+        |  round(nrows * 1.0 / tot, 6) AS share,
+        |  round(nrows * np / CAST(tot AS DOUBLE), 6) AS ratio_to_mean,
+        |  round(nrows * np / CAST(tot AS DOUBLE), 6) > 1.5 AS hot
+        |FROM p CROSS JOIN t""".stripMargin,
+    "x31_temporal_split" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |days AS (SELECT day, count(*) AS n FROM ev GROUP BY day),
+        |c AS (SELECT day, sum(n) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    (SELECT sum(n) FROM days) AS tot
+        |  FROM days),
+        |cuts AS (SELECT
+        |    min(CASE WHEN cum >= tot * 0.7 THEN day END) AS c70,
+        |    min(CASE WHEN cum >= tot * 0.85 THEN day END) AS c85
+        |  FROM c)
+        |SELECT split, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(day) AS first_day, max(day) AS last_day
+        |FROM (SELECT user_id, day,
+        |    CASE WHEN day <= c70 THEN 'train'
+        |      WHEN day <= c85 THEN 'val' ELSE 'test' END AS split
+        |  FROM ev CROSS JOIN cuts)
+        |GROUP BY split""".stripMargin,
   )
 }

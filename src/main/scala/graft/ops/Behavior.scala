@@ -78,4 +78,31 @@ object Behavior {
       .groupBy(col("cohort"), (col("__b") - col("cohort")).as("offset"))
       .agg(countDistinct(col(key)).as("n_active"))
   }
+
+  /** First-order Markov transition matrix over each key's time-ordered
+    * event stream (lead window, ties on `tieCol`), pre-ranked to the
+    * top-k next states per source state by exact-count probability
+    * (p desc, state-name tiebreak). The state-space matrix is tiny
+    * (|types|²) regardless of log size, so callers broadcast it — the
+    * batch m14 recommendation query and the streaming
+    * [[graft.streaming.BehaviorIngest.nextEventPredictions]] serving
+    * path share this one training step. */
+  def transitionTopK(events: DataFrame, key: String, tsCol: String,
+      tieCol: String, typeCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__next", lead(col(typeCol), 1).over(byKey))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n") * lit(1.0) /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("from_type"))
+          .orderBy(col("p").desc, col("to_type"))))
+      .where(col("rank") <= k)
+      .select(col("from_type"), col("to_type"), col("p"), col("rank"))
+  }
 }

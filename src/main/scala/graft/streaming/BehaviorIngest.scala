@@ -518,4 +518,38 @@ object BehaviorIngest {
       .transformWithState(processor, TimeMode.None(), OM.Update(),
         Encoders.product[FunnelRow])
   }
+
+  case class TypedEvent(user_id: Long, event_type: String, ts: Long,
+    event_id: Long)
+  case class LastType(user_id: Long, event_type: String, ts: Long,
+    event_id: Long)
+
+  /** Streaming next-event prediction — the serving half of the m14
+    * Markov recommender: keyed state tracks each user's LATEST event
+    * type (max (ts, event_id), the s12 snapshot rule, so late
+    * re-deliveries can't regress the state), and each update joins the
+    * broadcast PRE-RANKED transition matrix
+    * ([[graft.ops.Behavior.transitionTopK]] — batch-trained, ≤|types|·k
+    * rows) to emit that user's current top-k next-type predictions.
+    * Stream ≡ batch: with the same events and matrix, the final update
+    * per user equals the batch m14 rows (StreamingSpec pins it). */
+  def nextEventPredictions(events: DataFrame, rankedTrans: DataFrame)
+      : DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val latest = events.as[TypedEvent].groupByKey(_.user_id)
+      .mapGroupsWithState[LastType, LastType](GroupStateTimeout.NoTimeout) {
+        (u: Long, rows: Iterator[TypedEvent], state: GroupState[LastType]) =>
+          val n = (rows ++ state.getOption.map(p =>
+            TypedEvent(p.user_id, p.event_type, p.ts, p.event_id)))
+            .maxBy(r => (r.ts, r.event_id))
+          val lt = LastType(u, n.event_type, n.ts, n.event_id)
+          state.update(lt)
+          lt
+      }
+    latest.toDF()
+      .join(broadcast(rankedTrans), col("event_type") === col("from_type"))
+      .select(col("user_id"), col("event_type").as("cur_type"),
+        col("to_type").as("next_type"), col("p"), col("rank"))
+  }
 }

@@ -706,4 +706,30 @@ class StreamingSpec extends AnyFunSuite {
       .map(t => (t._1, t._2) -> t._3).toMap
     assert(batch.forall(t => math.abs(t._4 - exact((t._1, t._2))) <= 1))
   }
+
+  test("streaming next-event predictions equal the batch m14 rows") {
+    implicit val sql = spark.sqlContext
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val trans = ops.Behavior.transitionTopK(ev, "user_id", "ts",
+      "event_id", "event_type", 3)
+    val batch = SparkEntry.queries("m14_markov_next")(spark, TestSpark.sf)
+      .as[(Long, String, String, Double, Long)].collect().toSet
+    assert(batch.nonEmpty)
+
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    mem.addData(ev.select($"user_id", $"event_type", $"ts", $"event_id")
+      .as[(Long, String, Long, Long)].collect().toSeq: _*)
+    val q = BehaviorIngest.nextEventPredictions(
+        mem.toDF().toDF("user_id", "event_type", "ts", "event_id"), trans)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("next_pred").start()
+    q.processAllAvailable()
+    val streamed = spark.table("next_pred")
+      .select($"user_id", $"cur_type", $"next_type",
+        round($"p", 6).as("p"), $"rank".cast("long"))
+      .as[(Long, String, String, Double, Long)].collect().toSet
+    q.stop()
+    assert(streamed == batch)
+  }
 }
