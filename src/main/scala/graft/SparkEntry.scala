@@ -3872,6 +3872,99 @@ object SparkEntry {
         min(col("day")).as("first_day"), max(col("day")).as("last_day"))
   }
 
+  /** W25: activity streaks — the gaps-and-islands idiom: consecutive
+    * active days collapse to one group via the day − row_number trick
+    * (constant within a run, integer-exact), giving each user's longest
+    * streak, its start day, streak count, and total active days — the
+    * engagement features behind "7-day streak" product mechanics and
+    * retention models. Two same-key window passes over one user-hash
+    * shuffle. */
+  private val w25Streaks: Q = (s, dir) => {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val runs = act
+      .withColumn("__grp", col("day") - row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("day"))))
+      .groupBy(col("user_id"), col("__grp"))
+      .agg(min(col("day")).as("start_day"), count(lit(1)).as("len"))
+    val best = TopK.perGroup(runs, Seq(col("user_id")),
+        Seq(col("len").desc, col("start_day")), 1)
+      .select(col("user_id"), col("len").as("max_streak"),
+        col("start_day").as("streak_start"))
+    runs.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"))
+      .join(best, "user_id")
+  }
+
+  /** T36: vocabulary-growth curve (Heaps' law check) — distinct token
+    * types vs corpus position at 100-doc checkpoints: each token's
+    * FIRST document (a min aggregate — linear, no ordered scan), new
+    * types per checkpoint bucket, and the running vocabulary via a
+    * window over the ≤|corpus|/100 bucket frame, never the tokens.
+    * Sub-linear growth is healthy prose; near-linear growth means
+    * boilerplate IDs/hashes are flooding the vocabulary — a corpus
+    * intake gate. */
+  private val t36VocabGrowth: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(
+        filter(split(lower(col("text")), "\\s+"), t => length(t) > 0))
+        .as("tok"))
+    val newTypes = toks.groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("__fd"))
+      .groupBy((floor(col("__fd") / 100) + 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val tokCount = toks
+      .groupBy((floor(col("doc_id") / 100) + 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val byBucket = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // token-count buckets are the spine: a checkpoint whose docs add no
+    // NEW types must still appear (that flattening is the curve's point)
+    tokCount.join(newTypes, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("vocab", sum(col("new_types")).over(byBucket))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(byBucket))
+      .select(col("bucket"), col("new_types"), col("n_tokens"),
+        col("vocab"), col("cum_tokens"))
+  }
+
+  /** A38: rank-biased overlap between the two x27 rankers (parts by
+    * units vs by revenue) — per depth d ≤ 10, the top-d overlap, the
+    * agreement ov/d, and truncated RBO(p=0.9): the list-similarity
+    * check run before swapping a ranker in production ("how different
+    * is the new ordering, weighted toward the top"). Both lists are
+    * 10 rows; everything after the two TakeOrdered cuts is
+    * constant-size arithmetic. */
+  private val a38Rbo: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    def top10(scoreExpr: Column): DataFrame = {
+      val scored = li.groupBy(col("l_partkey").as("part"))
+        .agg(round(scoreExpr, 6).as("score"))
+      scored.orderBy(col("score").desc, col("part")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("part"))))
+        .select(col("part"), col("rank"))
+    }
+    val a = top10(sum(col("l_quantity")))
+    val b = top10(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+    val joined = a.select(col("part"), col("rank").as("ra"))
+      .join(b.select(col("part"), col("rank").as("rb")), Seq("part"),
+        "full_outer")
+    joined
+      .withColumn("d", explode(sequence(lit(1), lit(10))))
+      .groupBy(col("d").cast("long").as("d"))
+      .agg(count(when(col("ra") <= col("d") && col("rb") <= col("d"), 1))
+        .as("overlap"))
+      .withColumn("agreement",
+        round(col("overlap") * lit(1.0) / col("d"), 6))
+      .withColumn("rbo_trunc", round(lit(0.1) * sum(
+        pow(lit(0.9), col("d") - 1) * col("overlap") / col("d")).over(
+          Window.orderBy(col("d"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6))
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -4099,6 +4192,9 @@ object SparkEntry {
     "g17_khop" -> g17Khop,
     "l9_skew_report" -> l9SkewReport,
     "x31_temporal_split" -> x31TemporalSplit,
+    "w25_streaks" -> w25Streaks,
+    "t36_vocab_growth" -> t36VocabGrowth,
+    "a38_rbo" -> a38Rbo,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -7792,5 +7888,63 @@ object SparkEntry {
         |      WHEN day <= c85 THEN 'val' ELSE 'test' END AS split
         |  FROM ev CROSS JOIN cuts)
         |GROUP BY split""".stripMargin,
+    "w25_streaks" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |runs AS (SELECT user_id, grp, min(day) AS start_day,
+        |    count(*) AS len
+        |  FROM (SELECT user_id, day, day - row_number() OVER (
+        |      PARTITION BY user_id ORDER BY day) AS grp FROM act)
+        |  GROUP BY user_id, grp),
+        |best AS (SELECT user_id, len AS max_streak,
+        |    start_day AS streak_start
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, start_day) AS rn FROM runs)
+        |  WHERE rn = 1),
+        |agg AS (SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |    count(*) AS n_streaks FROM runs GROUP BY user_id)
+        |SELECT agg.user_id, n_active_days, n_streaks, max_streak,
+        |  streak_start
+        |FROM agg JOIN best ON agg.user_id = best.user_id""".stripMargin,
+    "t36_vocab_growth" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) AS tok FROM documents),
+        |nt AS (SELECT CAST(floor(fd / 100) + 1 AS BIGINT) AS bucket,
+        |    count(*) AS new_types
+        |  FROM (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok)
+        |  GROUP BY 1),
+        |tc AS (SELECT CAST(floor(doc_id / 100) + 1 AS BIGINT) AS bucket,
+        |    count(*) AS n_tokens FROM toks GROUP BY 1)
+        |SELECT tc.bucket, coalesce(new_types, 0) AS new_types, n_tokens,
+        |  CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY tc.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS vocab,
+        |  CAST(sum(n_tokens) OVER (ORDER BY tc.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        |FROM tc LEFT JOIN nt ON nt.bucket = tc.bucket""".stripMargin,
+    "a38_rbo" ->
+      """WITH q AS (SELECT l_partkey AS part,
+        |    round(sum(l_quantity), 6) AS score FROM lineitem GROUP BY 1),
+        |qr AS (SELECT part, rank FROM (SELECT part, row_number() OVER (
+        |    ORDER BY score DESC, part) AS rank FROM q) WHERE rank <= 10),
+        |r AS (SELECT l_partkey AS part,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS score
+        |  FROM lineitem GROUP BY 1),
+        |rr AS (SELECT part, rank FROM (SELECT part, row_number() OVER (
+        |    ORDER BY score DESC, part) AS rank FROM r) WHERE rank <= 10),
+        |j AS (SELECT coalesce(qr.part, rr.part) AS part, qr.rank AS ra,
+        |    rr.rank AS rb
+        |  FROM qr FULL OUTER JOIN rr ON qr.part = rr.part),
+        |o AS (SELECT d, count(CASE WHEN ra <= d AND rb <= d THEN 1 END)
+        |    AS overlap
+        |  FROM j CROSS JOIN (SELECT unnest(CAST(generate_series(1, 10)
+        |    AS BIGINT[])) AS d) ds GROUP BY d)
+        |SELECT d, overlap, round(overlap * 1.0 / d, 6) AS agreement,
+        |  round(0.1 * sum(power(0.9, d - 1) * overlap / d) OVER (
+        |    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    6) AS rbo_trunc
+        |FROM o""".stripMargin,
   )
 }
