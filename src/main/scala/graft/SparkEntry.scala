@@ -3965,6 +3965,102 @@ object SparkEntry {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6))
   }
 
+  /** V7: truncated-dimension retrieval eval (matryoshka-style) —
+    * recall@5 of searching on the FIRST 16 of 64 embedding dims against
+    * the full-dimension exact top-5: the measurement behind "can we
+    * store/scan a 4× cheaper prefix and re-rank the shortlist?" that
+    * MRL-trained embedding deployments run before committing storage.
+    * Same verified brute-force kernel on both sides; the truncation is
+    * a zero-copy array slice pushed into the scan projection. */
+  private val v7MatryoshkaEval: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val sliced = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val approx = SimSearch.bruteForceTopK(
+        sliced.where(col("vec_id") < 10), sliced.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("item_id"), lit(1).as("__hit"))
+    val exact = SimSearch.bruteForceTopK(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("item_id"))
+    exact.join(approx, Seq("query_id", "item_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit") * lit(1.0) / col("n_exact"), 6))
+  }
+
+  /** SIM13: nearest-centroid classification — per-label mean embedding
+    * (the Rocchio/prototype classifier, and exactly the structure an
+    * IVF coarse quantizer learns), queries assigned to the
+    * highest-cosine centroid. Lowered fully relationally: posexplode →
+    * (label, dim) mean → dim-keyed join — |labels|·|dims| centroid
+    * cells regardless of corpus size, no vector materialization on the
+    * driver. The cheap baseline sim9's k-NN must beat to justify its
+    * neighbor search. */
+  private val sim13CentroidClassify: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.where(col("vec_id") >= 25)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+    val cent = corpus.groupBy(col("label"), col("dim"))
+      .agg(avg(col("x")).as("c"))
+    val cnorm = cent.groupBy(col("label"))
+      .agg(sqrt(sum(col("c") * col("c"))).as("__nc"))
+    val q = emb.where(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "qx")))
+    val qnorm = q.groupBy(col("query_id"))
+      .agg(sqrt(sum(col("qx") * col("qx"))).as("__nq"))
+    val scored = q.join(cent, "dim")
+      .groupBy(col("query_id"), col("label"))
+      .agg(sum(col("qx") * col("c")).as("__dot"))
+      .join(qnorm, "query_id")
+      .join(cnorm, "label")
+      .select(col("query_id"), col("label"),
+        round(col("__dot") / (col("__nq") * col("__nc")), 6).as("cosine"))
+    TopK.perGroup(scored, Seq(col("query_id")),
+        Seq(col("cosine").desc, col("label")), 1)
+      .select(col("query_id"), col("label").cast("long").as("pred_label"),
+        col("cosine"))
+  }
+
+  /** T37: Jensen-Shannon divergence between the English slice and the
+    * rest of the corpus over the shared top-200 vocabulary (add-one
+    * smoothing): the distribution-drift number that says HOW different
+    * two corpus slices are before mixing them — symmetric, bounded
+    * [0, ln 2], unlike raw KL. Vocabulary cap bounds every aggregate;
+    * counts are exact integers, so both engines smooth and sum
+    * identical doubles. */
+  private val t37JsDivergence: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), explode(
+        filter(split(lower(col("text")), "\\s+"), t => length(t) > 0))
+        .as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("tok")).limit(200)
+      .select(col("tok"))
+    val counts = toks.join(broadcast(vocab), "tok")
+      .groupBy(col("tok"))
+      .agg(count(when(col("lang") === "en", 1)).as("pe"),
+        count(when(col("lang") =!= "en", 1)).as("qe"))
+    val tot = counts.agg(sum(col("pe")).as("__tp"), sum(col("qe")).as("__tq"),
+      count(lit(1)).as("__v"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p", (col("pe") + 1) / (col("__tp") + col("__v")))
+      .withColumn("q", (col("qe") + 1) / (col("__tq") + col("__v")))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .agg(count(lit(1)).as("vocab_size"),
+        round(sum(col("p") * log(col("p") / col("m"))), 6).as("kl_pm"),
+        round(sum(col("q") * log(col("q") / col("m"))), 6).as("kl_qm"),
+        round(lit(0.5) * sum(col("p") * log(col("p") / col("m")))
+          + lit(0.5) * sum(col("q") * log(col("q") / col("m"))), 6)
+          .as("js"))
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -4195,6 +4291,9 @@ object SparkEntry {
     "w25_streaks" -> w25Streaks,
     "t36_vocab_growth" -> t36VocabGrowth,
     "a38_rbo" -> a38Rbo,
+    "v7_matryoshka_eval" -> v7MatryoshkaEval,
+    "sim13_centroid_classify" -> sim13CentroidClassify,
+    "t37_js_divergence" -> t37JsDivergence,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -7946,5 +8045,79 @@ object SparkEntry {
         |    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |    6) AS rbo_trunc
         |FROM o""".stripMargin,
+    "v7_matryoshka_eval" ->
+      """WITH approx AS (SELECT query_id, item_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(
+        |          (CAST(q.embedding AS DOUBLE[]))[1:16],
+        |          (CAST(c.embedding AS DOUBLE[]))[1:16]) DESC, c.vec_id)
+        |        AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |  WHERE rank <= 5),
+        |exact AS (SELECT query_id, item_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |  WHERE rank <= 5)
+        |SELECT e.query_id, count(*) AS n_exact,
+        |  count(a.item_id) AS n_hit,
+        |  round(count(a.item_id) * 1.0 / count(*), 6) AS recall
+        |FROM exact e LEFT JOIN approx a
+        |  ON e.query_id = a.query_id AND e.item_id = a.item_id
+        |GROUP BY e.query_id""".stripMargin,
+    "sim13_centroid_classify" ->
+      """WITH ds AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |corpus AS (SELECT label, d - 1 AS dim,
+        |    (CAST(embedding AS DOUBLE[]))[d] AS x
+        |  FROM embeddings CROSS JOIN ds
+        |  WHERE vec_id >= 25 AND d <= len(embedding)),
+        |cent AS (SELECT label, dim, avg(x) AS c FROM corpus
+        |  GROUP BY label, dim),
+        |cnorm AS (SELECT label, sqrt(sum(c * c)) AS nc FROM cent
+        |  GROUP BY label),
+        |q AS (SELECT vec_id AS query_id, d - 1 AS dim,
+        |    (CAST(embedding AS DOUBLE[]))[d] AS qx
+        |  FROM embeddings CROSS JOIN ds
+        |  WHERE vec_id < 25 AND d <= len(embedding)),
+        |qnorm AS (SELECT query_id, sqrt(sum(qx * qx)) AS nq FROM q
+        |  GROUP BY query_id),
+        |scored AS (SELECT s.query_id, s.label,
+        |    round(s.dot / (qn.nq * cn.nc), 6) AS cosine
+        |  FROM (SELECT q.query_id, cent.label, sum(q.qx * cent.c) AS dot
+        |    FROM q JOIN cent ON q.dim = cent.dim
+        |    GROUP BY q.query_id, cent.label) s
+        |  JOIN qnorm qn ON s.query_id = qn.query_id
+        |  JOIN cnorm cn ON s.label = cn.label)
+        |SELECT query_id, CAST(label AS BIGINT) AS pred_label, cosine
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, label) AS rn FROM scored)
+        |WHERE rn = 1""".stripMargin,
+    "t37_js_divergence" ->
+      """WITH toks AS (SELECT lang, unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) AS tok FROM documents),
+        |vocab AS (SELECT tok FROM (SELECT tok,
+        |    row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+        |  FROM toks GROUP BY tok) WHERE rn <= 200),
+        |counts AS (SELECT t.tok,
+        |    count(CASE WHEN lang = 'en' THEN 1 END) AS pe,
+        |    count(CASE WHEN lang <> 'en' THEN 1 END) AS qe
+        |  FROM toks t JOIN vocab v ON t.tok = v.tok GROUP BY t.tok),
+        |tot AS (SELECT CAST(sum(pe) AS BIGINT) AS tp,
+        |    CAST(sum(qe) AS BIGINT) AS tq, count(*) AS v FROM counts),
+        |pq AS (SELECT (pe + 1) * 1.0 / (tp + v) AS p,
+        |    (qe + 1) * 1.0 / (tq + v) AS q
+        |  FROM counts CROSS JOIN tot)
+        |SELECT count(*) AS vocab_size,
+        |  round(sum(p * ln(p / ((p + q) / 2))), 6) AS kl_pm,
+        |  round(sum(q * ln(q / ((p + q) / 2))), 6) AS kl_qm,
+        |  round(0.5 * sum(p * ln(p / ((p + q) / 2)))
+        |    + 0.5 * sum(q * ln(q / ((p + q) / 2))), 6) AS js
+        |FROM pq""".stripMargin,
   )
 }
