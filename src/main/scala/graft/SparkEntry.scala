@@ -3346,8 +3346,12 @@ object SparkEntry {
     * sentences (non-empty [.!?]+ splits, floored at 1), and a
     * deterministic syllable proxy (vowel-group runs per word, floored
     * at 1 — the standard approximation when no pronunciation dict is
-    * shippable). Pure per-row codegen'd expressions, no shuffle at
-    * all — the cheapest quality gate in the t-family. */
+    * shippable). The score is an exact rational of the three counts,
+    * so it is emitted as `flesch_milli` = round(1000·score) computed in
+    * INTEGER half-away-from-zero arithmetic — a double `round(…, 4)`
+    * measurably diverged between engines at sf0.1 (values like
+    * 28.19375 sit exactly on the round-half boundary; the w19 lesson
+    * again). Pure per-row codegen'd expressions, no shuffle at all. */
   private val t33Readability: Q = (s, dir) =>
     Tables.documents(s, dir)
       .withColumn("__toks",
@@ -3361,10 +3365,17 @@ object SparkEntry {
         transform(col("__toks"), t => greatest(lit(1),
           size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))))),
         lit(0), (a, x) => a + x).cast("long"))
+      // 206.835 − 1.015·w/s − 84.6·syl/w = N/D with
+      // N = 206835·s·w − 1015·w² − 84600·syl·s, D = 1000·s·w;
+      // round(1000·score) = half-away(N / (s·w)) — all-integer
+      .withColumn("__num", lit(206835L) * col("n_sents") * col("n_words")
+        - lit(1015L) * col("n_words") * col("n_words")
+        - lit(84600L) * col("n_syll") * col("n_sents"))
+      .withColumn("__den", col("n_sents") * col("n_words"))
       .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
-        round(lit(206.835)
-          - lit(1.015) * col("n_words") / col("n_sents")
-          - lit(84.6) * col("n_syll") / col("n_words"), 4).as("flesch"))
+        (signum(col("__num")).cast("long") *
+          expr("(2 * abs(__num) + __den) div (2 * __den)"))
+          .as("flesch_milli"))
 
   /** A34: label hit-rate@k — for each m1 query, whether (and how often)
     * a same-label item appears in the exact top-k, for k ∈ {1,3,5} in
@@ -7566,11 +7577,16 @@ object SparkEntry {
         |    CAST(list_sum(list_transform(toks, t ->
         |      greatest(1, len(regexp_extract_all(t, '[aeiouy]+')))))
         |      AS BIGINT) AS n_syll
-        |  FROM base WHERE len(toks) > 0)
+        |  FROM base WHERE len(toks) > 0),
+        |r AS (SELECT doc_id, n_words, n_sents, n_syll,
+        |    206835 * n_sents * n_words - 1015 * n_words * n_words
+        |      - 84600 * n_syll * n_sents AS num,
+        |    n_sents * n_words AS den FROM c)
         |SELECT doc_id, n_words, n_sents, n_syll,
-        |  round(206.835 - 1.015 * n_words / n_sents
-        |    - 84.6 * n_syll / n_words, 4) AS flesch
-        |FROM c""".stripMargin,
+        |  CAST(CASE WHEN num >= 0 THEN (2 * num + den) // (2 * den)
+        |    ELSE -((2 * (-num) + den) // (2 * den)) END AS BIGINT)
+        |    AS flesch_milli
+        |FROM r""".stripMargin,
     "a34_hit_rate" ->
       """WITH exact AS (SELECT query_id, item_id, rank FROM (
         |    SELECT q.vec_id AS query_id, c.vec_id AS item_id,
