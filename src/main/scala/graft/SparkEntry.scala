@@ -4072,6 +4072,74 @@ object SparkEntry {
           .as("js"))
   }
 
+  /** D21: dedup threshold sensitivity — pair and affected-document
+    * counts at Jaccard thresholds {0.3, 0.5, 0.7, 0.9} from ONE pass of
+    * the d5 banding engine (candidates floored at 0.25, then a
+    * 4-element threshold explode): the tuning curve that picks a dedup
+    * threshold by its removal rate BEFORE running the full pipeline at
+    * each candidate setting. Work is bounded by the capped banding
+    * exactly as d5. */
+  private val d21ThresholdSweep: Q = (s, dir) => {
+    val pairs = Dedup.minHashPairsPortable(Tables.documents(s, dir),
+        "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
+        minJaccard = 0.25)
+      .withColumn("threshold",
+        explode(array(lit(0.3), lit(0.5), lit(0.7), lit(0.9))))
+      .where(col("est_jaccard") >= col("threshold"))
+    pairs
+      .select(col("threshold"), col("doc_a").as("doc"))
+      .unionAll(pairs.select(col("threshold"), col("doc_b").as("doc")))
+      .groupBy(col("threshold"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("doc")).as("n_docs"))
+  }
+
+  /** W27: engagement stickiness — per ISO-ish week (day÷7 bucket),
+    * weekly active users, mean daily actives over the 7-day window,
+    * and DAU/WAU stickiness: the retention-adjacent topline every
+    * consumer product reports. Two aggregates over the distinct
+    * (user, day) frame; the denominator is the constant 7 so partial
+    * edge weeks read as true weekly averages, not inflated ones. */
+  private val w27Stickiness: Q = (s, dir) => {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+      .withColumn("week", expr("day div 7"))
+    val wau = act.groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = act.groupBy(col("week"), col("day"))
+      .agg(count(lit(1)).as("__dau"))
+      .groupBy(col("week"))
+      .agg((sum(col("__dau")) / 7.0).as("__avg_dau"))
+    wau.join(dau, "week")
+      .select(col("week"), col("wau"),
+        round(col("__avg_dau"), 6).as("avg_dau"),
+        round(col("__avg_dau") / col("wau"), 6).as("stickiness"))
+  }
+
+  /** V8: embedding-norm audit — count, mean/min/max L2 norm, explicit
+    * sums-formula sample SD, and how many vectors are NOT unit-norm
+    * (|‖v‖−1| > 1e-3): the first thing to check when cosine scores
+    * look wrong, since an un-normalized slice silently biases every
+    * dot-product ranking. Per-row norms round to 6 before aggregating
+    * (the sim9 convention) so both engines fold identical values; the
+    * SD uses the explicit Σx/Σx² form so both engines run the SAME
+    * algorithm rather than their library's. */
+  private val v8NormAudit: Q = (s, dir) => {
+    val norms = Tables.embeddings(s, dir)
+      .select(round(VectorOps.l2Norm(col("embedding")), 6).as("nm"))
+    norms.agg(count(lit(1)).as("n_vecs"),
+        sum(col("nm")).as("__s"), sum(col("nm") * col("nm")).as("__s2"),
+        round(min(col("nm")), 6).as("min_norm"),
+        round(max(col("nm")), 6).as("max_norm"),
+        count(when(abs(col("nm") - 1.0) > 0.001, 1)).as("n_non_unit"))
+      .select(col("n_vecs"),
+        round(col("__s") / col("n_vecs"), 6).as("mean_norm"),
+        round(sqrt((col("__s2") - col("__s") * col("__s") / col("n_vecs"))
+          / (col("n_vecs") - 1)), 6).as("sd_norm"),
+        col("min_norm"), col("max_norm"), col("n_non_unit"))
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -4305,6 +4373,9 @@ object SparkEntry {
     "v7_matryoshka_eval" -> v7MatryoshkaEval,
     "sim13_centroid_classify" -> sim13CentroidClassify,
     "t37_js_divergence" -> t37JsDivergence,
+    "d21_threshold_sweep" -> d21ThresholdSweep,
+    "w27_stickiness" -> w27Stickiness,
+    "v8_norm_audit" -> v8NormAudit,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -8135,5 +8206,64 @@ object SparkEntry {
         |  round(0.5 * sum(p * ln(p / ((p + q) / 2)))
         |    + 0.5 * sum(q * ln(q / ((p + q) / 2))), 6) AS js
         |FROM pq""".stripMargin,
+    "d21_threshold_sweep" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
+        |      seed -> list_min(list_transform(s, x -> md5(seed || '§' || x)))) AS sg
+        |  FROM sh WHERE len(s) > 0),
+        |banded AS (SELECT doc_id, sg, b,
+        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+        |hot AS (SELECT b, key FROM banded GROUP BY b, key
+        |  HAVING count(*) > 200),
+        |capped AS (SELECT banded.* FROM banded
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |    WHERE hot.b = banded.b AND hot.key = banded.key)),
+        |pairs AS (SELECT doc_a, doc_b, ej FROM (
+        |    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |      len(list_filter(list_transform(generate_series(1, 16),
+        |        i -> l.sg[i] = r.sg[i]), x -> x)) / 16.0 AS ej
+        |    FROM capped l JOIN capped r
+        |      ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id)
+        |  WHERE ej >= 0.25),
+        |x AS (SELECT t.threshold, p.doc_a, p.doc_b FROM pairs p
+        |  CROSS JOIN (SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS threshold) t
+        |  WHERE p.ej >= t.threshold),
+        |u AS (SELECT threshold, doc_a AS doc FROM x
+        |  UNION ALL SELECT threshold, doc_b FROM x)
+        |SELECT threshold, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+        |  count(DISTINCT doc) AS n_docs
+        |FROM u GROUP BY threshold""".stripMargin,
+    "w27_stickiness" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |a2 AS (SELECT user_id, day, day // 7 AS week FROM act),
+        |wau AS (SELECT week, count(DISTINCT user_id) AS wau FROM a2
+        |  GROUP BY week),
+        |dau AS (SELECT week, sum(n) / 7.0 AS avg_dau FROM (
+        |    SELECT week, day, count(*) AS n FROM a2 GROUP BY week, day)
+        |  GROUP BY week)
+        |SELECT wau.week, wau.wau, round(avg_dau, 6) AS avg_dau,
+        |  round(avg_dau / wau.wau, 6) AS stickiness
+        |FROM wau JOIN dau ON wau.week = dau.week""".stripMargin,
+    "v8_norm_audit" ->
+      """WITH nm AS (SELECT round(sqrt(list_dot_product(
+        |    CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[]))), 6) AS nm FROM embeddings),
+        |s AS (SELECT count(*) AS n, sum(nm) AS s1, sum(nm * nm) AS s2,
+        |    round(min(nm), 6) AS min_norm, round(max(nm), 6) AS max_norm,
+        |    count(CASE WHEN abs(nm - 1.0) > 0.001 THEN 1 END)
+        |      AS n_non_unit
+        |  FROM nm)
+        |SELECT n AS n_vecs, round(s1 / n, 6) AS mean_norm,
+        |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS sd_norm,
+        |  min_norm, max_norm, n_non_unit
+        |FROM s""".stripMargin,
   )
 }
