@@ -3567,14 +3567,24 @@ object SparkEntry {
         floor((col("__now") - col("__last")) / lit(86400.0e9)).cast("long"))
       .select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary"))
-    val b1 = Features.quantileBins(rfm, "recency_days", 5, "__rb")
-    val b2 = Features.quantileBins(b1, "frequency", 5, "__fb")
-    val b3 = Features.quantileBins(b2, "monetary", 5, "__mb")
-    b3.select(col("user_id"), col("recency_days"), col("frequency"),
-      col("monetary"),
-      (lit(6) - col("__rb")).cast("long").as("r_score"),
-      col("__fb").cast("long").as("f_score"),
-      col("__mb").cast("long").as("m_score"))
+    // all 12 quintile cuts in ONE scalar aggregate (sequential
+    // quantileBins calls each re-planned the whole upstream chain for
+    // their bounds pass — PlanAudit showed 15 single-partition
+    // exchanges; one pass + one broadcast is the same math)
+    val qs = Seq(0.2, 0.4, 0.6, 0.8).map(lit)
+    val bounds = rfm.agg(
+      percentile(col("recency_days"), array(qs: _*)).as("__rb"),
+      percentile(col("frequency"), array(qs: _*)).as("__fb"),
+      percentile(col("monetary"), array(qs: _*)).as("__mb"))
+    def score(bs: Column, v: Column): Column =
+      size(filter(bs, b => b <= v)) + 1
+    rfm.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        (lit(6) - score(col("__rb"), col("recency_days"))).cast("long")
+          .as("r_score"),
+        score(col("__fb"), col("frequency")).cast("long").as("f_score"),
+        score(col("__mb"), col("monetary")).cast("long").as("m_score"))
   }
 
   /** A35: k-NN confusion matrix — sim9's majority-vote predictions
@@ -4080,9 +4090,14 @@ object SparkEntry {
     * each candidate setting. Work is bounded by the capped banding
     * exactly as d5. */
   private val d21ThresholdSweep: Q = (s, dir) => {
-    val pairs = Dedup.minHashPairsPortable(Tables.documents(s, dir),
+    // persist: both union legs below reuse the banding pipeline — the
+    // expensive stage; cached, it runs once (between-query quiesce
+    // releases it)
+    val base = Dedup.minHashPairsPortable(Tables.documents(s, dir),
         "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
         minJaccard = 0.25)
+      .persist()
+    val pairs = base
       .withColumn("threshold",
         explode(array(lit(0.3), lit(0.5), lit(0.7), lit(0.9))))
       .where(col("est_jaccard") >= col("threshold"))
