@@ -4155,6 +4155,63 @@ object SparkEntry {
         col("min_norm"), col("max_norm"), col("n_non_unit"))
   }
 
+  /** SIM14: IVF probe-depth tuning curve — mean recall@5 vs exact for
+    * nProbe ∈ {1, 2, 4, 8} over the sim5 portable index, in one query:
+    * the ANN counterpart of d21's dedup threshold sweep, and the curve
+    * that picks the latency/recall operating point before an index
+    * ships. Four probe depths re-run the probe stage only conceptually;
+    * at fixture scale the four pipelines re-execute and stay cheap —
+    * a production sweep would snapshot the assignment stage once. */
+  private val sim14NprobeCurve: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.where(col("vec_id") < 10)
+    val c = emb.where(col("vec_id") >= 10)
+    val exact = SimSearch.bruteForceTopK(q, c,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("item_id"))
+    val approx = Seq(1, 2, 4, 8).map { p =>
+      SimSearch.ivfTopKPortable(q, c, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, nCells = 8, nProbe = p)
+        .select(lit(p.toLong).as("n_probe"), col("query_id"),
+          col("item_id"), lit(1).as("__hit"))
+    }.reduce(_ unionAll _)
+    exact
+      .withColumn("n_probe",
+        explode(array(lit(1L), lit(2L), lit(4L), lit(8L))))
+      .join(approx, Seq("n_probe", "query_id", "item_id"), "left")
+      .groupBy(col("n_probe"), col("query_id"))
+      .agg(count(lit(1)).as("__ne"), count(col("__hit")).as("__nh"))
+      .groupBy(col("n_probe"))
+      .agg(round(avg(col("__nh") * lit(1.0) / col("__ne")), 6)
+        .as("mean_recall"), count(lit(1)).as("n_queries"))
+  }
+
+  /** L10: layout effectiveness — the l7 zone-map skip test run under
+    * two physical layouts of the same fact table (key-clustered
+    * ÷6000-row blocks vs ship-month partitions) for the same 1995
+    * predicate: the A/B that justifies re-clustering a 100 TB table by
+    * its hot filter column. Reported as skippable-block fraction per
+    * layout; the month layout skips everything outside the window, the
+    * key layout almost nothing — the number that sells l1's Z-order. */
+  private val l10LayoutEffectiveness: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("__sd", col("l_shipdate").cast("timestamp"))
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1996-01-01").cast("timestamp")
+    def audit(layout: String, block: Column): DataFrame =
+      li.groupBy(block.cast("string").as("block"))
+        .agg(min(col("__sd")).as("mn"), max(col("__sd")).as("mx"))
+        .agg(count(lit(1)).as("n_blocks"),
+          count(when(col("mx") < lo || col("mn") >= hi, 1))
+            .as("n_skippable"))
+        .select(lit(layout).as("layout"), col("n_blocks"),
+          col("n_skippable"),
+          round(col("n_skippable") * lit(1.0) / col("n_blocks"), 6)
+            .as("skip_frac"))
+    audit("key_blocks", expr("l_orderkey div 6000"))
+      .unionAll(audit("ship_month", date_format(col("__sd"), "yyyy-MM")))
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -4391,6 +4448,8 @@ object SparkEntry {
     "d21_threshold_sweep" -> d21ThresholdSweep,
     "w27_stickiness" -> w27Stickiness,
     "v8_norm_audit" -> v8NormAudit,
+    "sim14_nprobe_curve" -> sim14NprobeCurve,
+    "l10_layout_effectiveness" -> l10LayoutEffectiveness,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -8280,5 +8339,70 @@ object SparkEntry {
         |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS sd_norm,
         |  min_norm, max_norm, n_non_unit
         |FROM s""".stripMargin,
+    "sim14_nprobe_curve" ->
+      """WITH corpus AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |queries AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |cent AS (SELECT rn - 1 AS cell, v AS cv FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |    FROM corpus) WHERE rn <= 8),
+        |assigned AS (SELECT item_id, v, cell FROM (
+        |    SELECT c.item_id, c.v, ct.cell, row_number() OVER (
+        |      PARTITION BY c.item_id
+        |      ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+        |probed AS (SELECT query_id, v, cell, rn AS pr FROM (
+        |    SELECT q.query_id, q.v, ct.cell, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM queries q CROSS JOIN cent ct) WHERE rn <= 8),
+        |np AS (SELECT unnest(CAST([1, 2, 4, 8] AS BIGINT[])) AS n_probe),
+        |scored AS (SELECT np.n_probe, p.query_id, a.item_id,
+        |    list_cosine_similarity(p.v, a.v) AS cosine
+        |  FROM probed p CROSS JOIN np JOIN assigned a USING (cell)
+        |  WHERE p.pr <= np.n_probe),
+        |approx AS (SELECT n_probe, query_id, item_id FROM (
+        |    SELECT n_probe, query_id, item_id, row_number() OVER (
+        |      PARTITION BY n_probe, query_id
+        |      ORDER BY cosine DESC, item_id) AS rank FROM scored)
+        |  WHERE rank <= 5),
+        |exact AS (SELECT query_id, item_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |  WHERE rank <= 5),
+        |per AS (SELECT np.n_probe, e.query_id,
+        |    count(ap.item_id) * 1.0 / count(*) AS recall
+        |  FROM exact e CROSS JOIN np
+        |  LEFT JOIN approx ap ON ap.n_probe = np.n_probe
+        |    AND ap.query_id = e.query_id AND ap.item_id = e.item_id
+        |  GROUP BY np.n_probe, e.query_id)
+        |SELECT n_probe, round(avg(recall), 6) AS mean_recall,
+        |  count(*) AS n_queries
+        |FROM per GROUP BY n_probe""".stripMargin,
+    "l10_layout_effectiveness" ->
+      """WITH ka AS (SELECT CAST(l_orderkey // 6000 AS VARCHAR) AS block,
+        |    min(l_shipdate) AS mn, max(l_shipdate) AS mx
+        |  FROM lineitem GROUP BY 1),
+        |ma AS (SELECT strftime(l_shipdate, '%Y-%m') AS block,
+        |    min(l_shipdate) AS mn, max(l_shipdate) AS mx
+        |  FROM lineitem GROUP BY 1),
+        |k AS (SELECT 'key_blocks' AS layout, count(*) AS n_blocks,
+        |    count(CASE WHEN mx < TIMESTAMP '1995-01-01'
+        |      OR mn >= TIMESTAMP '1996-01-01' THEN 1 END) AS n_skippable
+        |  FROM ka),
+        |m AS (SELECT 'ship_month' AS layout, count(*) AS n_blocks,
+        |    count(CASE WHEN mx < TIMESTAMP '1995-01-01'
+        |      OR mn >= TIMESTAMP '1996-01-01' THEN 1 END) AS n_skippable
+        |  FROM ma)
+        |SELECT layout, n_blocks, n_skippable,
+        |  round(n_skippable * 1.0 / n_blocks, 6) AS skip_frac
+        |FROM (SELECT * FROM k UNION ALL SELECT * FROM m)""".stripMargin,
   )
 }
