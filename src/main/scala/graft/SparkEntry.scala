@@ -4212,6 +4212,62 @@ object SparkEntry {
       .unionAll(audit("ship_month", date_format(col("__sd"), "yyyy-MM")))
   }
 
+  /** Q7: dataset card — the one-row datasheet block a corpus release
+    * ships with: document/token/char mass, language and source
+    * cardinality, English share, mean heuristic quality (t1's scorer),
+    * and the exact-duplicate rate (1 − distinct digests / docs, q5's
+    * number): every figure a single linear aggregate over one scan
+    * plus the codegen'd per-row quality expression. */
+  private val q7DatasetCard: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("__q", TextFunctions.qualityScore(col("text")))
+      .withColumn("__nt", TextFunctions.tokenCount(col("text")))
+    d.agg(count(lit(1)).as("n_docs"),
+      sum(col("__nt")).cast("long").as("n_tokens"),
+      sum(length(col("text"))).cast("long").as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      round(count(when(col("lang") === "en", 1)) * lit(1.0) /
+        count(lit(1)), 6).as("pct_en"),
+      round(avg(col("__q")), 6).as("mean_quality"),
+      round(lit(1.0) - countDistinct(md5(col("text"))) * lit(1.0) /
+        count(lit(1)), 6).as("dup_rate"))
+  }
+
+  /** W30: growth accounting — each user-week classified new (first
+    * ever), retained (active the week before), or resurrected (gap
+    * > 1 week), plus the churned count attributed to the week AFTER a
+    * user's activity lapses — the new/retained/resurrected/churned
+    * quartet every growth report is built from. Pure lag/lead
+    * integer-week logic over the distinct (user, week) frame; one
+    * user-keyed shuffle, then a ≤|weeks| merge. The final data week's
+    * lapses still count as churn (documented right-censoring). */
+  private val w30GrowthAccounting: Q = (s, dir) => {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"), expr("(ts div 86400000000000) div 7")
+        .as("week"))
+      .distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val flagged = uw
+      .withColumn("__prev", lag(col("week"), 1).over(byUser))
+      .withColumn("__next", lead(col("week"), 1).over(byUser))
+    val states = flagged.groupBy(col("week"))
+      .agg(count(when(col("__prev").isNull, 1)).as("n_new"),
+        count(when(col("__prev") === col("week") - 1, 1)).as("n_retained"),
+        count(when(col("__prev").isNotNull &&
+          col("__prev") < col("week") - 1, 1)).as("n_resurrected"))
+    val churn = flagged
+      .where(col("__next").isNull || col("__next") > col("week") + 1)
+      .groupBy((col("week") + 1).as("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    states.join(churn, Seq("week"), "full_outer")
+      .select(col("week"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -4450,6 +4506,8 @@ object SparkEntry {
     "v8_norm_audit" -> v8NormAudit,
     "sim14_nprobe_curve" -> sim14NprobeCurve,
     "l10_layout_effectiveness" -> l10LayoutEffectiveness,
+    "q7_dataset_card" -> q7DatasetCard,
+    "w30_growth_accounting" -> w30GrowthAccounting,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -8404,5 +8462,53 @@ object SparkEntry {
         |SELECT layout, n_blocks, n_skippable,
         |  round(n_skippable * 1.0 / n_blocks, 6) AS skip_frac
         |FROM (SELECT * FROM k UNION ALL SELECT * FROM m)""".stripMargin,
+    "q7_dataset_card" ->
+      """WITH d AS (SELECT text, lang, source,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) AS nt,
+        |    least(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) / 50.0, 1.0) * 0.4
+        |    + (CASE WHEN len(list_filter(string_split_regex(lower(text),
+        |          '\s+'), t -> len(t) > 0)) > 0
+        |        AND len(regexp_replace(text, '\s+', '', 'g')) * 1.0
+        |          / len(list_filter(string_split_regex(lower(text), '\s+'),
+        |            t -> len(t) > 0)) BETWEEN 3.0 AND 10.0
+        |        THEN 1.0 ELSE 0.5 END) * 0.3
+        |    + (1.0 - least(
+        |        (CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+        |           / length(text) END) * 5.0, 1.0)) * 0.3 AS q
+        |  FROM documents)
+        |SELECT count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT source) AS n_sources,
+        |  round(count(CASE WHEN lang = 'en' THEN 1 END) * 1.0
+        |    / count(*), 6) AS pct_en,
+        |  round(avg(q), 6) AS mean_quality,
+        |  round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
+        |    AS dup_rate
+        |FROM d""".stripMargin,
+    "w30_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 86400000000000) // 7 AS week FROM events),
+        |f AS (SELECT user_id, week,
+        |    lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev,
+        |    lead(week) OVER (PARTITION BY user_id ORDER BY week) AS nxt
+        |  FROM uw),
+        |s AS (SELECT week,
+        |    count(CASE WHEN prev IS NULL THEN 1 END) AS n_new,
+        |    count(CASE WHEN prev = week - 1 THEN 1 END) AS n_retained,
+        |    count(CASE WHEN prev IS NOT NULL AND prev < week - 1 THEN 1 END)
+        |      AS n_resurrected
+        |  FROM f GROUP BY week),
+        |c AS (SELECT week + 1 AS week, count(*) AS n_churned FROM f
+        |  WHERE nxt IS NULL OR nxt > week + 1 GROUP BY week + 1)
+        |SELECT coalesce(s.week, c.week) AS week,
+        |  coalesce(n_new, 0) AS n_new,
+        |  coalesce(n_retained, 0) AS n_retained,
+        |  coalesce(n_resurrected, 0) AS n_resurrected,
+        |  coalesce(n_churned, 0) AS n_churned
+        |FROM s FULL OUTER JOIN c ON s.week = c.week""".stripMargin,
   )
 }
