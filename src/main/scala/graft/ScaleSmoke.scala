@@ -38,7 +38,13 @@ object ScaleSmoke {
   private val families = Seq(
     "g6_item_cf", "t22_bm25", "t24_bpe_segment", "g12_kcore",
     "d5_minhash_portable", "w6_sessionize", "w12_funnel",
-    "d6_embedding_dedup", "sim5_ivf_portable")
+    "d6_embedding_dedup", "sim5_ivf_portable",
+    // round-6 third-session heavies: blocked fuzzy join (customer),
+    // cross-set leakage dedup (documents), wedge-machinery cc (orders
+    // ⋈ lineitem), threshold sweep (documents), growth accounting
+    // (events)
+    "j16_fuzzy_join", "d16_split_leakage", "g15_clustering_coeff",
+    "d21_threshold_sweep", "w30_growth_accounting")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
