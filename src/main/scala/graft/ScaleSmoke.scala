@@ -97,6 +97,16 @@ object ScaleSmoke {
     scaleTable("lineitem", Map("l_orderkey" -> okStride, "l_partkey" -> pkStride))
     scaleTable("documents", Map("doc_id" -> dStride))
     scaleTable("events", Map("event_id" -> eStride, "user_id" -> uStride))
+    // customer: shift the key AND rewrite the name to embed it, so the
+    // j16 trigram blocks keep their shape (K identical name copies
+    // would collapse into one block and undercount the fuzzy join)
+    Tables.customer(spark, sfDir).crossJoin(broadcast(copies))
+      .withColumn("c_custkey", col("c_custkey") + col("__copy") * ckStride)
+      .withColumn("c_name",
+        format_string("Customer#%09d", col("c_custkey")))
+      .drop("__copy")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$workDir/customer.parquet")
     // embeddings: shift the id AND rotate the vector by the copy index
     emb.crossJoin(broadcast(copies))
       .withColumn("vec_id", col("vec_id") + col("__copy") * vStride)

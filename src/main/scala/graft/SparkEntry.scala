@@ -4268,6 +4268,103 @@ object SparkEntry {
         coalesce(col("n_churned"), lit(0L)).as("n_churned"))
   }
 
+  /** A39: precision/recall curve at decile thresholds — the
+    * threshold-picking artifact a18/a31 summarize away: for each cut
+    * t ∈ {0.0 … 0.9} over the a10 scored frame, the confusion counts
+    * and P/R/F1 of "predict purchase when score ≥ t". Scale shape:
+    * the raw table collapses FIRST into ≤10 score-bin partials (one
+    * map-side-combined aggregate — bins align exactly with the decile
+    * cuts, so "score ≥ t" ⟺ "bin ≥ 10t" with no per-row fan-out), and
+    * the sweep is a ≤100-cell join over that tiny frame. F1 is emitted
+    * as the single exact rational 2·tp/(n_pred+n_pos) rather than a
+    * composition of rounded P and R. */
+  private val a39PrCurve: Q = (s, dir) => {
+    val binned = Tables.events(s, dir)
+      .select(least(floor(col("value") / 50.0), lit(9.0)).cast("long")
+        .as("__bin"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("__y"))
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__npos"))
+    val thr = s.range(10).select(col("id").as("thr_decile"))
+    thr.join(binned, col("__bin") >= col("thr_decile"), "left")
+      .groupBy(col("thr_decile"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_pred"),
+        coalesce(sum(col("__npos")), lit(0L)).as("tp"))
+      .crossJoin(broadcast(binned.agg(sum(col("__npos")).as("__pos"))))
+      .select(col("thr_decile"), col("n_pred"), col("tp"),
+        when(col("n_pred") > 0,
+          round(col("tp").cast("double") / col("n_pred"), 6))
+          .as("precision"),
+        round(col("tp").cast("double") / col("__pos"), 6).as("recall"),
+        round(lit(2.0) * col("tp") / (col("n_pred") + col("__pos")), 6)
+          .as("f1"))
+  }
+
+  /** A40: reliability diagram — the per-bin calibration curve behind
+    * a18's scalar ECE: each of 10 confidence bins reports its count,
+    * mean predicted score, empirical positive rate, and signed gap, so
+    * over/under-confidence is visible per score region instead of
+    * averaged away. Identical binning contract to
+    * [[Metrics.calibration]] (clamped floor(score·10)); one
+    * map-side-combined aggregate to ≤10 rows, no second pass. */
+  private val a40ReliabilityBins: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select((col("value") / 500.0).as("__score"),
+        when(col("event_type") === "purchase", 1.0).otherwise(0.0)
+          .as("__y"))
+      .groupBy(greatest(least(floor(col("__score") * 10), lit(9L)),
+        lit(0L)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__score")), 6).as("mean_score"),
+        round(avg(col("__y")), 6).as("pos_rate"),
+        round(avg(col("__y")) - avg(col("__score")), 6).as("gap"))
+
+  /** X32: leakage-safe split — x1's portable hash split applied to the
+    * duplicate-CLUSTER representative instead of the row key, so every
+    * member of an exact-duplicate cluster (d1's digest groups) lands in
+    * the SAME split and a test document can never have a verbatim copy
+    * in train — the leakage mode d16 audits after the fact, prevented
+    * by construction (near-dup clusters compose the same way via d7
+    * upstream). One digest-keyed aggregate for the representative, one
+    * keyed join back; both sides shuffle on the digest, no skew beyond
+    * the duplicate-cluster sizes d1 already bounds. */
+  private val x32ClusterSplit: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("__dg"))
+    val rep = d.groupBy(col("__dg"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        count(lit(1)).as("n_members"))
+    d.join(rep, "__dg")
+      .select(col("doc_id"), col("rep_id"), col("n_members"),
+        when(substring(md5(col("rep_id").cast("string")), 1, 1) < "c",
+          "train").otherwise("test").as("split"))
+  }
+
+  /** W31: cohort activity matrix — users grouped by first-active week
+    * (the cohort), each cohort tracked across week ages: the classic
+    * triangular retention table product teams read, where w13's
+    * single-horizon retention is one column. The (user, week) frame is
+    * distinct once, the cohort key is a per-user min, and the matrix is
+    * a (cohort, age) count; the rate divides by the cohort's age-0
+    * size via a window over the ≤|weeks|² aggregated frame. */
+  private val w31CohortMatrix: Q = (s, dir) => {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("(ts div 86400000000000) div 7").as("week"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val cells = uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(count(lit(1)).as("n_users"))
+    val byCohort = Window.partitionBy(col("cohort_week"))
+    cells
+      .withColumn("retention", round(col("n_users") /
+        max(when(col("age_weeks") === 0, col("n_users")))
+          .over(byCohort), 6))
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -4508,6 +4605,10 @@ object SparkEntry {
     "l10_layout_effectiveness" -> l10LayoutEffectiveness,
     "q7_dataset_card" -> q7DatasetCard,
     "w30_growth_accounting" -> w30GrowthAccounting,
+    "a39_pr_curve" -> a39PrCurve,
+    "a40_reliability_bins" -> a40ReliabilityBins,
+    "x32_cluster_split" -> x32ClusterSplit,
+    "w31_cohort_matrix" -> w31CohortMatrix,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -8510,5 +8611,56 @@ object SparkEntry {
         |  coalesce(n_resurrected, 0) AS n_resurrected,
         |  coalesce(n_churned, 0) AS n_churned
         |FROM s FULL OUTER JOIN c ON s.week = c.week""".stripMargin,
+    "a39_pr_curve" ->
+      """WITH b AS (SELECT CAST(least(floor(value / 50.0), 9.0) AS BIGINT)
+        |      AS bin,
+        |    count(*) AS n,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS npos
+        |  FROM events GROUP BY 1),
+        |thr AS (SELECT unnest(generate_series(0, 9)) AS thr_decile),
+        |sw AS (SELECT thr_decile,
+        |    coalesce(sum(n), 0) AS n_pred, coalesce(sum(npos), 0) AS tp
+        |  FROM thr LEFT JOIN b ON b.bin >= thr.thr_decile
+        |  GROUP BY thr_decile),
+        |tot AS (SELECT sum(npos) AS pos FROM b)
+        |SELECT thr_decile, CAST(n_pred AS BIGINT) AS n_pred,
+        |  CAST(tp AS BIGINT) AS tp,
+        |  CASE WHEN n_pred > 0 THEN round(tp * 1.0 / n_pred, 6) END
+        |    AS precision,
+        |  round(tp * 1.0 / pos, 6) AS recall,
+        |  round(2.0 * tp / (n_pred + pos), 6) AS f1
+        |FROM sw, tot""".stripMargin,
+    "a40_reliability_bins" ->
+      """SELECT CAST(greatest(least(floor(value / 500.0 * 10), 9), 0)
+        |    AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  round(avg(value / 500.0), 6) AS mean_score,
+        |  round(avg(CASE WHEN event_type = 'purchase' THEN 1.0
+        |    ELSE 0.0 END), 6) AS pos_rate,
+        |  round(avg(CASE WHEN event_type = 'purchase' THEN 1.0
+        |      ELSE 0.0 END) - avg(value / 500.0), 6) AS gap
+        |FROM events GROUP BY 1""".stripMargin,
+    "x32_cluster_split" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS dg FROM documents),
+        |r AS (SELECT dg, min(doc_id) AS rep_id, count(*) AS n_members
+        |  FROM d GROUP BY dg)
+        |SELECT doc_id, rep_id, n_members,
+        |  CASE WHEN substring(md5(CAST(rep_id AS VARCHAR)), 1, 1) < 'c'
+        |    THEN 'train' ELSE 'test' END AS split
+        |FROM d JOIN r USING (dg)""".stripMargin,
+    "w31_cohort_matrix" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 86400000000000) // 7 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM uw
+        |  GROUP BY user_id),
+        |cells AS (SELECT cohort_week, week - cohort_week AS age_weeks,
+        |    count(*) AS n_users
+        |  FROM uw JOIN c USING (user_id)
+        |  GROUP BY cohort_week, week - cohort_week)
+        |SELECT cohort_week, age_weeks, n_users,
+        |  round(n_users * 1.0 / max(CASE WHEN age_weeks = 0
+        |      THEN n_users END) OVER (PARTITION BY cohort_week), 6)
+        |    AS retention
+        |FROM cells""".stripMargin,
   )
 }
