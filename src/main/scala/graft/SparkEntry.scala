@@ -4365,6 +4365,160 @@ object SparkEntry {
           .over(byCohort), 6))
   }
 
+  /** A41: cumulative-gains (CAP) curve — a32's decile table read
+    * cumulatively: after targeting the top-k deciles by score, what
+    * share of all positives is captured and at what lift. The rank
+    * rides the same [[graft.ops.PrefixSum]] build as a32 (exact
+    * integer decile assignment, no ntile); the cumulative step is a
+    * window over the 10-row aggregated frame, so the whole curve
+    * costs a32 plus nothing measurable. */
+  private val a41CapCurve: Q = (s, dir) => {
+    val scored = Tables.events(s, dir).select(col("event_id"),
+      (-col("value") / 500.0).as("__neg"),
+      when(col("event_type") === "purchase", 1.0).otherwise(0.0).as("__y"))
+    val ranked = graft.ops.PrefixSum.ranges(scored,
+      Seq("__neg", "event_id"), lit(1L), "__lo", "__hi")
+    val n = broadcast(scored.agg(count(lit(1)).as("__n"),
+      sum(col("__y")).as("__pos")))
+    val deciles = ranked.crossJoin(n)
+      .withColumn("decile", ((col("__lo") * 10 -
+        pmod(col("__lo") * 10, col("__n"))) / col("__n")).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("__rows"), sum(col("__y")).as("__p"),
+        first(col("__n")).as("__n"), first(col("__pos")).as("__pos"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles.select(col("decile"),
+      sum(col("__rows")).over(cum).as("cum_rows"),
+      sum(col("__p")).over(cum).cast("long").as("cum_pos"),
+      round(sum(col("__p")).over(cum) / col("__pos"), 6).as("gain"),
+      round((sum(col("__p")).over(cum) / sum(col("__rows")).over(cum)) /
+        (col("__pos") / col("__n")), 6).as("cum_lift"))
+  }
+
+  /** W32: churn survival curve — the Kaplan–Meier estimator (Kaplan &
+    * Meier 1958) over per-user activity LIFETIMES (last-active −
+    * first-active day), with users still active in the final week
+    * right-censored: S(t) answers "what share of users survive past a
+    * t-day lifetime", the principled form of w15's binary churn label
+    * (censoring is what naive "mean lifetime" gets wrong). Exact
+    * integer risk/event counts per distinct lifetime; the product
+    * ∏(1 − dᵢ/nᵢ) is an exp∘Σln over the ≤|days| aggregated frame
+    * (the a30 float posture, rounded 6 dp), with the zero-factor tail
+    * pinned to exactly 0 rather than left to ln(0) NULL semantics
+    * that diverge across engines. */
+  private val w32SurvivalCurve: Q = (s, dir) => {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("__day"))
+    val users = days.groupBy(col("user_id"))
+      .agg(min(col("__day")).as("__first"), max(col("__day")).as("__last"))
+      .crossJoin(broadcast(days.agg(max(col("__day")).as("__maxd"))))
+      .select((col("__last") - col("__first")).as("duration_days"),
+        when(col("__last") < col("__maxd") - 7, 1L).otherwise(0L)
+          .as("__churn"))
+    val perT = users.groupBy(col("duration_days"))
+      .agg(sum(col("__churn")).as("n_churned"),
+        sum(lit(1L) - col("__churn")).as("n_censored"))
+    val atRisk = Window.orderBy(col("duration_days"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prefix = Window.orderBy(col("duration_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT
+      .withColumn("n_risk",
+        sum(col("n_churned") + col("n_censored")).over(atRisk))
+      .withColumn("__f",
+        (col("n_risk") - col("n_churned")).cast("double") / col("n_risk"))
+      .select(col("duration_days"), col("n_risk"), col("n_churned"),
+        col("n_censored"),
+        when(min(col("__f")).over(prefix) === 0.0, lit(0.0))
+          .otherwise(round(exp(sum(log(col("__f"))).over(prefix)), 6))
+          .as("survival"))
+  }
+
+  /** A42: Brier score with Murphy decomposition — the proper-scoring
+    * companion to a40: overall Brier = avg((score−y)²), split into
+    * reliability (binned calibration error, the term a18's ECE
+    * approximates), resolution (how far bin outcomes stray from the
+    * base rate — discrimination), and uncertainty (base-rate
+    * variance). Murphy's identity `brier = rel − res + unc` holds
+    * exactly only when forecasts are constant within bins, so the
+    * within-bin variance remainder is emitted as an explicit
+    * `residual` instead of silently pretending the identity closes.
+    * One pass for the global moments + one ≤10-row bin aggregate. */
+  private val a42BrierDecomposition: Q = (s, dir) => {
+    val scored = Tables.events(s, dir)
+      .select((col("value") / 500.0).as("__s"),
+        when(col("event_type") === "purchase", 1.0).otherwise(0.0)
+          .as("__y"))
+    val bins = scored
+      .groupBy(greatest(least(floor(col("__s") * 10), lit(9L)), lit(0L))
+        .as("__bin"))
+      .agg(count(lit(1)).as("__n"), avg(col("__s")).as("__conf"),
+        avg(col("__y")).as("__acc"))
+    val global = scored.agg(count(lit(1)).as("n"),
+      avg((col("__s") - col("__y")) * (col("__s") - col("__y")))
+        .as("__brier"),
+      avg(col("__y")).as("__base"))
+    bins.crossJoin(broadcast(global))
+      .agg(first(col("n")).as("n"),
+        round(first(col("__brier")), 6).as("brier"),
+        round(sum(col("__n") * (col("__conf") - col("__acc")) *
+          (col("__conf") - col("__acc"))) / first(col("n")), 6)
+          .as("reliability"),
+        round(sum(col("__n") * (col("__acc") - col("__base")) *
+          (col("__acc") - col("__base"))) / first(col("n")), 6)
+          .as("resolution"),
+        round(first(col("__base")) * (lit(1.0) - first(col("__base"))), 6)
+          .as("uncertainty"),
+        round(first(col("__brier")) -
+          (sum(col("__n") * ((col("__conf") - col("__acc")) *
+              (col("__conf") - col("__acc")) -
+              (col("__acc") - col("__base")) *
+              (col("__acc") - col("__base")))) / first(col("n")) +
+            first(col("__base")) * (lit(1.0) - first(col("__base")))), 6)
+          .as("residual"))
+  }
+
+  /** T38: Zipf-law fit — ordinary least squares on (ln rank, ln count)
+    * over the corpus's top-200 whitespace tokens (t3's tokenization):
+    * the slope (Zipf exponent, ≈ −1 for natural language) and R² that
+    * corpus-health dashboards track, and a quick synthetic-vs-natural
+    * tell. The frequency table is one explode→aggregate; top-200 is
+    * `TakeOrderedAndProject` (per-partition heaps, never a global
+    * sort); the regression is a closed-form 1-row aggregate over the
+    * 200-row frame. Ranks tie-break on the token string so both
+    * engines see identical (x, y) points. */
+  private val t38ZipfFit: Q = (s, dir) => {
+    val freq = Tables.documents(s, dir)
+      .select(explode(filter(split(lower(col("text")), "\\s+"),
+        t => length(t) > 0)).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__tok")).limit(200)
+    val pts = freq
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__cnt").desc, col("__tok"))).cast("double"))
+      .select(log(col("__rk")).as("__x"),
+        log(col("__cnt").cast("double")).as("__y"))
+    pts.agg(count(lit(1)).as("n_tokens"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .select(col("n_tokens"),
+        round((col("n_tokens") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("n_tokens") * col("__sxx") - col("__sx") * col("__sx")), 6)
+          .as("zipf_slope"),
+        round((col("__sy") - col("__sx") *
+          ((col("n_tokens") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("n_tokens") * col("__sxx") - col("__sx") * col("__sx")))) /
+          col("n_tokens"), 6).as("intercept"),
+        round(((col("n_tokens") * col("__sxy") - col("__sx") * col("__sy")) *
+          (col("n_tokens") * col("__sxy") - col("__sx") * col("__sy"))) /
+          ((col("n_tokens") * col("__sxx") - col("__sx") * col("__sx")) *
+            (col("n_tokens") * col("__syy") - col("__sy") * col("__sy"))), 6)
+          .as("r2"))
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -4609,6 +4763,10 @@ object SparkEntry {
     "a40_reliability_bins" -> a40ReliabilityBins,
     "x32_cluster_split" -> x32ClusterSplit,
     "w31_cohort_matrix" -> w31CohortMatrix,
+    "a41_cap_curve" -> a41CapCurve,
+    "w32_survival_curve" -> w32SurvivalCurve,
+    "a42_brier_decomposition" -> a42BrierDecomposition,
+    "t38_zipf_fit" -> t38ZipfFit,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -8662,5 +8820,94 @@ object SparkEntry {
         |      THEN n_users END) OVER (PARTITION BY cohort_week), 6)
         |    AS retention
         |FROM cells""".stripMargin,
+    "a41_cap_curve" ->
+      """WITH sc AS (SELECT event_id, value / 500.0 AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (ORDER BY s DESC, event_id) - 1
+        |    AS rk FROM sc),
+        |t AS (SELECT count(*) AS n, sum(y) AS pos FROM sc),
+        |d AS (SELECT (rk * 10) // (SELECT n FROM t) AS decile,
+        |    count(*) AS rows_, sum(y) AS p
+        |  FROM r GROUP BY 1)
+        |SELECT decile,
+        |  CAST(sum(rows_) OVER w AS BIGINT) AS cum_rows,
+        |  CAST(sum(p) OVER w AS BIGINT) AS cum_pos,
+        |  round(sum(p) OVER w / (SELECT pos FROM t), 6) AS gain,
+        |  round((sum(p) OVER w / sum(rows_) OVER w) /
+        |    ((SELECT pos FROM t) * 1.0 / (SELECT n FROM t)), 6)
+        |    AS cum_lift
+        |FROM d
+        |WINDOW w AS (ORDER BY decile
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "w32_survival_curve" ->
+      """WITH days AS (SELECT user_id, epoch_ns(ts) // 86400000000000
+        |    AS day FROM events),
+        |u AS (SELECT user_id, min(day) AS fst, max(day) AS lst
+        |  FROM days GROUP BY user_id),
+        |m AS (SELECT max(day) AS maxd FROM days),
+        |lt AS (SELECT lst - fst AS duration_days,
+        |    CASE WHEN lst < (SELECT maxd FROM m) - 7 THEN 1 ELSE 0 END
+        |      AS churn FROM u),
+        |perT AS (SELECT duration_days,
+        |    CAST(sum(churn) AS BIGINT) AS n_churned,
+        |    CAST(sum(1 - churn) AS BIGINT) AS n_censored
+        |  FROM lt GROUP BY duration_days),
+        |risk AS (SELECT *, sum(n_churned + n_censored) OVER (
+        |    ORDER BY duration_days
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+        |  FROM perT),
+        |f AS (SELECT *, (n_risk - n_churned) * 1.0 / n_risk AS fac
+        |  FROM risk)
+        |SELECT duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+        |  n_churned, n_censored,
+        |  CASE WHEN min(fac) OVER w = 0 THEN 0.0
+        |    ELSE round(exp(sum(ln(fac)) OVER w), 6) END AS survival
+        |FROM f
+        |WINDOW w AS (ORDER BY duration_days
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "a42_brier_decomposition" ->
+      """WITH sc AS (SELECT value / 500.0 AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events),
+        |g AS (SELECT count(*) AS n, avg((s - y) * (s - y)) AS brier,
+        |    avg(y) AS base FROM sc),
+        |b AS (SELECT greatest(least(floor(s * 10), 9), 0) AS bin,
+        |    count(*) AS bn, avg(s) AS conf, avg(y) AS acc
+        |  FROM sc GROUP BY 1)
+        |SELECT (SELECT n FROM g) AS n,
+        |  round((SELECT brier FROM g), 6) AS brier,
+        |  round(sum(bn * (conf - acc) * (conf - acc))
+        |    / (SELECT n FROM g), 6) AS reliability,
+        |  round(sum(bn * (acc - (SELECT base FROM g)) *
+        |    (acc - (SELECT base FROM g))) / (SELECT n FROM g), 6)
+        |    AS resolution,
+        |  round((SELECT base * (1.0 - base) FROM g), 6) AS uncertainty,
+        |  round((SELECT brier FROM g) -
+        |    (sum(bn * ((conf - acc) * (conf - acc) -
+        |        (acc - (SELECT base FROM g)) *
+        |        (acc - (SELECT base FROM g)))) / (SELECT n FROM g) +
+        |      (SELECT base * (1.0 - base) FROM g)), 6) AS residual
+        |FROM b""".stripMargin,
+    "t38_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+        |  ORDER BY cnt DESC, tok LIMIT 200),
+        |pts AS (SELECT ln(CAST(row_number() OVER (
+        |      ORDER BY cnt DESC, tok) AS DOUBLE)) AS x,
+        |    ln(CAST(cnt AS DOUBLE)) AS y FROM freq),
+        |agg AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM pts)
+        |SELECT n AS n_tokens,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |    AS zipf_slope,
+        |  round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx)))
+        |    / n, 6) AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM agg""".stripMargin,
   )
 }

@@ -112,6 +112,97 @@ class MiscApiSpec extends AnyFunSuite {
     rows.foreach { r => assert(r._4 > 0.0 && r._4 <= 1.0) }
   }
 
+  test("a41 CAP curve: gains accumulate to 1 and lift ends at base rate") {
+    val rows = SparkEntry.queries("a41_cap_curve")(spark, TestSpark.sf)
+      .select($"decile", $"cum_rows", $"cum_pos", $"gain", $"cum_lift")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    assert(rows.last._2 == Tables.events(spark, TestSpark.sf).count(),
+      "decile 9 accumulates every row")
+    assert(rows.last._4 == 1.0 && rows.last._5 == 1.0,
+      "full coverage captures all positives at exactly base-rate lift")
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 > lo._2 && hi._3 >= lo._3 && hi._4 >= lo._4,
+        s"cumulative masses only grow: $lo -> $hi")
+      case _ => ()
+    }
+    rows.foreach { r => assert(r._4 >= 0.0 && r._4 <= 1.0) }
+  }
+
+  test("w32 survival: KM is a non-increasing product over full risk sets") {
+    val rows = SparkEntry.queries("w32_survival_curve")(spark, TestSpark.sf)
+      .select($"duration_days", $"n_risk", $"n_churned", $"n_censored",
+        $"survival")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, TestSpark.sf)
+      .select($"user_id").distinct().count()
+    assert(rows.head._2 == nUsers, "the first risk set holds every user")
+    assert(rows.map(r => r._3 + r._4).sum == nUsers,
+      "every user churns or is censored exactly once")
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 == lo._2 - lo._3 - lo._4,
+        "risk set shrinks by the previous duration's exits")
+      assert(hi._5 <= lo._5, s"survival cannot rise: $lo -> $hi")
+      case _ => ()
+    }
+    // hand-check the first step: S(t0) = (n - d0) / n
+    val expected0 = BigDecimal((nUsers - rows.head._3).toDouble / nUsers)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows.head._5 - expected0) <= 1e-6)
+    rows.foreach { r => assert(r._5 >= 0.0 && r._5 <= 1.0) }
+  }
+
+  test("a42 Brier decomposition: terms close the identity via residual") {
+    val r = SparkEntry.queries("a42_brier_decomposition")(
+        spark, TestSpark.sf)
+      .select($"n", $"brier", $"reliability", $"resolution",
+        $"uncertainty", $"residual")
+      .as[(Long, Double, Double, Double, Double, Double)].collect()
+    assert(r.length == 1)
+    val (n, brier, rel, res, unc, resid) = r.head
+    assert(n == Tables.events(spark, TestSpark.sf).count())
+    assert(brier >= 0.0 && rel >= 0.0 && res >= 0.0)
+    assert(unc >= 0.0 && unc <= 0.25, "Bernoulli variance bound")
+    // Murphy: brier = reliability - resolution + uncertainty + residual
+    assert(math.abs(brier - (rel - res + unc + resid)) <= 5e-6,
+      s"identity must close: $brier vs ${rel - res + unc + resid}")
+  }
+
+  test("t38 Zipf fit matches a hand-computed OLS over the token ranks") {
+    val r = SparkEntry.queries("t38_zipf_fit")(spark, TestSpark.sf)
+      .select($"n_tokens", $"zipf_slope", $"intercept", $"r2")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(r.length == 1)
+    val (n, slope, intercept, r2) = r.head
+    assert(n >= 2 && n <= 200)
+    assert(slope < 0.0, "frequency must fall with rank")
+    // r2 is NOT asserted large: the synthetic fixture corpus is
+    // deliberately non-Zipfian, and a low r2 is the query doing its
+    // "synthetic-vs-natural" job. Instead pin the regression itself:
+    val counts = Tables.documents(spark, TestSpark.sf)
+      .select(explode(filter(split(lower($"text"), "\\s+"),
+        t => length(t) > 0)).as("tok"))
+      .groupBy($"tok").count()
+      .as[(String, Long)].collect()
+      .sortBy { case (t, c) => (-c, t) }.take(200)
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val m = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val expSlope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    val expIcpt = (sy - sx * expSlope) / m
+    val expR2 = (m * sxy - sx * sy) * (m * sxy - sx * sy) /
+      ((m * sxx - sx * sx) * (m * syy - sy * sy))
+    assert(pts.length == n)
+    assert(math.abs(slope - expSlope) <= 1e-5, s"$slope vs $expSlope")
+    assert(math.abs(intercept - expIcpt) <= 1e-5)
+    assert(math.abs(r2 - expR2) <= 1e-5)
+  }
+
   test("w30 growth accounting satisfies the WAU flow identity") {
     // WAU(w) = new + retained + resurrected, and
     // WAU(w) = WAU(prev active week) + new + resurrected − churned(w)
