@@ -4519,6 +4519,73 @@ object SparkEntry {
           .as("r2"))
   }
 
+  /** W33: peak session concurrency — the capacity-planning number
+    * ("how many users are mid-session at the worst moment") computed
+    * by a sweep-line over w6's gap sessions: +1 at each session start,
+    * −1 just after each end, running-summed in global time order. The
+    * global running sum rides [[graft.ops.PrefixSum]] (two-level scan,
+    * never a data-sized single partition) with the start/end counters
+    * PACKED into one non-negative long (start·2³² + end) so one pass
+    * produces both cumulative counts; concurrency is their difference.
+    * Start-before-end ordering at equal timestamps is pinned by the
+    * sort key, and the peak timestamp is the earliest boundary
+    * attaining the max — both order-invariant under the unique
+    * (ts, kind, user, session) sort. */
+  private val w33PeakConcurrency: Q = (s, dir) => {
+    val gapUs = 3600L * 1000 * 1000
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__brk", when(col("__prev").isNull ||
+        col("ts") - col("__prev") >= gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+    val bounds = sess.select(col("user_id"), col("session_id"),
+        col("t_start").as("bt"), lit(0L).as("k2"))
+      .unionByName(sess.select(col("user_id"), col("session_id"),
+        (col("t_end") + 1L).as("bt"), lit(1L).as("k2")))
+      .withColumn("__w",
+        when(col("k2") === 0, lit(4294967296L)).otherwise(lit(1L)))
+    val cum = graft.ops.PrefixSum.ranges(bounds,
+        Seq("bt", "k2", "user_id", "session_id"), col("__w"),
+        "__lo", "__hi")
+      .select(col("bt"),
+        (expr("__hi div 4294967296") - pmod(col("__hi"),
+          lit(4294967296L))).as("conc"))
+    val peak = broadcast(cum.agg(max(col("conc")).as("__peak")))
+    cum.crossJoin(peak).where(col("conc") === col("__peak"))
+      .crossJoin(broadcast(sess.agg(count(lit(1)).as("__ns"))))
+      .agg(first(col("__ns")).as("n_sessions"),
+        first(col("__peak")).as("peak_concurrency"),
+        min(col("bt")).as("peak_ts"))
+  }
+
+  /** X34: deterministic weighted resample — weighted sampling WITHOUT
+    * replacement via exponential clocks (Efraimidis & Spirakis 2006):
+    * each document draws key = −ln(u)/w from its portable md5 uniform
+    * (48-bit mantissa, +0.5 so u is never 0) with weight w = n_chars,
+    * and the 100 smallest keys win — the selection step that turns
+    * t19-style importance weights into an actual training subset,
+    * replayable on any engine. Per-row map work plus one
+    * `TakeOrderedAndProject` top-100 (per-partition heaps); the rank
+    * window runs over the 100 surviving rows only. */
+  private val x34WeightedResample: Q = (s, dir) => {
+    val keyed = Tables.documents(s, dir).where(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("__u",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+          16, 10).cast("long").cast("double") + 0.5) / 281474976710656.0)
+      .withColumn("__key", -log(col("__u")) / col("n_chars"))
+    keyed.orderBy(col("__key"), col("doc_id")).limit(100)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("__key"), col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_chars").as("weight"))
+  }
+
   /** Insertion-ordered; the tiny q0 scan runs first and absorbs one-time
     * JVM / codegen / parquet-reader warm-up so every other timing
     * reflects the operator, not the session. */
@@ -4767,6 +4834,8 @@ object SparkEntry {
     "w32_survival_curve" -> w32SurvivalCurve,
     "a42_brier_decomposition" -> a42BrierDecomposition,
     "t38_zipf_fit" -> t38ZipfFit,
+    "w33_peak_concurrency" -> w33PeakConcurrency,
+    "x34_weighted_resample" -> x34WeightedResample,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -8909,5 +8978,43 @@ object SparkEntry {
         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
         |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM agg""".stripMargin,
+    "w33_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id
+        |  FROM events),
+        |l AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev FROM e),
+        |b AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL OR ts - prev >= 3600000000
+        |      THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id FROM b),
+        |sess AS (SELECT user_id, session_id, min(ts) AS t_start,
+        |    max(ts) AS t_end FROM s GROUP BY user_id, session_id),
+        |bounds AS (SELECT user_id, session_id, t_start AS bt, 0 AS k2
+        |    FROM sess
+        |  UNION ALL SELECT user_id, session_id, t_end + 1, 1 FROM sess),
+        |c AS (SELECT bt,
+        |    sum(CASE WHEN k2 = 0 THEN 1 ELSE 0 END) OVER w -
+        |    sum(CASE WHEN k2 = 1 THEN 1 ELSE 0 END) OVER w AS conc
+        |  FROM bounds WINDOW w AS (ORDER BY bt, k2, user_id, session_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT max(conc) AS peak FROM c)
+        |SELECT (SELECT count(*) FROM sess) AS n_sessions,
+        |  CAST((SELECT peak FROM p) AS BIGINT) AS peak_concurrency,
+        |  min(bt) AS peak_ts
+        |FROM c WHERE conc = (SELECT peak FROM p)""".stripMargin,
+    "x34_weighted_resample" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |      AS BIGINT) + 0.5) / 281474976710656.0 AS u
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, n_chars, -ln(u) / n_chars AS ky FROM d),
+        |t AS (SELECT * FROM k ORDER BY ky, doc_id LIMIT 100)
+        |SELECT row_number() OVER (ORDER BY ky, doc_id) AS rank,
+        |  doc_id, n_chars AS weight
+        |FROM t""".stripMargin,
   )
 }

@@ -203,6 +203,54 @@ class MiscApiSpec extends AnyFunSuite {
     assert(math.abs(r2 - expR2) <= 1e-5)
   }
 
+  test("w33 peak concurrency matches a naive driver-side sweep") {
+    val r = SparkEntry.queries("w33_peak_concurrency")(spark, TestSpark.sf)
+      .select($"n_sessions", $"peak_concurrency", $"peak_ts")
+      .as[(Long, Long, Long)].collect()
+    assert(r.length == 1)
+    val (ns, peak, peakTs) = r.head
+    val sess = SparkEntry.queries("w6_sessionize")(spark, TestSpark.sf)
+      .select($"t_start", $"t_end").as[(Long, Long)].collect()
+    assert(ns == sess.length)
+    val events = (sess.map(s => (s._1, 1)) ++ sess.map(s => (s._2 + 1, -1)))
+      .sortBy { case (t, d) => (t, -d) }
+    var cur = 0L; var best = 0L; var bestTs = Long.MaxValue
+    events.foreach { case (t, d) =>
+      cur += d
+      if (cur > best) { best = cur; bestTs = t }
+    }
+    assert(peak == best, s"peak $peak vs naive $best")
+    assert(peakTs == bestTs, s"peak ts $peakTs vs naive $bestTs")
+    assert(peak >= 1 && peak <= ns)
+  }
+
+  test("x34 weighted resample picks exactly the 100 smallest clock keys") {
+    val out = SparkEntry.queries("x34_weighted_resample")(
+        spark, TestSpark.sf)
+      .select($"rank", $"doc_id", $"weight")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 100)
+    assert(out.map(_._1).toSeq == (1L to 100L))
+    // recompute every doc's exponential clock key on the driver and
+    // confirm the query returned the global 100 smallest, in order
+    val all = Tables.documents(spark, TestSpark.sf)
+      .where($"n_chars" > 0)
+      .select($"doc_id", $"n_chars",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
+          .cast("long").cast("double") + 0.5) / 281474976710656.0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, w, u) => (id, w, -math.log(u) / w) }
+    val expected = all.sortBy { case (id, _, k) => (k, id) }.take(100)
+    assert(out.map(_._2).toSeq == expected.map(_._1).toSeq,
+      "selected ids must be the 100 smallest keys in key order")
+    assert(out.map(_._3).toSeq == expected.map(_._2).toSeq)
+    // weighting must bias selection toward heavy docs
+    val meanSel = out.map(_._3).sum.toDouble / out.length
+    val meanAll = all.map(_._2).sum.toDouble / all.length
+    assert(meanSel > meanAll,
+      s"weighted pick should skew heavy: $meanSel vs $meanAll")
+  }
+
   test("w30 growth accounting satisfies the WAU flow identity") {
     // WAU(w) = new + retained + resurrected, and
     // WAU(w) = WAU(prev active week) + new + resurrected − churned(w)
