@@ -4544,24 +4544,30 @@ object SparkEntry {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+    // single-pass boundary fan-out (the round-4 union lesson: a
+    // two-select union re-evaluates the session build once per branch)
     val bounds = sess.select(col("user_id"), col("session_id"),
-        col("t_start").as("bt"), lit(0L).as("k2"))
-      .unionByName(sess.select(col("user_id"), col("session_id"),
-        (col("t_end") + 1L).as("bt"), lit(1L).as("k2")))
+        explode(array(
+          struct(col("t_start").as("bt"), lit(0L).as("k2")),
+          struct((col("t_end") + 1L).as("bt"), lit(1L).as("k2"))))
+          .as("__b"))
+      .select(col("user_id"), col("session_id"),
+        col("__b.bt").as("bt"), col("__b.k2").as("k2"))
       .withColumn("__w",
         when(col("k2") === 0, lit(4294967296L)).otherwise(lit(1L)))
-    val cum = graft.ops.PrefixSum.ranges(bounds,
+    graft.ops.PrefixSum.ranges(bounds,
         Seq("bt", "k2", "user_id", "session_id"), col("__w"),
         "__lo", "__hi")
       .select(col("bt"),
         (expr("__hi div 4294967296") - pmod(col("__hi"),
           lit(4294967296L))).as("conc"))
-    val peak = broadcast(cum.agg(max(col("conc")).as("__peak")))
-    cum.crossJoin(peak).where(col("conc") === col("__peak"))
-      .crossJoin(broadcast(sess.agg(count(lit(1)).as("__ns"))))
-      .agg(first(col("__ns")).as("n_sessions"),
-        first(col("__peak")).as("peak_concurrency"),
-        min(col("bt")).as("peak_ts"))
+      // one aggregate consumes the scan once: boundary count / 2 is the
+      // session count, and the struct max is (peak, earliest-ts-at-peak)
+      .agg(expr("count(1) div 2").as("n_sessions"),
+        max(struct(col("conc").as("c"), (-col("bt")).as("nb")))
+          .as("__pk"))
+      .select(col("n_sessions"), col("__pk.c").as("peak_concurrency"),
+        (-col("__pk.nb")).as("peak_ts"))
   }
 
   /** X34: deterministic weighted resample — weighted sampling WITHOUT
