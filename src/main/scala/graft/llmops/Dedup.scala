@@ -190,7 +190,9 @@ object Dedup {
     * differing bits and probabilistic above — pick `bands` > the
     * `maxHamming` you care about (default 8 bands ⇒ exact through 7).
     * Degenerate buckets (boilerplate clusters) are capped like the other
-    * dedup variants. */
+    * dedup variants; pairs are generated bucket-locally
+    * ([[bucketLocalPairStructs]] — one shuffle, no self-join plan
+    * duplication, same rationale as [[simHashPairsPortable]]). */
   def simHashPairs(docs: DataFrame, id: String, text: String,
       maxHamming: Int, bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
@@ -201,15 +203,48 @@ object Dedup {
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * width).bitwiseAND(mask).as("key"))): _*)).as("bk"))
-    val hot = banded.groupBy(col("bk")).agg(count(lit(1)).as("__c"))
-      .where(col("__c") > maxBucket).select(col("bk"))
-    val capped = banded.join(broadcast(hot), Seq("bk"), "left_anti")
-    val l = capped.as("l"); val r = capped.as("r")
-    val hamming = bit_count(col("l.sig").bitwiseXOR(col("r.sig")))
-    l.join(r, col("l.bk") === col("r.bk") && col("l.doc") < col("r.doc"))
-      .where(hamming <= maxHamming)
-      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
-        hamming.as("hamming"))
+    bucketLocalPairStructs(banded, maxBucket)
+      .select(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
+        bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Engine-portable SimHash near-dup pairs: [[simHash32Portable]]
+    * signatures cut into `bands` equal bit-bands (band key = that band's
+    * bits), docs sharing any full band verified by exact Hamming distance
+    * ≤ `maxHamming` — the same pigeonhole mechanics as [[simHashPairs]]
+    * (exact detection below `bands` differing bits) but on the md5-derived
+    * 32-bit signature, so the whole pipeline — tokenize → vote → sign bits
+    * → band → pair → popcount — is replicable in ANSI SQL by the DuckDB
+    * oracle. Docs with no tokens are excluded (their signature would be
+    * the degenerate all-zero value, pairing every empty doc with every
+    * other). Hot (boilerplate) buckets are capped like every other dedup
+    * variant; the cap runs before the pair stage so no unbounded bucket
+    * ever reaches it.
+    *
+    * Pairs are generated bucket-locally ([[bucketLocalPairStructs]]), NOT
+    * by a bucket-key self-join: the portable signature is an expensive
+    * expression tree (32 votes per token), and a self-join plus the
+    * hot-bucket pre-count would re-evaluate it 4× — measured 3× slower
+    * than this one-pass form on the same fixture. */
+  def simHashPairsPortable(docs: DataFrame, id: String, text: String,
+      maxHamming: Int, bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    require(32 % bands == 0, s"bands must divide 32, got $bands")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val sig = docs
+      .where(size(TextFunctions.tokens(col(text))) > 0)
+      .select(col(id).as("doc"), simHash32Portable(col(text)).as("sig"))
+    val banded = sig.select(col("doc"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * width).bitwiseAND(mask).as("key"))): _*)).as("bk"))
+    bucketLocalPairStructs(banded, maxBucket)
+      .select(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
+        bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig")))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
       .distinct()
   }
 
@@ -337,6 +372,18 @@ object Dedup {
     * whole signature pipeline twice; measured ~2× slower on the minhash
     * variants.) */
   private def bucketLocalPairs(banded: DataFrame, numHashes: Int,
+      maxBucket: Int): DataFrame =
+    bucketLocalPairStructs(banded, maxBucket).select(
+      col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
+      (size(filter(zip_with(col("p.a.sig"), col("p.b.sig"), (x, y) => x === y),
+        v => v)).cast("double") / numHashes).as("est_jaccard"))
+
+  /** Signature-agnostic core of [[bucketLocalPairs]]: cap, collect each
+    * bucket's (doc, sig) members sorted by doc, and explode every i<j
+    * member pair as one `p` struct column (`p.a` / `p.b`; a.doc < b.doc
+    * by the sort). Works for any sig type — minhash arrays and simhash
+    * longs share it. */
+  private def bucketLocalPairStructs(banded: DataFrame,
       maxBucket: Int): DataFrame = {
     val members = banded
       .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("bk"))))
@@ -344,15 +391,11 @@ object Dedup {
       .groupBy(col("bk"))
       .agg(sort_array(collect_list(struct(col("doc"), col("sig")))).as("ms"))
       .where(size(col("ms")) >= 2)
-    val pairs = members.select(explode(flatten(
+    members.select(explode(flatten(
       transform(sequence(lit(0), size(col("ms")) - 2), i =>
         transform(sequence(i + 1, size(col("ms")) - 1), j =>
           struct(element_at(col("ms"), i + 1).as("a"),
             element_at(col("ms"), j + 1).as("b")))))).as("p"))
-    pairs.select(
-      col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
-      (size(filter(zip_with(col("p.a.sig"), col("p.b.sig"), (x, y) => x === y),
-        v => v)).cast("double") / numHashes).as("est_jaccard"))
   }
 
   /** MinHash LSH near-dup pairs: signature → `bands` bands of

@@ -18,11 +18,16 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # stringify lists so sorting works
+    # stringify lists so sorting works — but WARN: the driver's harness does
+    # NOT do this; an array-typed output column crashes its pandas
+    # sort_values (the round-6 l5 red row). RegistrySpec.scala pins the "no
+    # top-level array outputs" invariant; this warning is the local tripwire.
     for c in df.columns:
         if df[c].map(lambda v: isinstance(v, (list, tuple)) or
                      (hasattr(v, "__len__") and not isinstance(v, str) and not isinstance(v, bytes)),
                      na_action="ignore").any():
+            print(f"  WARN: column {c!r} holds arrays — the DRIVER harness "
+                  "would crash on this (see RegistrySpec)", file=sys.stderr)
             # default=: numpy scalars (e.g. int64 list elements) are not
             # JSON serializable natively — unwrap via .item()
             df[c] = df[c].map(lambda v: json.dumps(list(v), default=lambda o: o.item() if hasattr(o, "item") else str(o)) if v is not None and not isinstance(v, (str, bytes, float, int)) else v)
