@@ -1499,14 +1499,22 @@ object SparkEntry {
     * labels merge everything reachable, majority voting keeps dense
     * groups apart. Oracle replays all 3 rounds relationally. */
   private val g10LabelProp: Q = (s, dir) => {
+    // distincts carry an explicit partition-count floor: AQE coalesces
+    // these ~10 MB shuffles below the core count and serializes the
+    // final hash aggregate (r8 A/B: ui distinct 2.5 s -> 0.7 s; at
+    // cluster scale the shuffle is this wide anyway). The pair set is
+    // distinct with pa<pb by construction, so labelPropagation skips
+    // its symmetrize-side distinct (edgesDistinct = true)
+    val p = s.sparkContext.defaultParallelism
     val ui = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
-      .distinct()
+      .repartition(p, col("b"), col("i")).distinct()
     val pairs = ui.as("x").join(ui.as("y"), "b")
       .where(col("x.i") < col("y.i"))
       .select(col("x.i").as("pa"), col("y.i").as("pb"))
-      .distinct()
-    Graph.labelPropagation(pairs, "pa", "pb", rounds = 3)
+      .repartition(p, col("pa"), col("pb")).distinct()
+    Graph.labelPropagation(pairs, "pa", "pb", rounds = 3,
+        edgesDistinct = true)
       .select(col("pa").as("item"), col("label"))
   }
 
@@ -2079,7 +2087,8 @@ object SparkEntry {
     * tunes. Runs on the md5-portable signature so the DuckDB oracle
     * replays it exactly; the xxhash64 production kernel
     * ([[Dedup.minHashPairs]]) is pinned bit-identical to its HOF spec by
-    * LlmOpsSpec and exercised by the d10/d11 pipelines. */
+    * LlmOpsSpec (the registry pipelines d10/d11 run the md5-portable
+    * variants so their oracles replay end-to-end). */
   private val d2MinHashPairs: Q = (s, dir) =>
     Dedup.minHashPairsPortable(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 8, minJaccard = 0.2)

@@ -380,9 +380,11 @@ object Dedup {
 
   /** Signature-agnostic core of [[bucketLocalPairs]]: cap, collect each
     * bucket's (doc, sig) members sorted by doc, and explode every i<j
-    * member pair as one `p` struct column (`p.a` / `p.b`; a.doc < b.doc
-    * by the sort). Works for any sig type — minhash arrays and simhash
-    * longs share it. */
+    * member pair as one `p` struct column (`p.a` / `p.b`). The sort
+    * guarantees a.doc <= b.doc; the trailing filter restores the STRICT
+    * a.doc < b.doc contract the callers' DuckDB oracles use even when a
+    * caller feeds duplicate doc ids. Works for any sig type — minhash
+    * arrays and simhash longs share it. */
   private def bucketLocalPairStructs(banded: DataFrame,
       maxBucket: Int): DataFrame = {
     val members = banded
@@ -396,6 +398,7 @@ object Dedup {
         transform(sequence(i + 1, size(col("ms")) - 1), j =>
           struct(element_at(col("ms"), i + 1).as("a"),
             element_at(col("ms"), j + 1).as("b")))))).as("p"))
+      .where(col("p.a.doc") =!= col("p.b.doc"))
   }
 
   /** MinHash LSH near-dup pairs: signature → `bands` bands of

@@ -133,37 +133,74 @@ object Graph {
     * `rounds` is fixed (LPA oscillates on bipartite-ish graphs under
     * synchronous updates, so production runs bound rounds rather than
     * wait for a fixpoint). Per round: one join of the symmetrized edges
-    * against the labels (shuffle on the node key) + one (node, label)
-    * frequency count + a top-1 per node — all partial-aggregated,
-    * nothing driver-side. Input: undirected edge list, either
-    * orientation, duplicates tolerated (symmetrize + distinct below);
-    * output (node, label) for every node with ≥ 1 edge. */
+    * against the labels — co-partitioned: the edge snapshot is hash-
+    * partitioned on the probe key and `LogicalRDD` preserves that
+    * partitioning, so only the (tiny) label side shuffles — + one
+    * (node, label) frequency count + a top-1 per node lowered to a
+    * plain hash aggregate `max(struct(count, -label))` (max count, tie
+    * → smallest label) instead of a rank window: same shuffle, no sort
+    * on either side. Requires NUMERIC node ids (every id in this engine
+    * is a long). All partial-aggregated, nothing driver-side.
+    *
+    * Round boundaries are pure lineage — plan nesting is LINEAR in
+    * rounds (each round references the previous labels exactly once),
+    * so the whole run is ONE job reading the edge snapshot `rounds`
+    * times; a safety snapshot every 8 rounds bounds AQE's per-stage
+    * plan rendering for deep runs (the r8 A/B measured per-round eager
+    * `localCheckpoint`s at +2 s on the 3-round bench query — see
+    * PLANS.md "g10 decomposition"). Only the FINAL labels are
+    * snapshotted, so callers consume a materialized frame and the edge
+    * blocks release deterministically.
+    *
+    * Input: undirected edge list, either orientation, duplicates
+    * tolerated; pass `edgesDistinct = true` when the caller already
+    * guarantees distinct src<dst pairs (the usual case: a dedup'd pair
+    * pipeline) to skip the symmetrize-side `.distinct()` — a pure
+    * 2|E|-row shuffle otherwise (r8 A/B: −0.7 s on the bench query).
+    * Output (node, label) for every node with ≥ 1 edge. */
   def labelPropagation(edges: DataFrame, src: String, dst: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, edgesDistinct: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    val p = spark.sparkContext.defaultParallelism
     // snapshot the symmetrized edges — reused every round (the upstream
     // pair generation is often the expensive part), and the LogicalRDD
-    // leaf keeps each round's plan from nesting the whole pipeline
-    val sym = Iterate.snapshot(edges.select(explode(array(
+    // leaf keeps each round's plan from nesting the whole pipeline.
+    // Partitioned on the probe key __m so no round re-shuffles the edges;
+    // the explicit partition count also floors the final aggregates'
+    // parallelism (AQE coalesces a small shuffle below the core count,
+    // serializing the hash agg — r8 A/B: 4× on the 600k-row distinct)
+    val symRaw = edges.select(explode(array(
         struct(col(src).as("__n"), col(dst).as("__m")),
         struct(col(dst).as("__n"), col(src).as("__m")))).as("__e"))
-      .select(col("__e.__n"), col("__e.__m")).distinct())
+      .select(col("__e.__n"), col("__e.__m"))
+    val sym = Iterate.snapshot(
+      (if (edgesDistinct) symRaw else symRaw.distinct())
+        .repartition(p, col("__m")))
     var labels = sym.select(col("__n")).distinct()
       .select(col("__n"), col("__n").as("__lbl"))
+    var cadence: Option[DataFrame] = None
     for (i <- 1 to rounds) {
       val freq = sym
         .join(labels.select(col("__n").as("__m"), col("__lbl")), "__m")
         .groupBy(col("__n"), col("__lbl")).agg(count(lit(1)).as("__c"))
-      val prev = labels
-      labels = Iterate.snapshot(
-        TopK.perGroup(freq, Seq(col("__n")),
-            Seq(col("__c").desc, col("__lbl").asc), 1)
-          .select(col("__n"), col("__lbl")))
-      if (i > 1) Iterate.release(prev)
+      labels = freq.groupBy(col("__n"))
+        .agg(max(struct(col("__c"), negate(col("__lbl")))).as("__t"))
+        .select(col("__n"), negate(col("__t").getField("col2")).as("__lbl"))
+      if (i % 8 == 0 && i < rounds) {
+        val snap = Iterate.snapshot(labels)
+        cadence.foreach(Iterate.release)
+        cadence = Some(snap)
+        labels = snap
+      }
     }
-    // the final labels are already materialized, so sym can release now;
-    // labels' blocks go to the ContextCleaner once unreferenced
+    // materialize the fixpoint ONCE so the caller reads stored blocks
+    // and the edge snapshot can release deterministically
+    val fin = if (rounds > 0) Iterate.snapshot(labels) else labels
+    cadence.foreach(Iterate.release)
+    // rounds=0: fin is unmaterialized lineage over sym — keep sym's
+    // blocks alive (the ContextCleaner reclaims them once unreferenced)
     if (rounds > 0) Iterate.release(sym)
-    labels.select(col("__n").as(src), col("__lbl").as("label"))
+    fin.select(col("__n").as(src), col("__lbl").as("label"))
   }
 
   /** Personalized PageRank, `iters` synchronous rounds:

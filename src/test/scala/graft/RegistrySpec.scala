@@ -20,15 +20,18 @@ class RegistrySpec extends AnyFunSuite {
   private val sf = TestSpark.sf
 
   test("oracle-compared queries emit no top-level array/map/struct columns") {
+    // .get, not .apply: an oracleSql key without a registered query must
+    // be reported by the dedicated missing-key test below, not crash here
     val offenders = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
-      val schema = SparkEntry.queries(name)(spark, sf).schema
+      SparkEntry.queries.get(name).toSeq.flatMap { q =>
+      val schema = q(spark, sf).schema
       schema.fields.collect {
         case f if f.dataType.isInstanceOf[ArrayType] ||
           f.dataType.isInstanceOf[MapType] ||
           f.dataType.isInstanceOf[StructType] =>
           s"$name.${f.name}: ${f.dataType.simpleString}"
       }
-    }
+    }}
     assert(offenders.isEmpty,
       s"\nstringify these with concat_ws (the a3 convention):\n  " +
         offenders.mkString("\n  "))
