@@ -20,16 +20,16 @@ object Bench {
     * with matching `pin_n` convicts the environment, not the plans.
     * MUST be refreshed (standalone `runMain graft.Bench`) whenever the
     * query set or a heavy plan changes. */
-  // 99.6 s: round-6 standalone re-pin (uncontended, xcpu 0%). Moves
-  // vs the judge's 98.9 s r5 re-run are documented, not drift: the
-  // fixpoint cache-release fix makes repeat invocations honestly
-  // re-execute (sim8/g12 + several s — PLANS.md A/B table) and m12 now
-  // runs its oracle-wired ranker end-to-end; against that, per-query
-  // cache hygiene in this harness (clearCache between queries) stopped
-  // 182 queries' leaked final-frame caches from billing later heavies
-  // (was 130.4 s without it).
-  private val pinWarmS = 99.6
-  private val pinN = 182
+  // 152.5 s: round-8 standalone pin at 246 queries (uncontended,
+  // xcpu 0.05%, gc 57 s) with the 4096-entry codegen cache and the
+  // rebuilt g10 (4.1 s in-run vs its 3.9 s fresh-JVM BenchOne pin).
+  // Context runs from the same r8 A/B session: 167.2 s at the old
+  // 100-entry cache; two half-runs in separate JVMs summed 171.7 s
+  // (no cross-query accumulation). r6 pin for reference: 99.6 s at
+  // 182 queries (0.55 s/q; the r8 pin is 0.62 s/q — the delta is the
+  // 64 heavier round-6/7 additions, not drift).
+  private val pinWarmS = 152.5
+  private val pinN = 246
 
   /** PIDs of this JVM plus its ancestor chain (the sbt launcher that
     * forked us) — the only Java processes that are NOT contamination. */
@@ -122,6 +122,17 @@ object Bench {
       // every round pays full-width task dispatch on bench hardware
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
+      // STATIC conf: size of the generated-class cache keyed by source
+      // text (Spark default 100). 246 distinct plans × several codegen
+      // stages evict constantly, so shared fragments (common scans,
+      // repeated per-query invocations) recompile through Janino. The
+      // r8 split-bench A/B measured 4096 entries at −14.6 s total
+      // (167.2 → 152.5 s; 88 queries faster ≥50 ms vs 40 slower,
+      // heavies first: t24 −1.5 s, m9 −0.8 s) at +37 MB code cache —
+      // and ruled OUT cross-query litter (two half-runs in separate
+      // JVMs summed to 171.7 s, ≈ the single-JVM 167.2 s). PLANS.md r8.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var contendedBy = otherJvm()
@@ -159,7 +170,17 @@ object Bench {
     // the signature of mid-run interference the jiffy counter can't
     // see (cgroup throttling, memory pressure).
     val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional slice "lo:hi" (indices into the registry's iteration
+    // order) — lets the split-bench A/B run each half in its own JVM to
+    // test whether late queries are billed for earlier ones' JVM litter
+    val allQs = SparkEntry.queries.toSeq
+    val qs = sys.env.get("SPARK_GRAFT_QUERY_RANGE") match {
+      case Some(r) =>
+        val Array(lo, hi) = r.split(":").map(_.toInt)
+        allQs.slice(lo, hi)
+      case None => allQs
+    }
+    val results = qs.map { case (name, fn) =>
       // quiesce between queries: iterative queries persist internal
       // frames and can only release the intermediates — the FINAL frame
       // is still cached when the query returns (a caller must be able
@@ -216,10 +237,10 @@ object Bench {
     val ccUsedMb = ccPools.map(_.getUsage.getUsed).sum / (1024 * 1024)
     // failed queries stay visible as -1 per-query but must NOT shrink the
     // aggregate: sum only successful timings and report the failure count
-    val ok = results.values.filter(_._2 >= 0)
+    val ok = results.map(_._2).filter(_._2 >= 0)
     val total = ok.map(_._2).sum
     val coldTotal = ok.map(_._1).sum
-    val nFailed = results.values.count(_._2 < 0)
+    val nFailed = results.map(_._2).count(_._2 < 0)
     // Full per-query detail first, one line each, for humans and logs —
     // these lines sit ABOVE the contract line so they can never push it
     // out of a tail-capped capture.
@@ -260,7 +281,7 @@ object Bench {
       s""","gc_ms":$gcMs,"codecache_mb":$ccUsedMb""" +
       s""","pin_warm_s":$pinWarmS,"pin_n":$pinN$suspectJson""" +
       s""","sf":"$sfDir""""
-    val slowestFirst = results.toSeq.sortBy { case (_, (_, w)) => -w }
+    val slowestFirst = results.sortBy { case (_, (_, w)) => -w }
     val budget = 1750 - header.length - 60 // 60 = braces + omitted fields
     // stop at the FIRST entry that doesn't fit: skipping it but admitting
     // a later shorter-named one would make drop(kept) mislabel what was

@@ -20,6 +20,9 @@ object BenchOne {
       // every round pays full-width task dispatch on bench hardware
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
+      // match Bench's codegen-cache sizing so pins are comparable
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time(f: => Unit): Double = {

@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions._
   * its quadratic stage per-bucket, so doubling buckets doubles work).
   * A super-linear ratio here is a scale bug no sf0.1 bench can see.
   *
-  * Usage: runMain graft.ScaleSmoke [sfDir] [workDir] [factor]
+  * Usage: runMain graft.ScaleSmoke [sfDir] [workDir] [factor] [fam,fam]
+  * (4th arg: comma-separated family subset — the ~100x promotion runs
+  * only the two heaviest families; the full list at 100x would take
+  * hours for no extra evidence)
   */
 object ScaleSmoke {
   private val families = Seq(
@@ -136,7 +139,8 @@ object ScaleSmoke {
         timeOnce { fn(spark, dir).count(): Unit },
         timeOnce { fn(spark, dir).count(): Unit })
     }
-    val rows = families.map { q =>
+    val fams = if (args.length > 3) args(3).split(",").toSeq else families
+    val rows = fams.map { q =>
       val w1 = warm(q, sfDir)
       val wK = warm(q, workDir)
       println(f"SCALESMOKE $q%-18s 1x=$w1%7.2f s  ${factor}x=$wK%7.2f s  ratio=${wK / w1}%5.2f (linear=$factor)")
