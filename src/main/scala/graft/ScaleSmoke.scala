@@ -113,10 +113,14 @@ object ScaleSmoke {
     // embeddings: shift the id AND rotate the vector by the copy index
     emb.crossJoin(broadcast(copies))
       .withColumn("vec_id", col("vec_id") + col("__copy") * vStride)
+      // rotate by __copy mod dim — at factors above the vector width a
+      // raw __copy offset would make slice()'s length negative (ANSI
+      // error; hit at the r8 100x promotion)
+      .withColumn("__rot", expr("cast(__copy % size(embedding) as int)"))
       .withColumn("embedding", expr(
-        "concat(slice(embedding, cast(__copy as int) + 1, " +
-          "size(embedding) - cast(__copy as int)), " +
-          "slice(embedding, 1, cast(__copy as int)))"))
+        "concat(slice(embedding, __rot + 1, size(embedding) - __rot), " +
+          "slice(embedding, 1, __rot))"))
+      .drop("__rot")
       .drop("__copy")
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")

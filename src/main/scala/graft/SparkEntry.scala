@@ -2747,6 +2747,34 @@ object SparkEntry {
       .where(col("hamming") <= 3)
   }
 
+  /** MM5: REAL image codec roundtrip ([[multimodal.RealCodecs]]) — each
+    * doc id renders a deterministic 16×16 RGB pattern, ENCODES it
+    * through the JDK's actual PNG codec (javax.imageio), DECODES the
+    * compressed bytes back, and aggregates per-channel pixel means.
+    * PNG is lossless over integer-formula pixels, so the DuckDB oracle
+    * replays the formula relationally and any codec bug (stride,
+    * channel order, header math, zlib framing) breaks the hash compare.
+    * Closes the "DETERMINISTIC-FAKE decode" gap for images. */
+  private val mm5ImageCodec: Q = (s, dir) =>
+    multimodal.RealCodecs.imageCodecRoundtrip(
+        Tables.documents(s, dir), "doc_id")
+      .select(col("asset_id"), col("width"), col("height"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+
+  /** MM6: REAL audio codec roundtrip — deterministic PCM16 samples
+    * ENCODED as a canonical RIFF/WAVE file (44-byte header + LE data)
+    * and DECODED by parsing the header fields and sign-extending the
+    * samples; output RMS (from the exact Σs² long) and peak. Same
+    * losslessness argument as mm5: the oracle replays the sample
+    * formula, so endianness/sign/header errors all surface. */
+  private val mm6AudioCodec: Q = (s, dir) =>
+    multimodal.RealCodecs.audioCodecRoundtrip(
+        Tables.documents(s, dir), "doc_id")
+      .select(col("asset_id"), col("sample_rate"), col("n_samples"),
+        round(col("rms"), 6).as("rms"), col("peak"))
+
   /** Per-user sessions of one event type (the w6 lag plan, filtered):
     * shared by j13's overlap join below. */
   private def typedSessions(s: SparkSession, dir: String, et: String,
@@ -4756,6 +4784,8 @@ object SparkEntry {
     "q5_dup_rate" -> q5DupRate,
     "mm3_audio_windows" -> mm3AudioWindows,
     "mm4_phash_dedup" -> mm4PhashDedup,
+    "mm5_image_codec" -> mm5ImageCodec,
+    "mm6_audio_codec" -> mm6AudioCodec,
     "w6_sessionize" -> w6Sessionize,
     "w6_padding" -> w6Padding,
     "s12_latest_snapshot" -> s12LatestSnapshot,
@@ -6880,6 +6910,31 @@ object SparkEntry {
         |  round(sum(CAST(f AS DOUBLE)), 4) AS feat_sum,
         |  round(CAST(min(CASE WHEN slot = 0 THEN f END) AS DOUBLE), 4) AS f0
         |FROM slots GROUP BY doc_id""".stripMargin,
+    "mm5_image_codec" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x.i AS x, y.j AS y FROM documents d,
+        |    (SELECT unnest(generate_series(0, 15)) AS i) x,
+        |    (SELECT unnest(generate_series(0, 15)) AS j) y)
+        |SELECT doc_id AS asset_id,
+        |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  round(sum((doc_id * 31 + x * 7 + y * 13) % 256) / 256.0, 6)
+        |    AS mean_r,
+        |  round(sum((doc_id * 17 + x * 11 + y * 3) % 256) / 256.0, 6)
+        |    AS mean_g,
+        |  round(sum((doc_id * 29 + x * 5 + y * 19) % 256) / 256.0, 6)
+        |    AS mean_b
+        |FROM px GROUP BY doc_id""".stripMargin,
+    "mm6_audio_codec" ->
+      """WITH s AS (
+        |  SELECT d.doc_id,
+        |    ((d.doc_id * 7919 + t.t * 104729) % 65536) - 32768 AS v
+        |  FROM documents d,
+        |    (SELECT unnest(generate_series(0, 799)) AS t) t)
+        |SELECT doc_id AS asset_id, CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(800 AS BIGINT) AS n_samples,
+        |  round(sqrt(sum(v * v) / 800.0), 6) AS rms,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM s GROUP BY doc_id""".stripMargin,
     "sim4_lsh_portable" ->
       """WITH hyper AS (
         |  SELECT b, list_transform(generate_series(0, 63), d ->
