@@ -1830,8 +1830,9 @@ object SparkEntry {
     * 16-bit band verified by exact Hamming ≤ 1 (pigeonhole-exact: any pair
     * within 1 differing bit shares a clean band). 16-bit band keys keep
     * random collisions to ~1/65536 so candidate volume tracks true
-    * near-dup clusters, not corpus size² — 8-bit keys measured 3× the
-    * runtime on pure band noise. d8 proves the signature math against
+    * near-dup clusters, not corpus size² — 8-bit keys measured 1.4-1.5×
+    * the runtime on band noise (PLANS.md round-8 banding A/B; an earlier
+    * unrecorded "3×" claim did not reproduce). d8 proves the signature math against
     * DuckDB; this proves the banding + popcount-verify pipeline built on
     * it. The 64-bit xxhash64 signature ([[Dedup.simHash64]]) stays the
     * production path, pinned by LlmOpsSpec. */

@@ -224,10 +224,14 @@ object Dedup {
     * ever reaches it.
     *
     * Pairs are generated bucket-locally ([[bucketLocalPairStructs]]), NOT
-    * by a bucket-key self-join: the portable signature is an expensive
-    * expression tree (32 votes per token), and a self-join plus the
-    * hot-bucket pre-count would re-evaluate it 4× — measured 3× slower
-    * than this one-pass form on the same fixture. */
+    * by a bucket-key self-join. The argument is structural, not speed:
+    * at fixture scale the two forms measure at parity (PLANS.md round-8
+    * banding A/B — ReusedExchange evaluates the signature pipeline once
+    * for both join sides, so the feared re-evaluation never happens),
+    * but the bucket-local form bounds the pair stage's memory at
+    * maxBucket·|sig| per group and never pushes an O(bucket²) join
+    * output through a shuffle — the property that matters when one hot
+    * boilerplate bucket meets a 100 TB corpus. */
   def simHashPairsPortable(docs: DataFrame, id: String, text: String,
       maxHamming: Int, bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
     require(32 % bands == 0, s"bands must divide 32, got $bands")
@@ -367,10 +371,11 @@ object Dedup {
     * collect_list cannot spill within one group, so a million-member
     * boilerplate bucket would OOM the executor; WindowExec, by contrast,
     * buffers each bucket in a spillable sorter, so the sizing pass itself
-    * is safe on arbitrarily hot keys. (Earlier form — count-aggregate +
-    * broadcast anti-join — had the same memory bound but evaluated the
-    * whole signature pipeline twice; measured ~2× slower on the minhash
-    * variants.) */
+    * is safe on arbitrarily hot keys. Against a bucket-key SELF-JOIN the
+    * r8 banding A/B (PLANS.md) measured parity at fixture scale —
+    * ReusedExchange evaluates the signature pipeline once for both join
+    * sides — so this form is kept for its per-bucket memory bound, not
+    * for speed. */
   private def bucketLocalPairs(banded: DataFrame, numHashes: Int,
       maxBucket: Int): DataFrame =
     bucketLocalPairStructs(banded, maxBucket).select(
