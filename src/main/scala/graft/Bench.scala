@@ -133,6 +133,13 @@ object Bench {
       // JVMs summed to 171.7 s, ≈ the single-JVM 167.2 s). PLANS.md r8.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // AQE coalesce floor knob for the whole-suite A/B (PLANS.md r8):
+      // the g10 diagnosis showed AQE shrinking ~10 MB shuffles below
+      // the core count, serializing final hash aggregates. At cluster
+      // scale totalSize/parallelism >> any floor, so this only binds
+      // small-data shuffles.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "1m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var contendedBy = otherJvm()
