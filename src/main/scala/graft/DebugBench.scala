@@ -2,16 +2,15 @@ package graft
 
 import graft.llmops.Dedup
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch profiler for hotspot queries (not part of the driver contract).
   *
-  * Current target: back-fill the d2/d3 banding A/B tables the round-7
-  * scaladoc asserts (PLANS.md round 8) — band-width choice for the
-  * portable SimHash pipeline, and bucket-local pair generation vs the
-  * self-join + pre-count form, for both simhash and minhash variants.
+  * Current target: cost share of the md5-portable signatures inside the
+  * d-family heavies — is a cheaper portable minhash family (one md5 per
+  * shingle + arithmetic seed mixes) worth the oracle churn? (PLANS.md
+  * round 8.)
   */
 object DebugBench {
   def main(args: Array[String]): Unit = {
@@ -38,78 +37,35 @@ object DebugBench {
     }
     val docs = Tables.documents(spark, dir)
 
-    // ---- A: SimHash band width (d3 ships bands=2 → 16-bit keys) ------
-    def simBL(bands: Int): Long =
-      Dedup.simHashPairsPortable(docs, "doc_id", "text",
-        maxHamming = 1, bands = bands, maxBucket = 1000).count()
-
-    // ---- B: self-join + window pre-count form (the rejected shape) ---
-    def simSelfJoin(bands: Int): Long = {
-      val width = 32 / bands
-      val mask = (1L << width) - 1
-      val sig = docs
-        .where(size(TextFunctions.tokens(col("text"))) > 0)
-        .select(col("doc_id").as("doc"),
-          Dedup.simHash32Portable(col("text")).as("sig"))
-      val banded = sig.select(col("doc"), col("sig"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * width).bitwiseAND(mask)
-              .as("key"))): _*)).as("bk"))
-        .select(col("doc"), col("sig"), col("bk.band"), col("bk.key"))
-      val capped = banded.withColumn("__bc",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-        .where(col("__bc") <= 1000)
-      capped.as("l").join(capped.as("r"),
-          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-            col("l.doc") < col("r.doc"))
-        .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
-          bit_count(col("l.sig").bitwiseXOR(col("r.sig")))
-            .cast("long").as("hamming"))
-        .where(col("hamming") <= 1)
-        .distinct()
-        .count()
-    }
-
-    // ---- C: MinHash (d2 params: 16 hashes, 8 bands × 2 rows) ---------
-    def mhBL(): Long =
-      Dedup.minHashPairsPortable(docs, "doc_id", "text",
-        shingleN = 3, numHashes = 16, bands = 8, minJaccard = 0.2).count()
-
-    def mhSelfJoin(): Long = {
-      val rows = 2 // 16 hashes / 8 bands
-      val sig = docs
-        .select(col("doc_id").as("doc"),
-          Dedup.minHashSigPortable(col("text"), 3, 16).as("sig"))
-        .where(size(col("sig")) > 0 && col("sig")(0).isNotNull)
-      val banded = sig.select(col("doc"), col("sig"),
-        explode(array((0 until 8).map(b =>
-          struct(lit(b).as("band"),
-            Dedup.bandKeyPortable(col("sig"), b, rows)
-              .as("key"))): _*)).as("bk"))
-        .select(col("doc"), col("sig"), col("bk.band"), col("bk.key"))
-      val capped = banded.withColumn("__bc",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-        .where(col("__bc") <= 200)
-      capped.as("l").join(capped.as("r"),
-          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-            col("l.doc") < col("r.doc"))
-        .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
-          (size(filter(zip_with(col("l.sig"), col("r.sig"),
-            (x, y) => x === y), v => v)).cast("double") / 16)
-            .as("est_jaccard"))
-        .where(col("est_jaccard") >= 0.2)
-        .distinct()
-        .count()
-    }
+    // stage shares of the portable minhash pipeline (d2 params)
+    val shingled = docs.select(col("doc_id"),
+      array_distinct(TextFunctions.shingles(col("text"), 3)).as("sh"))
+    val sigMd5 = docs.select(col("doc_id"),
+      Dedup.minHashSigPortable(col("text"), 3, 16).as("sig"))
+    val sigXx = docs.select(col("doc_id"),
+      Dedup.minHashSig(col("text"), 3, 16).as("sig"))
+    // candidate cheap family: ONE md5 per shingle -> 48-bit int -> 16
+    // arithmetic mixes (ANSI-safe: v30*A_k <= 2^62)
+    val v30 = conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long") % 1073741824L
+    val sigMix = shingled.select(col("doc_id"),
+      transform(sequence(lit(0), lit(15)), k =>
+        array_min(transform(col("sh"), s =>
+          ((conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+            % 1073741824L) * (lit(2654435761L) + k * 80906L) + k)
+            % 1073741824L))).as("sig"))
+    val _ = v30
 
     for (rep <- 1 to 3) {
-      quiesce(); time(s"sim bucket-local bands=2 (16-bit) #$rep")(simBL(2))
-      quiesce(); time(s"sim bucket-local bands=4 (8-bit)  #$rep")(simBL(4))
-      quiesce(); time(s"sim self-join    bands=2 (16-bit) #$rep")(simSelfJoin(2))
-      quiesce(); time(s"sim self-join    bands=4 (8-bit)  #$rep")(simSelfJoin(4))
-      quiesce(); time(s"mh  bucket-local 8x2 (d2 params)  #$rep")(mhBL())
-      quiesce(); time(s"mh  self-join    8x2 (d2 params)  #$rep")(mhSelfJoin())
+      quiesce(); time(s"shingle only          #$rep")(shingled.select(sum(size(col("sh")))).collect())
+      quiesce(); time(s"sig md5x16 (current)  #$rep")(sigMd5.select(min(element_at(col("sig"), 1))).collect())
+      quiesce(); time(s"sig xxhash (prod)     #$rep")(sigXx.select(min(element_at(col("sig"), 1))).collect())
+      quiesce(); time(s"sig md5x1+mix (cand)  #$rep")(sigMix.select(min(element_at(col("sig"), 1))).collect())
+      quiesce(); time(s"d2 full               #$rep")(
+        SparkEntry.queries("d2_minhash_pairs")(spark, dir).count())
+      quiesce(); time(s"sim32 portable sig    #$rep")(
+        docs.select(Dedup.simHash32Portable(col("text")).as("g")).select(min(col("g"))).collect())
+      quiesce(); time(s"d3 full               #$rep")(
+        SparkEntry.queries("d3_simhash")(spark, dir).count())
     }
     spark.stop()
   }

@@ -1,0 +1,88 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.GraftSqlShim
+import org.apache.spark.sql.types._
+
+/** Native portable-SimHash kernel.
+  *
+  * The composed HOF form of the portable 32-bit SimHash
+  * ([[graft.llmops.Dedup.simHash32PortableHof]]) materializes, per
+  * TOKEN, a 32-element when-array plus two zip_with allocations just to
+  * turn each md5 hex digit into a ±1 vote — measured ~80% of the d3
+  * bench query (PLANS.md round-8 signature cost-share table). This
+  * kernel computes the identical value in one pass: one MessageDigest
+  * md5 per token on reused state, votes read straight off the digest
+  * bytes (hex digit b+1 ≥ '8' ⟺ the high bit of nibble b of the raw
+  * digest — digit 2i is byte i's high nibble, digit 2i+1 its low
+  * nibble), no per-token allocations.
+  *
+  * BIT-IDENTICAL to the HOF form including edge cases (pinned by
+  * LlmOpsSpec): a null token votes −1 at every position (the composed
+  * `when(null ≥ '8')` is false), and an empty token array yields
+  * signature 0 (all votes 0, `when(v > 0)` false everywhere).
+  *
+  * CodegenFallback is deliberate, same rationale as
+  * [[MinHashKernel]]: the per-row md5 loop dwarfs row-boxing overhead.
+  */
+case class SimHash32Md5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"expects array<string> tokens, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](32)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        // composed form: md5(null) = null, when(null >= '8') = false
+        var b = 0
+        while (b < 32) { votes(b) -= 1; b += 1 }
+      } else {
+        md.reset()
+        md.update(arr.getUTF8String(i).getBytes)
+        val d = md.digest()
+        var by = 0
+        while (by < 16) {
+          // hex digit 2*by   = high nibble of byte by → top bit = bit 7
+          // hex digit 2*by+1 = low  nibble of byte by → top bit = bit 3
+          if ((d(by) & 0x80) != 0) votes(2 * by) += 1 else votes(2 * by) -= 1
+          if ((d(by) & 0x08) != 0) votes(2 * by + 1) += 1
+          else votes(2 * by + 1) -= 1
+          by += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashFunctions {
+  def simHash32Md5(tokens: Column): Column =
+    GraftSqlShim.column(SimHash32Md5(GraftSqlShim.expression(tokens)))
+}

@@ -164,8 +164,20 @@ object Dedup {
     * `minHashSig`). 32 positions because md5 yields 32 hex digits; use
     * [[simHash64]] as the fast path where cross-engine parity is not
     * needed. Empty token streams yield signature 0.
-    */
-  def simHash32Portable(text: Column): Column = {
+    *
+    * Lowered to the native one-pass kernel
+    * ([[graft.functions.SimHash32Md5]]), bit-identical to the composed
+    * [[simHash32PortableHof]] spec form (pinned by LlmOpsSpec; the HOF
+    * form measured ~80% of d3's runtime — PLANS.md round 8). */
+  def simHash32Portable(text: Column): Column =
+    graft.functions.SimHashFunctions.simHash32Md5(TextFunctions.tokens(text))
+
+  /** Composed-HOF reference form of [[simHash32Portable]] — kept as the
+    * spec the native kernel is pinned against (the r8 cost-share table
+    * measured it at ~2.2-2.7 s over the sf0.1 documents vs ~0.1 s of
+    * md5 work: each token paid a 32-element when-array plus two
+    * zip_with allocations). */
+  def simHash32PortableHof(text: Column): Column = {
     val hashes = transform(TextFunctions.tokens(text), t => md5(t))
     val votes = aggregate(
       hashes,

@@ -70,6 +70,11 @@ class LlmOpsSpec extends AnyFunSuite {
         Dedup.minHashSigPortableHof($"text", 3, 8).as("hof"))
       .where(not($"native" <=> $"hof")).count()
     assert(md == 0, s"$md md5 signature mismatches")
+    val sh = docs.select(
+        Dedup.simHash32Portable($"text").as("native"),
+        Dedup.simHash32PortableHof($"text").as("hof"))
+      .where(not($"native" <=> $"hof")).count()
+    assert(sh == 0, s"$sh simhash32 signature mismatches")
   }
 
   test("minhash estimated jaccard correlates with exact jaccard") {
