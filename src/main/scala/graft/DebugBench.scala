@@ -37,29 +37,22 @@ object DebugBench {
     }
     val docs = Tables.documents(spark, dir)
 
-    // stage shares of the portable minhash pipeline (d2 params)
+    // stage shares of the portable minhash pipeline (d2 params):
+    // shipped native mix kernel vs its composed-HOF spec vs xxhash prod
     val shingled = docs.select(col("doc_id"),
       array_distinct(TextFunctions.shingles(col("text"), 3)).as("sh"))
-    val sigMd5 = docs.select(col("doc_id"),
+    val sigNative = docs.select(col("doc_id"),
       Dedup.minHashSigPortable(col("text"), 3, 16).as("sig"))
     val sigXx = docs.select(col("doc_id"),
       Dedup.minHashSig(col("text"), 3, 16).as("sig"))
-    // candidate cheap family: ONE md5 per shingle -> 48-bit int -> 16
-    // arithmetic mixes (ANSI-safe: v30*A_k <= 2^62)
-    val v30 = conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long") % 1073741824L
-    val sigMix = shingled.select(col("doc_id"),
-      transform(sequence(lit(0), lit(15)), k =>
-        array_min(transform(col("sh"), s =>
-          ((conv(substring(md5(s), 1, 12), 16, 10).cast("long")
-            % 1073741824L) * (lit(2654435761L) + k * 80906L) + k)
-            % 1073741824L))).as("sig"))
-    val _ = v30
+    val sigHof = docs.select(col("doc_id"),
+      Dedup.minHashSigPortableHof(col("text"), 3, 16).as("sig"))
 
     for (rep <- 1 to 3) {
       quiesce(); time(s"shingle only          #$rep")(shingled.select(sum(size(col("sh")))).collect())
-      quiesce(); time(s"sig md5x16 (current)  #$rep")(sigMd5.select(min(element_at(col("sig"), 1))).collect())
+      quiesce(); time(s"sig mix native (ship) #$rep")(sigNative.select(min(element_at(col("sig"), 1))).collect())
       quiesce(); time(s"sig xxhash (prod)     #$rep")(sigXx.select(min(element_at(col("sig"), 1))).collect())
-      quiesce(); time(s"sig md5x1+mix (cand)  #$rep")(sigMix.select(min(element_at(col("sig"), 1))).collect())
+      quiesce(); time(s"sig mix HOF (spec)    #$rep")(sigHof.select(min(element_at(col("sig"), 1))).collect())
       quiesce(); time(s"d2 full               #$rep")(
         SparkEntry.queries("d2_minhash_pairs")(spark, dir).count())
       quiesce(); time(s"sim32 portable sig    #$rep")(

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CmsEstimate, CosineSim, DotProduct, KmvSmallest, MinHashSig, MinHashSigMd5, TopKLargest}
+import graft.functions.{CmsEstimate, CosineSim, DotProduct, KmvSmallest, MinHashSig, MinHashSigMix, TopKLargest}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
@@ -19,7 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, In
   *  - `graft_dot(x, y)`        — Σ xᵢ·yᵢ over array<float|double>
   *  - `graft_cosine(x, y)`     — fused single-pass cosine, NaN→0
   *  - `graft_minhash(sh, k)`   — k-seed xxhash64 MinHash signature
-  *  - `graft_minhash_md5(sh, k)` — engine-portable md5 MinHash signature
+  *  - `graft_minhash_mix(sh, k)` — engine-portable md5-mix MinHash signature
   *
   * This is the conventional extension mechanism (same hook Delta/Iceberg
   * use); the expressions themselves stay plain Catalyst nodes so Catalyst
@@ -57,9 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(shingles, k) - k-seed xxhash64 MinHash signature"),
       sig("graft_minhash", MinHashSig)))
-    ext.injectFunction((FunctionIdentifier("graft_minhash_md5"),
-      info("graft_minhash_md5", "graft_minhash_md5(shingles, k) - md5 MinHash signature (engine-portable)"),
-      sig("graft_minhash_md5", MinHashSigMd5)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_mix"),
+      info("graft_minhash_mix", "graft_minhash_mix(shingles, k) - md5-mix MinHash signature (engine-portable)"),
+      sig("graft_minhash_mix", MinHashSigMix)))
     ext.injectFunction((FunctionIdentifier("graft_topk"),
       info("graft_topk",
         "graft_topk(expr, k) - aggregate: k largest values of expr (struct for multi-key), sorted descending"),

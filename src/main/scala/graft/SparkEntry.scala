@@ -5612,7 +5612,10 @@ object SparkEntry {
         |    ELSE list_transform(generate_series(0, len(toks) - 3),
         |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
         |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
-        |      seed -> list_min(list_transform(s, x -> md5(seed || '§' || x)))) AS sg
+        |      seed -> list_min(list_transform(s, x ->
+        |      ((CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)
+        |        % 1073741824) * (2654435761 + 80906 * seed) + seed)
+        |      % 1073741824))) AS sg
         |  FROM sh WHERE len(s) > 0),
         |banded AS (SELECT doc_id, sg, b,
         |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
@@ -5638,7 +5641,10 @@ object SparkEntry {
         |    ELSE list_transform(generate_series(0, len(toks) - 3),
         |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
         |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
-        |      seed -> list_min(list_transform(s, x -> md5(seed || '§' || x)))) AS sg
+        |      seed -> list_min(list_transform(s, x ->
+        |      ((CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)
+        |        % 1073741824) * (2654435761 + 80906 * seed) + seed)
+        |      % 1073741824))) AS sg
         |  FROM sh WHERE len(s) > 0),
         |banded AS (SELECT doc_id, sg, b,
         |    md5(array_to_string(sg[b*2+1:b*2+2], '|')) AS key
@@ -7612,7 +7618,10 @@ object SparkEntry {
         |    ELSE list_transform(generate_series(0, len(toks) - 3),
         |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
         |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
-        |      seed -> list_min(list_transform(s, x -> md5(seed || '§' || x)))) AS sg
+        |      seed -> list_min(list_transform(s, x ->
+        |      ((CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)
+        |        % 1073741824) * (2654435761 + 80906 * seed) + seed)
+        |      % 1073741824))) AS sg
         |  FROM sh WHERE len(s) > 0),
         |banded AS (SELECT doc_id, sg, b,
         |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
@@ -7664,7 +7673,10 @@ object SparkEntry {
         |    ELSE list_transform(generate_series(0, len(toks) - 3),
         |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS sset FROM ex),
         |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
-        |      seed -> list_min(list_transform(sset, x -> md5(seed || '§' || x)))) AS sg
+        |      seed -> list_min(list_transform(sset, x ->
+        |      ((CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)
+        |        % 1073741824) * (2654435761 + 80906 * seed) + seed)
+        |      % 1073741824))) AS sg
         |  FROM sh WHERE len(sset) > 0),
         |banded AS (SELECT doc_id, sg, b,
         |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
@@ -7724,7 +7736,10 @@ object SparkEntry {
         |    ELSE list_transform(generate_series(0, len(toks) - 3),
         |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS sset FROM ex),
         |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
-        |      seed -> list_min(list_transform(sset, x -> md5(seed || '§' || x)))) AS sg
+        |      seed -> list_min(list_transform(sset, x ->
+        |      ((CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)
+        |        % 1073741824) * (2654435761 + 80906 * seed) + seed)
+        |      % 1073741824))) AS sg
         |  FROM sh WHERE len(sset) > 0),
         |banded AS (SELECT doc_id, sg, b,
         |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
@@ -8223,7 +8238,10 @@ object SparkEntry {
         |    ELSE list_transform(generate_series(0, len(toks) - 3),
         |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
         |sig AS (SELECT doc_id, split, list_transform(generate_series(0, 15),
-        |      seed -> list_min(list_transform(s, x -> md5(seed || '§' || x)))) AS sg
+        |      seed -> list_min(list_transform(s, x ->
+        |      ((CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)
+        |        % 1073741824) * (2654435761 + 80906 * seed) + seed)
+        |      % 1073741824))) AS sg
         |  FROM sh WHERE len(s) > 0),
         |banded AS (SELECT doc_id, split, sg, b,
         |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
@@ -8364,7 +8382,10 @@ object SparkEntry {
         |    ELSE list_transform(generate_series(0, len(toks) - 3),
         |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
         |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
-        |      seed -> list_min(list_transform(s, x -> md5(seed || '§' || x)))) AS sg
+        |      seed -> list_min(list_transform(s, x ->
+        |      ((CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)
+        |        % 1073741824) * (2654435761 + 80906 * seed) + seed)
+        |      % 1073741824))) AS sg
         |  FROM sh WHERE len(s) > 0),
         |banded AS (SELECT doc_id, sg, b,
         |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
@@ -8605,7 +8626,10 @@ object SparkEntry {
         |    ELSE list_transform(generate_series(0, len(toks) - 3),
         |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
         |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
-        |      seed -> list_min(list_transform(s, x -> md5(seed || '§' || x)))) AS sg
+        |      seed -> list_min(list_transform(s, x ->
+        |      ((CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)
+        |        % 1073741824) * (2654435761 + 80906 * seed) + seed)
+        |      % 1073741824))) AS sg
         |  FROM sh WHERE len(s) > 0),
         |banded AS (SELECT doc_id, sg, b,
         |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
@@ -8818,7 +8842,10 @@ object SparkEntry {
         |    ELSE list_transform(generate_series(0, len(toks) - 3),
         |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
         |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
-        |      seed -> list_min(list_transform(s, x -> md5(seed || '§' || x)))) AS sg
+        |      seed -> list_min(list_transform(s, x ->
+        |      ((CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)
+        |        % 1073741824) * (2654435761 + 80906 * seed) + seed)
+        |      % 1073741824))) AS sg
         |  FROM sh WHERE len(s) > 0),
         |banded AS (SELECT doc_id, sg, b,
         |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key

@@ -19,16 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole string each time. These expressions make one pass: the string is
   * xxhash'd ONCE per shingle and the per-seed values derive from cheap
   * integer mixes (exactly how Spark's own `xxhash64(s, seed)` folds a
-  * trailing int column into an accumulated hash), or, for the
-  * engine-portable md5 variant, the digest loop runs on reused
-  * MessageDigest state with no per-element Catalyst allocations.
+  * trailing int column into an accumulated hash); the engine-portable
+  * md5-mix variant has the same shape, with the one hash per shingle a
+  * reused-state MessageDigest md5.
   *
   * Values are BIT-IDENTICAL to the composed forms (pinned by
   * LlmOpsSpec): `MinHashSig(k)` = `xxhash64(shingle, k)` =
   * `XXH64.hashInt(k, XXH64.hashUTF8String(shingle, 42))`, and
-  * `MinHashSigMd5` reproduces `array_min(transform(shingles,
-  * s => md5(concat(lit(s"$k§"), s))))` including null/empty edges — so
-  * the DuckDB oracle for the portable variant is unaffected.
+  * `MinHashSigMix` reproduces the conv/md5 HOF spec in
+  * [[graft.llmops.Dedup.minHashSigPortableHof]] including null/empty
+  * edges — the same formula the DuckDB oracles replay.
   *
   * CodegenFallback is deliberate: per-row work is O(shingles × seeds)
   * hashes, so the fallback's row-boxing overhead is noise (unlike
@@ -77,62 +77,60 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
-/** Engine-portable MinHash signature: `sig[k] = min over shingles of
-  * md5(concat("<k>§", shingle))` as lowercase hex (hex-string min ==
-  * unsigned digest min — the nibble→char map is monotonic). Null shingles
-  * are skipped (`md5(concat(p, null))` is null and `array_min` ignores
-  * nulls); an empty/all-null input yields all-null signature positions,
-  * matching the composed form's `array_min(empty) = null`. */
-case class MinHashSigMd5(child: Expression, numHashes: Int)
+/** Engine-portable MinHash signature, md5-MIX family: each shingle is
+  * md5'd ONCE; a 48-bit value from the digest's first 12 hex digits is
+  * reduced to 30 bits and the per-seed values derive from an ANSI-safe
+  * 2-universal mix `sig[k] = min over shingles of
+  * ((v48 % 2^30) · (2654435761 + 80906·k) + k) % 2^30` — every
+  * intermediate ≤ 2^62, so the identical arithmetic runs under Spark's
+  * ANSI overflow checks AND in DuckDB BIGINTs (the oracle recomputes it
+  * from `CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)`). This is
+  * the same one-hash-plus-cheap-mixes shape as the xxhash64 production
+  * kernel ([[MinHashSig]]) — the previous portable family re-ran md5
+  * once PER SEED (16 digest block transforms per shingle), which the
+  * round-8 cost-share table measured at ~40% of every portable-minhash
+  * bench query for zero statistical benefit.
+  *
+  * Null shingles are skipped (`md5(null)` is null and `array_min`
+  * ignores nulls); an empty/all-null input yields all-null signature
+  * positions, matching the composed form's `array_min(empty) = null`. */
+case class MinHashSigMix(child: Expression, numHashes: Int)
     extends MinHashKernel with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = true)
-
-  @transient private lazy val prefixes: Array[Array[Byte]] =
-    (0 until numHashes).map(i => s"$i§".getBytes("UTF-8")).toArray
-
-  private val hexChars = "0123456789abcdef".toCharArray
-
-  private def hex(d: Array[Byte]): UTF8String = {
-    val out = new Array[Byte](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = hexChars((d(i) >> 4) & 0xf).toByte
-      out(2 * i + 1) = hexChars(d(i) & 0xf).toByte
-      i += 1
-    }
-    UTF8String.fromBytes(out)
-  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
   override def nullSafeEval(in: Any): Any = {
     val arr = in.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val mins = new Array[Array[Byte]](numHashes)
-    if (n > 0) {
-      val md = MessageDigest.getInstance("MD5")
-      var i = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val sBytes = arr.getUTF8String(i).getBytes
-          var k = 0
-          while (k < numHashes) {
-            md.reset()
-            md.update(prefixes(k))
-            md.update(sBytes)
-            val d = md.digest()
-            if (mins(k) == null ||
-                java.util.Arrays.compareUnsigned(d, mins(k)) < 0) mins(k) = d
-            k += 1
-          }
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        md.reset()
+        md.update(arr.getUTF8String(i).getBytes)
+        val d = md.digest()
+        // first 12 hex digits == first 6 digest bytes, big-endian
+        var v48 = 0L
+        var b = 0
+        while (b < 6) { v48 = (v48 << 8) | (d(b) & 0xffL); b += 1 }
+        val v30 = v48 % 1073741824L
+        var k = 0
+        while (k < numHashes) {
+          val h = (v30 * (2654435761L + 80906L * k) + k) % 1073741824L
+          if (h < mins(k)) mins(k) = h
+          k += 1
         }
-        i += 1
       }
+      i += 1
     }
     val out = new Array[Any](numHashes)
-    var k = 0
-    while (k < numHashes) {
-      if (mins(k) != null) out(k) = hex(mins(k))
-      k += 1
+    if (any) {
+      var k = 0
+      while (k < numHashes) { out(k) = mins(k); k += 1 }
     }
     new GenericArrayData(out)
   }
@@ -146,7 +144,7 @@ object MinHashFunctions {
     GraftSqlShim.column(
       MinHashSig(GraftSqlShim.expression(shingles), numHashes))
 
-  def minHashMd5(shingles: Column, numHashes: Int): Column =
+  def minHashMix(shingles: Column, numHashes: Int): Column =
     GraftSqlShim.column(
-      MinHashSigMd5(GraftSqlShim.expression(shingles), numHashes))
+      MinHashSigMix(GraftSqlShim.expression(shingles), numHashes))
 }

@@ -282,26 +282,32 @@ object Dedup {
           (acc, s) => least(acc, xxhash64(s, seed))))
     }
 
-  /** Engine-portable MinHash signature: per-seed minimum of md5 digests of
-    * the shingle set — same mechanics as [[minHashSig]] but reproducible in
-    * any engine with md5 (the DuckDB oracle recomputes it exactly; inputs
-    * are `"<seed>§" || shingle`). Native one-pass kernel
-    * ([[graft.functions.MinHashSigMd5]]), bit-identical to
-    * [[minHashSigPortableHof]]. xxhash64 variant stays the production path
-    * (md5 is ~5× the cost). */
+  /** Engine-portable MinHash signature, md5-MIX family: ONE md5 per
+    * shingle, per-seed values from an ANSI-safe 2-universal integer mix
+    * of the digest's first 48 bits (see [[graft.functions.MinHashSigMix]]
+    * for the formula) — reproducible in any engine with md5 and 64-bit
+    * ints; the DuckDB oracles recompute it from
+    * `CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)`. Replaced the
+    * md5-per-seed family in round 8: that one paid `numHashes` digest
+    * block transforms per shingle (~40% of every portable-minhash bench
+    * query, PLANS.md cost-share table) for zero statistical benefit.
+    * Native kernel bit-identical to [[minHashSigPortableHof]]; the
+    * xxhash64 variant stays the production path. */
   def minHashSigPortable(text: Column, shingleN: Int, numHashes: Int): Column =
-    MinHashFunctions.minHashMd5(
+    MinHashFunctions.minHashMix(
       array_distinct(TextFunctions.shingles(text, shingleN)), numHashes)
 
   /** Composed-HOF reference form of [[minHashSigPortable]] — kept as the
-    * spec the native kernel is pinned against. */
+    * spec the native kernel is pinned against, in exactly the shape the
+    * DuckDB oracles replay. */
   def minHashSigPortableHof(text: Column, shingleN: Int, numHashes: Int): Column =
     TextFunctions.bind(array_distinct(TextFunctions.shingles(text, shingleN))) { sh =>
-      // seed prefixes are literals ("0§", "1§", …): one concat per hash
-      // instead of cast+concat+concat — md5 input strings are identical
-      // to `seed || '§' || shingle`, so the oracle is unaffected
-      transform(array((0 until numHashes).map(i => lit(s"$i§")): _*),
-        prefix => array_min(transform(sh, s => md5(concat(prefix, s)))))
+      transform(sequence(lit(0), lit(numHashes - 1)), seed =>
+        array_min(transform(sh, s =>
+          ((conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+              % 1073741824L)
+            * (lit(2654435761L) + seed.cast("long") * 80906L)
+            + seed.cast("long")) % 1073741824L)))
     }
 
   /** Portable near-dup pairs on the md5 signature: estimated Jaccard =
@@ -320,7 +326,7 @@ object Dedup {
     val banded = sig.select(col("doc"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          md5(concat_ws("|", slice(col("sig"), b * rows + 1, rows))).as("key"))): _*)).as("bk"))
+          bandKeyPortable(col("sig"), b, rows).as("key"))): _*)).as("bk"))
     bucketLocalPairs(banded, numHashes, maxBucket)
       .where(col("est_jaccard") >= minJaccard)
       .distinct()
@@ -332,7 +338,8 @@ object Dedup {
     * ([[graft.streaming.StreamingDedup]]) must share — equal keys are
     * what makes a stream's match set line up with the batch twin's. */
   def bandKeyPortable(sig: Column, band: Int, rows: Int): Column =
-    md5(concat_ws("|", slice(sig, band * rows + 1, rows)))
+    md5(concat_ws("|", transform(slice(sig, band * rows + 1, rows),
+      v => v.cast("string"))))
 
   /** Incremental (new-vs-base) near-dup matches on the md5-portable
     * signature: each INCOMING doc is tested against the BASE corpus only —

@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
 object StreamingDedup {
 
   /** One doc's membership in one band bucket. */
-  case class BandRow(key: String, doc_id: Long, sig: Seq[String])
+  case class BandRow(key: String, doc_id: Long, sig: Seq[Long])
 
   /** An incoming doc matched a previously-claimed doc in some band. */
   case class DupCandidate(doc_id: Long, dup_of: Long, est_jaccard: Double)
@@ -50,7 +50,7 @@ object StreamingDedup {
     * a `private` member fails compilation there — Spark then silently
     * falls back to INTERPRETED per-row projection for every state access
     * (observed as `Expr codegen error` warnings in the suite log). */
-  case class Claim(doc_id: Long, sig: Seq[String])
+  case class Claim(doc_id: Long, sig: Seq[Long])
 
   /** Project a (doc_id, text) frame — batch or streaming — onto exploded
     * band rows with the portable signature. Degenerate empty-shingle docs

@@ -67,10 +67,11 @@ class DotProductSpec extends AnyFunSuite {
         "SELECT graft_minhash(array('a', 'b', 'c'), 4) AS s")
         .collect()(0).getSeq[Long](0)
       assert(sig.length == 4)
-      val sigMd5 = s2.sql(
-        "SELECT graft_minhash_md5(array('a', 'b', 'c'), 4) AS s")
-        .collect()(0).getSeq[String](0)
-      assert(sigMd5.length == 4 && sigMd5.forall(_.length == 32))
+      val sigMix = s2.sql(
+        "SELECT graft_minhash_mix(array('a', 'b', 'c'), 4) AS s")
+        .collect()(0).getSeq[Long](0)
+      assert(sigMix.length == 4 &&
+        sigMix.forall(v => v >= 0L && v < 1073741824L))
       val q = s2.sql("SELECT graft_quality('the quick brown fox')")
         .collect()(0).getDouble(0)
       assert(q > 0.0 && q < 1.0)
