@@ -20,16 +20,18 @@ object Bench {
     * with matching `pin_n` convicts the environment, not the plans.
     * MUST be refreshed (standalone `runMain graft.Bench`) whenever the
     * query set or a heavy plan changes. */
-  // 152.5 s: round-8 standalone pin at 246 queries (uncontended,
-  // xcpu 0.05%, gc 57 s) with the 4096-entry codegen cache and the
-  // rebuilt g10 (4.1 s in-run vs its 3.9 s fresh-JVM BenchOne pin).
-  // Context runs from the same r8 A/B session: 167.2 s at the old
-  // 100-entry cache; two half-runs in separate JVMs summed 171.7 s
-  // (no cross-query accumulation). r6 pin for reference: 99.6 s at
-  // 182 queries (0.55 s/q; the r8 pin is 0.62 s/q — the delta is the
-  // 64 heavier round-6/7 additions, not drift).
-  private val pinWarmS = 152.5
-  private val pinN = 246
+  // 127.3 s: round-8 CLOSING standalone pin at 248 queries
+  // (uncontended, xcpu 0.0%, gc 49.9 s) — after the native
+  // SimHash/MinHash kernel lowerings and the md5-mix re-family
+  // (d3 2.7→0.9 s, the 8 portable-minhash queries −8.6 s warm) on
+  // top of the mid-r8 152.5 s pin at 246 queries (which itself
+  // carried the 4096-entry codegen cache and the rebuilt g10:
+  // 167.2 s at the old 100-entry cache; two half-runs in separate
+  // JVMs summed 171.7 s — no cross-query accumulation). 0.51 s/q,
+  // back under the r5 0.54 s/q constant. r6 pin for reference:
+  // 99.6 s at 182 queries (0.55 s/q).
+  private val pinWarmS = 127.3
+  private val pinN = 248
 
   /** PIDs of this JVM plus its ancestor chain (the sbt launcher that
     * forked us) — the only Java processes that are NOT contamination. */
