@@ -33,9 +33,11 @@ import org.apache.spark.sql.functions._
   * A super-linear ratio here is a scale bug no sf0.1 bench can see.
   *
   * Usage: runMain graft.ScaleSmoke [sfDir] [workDir] [factor] [fam,fam]
+  * [perturb]
   * (4th arg: comma-separated family subset — the ~100x promotion runs
-  * only the two heaviest families; the full list at 100x would take
-  * hours for no extra evidence)
+  * only the heaviest families; the full list at 100x would take hours
+  * for no extra evidence. 5th arg "perturb": constant-dup-density
+  * documents — see the synth comment.)
   */
 object ScaleSmoke {
   private val families = Seq(
@@ -47,7 +49,11 @@ object ScaleSmoke {
     // ⋈ lineitem), threshold sweep (documents), growth accounting
     // (events)
     "j16_fuzzy_join", "d16_split_leakage", "g15_clustering_coeff",
-    "d21_threshold_sweep", "w30_growth_accounting")
+    "d21_threshold_sweep", "w30_growth_accounting",
+    // round-8: the iterative-fixpoint family — convergence-dependent
+    // cost (rounds × per-round shuffle) is exactly what a same-JVM
+    // ratio can expose and a single-scale bench cannot
+    "d7_dup_clusters", "g10_label_prop", "g5_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -96,9 +102,37 @@ object ScaleSmoke {
     val eStride = stride(ev, "event_id")
     val uStride = stride(ev, "user_id")
     val vStride = stride(emb, "vec_id")
+    // l_suppkey shifts with its own stride and supplier scales with it:
+    // without this the bipartite supplier—part families (g5) would grow
+    // supplier degree K× (hub growth) instead of adding K× more
+    // same-degree suppliers — the wrong scale model AND a missing table
+    val skStride = stride(
+      Tables.supplier(spark, sfDir).select(col("s_suppkey").cast("long")
+        .as("s_suppkey")), "s_suppkey")
+    scaleTable("supplier", Map("s_suppkey" -> skStride))
     scaleTable("orders", Map("o_orderkey" -> okStride, "o_custkey" -> ckStride))
-    scaleTable("lineitem", Map("l_orderkey" -> okStride, "l_partkey" -> pkStride))
-    scaleTable("documents", Map("doc_id" -> dStride))
+    scaleTable("lineitem", Map("l_orderkey" -> okStride,
+      "l_partkey" -> pkStride, "l_suppkey" -> skStride))
+    // documents: verbatim copies by default — each doc gains K-1 exact
+    // duplicates, the cap-stress model the committed d5/t22 rows use
+    // (text has no lossless rotation). 5th arg "perturb" instead
+    // suffixes every token with the copy index (a bijection per copy):
+    // within-copy near-dup structure is identical to 1× and cross-copy
+    // similarity is exactly zero — CONSTANT dup density, the growth
+    // model for exact-pair families (d7) whose work is inherently
+    // Θ(K²·|shingles|) under verbatim copies (every doc then really has
+    // K-1 near-dups — a corpus property, not an engine property).
+    val perturbDocs = args.length > 4 && args(4) == "perturb"
+    if (perturbDocs) {
+      Tables.documents(spark, sfDir).crossJoin(broadcast(copies))
+        .withColumn("doc_id", col("doc_id") + col("__copy") * dStride)
+        .withColumn("text", when(col("__copy") === 0, col("text"))
+          .otherwise(array_join(transform(split(col("text"), "\\s+"),
+            t => concat(t, lit("§"), col("__copy"))), " ")))
+        .drop("__copy")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+    } else scaleTable("documents", Map("doc_id" -> dStride))
     scaleTable("events", Map("event_id" -> eStride, "user_id" -> uStride))
     // customer: shift the key AND rewrite the name to embed it, so the
     // j16 trigram blocks keep their shape (K identical name copies

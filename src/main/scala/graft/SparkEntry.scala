@@ -598,7 +598,7 @@ object SparkEntry {
     * index (skew-capped hot shingles). */
   private val d4NgramJaccard: Q = (s, dir) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, minJaccard = 0.15, maxBucket = 10000)
+        shingleN = 3, minJaccard = 0.15, maxBucket = 1000)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
 
   /** LLM-D5: engine-portable MinHash near-dup pairs (md5-based signature —
@@ -682,7 +682,7 @@ object SparkEntry {
     * (oracle: DuckDB recursive CTE over the same pairs). */
   private val d7DupClusters: Q = (s, dir) =>
     Dedup.dupClusters(Tables.documents(s, dir), "doc_id", "text",
-      shingleN = 3, minJaccard = 0.6, maxBucket = 10000)
+      shingleN = 3, minJaccard = 0.6, maxBucket = 1000)
 
   /** LLM-D10: the composed corpus-dedup pipeline — the end-to-end slice a
     * training-data curation run executes: learned quality gate (t12) ▷
@@ -1877,7 +1877,7 @@ object SparkEntry {
         col("text").substr(lit(1),
           (length(col("text")) / 3).cast("int")).as("text"))
     Dedup.containmentPairs(docs.unionAll(excerpts), "doc_id", "text",
-        shingleN = 3, minContainment = 0.5, maxBucket = 10000)
+        shingleN = 3, minContainment = 0.5, maxBucket = 1000)
       .select(col("doc_a"), col("doc_b"),
         round(col("containment"), 6).as("containment"))
   }
@@ -3510,7 +3510,7 @@ object SparkEntry {
   private val d17Canonicalize: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val clusters = Dedup.dupClusters(docs, "doc_id", "text",
-      shingleN = 3, minJaccard = 0.6, maxBucket = 10000)
+      shingleN = 3, minJaccard = 0.6, maxBucket = 1000)
     val ranked = clusters
       .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
       .withColumn("rn", row_number().over(
@@ -5399,7 +5399,7 @@ object SparkEntry {
         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
         |capped AS (SELECT doc_id, shingle FROM (
         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS c
-        |    FROM inv) WHERE c <= 10000),
+        |    FROM inv) WHERE c <= 1000),
         |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS i
         |  FROM capped l JOIN capped r
         |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
@@ -5549,7 +5549,7 @@ object SparkEntry {
         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
         |capped AS (SELECT doc_id, shingle FROM (
         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle)
-        |      AS c FROM inv) WHERE c <= 10000),
+        |      AS c FROM inv) WHERE c <= 1000),
         |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
         |    count(*) AS i
         |  FROM capped l JOIN capped r
@@ -5573,7 +5573,7 @@ object SparkEntry {
         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
         |capped AS (SELECT doc_id, shingle FROM (
         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS c
-        |    FROM inv) WHERE c <= 10000),
+        |    FROM inv) WHERE c <= 1000),
         |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS i
         |  FROM capped l JOIN capped r
         |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
@@ -8329,7 +8329,7 @@ object SparkEntry {
         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
         |capped AS (SELECT doc_id, shingle FROM (
         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS c
-        |    FROM inv) WHERE c <= 10000),
+        |    FROM inv) WHERE c <= 1000),
         |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS i
         |  FROM capped l JOIN capped r
         |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id

@@ -417,11 +417,9 @@ object Dedup {
       .groupBy(col("bk"))
       .agg(sort_array(collect_list(struct(col("doc"), col("sig")))).as("ms"))
       .where(size(col("ms")) >= 2)
-    members.select(explode(flatten(
-      transform(sequence(lit(0), size(col("ms")) - 2), i =>
-        transform(sequence(i + 1, size(col("ms")) - 1), j =>
-          struct(element_at(col("ms"), i + 1).as("a"),
-            element_at(col("ms"), j + 1).as("b")))))).as("p"))
+    // two-level pair explode (PairGen: O(cap) per-row memory, not
+    // C(cap, 2)-structs-in-one-row — the r8 100× ScaleSmoke OOM)
+    graft.ops.PairGen.pairs(members, "ms", "a", "b")
       .where(col("p.a.doc") =!= col("p.b.doc"))
   }
 
@@ -513,11 +511,10 @@ object Dedup {
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(struct(col("doc"), col("n")))).as("ms"))
       .where(size(col("ms")) >= 2)
-    members.select(explode(flatten(
-        transform(sequence(lit(0), size(col("ms")) - 2), i =>
-          transform(sequence(i + 1, size(col("ms")) - 1), j =>
-            struct(element_at(col("ms"), i + 1).as("a"),
-              element_at(col("ms"), j + 1).as("b")))))).as("p"))
+    // two-level pair explode (PairGen: O(cap) per-row memory, not
+    // C(cap, 2)-structs-in-one-row — the r8 100× ScaleSmoke OOM at the
+    // 10k cap d7 carried before r8 lowered it to the 1000 default)
+    graft.ops.PairGen.pairs(members, "ms", "a", "b")
       .groupBy(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
         col("p.a.n").as("na"), col("p.b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))

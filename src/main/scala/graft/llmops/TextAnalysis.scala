@@ -518,11 +518,7 @@ object TextAnalysis {
       .groupBy(col("fp"))
       .agg(sort_array(collect_list(col("doc"))).as("ms"))
       .where(size(col("ms")) >= 2)
-    members.select(explode(flatten(
-        transform(sequence(lit(0), size(col("ms")) - 2), i =>
-          transform(sequence(i + 1, size(col("ms")) - 1), j =>
-            struct(element_at(col("ms"), i + 1).as("doc_a"),
-              element_at(col("ms"), j + 1).as("doc_b")))))).as("p"))
+    graft.ops.PairGen.pairs(members, "ms", "doc_a", "doc_b")
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
@@ -557,11 +553,7 @@ object TextAnalysis {
       .groupBy(col("__d"))
       .agg(sort_array(collect_list(col("__t"))).as("ms"))
       .where(size(col("ms")) >= 2)
-    members.select(explode(flatten(
-        transform(sequence(lit(0), size(col("ms")) - 2), i =>
-          transform(sequence(i + 1, size(col("ms")) - 1), j =>
-            struct(element_at(col("ms"), i + 1).as("a"),
-              element_at(col("ms"), j + 1).as("b")))))).as("p"))
+    graft.ops.PairGen.pairs(members, "ms", "a", "b")
       .groupBy(col("p.a").as("token_a"), col("p.b").as("token_b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minCo)

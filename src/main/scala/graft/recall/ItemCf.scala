@@ -38,11 +38,7 @@ object ItemCf {
       .groupBy(col("__b"))
       .agg(sort_array(collect_list(col("__i"))).as("ms"))
       .where(size(col("ms")) >= 2)
-    val pairs = members.select(explode(flatten(
-        transform(sequence(lit(0), size(col("ms")) - 2), i =>
-          transform(sequence(i + 1, size(col("ms")) - 1), j =>
-            struct(element_at(col("ms"), i + 1).as("item_a"),
-              element_at(col("ms"), j + 1).as("item_b")))))).as("p"))
+    val pairs = graft.ops.PairGen.pairs(members, "ms", "item_a", "item_b")
       .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .agg(count(lit(1)).as("co"))
       .where(col("co") >= minCo)
@@ -96,11 +92,7 @@ object ItemCf {
       .groupBy(col("__b"))
       .agg(sort_array(collect_list(col("__i"))).as("ms"))
       .where(size(col("ms")) >= 2)
-    val pairs = members.select(explode(flatten(
-        transform(sequence(lit(0), size(col("ms")) - 2), i =>
-          transform(sequence(i + 1, size(col("ms")) - 1), j =>
-            struct(element_at(col("ms"), i + 1).as("a"),
-              element_at(col("ms"), j + 1).as("b")))))).as("p"))
+    val pairs = graft.ops.PairGen.pairs(members, "ms", "a", "b")
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("co"))
       .where(col("co") >= minCo)
@@ -141,13 +133,10 @@ object ItemCf {
       .groupBy(col("__b"))
       .agg(sort_array(collect_list(col("__i"))).as("ms"))
       .where(size(col("ms")) >= 2)
-    members.select(
-        (lit(1.0) / log(size(col("ms")).cast("double"))).as("__w"),
-        explode(flatten(
-          transform(sequence(lit(0), size(col("ms")) - 2), i =>
-            transform(sequence(i + 1, size(col("ms")) - 1), j =>
-              struct(element_at(col("ms"), i + 1).as("item_a"),
-                element_at(col("ms"), j + 1).as("item_b")))))).as("p"))
+    graft.ops.PairGen.pairs(
+        members.withColumn("__w",
+          lit(1.0) / log(size(col("ms")).cast("double"))),
+        "ms", "item_a", "item_b", "__w")
       .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .agg(count(lit(1)).as("co"), sum(col("__w")).as("__aa"))
       .where(col("co") >= minCo)
@@ -185,11 +174,7 @@ object ItemCf {
       .groupBy(col("__i"))
       .agg(sort_array(collect_list(col("__u"))).as("us"))
       .where(size(col("us")) >= 2)
-      .select(col("__i"), explode(flatten(
-        transform(sequence(lit(0), size(col("us")) - 2), a =>
-          transform(sequence(a + 1, size(col("us")) - 1), b =>
-            struct(element_at(col("us"), a + 1).as("u"),
-              element_at(col("us"), b + 1).as("v")))))).as("p"))
+      .transform(m => graft.ops.PairGen.pairs(m, "us", "u", "v", "__i"))
       .select(col("p.u").as("__pu"), col("p.v").as("__pv"), col("__i"))
     val cuv = userPairs.groupBy(col("__pu"), col("__pv"))
       .agg(count(lit(1)).as("__c"))
