@@ -33,11 +33,13 @@ import org.apache.spark.sql.functions._
   * A super-linear ratio here is a scale bug no sf0.1 bench can see.
   *
   * Usage: runMain graft.ScaleSmoke [sfDir] [workDir] [factor] [fam,fam]
-  * [perturb]
+  * [modes]
   * (4th arg: comma-separated family subset — the ~100x promotion runs
   * only the heaviest families; the full list at 100x would take hours
-  * for no extra evidence. 5th arg "perturb": constant-dup-density
-  * documents — see the synth comment.)
+  * for no extra evidence. 5th arg, comma-separated: "perturb" =
+  * constant-dup-density documents — see the synth comment; "reuse" =
+  * skip synthesis when workDir already holds a corpus from an earlier
+  * run with the SAME factor/modes — the caller asserts that match.)
   */
 object ScaleSmoke {
   private val families = Seq(
@@ -71,7 +73,13 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val modes: Set[String] =
+      if (args.length > 4) args(4).split(",").toSet else Set.empty
+    val reuse = modes("reuse") &&
+      new java.io.File(s"$workDir/orders.parquet").exists()
+
     // --- synthesize the scaled corpus ---------------------------------
+    if (!reuse) {
     val copies = spark.range(factor).select(col("id").as("__copy"))
     def stride(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0) + 1L
@@ -122,7 +130,7 @@ object ScaleSmoke {
     // model for exact-pair families (d7) whose work is inherently
     // Θ(K²·|shingles|) under verbatim copies (every doc then really has
     // K-1 near-dups — a corpus property, not an engine property).
-    val perturbDocs = args.length > 4 && args(4) == "perturb"
+    val perturbDocs = modes("perturb")
     if (perturbDocs) {
       Tables.documents(spark, sfDir).crossJoin(broadcast(copies))
         .withColumn("doc_id", col("doc_id") + col("__copy") * dStride)
@@ -164,6 +172,7 @@ object ScaleSmoke {
       val nK = Tables.table(spark, workDir, t).count()
       println(s"SCALESMOKE rows $t 1x=$n1 ${factor}x=$nK")
     }
+    } else println(s"SCALESMOKE reusing existing corpus at $workDir")
 
     // --- time each family at both scales (same JVM, warm best-of-2) ---
     def timeOnce(f: => Unit): Double = {

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
 
 /** Round-boundary materialization for iterative (fixpoint) dataframe
   * algorithms: k-core peeling, connected components, label propagation,
@@ -45,8 +46,19 @@ object Iterate {
   /** Materialize `df` (one job) and return a frame backed by the stored
     * partitions whose plan is a single `LogicalRDD` leaf. Use at every
     * round boundary of an iterative algorithm; pair with [[release]] on
-    * the PREVIOUS round's snapshot once the new one is materialized. */
-  def snapshot(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    * the PREVIOUS round's snapshot once the new one is materialized.
+    *
+    * Stored SERIALIZED (`MEMORY_AND_DISK_SER`), not at localCheckpoint's
+    * deserialized default: a snapshot is written once and scanned
+    * linearly once per round, so the serde cost is trivial next to the
+    * join/agg work per round, while the footprint difference is the
+    * whole ballgame for big edge snapshots — the round-8 100× ScaleSmoke
+    * run OOM'd `g10_label_prop` unrolling its 240M-row symmetrized edge
+    * set as deserialized row objects (estimated sizes, per-object GC
+    * load), where the serialized form is compact UnsafeRow bytes with
+    * exact accounting and graceful disk overflow. */
+  def snapshot(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Deterministically free the blocks behind a [[snapshot]] frame.
     * No-op for frames that are not local-checkpoint-backed (the match
