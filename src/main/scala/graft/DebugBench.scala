@@ -1,20 +1,20 @@
 package graft
 
-import graft.llmops.Dedup
-import graft.functions.TextFunctions
+import graft.llmops.SimSearch
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch profiler for hotspot queries (not part of the driver contract).
   *
-  * Current target: cost share of the md5-portable signatures inside the
-  * d-family heavies — is a cheaper portable minhash family (one md5 per
-  * shingle + arithmetic seed mixes) worth the oracle churn? (PLANS.md
-  * round 8.)
+  * Current target: the d22 auto-width banding at the 1000x embeddings
+  * corpus — bucket-size distribution (is the 570 s cost pair volume from
+  * the corpus's verbatim-dup degeneracy, sign-pattern skew hitting the
+  * maxBucket cap, or both?) and the output pair counts of the fixed-width
+  * d6 vs auto-width d22 at that scale. (PLANS.md round 8.)
   */
 object DebugBench {
   def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_scale1000e")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", "32")
@@ -29,37 +29,46 @@ object DebugBench {
       println(f"[debug] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    def quiesce(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
-    }
-    val docs = Tables.documents(spark, dir)
 
-    // stage shares of the portable minhash pipeline (d2 params):
-    // shipped native mix kernel vs its composed-HOF spec vs xxhash prod
-    val shingled = docs.select(col("doc_id"),
-      array_distinct(TextFunctions.shingles(col("text"), 3)).as("sh"))
-    val sigNative = docs.select(col("doc_id"),
-      Dedup.minHashSigPortable(col("text"), 3, 16).as("sig"))
-    val sigXx = docs.select(col("doc_id"),
-      Dedup.minHashSig(col("text"), 3, 16).as("sig"))
-    val sigHof = docs.select(col("doc_id"),
-      Dedup.minHashSigPortableHof(col("text"), 3, 16).as("sig"))
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val width = SimSearch.autoWidth(n, 50L)
+    println(s"[debug] n=$n autoWidth=$width (4 bands x $width bits)")
 
-    for (rep <- 1 to 3) {
-      quiesce(); time(s"shingle only          #$rep")(shingled.select(sum(size(col("sh")))).collect())
-      quiesce(); time(s"sig mix native (ship) #$rep")(sigNative.select(min(element_at(col("sig"), 1))).collect())
-      quiesce(); time(s"sig xxhash (prod)     #$rep")(sigXx.select(min(element_at(col("sig"), 1))).collect())
-      quiesce(); time(s"sig mix HOF (spec)    #$rep")(sigHof.select(min(element_at(col("sig"), 1))).collect())
-      quiesce(); time(s"d2 full               #$rep")(
-        SparkEntry.queries("d2_minhash_pairs")(spark, dir).count())
-      quiesce(); time(s"sim32 portable sig    #$rep")(
-        docs.select(Dedup.simHash32Portable(col("text")).as("g")).select(min(col("g"))).collect())
-      quiesce(); time(s"d3 full               #$rep")(
-        SparkEntry.queries("d3_simhash")(spark, dir).count())
+    // replicate lshPairs' band keys (same portablePlane convention)
+    val v = emb.select(col("vec_id").as("__id"),
+      col("embedding").cast("array<double>").as("__v"))
+    def bandKeys(w: Int) = (0 until 4).map { j =>
+      val bits = (0 until w).map { k =>
+        val plane = array(SimSearch.portablePlane(j * w + k, 64).map(lit): _*)
+        val proj = graft.functions.GraftFunctions.dot(col("__v"), plane)
+        when(proj >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+      }
+      struct(lit(j).as("band"), bits.reduce(_.bitwiseOR(_)).as("key"))
     }
+    for (w <- Seq(4, width)) {
+      val buckets = v.select(explode(array(bandKeys(w): _*)).as("bk"))
+        .groupBy(col("bk")).agg(count(lit(1)).as("c"))
+      val stats = buckets.agg(
+        count(lit(1)).as("nBuckets"),
+        expr("percentile_approx(c, array(0.5, 0.9, 0.99), 10000)").as("p"),
+        max(col("c")).as("max"),
+        sum(when(col("c") > 2000, col("c")).otherwise(0L))
+          .as("rowsCappedOut"),
+        sum(when(col("c") <= 2000,
+          (col("c") * (col("c") - 1) / 2).cast("long")).otherwise(0L))
+          .as("candidatePairs")).head()
+      println(s"[debug] width=$w buckets=${stats.getLong(0)} " +
+        s"p50/p90/p99=${stats.getSeq[Long](1).mkString("/")} " +
+        s"max=${stats.getLong(2)} rowsCappedOut=${stats.getLong(3)} " +
+        s"candidatePairs=${stats.getLong(4)}")
+    }
+    val d6n = time("d6 fixed-width pair count")(
+      SparkEntry.queries("d6_embedding_dedup")(spark, dir).count())
+    println(s"[debug] d6 pairs=$d6n")
+    val d22n = time("d22 auto-width pair count")(
+      SparkEntry.queries("d22_embedding_dedup_auto")(spark, dir).count())
+    println(s"[debug] d22 pairs=$d22n")
     spark.stop()
   }
 }

@@ -55,7 +55,10 @@ object ScaleSmoke {
     // round-8: the iterative-fixpoint family — convergence-dependent
     // cost (rounds × per-round shuffle) is exactly what a same-JVM
     // ratio can expose and a single-scale bench cannot
-    "d7_dup_clusters", "g10_label_prop", "g5_pagerank")
+    "d7_dup_clusters", "g10_label_prop", "g5_pagerank",
+    // round-8: the auto-width embedding near-dup — the variant whose
+    // bucket capacity survives growth (run at 1000x, only:embeddings)
+    "d22_embedding_dedup_auto")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -75,8 +78,18 @@ object ScaleSmoke {
 
     val modes: Set[String] =
       if (args.length > 4) args(4).split(",").toSet else Set.empty
+    // "only:embeddings;documents" — synthesize just those tables (the
+    // vector families need a 1000x embeddings corpus, which would be
+    // pointless to buy with a 600M-row lineitem synth)
+    val onlyTables: Set[String] = modes.collectFirst {
+      case m if m.startsWith("only:") =>
+        m.stripPrefix("only:").split(";").toSet
+    }.getOrElse(Set.empty)
+    def want(t: String): Boolean = onlyTables.isEmpty || onlyTables(t)
+    val reuseProbe =
+      if (onlyTables.isEmpty) "orders" else onlyTables.toSeq.sorted.head
     val reuse = modes("reuse") &&
-      new java.io.File(s"$workDir/orders.parquet").exists()
+      new java.io.File(s"$workDir/$reuseProbe.parquet").exists()
 
     // --- synthesize the scaled corpus ---------------------------------
     if (!reuse) {
@@ -84,15 +97,16 @@ object ScaleSmoke {
     def stride(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0) + 1L
 
-    def scaleTable(name: String, keyCols: Map[String, Long]): Unit = {
-      val df = Tables.table(spark, sfDir, name)
-      val shifted = keyCols.foldLeft(df.crossJoin(broadcast(copies))) {
-        case (acc, (c, s)) =>
-          acc.withColumn(c, col(c) + col("__copy") * s)
-      }.drop("__copy")
-      shifted.repartition(cpus.toInt)
-        .write.mode("overwrite").parquet(s"$workDir/$name.parquet")
-    }
+    def scaleTable(name: String, keyCols: Map[String, Long]): Unit =
+      if (want(name)) {
+        val df = Tables.table(spark, sfDir, name)
+        val shifted = keyCols.foldLeft(df.crossJoin(broadcast(copies))) {
+          case (acc, (c, s)) =>
+            acc.withColumn(c, col(c) + col("__copy") * s)
+        }.drop("__copy")
+        shifted.repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$workDir/$name.parquet")
+      }
 
     val t0 = System.nanoTime()
     // events may carry parquet TIMESTAMP(NANOS) in older fixtures —
@@ -131,7 +145,7 @@ object ScaleSmoke {
     // Θ(K²·|shingles|) under verbatim copies (every doc then really has
     // K-1 near-dups — a corpus property, not an engine property).
     val perturbDocs = modes("perturb")
-    if (perturbDocs) {
+    if (perturbDocs && want("documents")) {
       Tables.documents(spark, sfDir).crossJoin(broadcast(copies))
         .withColumn("doc_id", col("doc_id") + col("__copy") * dStride)
         .withColumn("text", when(col("__copy") === 0, col("text"))
@@ -140,12 +154,13 @@ object ScaleSmoke {
         .drop("__copy")
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
-    } else scaleTable("documents", Map("doc_id" -> dStride))
+    } else if (!perturbDocs) scaleTable("documents", Map("doc_id" -> dStride))
     scaleTable("events", Map("event_id" -> eStride, "user_id" -> uStride))
     // customer: shift the key AND rewrite the name to embed it, so the
     // j16 trigram blocks keep their shape (K identical name copies
     // would collapse into one block and undercount the fuzzy join)
-    Tables.customer(spark, sfDir).crossJoin(broadcast(copies))
+    if (want("customer")) Tables.customer(spark, sfDir)
+      .crossJoin(broadcast(copies))
       .withColumn("c_custkey", col("c_custkey") + col("__copy") * ckStride)
       .withColumn("c_name",
         format_string("Customer#%09d", col("c_custkey")))
@@ -153,7 +168,7 @@ object ScaleSmoke {
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$workDir/customer.parquet")
     // embeddings: shift the id AND rotate the vector by the copy index
-    emb.crossJoin(broadcast(copies))
+    if (want("embeddings")) emb.crossJoin(broadcast(copies))
       .withColumn("vec_id", col("vec_id") + col("__copy") * vStride)
       // rotate by __copy mod dim — at factors above the vector width a
       // raw __copy offset would make slice()'s length negative (ANSI
@@ -167,7 +182,8 @@ object ScaleSmoke {
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
     println(f"SCALESMOKE synth ${factor}x done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    for (t <- Seq("orders", "lineitem", "documents", "events", "embeddings")) {
+    for (t <- Seq("orders", "lineitem", "documents", "events",
+        "embeddings").filter(want)) {
       val n1 = Tables.table(spark, sfDir, t).count()
       val nK = Tables.table(spark, workDir, t).count()
       println(s"SCALESMOKE rows $t 1x=$n1 ${factor}x=$nK")

@@ -664,6 +664,36 @@ object SparkEntry {
         "embedding", dim = 64, minCosine = 0.4, nBits = 16, bands = 4)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
 
+  /** LLM-D22: auto-sized embedding near-dup pairs
+    * ([[Dedup.embeddingPairsBandedAuto]]) — the band width is derived
+    * from the corpus count (`ceil(log2(ceil(n/target)))`, pure integer
+    * bit-length math) so expected bucket size stays ≈ target as the
+    * corpus grows. This is the scale path d6's FIXED 16-bit signature
+    * lacks: the 100x ScaleSmoke row shows d6's buckets all exceeding
+    * the hot-bucket cap (runtime flat because every bucket is excluded
+    * — recall zero), while this variant re-sizes to 4×16 bits at 2M
+    * rows and keeps finding pairs. The DuckDB oracle replays the width
+    * computation dynamically (`least(24, length(bin(m-1)))`), so the
+    * query stays oracle-exact at ANY fixture size, not just the gate's. */
+  private val d22EmbeddingDedupAuto: Q = (s, dir) =>
+    Dedup.embeddingPairsBandedAuto(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, minCosine = 0.4, bands = 4,
+        targetBucketSize = 50L)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+
+  /** LLM-D23: LSH capacity audit ([[SimSearch.lshBucketHistogramAuto]])
+    * — per-band bucket-size histogram at the width the auto-sized pair
+    * stage (d22) uses. The hot-bucket cap that keeps every pair
+    * generator's memory bounded fails SILENTLY when the signature is
+    * undersized for the corpus (d6's fixed 16 bits at 1000×: all rows
+    * in over-cap buckets → zero pairs, flat runtime, no error); this
+    * query is the monitoring view that exposes it — rows in buckets
+    * above the cap are rows the pair stage never sees. */
+  private val d23LshCapacityAudit: Q = (s, dir) =>
+    SimSearch.lshBucketHistogramAuto(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, bands = 4, targetBucketSize = 50L)
+      .select(col("band"), col("bucket_size"), col("n_buckets"))
+
   /** LLM-D13: SemDeDup ([[Dedup.semDedup]]) — portable-centroid
     * clustering of the embedding space, then cell-local near-dup drop:
     * a row is dropped iff a smaller-id row in the SAME cell has cosine
@@ -4706,6 +4736,8 @@ object SparkEntry {
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_minhash_portable" -> d5MinhashPortable,
     "d6_embedding_dedup" -> d6EmbeddingDedup,
+    "d22_embedding_dedup_auto" -> d22EmbeddingDedupAuto,
+    "d23_lsh_capacity_audit" -> d23LshCapacityAudit,
     "d13_semdedup" -> d13SemDedup,
     "d7_dup_clusters" -> d7DupClusters,
     "d10_dedup_pipeline" -> d10DedupPipeline,
@@ -5387,6 +5419,54 @@ object SparkEntry {
         |    ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id)
         |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM pairs
         |WHERE cosine >= 0.4""".stripMargin,
+    "d22_embedding_dedup_auto" ->
+      """WITH w AS (
+        |  SELECT least(24, length(bin(((count(*) + 49) // 50) - 1))) AS w
+        |  FROM embeddings),
+        |hyper AS (
+        |  SELECT b, list_transform(generate_series(0, 63), d ->
+        |    CASE WHEN substring(md5(d::VARCHAR || '§' || b::VARCHAR), 1, 1)
+        |      >= '8' THEN 1.0 ELSE -1.0 END) AS h
+        |  FROM (SELECT unnest(generate_series(0, 4 * w - 1)) AS b FROM w)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |bits AS (SELECT vec_id, v, b // w.w AS band,
+        |    CASE WHEN list_dot_product(v, h) >= 0
+        |      THEN (1::BIGINT << CAST(b % w.w AS INT)) ELSE 0 END AS bit
+        |  FROM e CROSS JOIN hyper CROSS JOIN w),
+        |bk AS (SELECT vec_id, v, band, CAST(sum(bit) AS BIGINT) AS key
+        |  FROM bits GROUP BY vec_id, v, band),
+        |capped AS (SELECT vec_id, v, band, key FROM (
+        |    SELECT vec_id, v, band, key,
+        |      count(*) OVER (PARTITION BY band, key) AS c FROM bk)
+        |  WHERE c <= 2000),
+        |pairs AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+        |    list_cosine_similarity(l.v, r.v) AS cosine
+        |  FROM capped l JOIN capped r
+        |    ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id)
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM pairs
+        |WHERE cosine >= 0.4""".stripMargin,
+    "d23_lsh_capacity_audit" ->
+      """WITH w AS (
+        |  SELECT least(24, length(bin(((count(*) + 49) // 50) - 1))) AS w
+        |  FROM embeddings),
+        |hyper AS (
+        |  SELECT b, list_transform(generate_series(0, 63), d ->
+        |    CASE WHEN substring(md5(d::VARCHAR || '§' || b::VARCHAR), 1, 1)
+        |      >= '8' THEN 1.0 ELSE -1.0 END) AS h
+        |  FROM (SELECT unnest(generate_series(0, 4 * w - 1)) AS b FROM w)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |bits AS (SELECT vec_id, b // w.w AS band,
+        |    CASE WHEN list_dot_product(v, h) >= 0
+        |      THEN (1::BIGINT << CAST(b % w.w AS INT)) ELSE 0 END AS bit
+        |  FROM e CROSS JOIN hyper CROSS JOIN w),
+        |bk AS (SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS key
+        |  FROM bits GROUP BY vec_id, band),
+        |sizes AS (SELECT band, key, count(*) AS bucket_size
+        |  FROM bk GROUP BY band, key)
+        |SELECT band, bucket_size, count(*) AS n_buckets
+        |FROM sizes GROUP BY band, bucket_size""".stripMargin,
     "d7_dup_clusters" ->
       """WITH RECURSIVE tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),

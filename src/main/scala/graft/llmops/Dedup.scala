@@ -243,7 +243,19 @@ object Dedup {
     * but the bucket-local form bounds the pair stage's memory at
     * maxBucket·|sig| per group and never pushes an O(bucket²) join
     * output through a shuffle — the property that matters when one hot
-    * boilerplate bucket meets a 100 TB corpus. */
+    * boilerplate bucket meets a 100 TB corpus.
+    *
+    * Capacity at scale: a 32-bit signature over 2 bands has 2^16 keys
+    * per band, so expected bucket size grows as n/65536 — past ~100M
+    * docs buckets cross any sane hot-bucket cap and the cap starts
+    * silently excluding REAL near-dup mass (the exact failure the
+    * 1000× d6 embedding run measured; PLANS.md round-8 capacity wall).
+    * The scale form is a 64-bit fingerprint over 4×16-bit bands
+    * (pigeonhole then gives exact detection at Hamming ≤ 3); this
+    * 32-bit form is sized for the reference-scale corpus and for
+    * bit-exact DuckDB replay. [[graft.llmops.SimSearch.lshBucketHistogram]]'s
+    * band/key histogram applies unchanged if the audit is needed on
+    * simhash buckets. */
   def simHashPairsPortable(docs: DataFrame, id: String, text: String,
       maxHamming: Int, bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
     require(32 % bands == 0, s"bands must divide 32, got $bands")
@@ -526,6 +538,20 @@ object Dedup {
   def embeddingPairs(embs: DataFrame, id: String, vec: String,
       minCosine: Double): DataFrame =
     SimSearch.cosinePairs(embs, id, vec, minCosine)
+
+  /** [[embeddingPairsBanded]] with the signature width auto-sized from
+    * the corpus count ([[graft.llmops.SimSearch.lshPairsAuto]]) — the
+    * variant a growing corpus actually runs: a FIXED width's expected
+    * bucket size grows linearly with n until every bucket trips the
+    * hot-bucket cap and is excluded (runtime defended, recall zero —
+    * the 100x ScaleSmoke d6 row measures exactly that wall), while the
+    * auto width keeps expected bucket size ≈ targetBucketSize at any
+    * scale. */
+  def embeddingPairsBandedAuto(embs: DataFrame, id: String, vec: String,
+      dim: Int, minCosine: Double, bands: Int = 4,
+      targetBucketSize: Long = 1000L, maxBucket: Int = 2000): DataFrame =
+    SimSearch.lshPairsAuto(embs, id, vec, dim, minCosine, bands,
+      targetBucketSize, maxBucket)
 
   /** Embedding-cosine near-dup pairs, banded-LSH form (delegates to
     * `SimSearch.lshPairs`) — bucket-local candidate generation, no

@@ -145,9 +145,12 @@ object SimSearch {
     * (16 bits, 4 bands) is sized for 10³–10⁵ rows; a 10⁹-row corpus
     * wants ~64 bits over 4 bands. ScaleSmoke measures this family at
     * 10× to catch capacity regressions. */
-  def lshPairs(embs: DataFrame, id: String, vec: String, dim: Int,
-      minCosine: Double, nBits: Int = 16, bands: Int = 4,
-      maxBucket: Int = 2000): DataFrame = {
+  /** One row per (vector, band): `__id`, `__v`, and `bk = struct(band,
+    * key)` — the signature stage shared by [[lshPairs]] and
+    * [[lshBucketHistogram]] (bit j of a band key is the sign of the
+    * projection onto `portablePlane(band*width + j)`). */
+  private def bandedFrame(embs: DataFrame, id: String, vec: String,
+      dim: Int, nBits: Int, bands: Int): DataFrame = {
     require(nBits % bands == 0,
       s"bands ($bands) must divide nBits ($nBits) — a remainder would " +
         "silently exclude trailing signature bits from every band")
@@ -162,8 +165,14 @@ object SimSearch {
       }
       struct(lit(j).as("band"), bits.reduce(_.bitwiseOR(_)).as("key"))
     }
-    val banded = v.select(col("__id"), col("__v"),
+    v.select(col("__id"), col("__v"),
       explode(array(bandKeys: _*)).as("bk"))
+  }
+
+  def lshPairs(embs: DataFrame, id: String, vec: String, dim: Int,
+      minCosine: Double, nBits: Int = 16, bands: Int = 4,
+      maxBucket: Int = 2000): DataFrame = {
+    val banded = bandedFrame(embs, id, vec, dim, nBits, bands)
     // Pair generation is a bucket-keyed SELF-JOIN (the d13 semDedup
     // shape), not collect_list + flatten: members here carry the full
     // vector (~0.5 KB each), so the old one-row-per-bucket pair array
@@ -188,24 +197,63 @@ object SimSearch {
 
   /** [[lshPairs]] with the signature width derived from the corpus
     * size instead of hand-picked: per-band width
-    * `ceil(log2(n / targetBucketSize))` (min 1, capped at 24 bits —
-    * beyond that buckets are singletons at any achievable n), so the
-    * EXPECTED bucket size stays ≈ targetBucketSize as the corpus
-    * grows — the capacity rule ScaleSmoke measured d6 violating with
-    * a fixed 16-bit/4-band signature (bucket sizes, and therefore
+    * `ceil(log2(ceil(n / targetBucketSize)))` (min 1, capped at 24
+    * bits — beyond that buckets are singletons at any achievable n),
+    * so the EXPECTED bucket size stays ≈ targetBucketSize as the
+    * corpus grows — the capacity rule ScaleSmoke measured d6 violating
+    * with a fixed 16-bit/4-band signature (bucket sizes, and therefore
     * per-bucket candidate work, grew with the corpus). Costs one
     * count job at plan time — the same bounded plan-time-fetch class
     * as the IVF centroid pull; at 100 TB the count is a metadata read
-    * on parquet sources. */
+    * on parquet sources.
+    *
+    * The width is PURE INTEGER math (bit length of the ceil-divided
+    * bucket-count estimate), never `ceil(log(x)/log(2))` on doubles:
+    * the d22 DuckDB oracle replays the identical computation as
+    * `length(bin(m-1))`, and a last-ulp libm difference at an exact
+    * power of two would silently shift every band key. */
+  def autoWidth(n: Long, targetBucketSize: Long): Int = {
+    val m = math.max(1L, (n + targetBucketSize - 1L) / targetBucketSize)
+    // bit length of (m-1) == ceil(log2(m)) for m >= 1 (0 for m = 1)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.min(24, math.max(1, bits))
+  }
+
   def lshPairsAuto(embs: DataFrame, id: String, vec: String, dim: Int,
       minCosine: Double, bands: Int = 4, targetBucketSize: Long = 1000L,
       maxBucket: Int = 2000): DataFrame = {
     val n = math.max(1L, embs.count())
-    val ratio = math.max(1.0, n.toDouble / targetBucketSize)
-    val width = math.min(24,
-      math.max(1, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+    val width = autoWidth(n, targetBucketSize)
     lshPairs(embs, id, vec, dim, minCosine,
       nBits = bands * width, bands = bands, maxBucket = maxBucket)
+  }
+
+  /** Capacity audit for the banded-LSH signature: the bucket-size
+    * histogram per band — `(band, bucket_size, n_buckets)`. This is the
+    * observability counterpart to [[lshPairs]]' hot-bucket cap: the cap
+    * defends runtime by EXCLUDING over-cap buckets from pair generation,
+    * which at the wrong signature width fails silently (the 1000×
+    * ScaleSmoke run measured the fixed 16-bit d6 signature placing 100%
+    * of rows in over-cap buckets — runtime flat, recall zero, no error
+    * anywhere). Reading this histogram next to the cap makes that state
+    * visible: rows in buckets above the cap are rows the pair stage will
+    * never see. Costs the signature plus two aggregations — no pair
+    * stage, so it runs at any corpus size, and its output is ≤
+    * |distinct bucket sizes| × bands rows. */
+  def lshBucketHistogram(embs: DataFrame, id: String, vec: String,
+      dim: Int, nBits: Int = 16, bands: Int = 4): DataFrame =
+    bandedFrame(embs, id, vec, dim, nBits, bands)
+      .groupBy(col("bk")).agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bk.band").cast("long").as("band"), col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+
+  /** [[lshBucketHistogram]] at the width [[lshPairsAuto]] would pick —
+    * audit and pair stage see the same buckets. */
+  def lshBucketHistogramAuto(embs: DataFrame, id: String, vec: String,
+      dim: Int, bands: Int = 4, targetBucketSize: Long = 1000L): DataFrame = {
+    val n = math.max(1L, embs.count())
+    lshBucketHistogram(embs, id, vec, dim,
+      nBits = bands * autoWidth(n, targetBucketSize), bands = bands)
   }
 
   /** IVF (inverted-file) ANN top-k: the corpus is clustered once with

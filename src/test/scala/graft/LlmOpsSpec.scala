@@ -237,6 +237,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(auto.subsetOf(wide))
   }
 
+  test("lshBucketHistogram: each band partitions the corpus exactly") {
+    val emb = Tables.embeddings(spark, TestSpark.sf).limit(300)
+    val hist = SimSearch.lshBucketHistogram(emb, "vec_id", "embedding",
+        64, nBits = 8, bands = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(hist.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // Σ bucket_size × n_buckets per band = corpus size (no row lost or
+    // double-counted by the audit)
+    hist.groupBy(_._1).foreach { case (band, rows) =>
+      assert(rows.map(r => r._2 * r._3).sum == 300L, s"band $band")
+    }
+  }
+
+  test("autoWidth: integer bit-length math, clamped to [1, 24]") {
+    // (n, target) -> width; width = ceil(log2(ceil(n/target))) clamped
+    val cases = Seq(
+      (1L, 50L, 1), (50L, 50L, 1), (51L, 50L, 1), (100L, 50L, 1),
+      (101L, 50L, 2), (200L, 50L, 2), (201L, 50L, 3), (500L, 50L, 4),
+      (2000L, 50L, 6), (2000000L, 50L, 16),
+      // exact powers of two — the ulp-sensitive cases the integer
+      // form exists for (ceil(ln(x)/ln(2)) can land either side)
+      (4096L, 1L, 12), (4097L, 1L, 13),
+      // cap: any n beyond 2^24*target clamps to 24 bits
+      (1L << 40, 1L, 24))
+    cases.foreach { case (n, t, want) =>
+      assert(SimSearch.autoWidth(n, t) == want, s"autoWidth($n, $t)")
+    }
+  }
+
   test("embedding cosine pairs are symmetric-free and above threshold") {
     val emb = Tables.embeddings(spark, TestSpark.sf).limit(100)
     val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding", -1.0)
