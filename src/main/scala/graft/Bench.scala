@@ -20,18 +20,20 @@ object Bench {
     * with matching `pin_n` convicts the environment, not the plans.
     * MUST be refreshed (standalone `runMain graft.Bench`) whenever the
     * query set or a heavy plan changes. */
-  // 127.3 s: round-8 CLOSING standalone pin at 248 queries
-  // (uncontended, xcpu 0.0%, gc 49.9 s) — after the native
-  // SimHash/MinHash kernel lowerings and the md5-mix re-family
-  // (d3 2.7→0.9 s, the 8 portable-minhash queries −8.6 s warm) on
-  // top of the mid-r8 152.5 s pin at 246 queries (which itself
-  // carried the 4096-entry codegen cache and the rebuilt g10:
-  // 167.2 s at the old 100-entry cache; two half-runs in separate
-  // JVMs summed 171.7 s — no cross-query accumulation). 0.51 s/q,
-  // back under the r5 0.54 s/q constant. r6 pin for reference:
-  // 99.6 s at 182 queries (0.55 s/q).
-  private val pinWarmS = 127.3
-  private val pinN = 248
+  // 130.7 s: round-8 CLOSING standalone pin at 250 queries
+  // (uncontended, xcpu 0.0%, gc 51.3 s) — the 127.3 s/248-query pin
+  // plus the two r8-new capacity queries (d22 auto-width near-dup,
+  // d23 bucket-histogram audit) and the serialized Iterate.snapshot
+  // level (measured neutral at sf0.1: g10 in-run 2.97 s). Lineage:
+  // 127.3 s at 248 q after the native SimHash/MinHash kernel
+  // lowerings and the md5-mix re-family (d3 2.7→0.9 s, the 8
+  // portable-minhash queries −8.6 s warm), on top of the mid-r8
+  // 152.5 s pin at 246 q (4096-entry codegen cache + rebuilt g10;
+  // 167.2 s at the old 100-entry cache). 0.52 s/q, under the r5
+  // 0.54 s/q constant. r6 pin for reference: 99.6 s at 182 queries
+  // (0.55 s/q).
+  private val pinWarmS = 130.7
+  private val pinN = 250
 
   /** PIDs of this JVM plus its ancestor chain (the sbt launcher that
     * forked us) — the only Java processes that are NOT contamination. */
