@@ -81,16 +81,19 @@ object Graph {
     * (node, component) for every node appearing in ≥ 1 edge. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 25): DataFrame = {
-    // snapshot the symmetrized edges: the upstream pair pipeline (often
+    // pin the symmetrized edges: the upstream pair pipeline (often
     // an expensive near-dup candidate generation) must not re-run per
-    // round, and its (potentially huge) plan must not be nested by every
-    // round's tree. Symmetrize by exploding each edge into both
-    // orientations — a union of two selects would evaluate the upstream
-    // pipeline TWICE during this materialization
-    val sym = Iterate.snapshot(edges.select(explode(array(
+    // round, its (potentially huge) plan must not be nested by every
+    // round's tree, and the pin's partitioned+sorted layout on the
+    // probe key __m means no round re-shuffles or re-sorts the edge
+    // side (localCheckpoint would report UnknownPartitioning and pay
+    // both per round — see [[Iterate.pin]]). Symmetrize by exploding
+    // each edge into both orientations — a union of two selects would
+    // evaluate the upstream pipeline TWICE during this materialization
+    val sym = Iterate.pin(edges.select(explode(array(
         struct(col(src).as("__n"), col(dst).as("__m")),
         struct(col(dst).as("__n"), col(src).as("__m")))).as("__e"))
-      .select(col("__e.__n"), col("__e.__m")))
+      .select(col("__e.__n"), col("__e.__m")), col("__m"))
     var cached = Iterate.snapshot(sym.select(col("__n")).distinct()
       .select(col("__n"), col("__n").as("__lbl")))
     var labels = cached
@@ -113,7 +116,7 @@ object Graph {
       converged = changed == 0
       iter += 1
     }
-    Iterate.release(sym)
+    Iterate.unpin(sym)
     // the final labels stay materialized: the caller's action reads the
     // stored fixpoint instead of recomputing every iteration's lineage;
     // once the result goes unreferenced the ContextCleaner reclaims it
@@ -133,9 +136,14 @@ object Graph {
     * `rounds` is fixed (LPA oscillates on bipartite-ish graphs under
     * synchronous updates, so production runs bound rounds rather than
     * wait for a fixpoint). Per round: one join of the symmetrized edges
-    * against the labels — co-partitioned: the edge snapshot is hash-
-    * partitioned on the probe key and `LogicalRDD` preserves that
-    * partitioning, so only the (tiny) label side shuffles — + one
+    * against the labels — co-partitioned for real: the edge side is an
+    * [[Iterate.pin]] (persisted InMemoryRelation laid out hash-
+    * partitioned AND sorted on the probe key __m, both ADVERTISED to
+    * the planner), so each round's sort-merge join reads it as-is and
+    * only the label side shuffles. The r8 plan audit caught the
+    * previous localCheckpoint form reporting `UnknownPartitioning` and
+    * re-shuffling + re-sorting the full edge set every round — at the
+    * 100× corpus that was 3 × 240M rows of avoidable shuffle. Then one
     * (node, label) frequency count + a top-1 per node lowered to a
     * plain hash aggregate `max(struct(count, -label))` (max count, tie
     * → smallest label) instead of a rank window: same shuffle, no sort
@@ -160,22 +168,19 @@ object Graph {
     * Output (node, label) for every node with ≥ 1 edge. */
   def labelPropagation(edges: DataFrame, src: String, dst: String,
       rounds: Int, edgesDistinct: Boolean = false): DataFrame = {
-    val spark = edges.sparkSession
-    val p = spark.sparkContext.defaultParallelism
-    // snapshot the symmetrized edges — reused every round (the upstream
-    // pair generation is often the expensive part), and the LogicalRDD
-    // leaf keeps each round's plan from nesting the whole pipeline.
-    // Partitioned on the probe key __m so no round re-shuffles the edges;
-    // the explicit partition count also floors the final aggregates'
-    // parallelism (AQE coalesces a small shuffle below the core count,
-    // serializing the hash agg — r8 A/B: 4× on the 600k-row distinct)
+    // pin the symmetrized edges — reused every round (the upstream
+    // pair generation is often the expensive part), plan stays a
+    // constant-size leaf, and the pin's __m layout makes every round's
+    // edge side shuffle- and sort-free. The pin's repartition also
+    // floors the final aggregates' parallelism (AQE coalesces a small
+    // shuffle below the core count, serializing the hash agg — r8 A/B:
+    // 4× on the 600k-row distinct)
     val symRaw = edges.select(explode(array(
         struct(col(src).as("__n"), col(dst).as("__m")),
         struct(col(dst).as("__n"), col(src).as("__m")))).as("__e"))
       .select(col("__e.__n"), col("__e.__m"))
-    val sym = Iterate.snapshot(
-      (if (edgesDistinct) symRaw else symRaw.distinct())
-        .repartition(p, col("__m")))
+    val sym = Iterate.pin(
+      if (edgesDistinct) symRaw else symRaw.distinct(), col("__m"))
     var labels = sym.select(col("__n")).distinct()
       .select(col("__n"), col("__n").as("__lbl"))
     var cadence: Option[DataFrame] = None
@@ -197,9 +202,11 @@ object Graph {
     // and the edge snapshot can release deterministically
     val fin = if (rounds > 0) Iterate.snapshot(labels) else labels
     cadence.foreach(Iterate.release)
-    // rounds=0: fin is unmaterialized lineage over sym — keep sym's
-    // blocks alive (the ContextCleaner reclaims them once unreferenced)
-    if (rounds > 0) Iterate.release(sym)
+    // rounds=0: fin is unmaterialized lineage over sym, so the pin must
+    // outlive this call — unlike checkpoint blocks, a cache entry is NOT
+    // ContextCleaner-reclaimed; it lives until the caller's session
+    // clears caches (the bench/verify between-query quiesce does)
+    if (rounds > 0) Iterate.unpin(sym)
     fin.select(col("__n").as(src), col("__lbl").as("label"))
   }
 
@@ -228,11 +235,13 @@ object Graph {
     // an iters-round walk would otherwise rebuild it iters(+1) times —
     // unlike lightGcn's LAYERS (whose recompute is cheaper than a persist
     // at bench scale, see scaladoc above), the edge table is loop-invariant
-    // and holds a shuffle (the degree agg). Snapshot (not persist) so the
-    // per-round plans stay constant-size — see [[Iterate]]
-    val e = Iterate.snapshot(
+    // and holds a shuffle (the degree agg). Pinned on the per-round probe
+    // key __s so only the rank side shuffles each round — see
+    // [[Iterate.pin]]
+    val e = Iterate.pin(
       edges.select(col(src).as("__s"), col(dst).as("__t"))
-        .join(deg.select(col(src).as("__s"), col("__deg")), "__s"))
+        .join(deg.select(col(src).as("__s"), col("__deg")), "__s"),
+      col("__s"))
     val r0 = seeds.select(col(seedCol).as("__id")).distinct()
       .withColumn("__e", lit(1.0))
     var r = r0.select(col("__id"), col("__e").as("__r"))
@@ -250,7 +259,7 @@ object Graph {
     }
     // the final ranks are materialized, so the edge table releases now;
     // the last snapshot goes to the ContextCleaner once unreferenced
-    if (iters > 0) Iterate.release(e)
+    if (iters > 0) Iterate.unpin(e)
     r.select(col("__id").as("id"), col("__r").as("score"))
   }
 
@@ -317,29 +326,37 @@ object Graph {
   def hits(edges: DataFrame, src: String, dst: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"hits needs >= 1 round, got $rounds")
-    val e = Iterate.snapshot(
-      edges.select(col(src).as("__s"), col(dst).as("__t")).distinct())
+    // the edge table is probed on __s in the authority half-step and on
+    // __t in the hub half-step — one layout cannot serve both, so pin
+    // BOTH orientations (2×|E| serialized cache, vs re-shuffling AND
+    // re-sorting |E| twice per round; see [[Iterate.pin]]). eByT is
+    // derived from the already-pinned eByS, so the upstream distinct
+    // runs once.
+    val eByS = Iterate.pin(
+      edges.select(col(src).as("__s"), col(dst).as("__t")).distinct(),
+      col("__s"))
+    val eByT = Iterate.pin(eByS, col("__t"))
     def maxNorm(df: DataFrame, key: String): DataFrame = {
       val m = df.agg(max(col("__x")).as("__m"))
       df.crossJoin(broadcast(m))
         .select(col(key), (col("__x") / col("__m")).as("__x"))
     }
     // h_0 = 1 on every source, so a_1's un-normalized form is in-degree
-    var h = e.select(col("__s")).distinct()
+    var h = eByS.select(col("__s")).distinct()
       .select(col("__s"), lit(1.0).as("__x"))
     var a = h // placeholder; rounds >= 1 expected by callers
     for (i <- 1 to rounds) {
       val aPrev = a
       a = Iterate.snapshot(maxNorm(
-        e.join(h.select(col("__s"), col("__x").as("__h")), "__s")
+        eByS.join(h.select(col("__s"), col("__x").as("__h")), "__s")
           .groupBy(col("__t")).agg(sum(col("__h")).as("__x")), "__t"))
       val hPrev = h
       h = Iterate.snapshot(maxNorm(
-        e.join(a.select(col("__t"), col("__x").as("__a")), "__t")
+        eByT.join(a.select(col("__t"), col("__x").as("__a")), "__t")
           .groupBy(col("__s")).agg(sum(col("__a")).as("__x")), "__s"))
       if (i > 1) { Iterate.release(aPrev); Iterate.release(hPrev) }
     }
-    if (rounds > 0) Iterate.release(e)
+    if (rounds > 0) { Iterate.unpin(eByT); Iterate.unpin(eByS) }
     a.select(col("__t").as(dst), col("__x").as("authority"))
   }
 }

@@ -69,4 +69,41 @@ object Iterate {
       case l: LogicalRDD => l.rdd.unpersist(blocking = false): Unit
       case _ => ()
     }
+
+  /** Pin a loop-INVARIANT frame (the big static side of a fixpoint —
+    * edge lists, degree-joined edge tables): lay it out hash-partitioned
+    * and sorted on the loop's join `keys`, persist serialized, and
+    * materialize.
+    *
+    * Why not [[snapshot]] for these: the `LogicalRDD` a localCheckpoint
+    * produces reports `UnknownPartitioning` (measured on the r8 g10
+    * plan — the scan side re-Exchanged every round despite the
+    * pre-snapshot repartition), so every round of the loop re-shuffles
+    * AND re-sorts the big static side. A persisted `InMemoryRelation`
+    * advertises its child's partitioning and ordering, so each round's
+    * sort-merge join reads the cached side AS IS and only the small
+    * evolving side shuffles — at the 100× g10 corpus that is 3 × 240M
+    * rows of shuffle+sort that simply disappear.
+    *
+    * [[snapshot]]'s two anti-persist arguments (object doc) do not
+    * apply to loop-invariant frames: the cached plan is the original
+    * constant-size tree (nothing nests per round), and it is ONE
+    * CacheManager entry for the loop's lifetime. The repartition also
+    * floors the loop's parallelism at `defaultParallelism` (the AQE
+    * small-shuffle coalesce guard the g10 rebuild measured at 4×).
+    * Keep using [[snapshot]] for the EVOLVING per-round frame, where
+    * lineage truncation is the point. Pair with [[unpin]]. */
+  def pin(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val laid =
+      if (keys.isEmpty) df
+      else df.repartition(p, keys: _*).sortWithinPartitions(keys: _*)
+    val pinned = laid.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    pinned.count()
+    pinned
+  }
+
+  /** Drop a [[pin]]'s cache entry and blocks. */
+  def unpin(df: DataFrame): Unit =
+    df.unpersist(blocking = false): Unit
 }
