@@ -20,19 +20,19 @@ object Bench {
     * with matching `pin_n` convicts the environment, not the plans.
     * MUST be refreshed (standalone `runMain graft.Bench`) whenever the
     * query set or a heavy plan changes. */
-  // 130.7 s: round-8 CLOSING standalone pin at 250 queries
-  // (uncontended, xcpu 0.0%, gc 51.3 s) — the 127.3 s/248-query pin
-  // plus the two r8-new capacity queries (d22 auto-width near-dup,
-  // d23 bucket-histogram audit) and the serialized Iterate.snapshot
-  // level (measured neutral at sf0.1: g10 in-run 2.97 s). Lineage:
-  // 127.3 s at 248 q after the native SimHash/MinHash kernel
-  // lowerings and the md5-mix re-family (d3 2.7→0.9 s, the 8
-  // portable-minhash queries −8.6 s warm), on top of the mid-r8
-  // 152.5 s pin at 246 q (4096-entry codegen cache + rebuilt g10;
-  // 167.2 s at the old 100-entry cache). 0.52 s/q, under the r5
-  // 0.54 s/q constant. r6 pin for reference: 99.6 s at 182 queries
-  // (0.55 s/q).
-  private val pinWarmS = 130.7
+  // 136.6 s: round-8 CLOSING standalone pin at 250 queries in the new
+  // SORTED query order (uncontended, xcpu 0.0%, gc 56.3 s). Same-day
+  // clean-run spread for calibration: 130.7 (pre-Iterate.pin, map
+  // order) / 142.4 / 146.4 (post-pin, map order) / 136.6 (post-pin,
+  // sorted) — ±5% run-to-run on this 250-query single-JVM total, of
+  // which ~+3 s is the structural Iterate.pin build cost on the 7
+  // fixpoint queries (bought: g10 −42% and g5 −26% at the 100×
+  // corpus, PLANS.md). Lineage: 127.3 s at 248 q after the native
+  // SimHash/MinHash kernel lowerings and the md5-mix re-family, on
+  // top of the mid-r8 152.5 s pin at 246 q (4096-entry codegen
+  // cache + rebuilt g10; 167.2 s at the old 100-entry cache).
+  // 0.55 s/q. r6 pin for reference: 99.6 s at 182 queries (0.55 s/q).
+  private val pinWarmS = 136.6
   private val pinN = 250
 
   /** PIDs of this JVM plus its ancestor chain (the sbt launcher that
@@ -183,8 +183,15 @@ object Bench {
     val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
     // optional slice "lo:hi" (indices into the registry's iteration
     // order) — lets the split-bench A/B run each half in its own JVM to
-    // test whether late queries are billed for earlier ones' JVM litter
-    val allQs = SparkEntry.queries.toSeq
+    // test whether late queries are billed for earlier ones' JVM litter.
+    // Sorted by name: Map iteration order is hash-based, so ADDING a
+    // query used to reshuffle every query's run position — in-run
+    // values carry a position-dependent JVM component (r8 measured the
+    // same untouched query at 1.4 s early-run vs 2.9 s late-run, both
+    // 1.6 s in a fresh JVM), which made cross-round per-query
+    // comparisons partly order luck. Sorted order pins each query's
+    // position to its name.
+    val allQs = SparkEntry.queries.toSeq.sortBy(_._1)
     val qs = sys.env.get("SPARK_GRAFT_QUERY_RANGE") match {
       case Some(r) =>
         val Array(lo, hi) = r.split(":").map(_.toInt)

@@ -3909,9 +3909,11 @@ object SparkEntry {
       .where(col("x.i") < col("y.i"))
       .select(col("x.i").as("u"), col("y.i").as("v"))
       .distinct()
-    val sym = graft.ops.Iterate.snapshot(
+    // loop-invariant: pinned on the per-hop probe key n (partitioned +
+    // sorted + advertised — no per-hop shuffle of the edge side)
+    val sym = graft.ops.Iterate.pin(
       und.select(col("u").as("n"), col("v").as("m")).unionAll(
-        und.select(col("v").as("n"), col("u").as("m"))))
+        und.select(col("v").as("n"), col("u").as("m"))), col("n"))
     val seeds = sym.select(col("n")).distinct().orderBy(col("n")).limit(3)
       .withColumn("dist", lit(0L))
     var dist = graft.ops.Iterate.snapshot(seeds)
@@ -3925,7 +3927,7 @@ object SparkEntry {
       graft.ops.Iterate.release(prev)
     }
     val out = dist.select(col("n").as("part"), col("dist"))
-    graft.ops.Iterate.release(sym)
+    graft.ops.Iterate.unpin(sym)
     out
   }
 

@@ -482,10 +482,13 @@ object SimSearch {
       .withColumn("rel",
         graft.functions.GraftFunctions.cosine(col("__qv"), col("__cv")))
       .select(col("query_id"), col("item_id"), col("rel"), col("__cv"))
-    val cands = graft.ops.Iterate.snapshot(
+    // loop-invariant candidate pool: pinned on query_id — every step's
+    // anti-join and rescoring join cluster on it (a subset of the join
+    // keys satisfies the distribution), so the pool never re-shuffles
+    val cands = graft.ops.Iterate.pin(
       TopK.perGroup(scored, Seq(col("query_id")),
         Seq(col("rel").desc, col("item_id")), nCand)
-      .drop("rank"))
+      .drop("rank"), col("query_id"))
     var selected = graft.ops.Iterate.snapshot(
       TopK.perGroup(cands, Seq(col("query_id")),
         Seq(col("rel").desc, col("item_id")), 1)
@@ -520,7 +523,7 @@ object SimSearch {
     }
     // the final selection is materialized (snapshots are eager), so the
     // candidate pool releases now rather than waiting on the ContextCleaner
-    graft.ops.Iterate.release(cands)
+    graft.ops.Iterate.unpin(cands)
     selected.select(col("query_id"), col("item_id"), col("mmr"), col("step"))
   }
 }
