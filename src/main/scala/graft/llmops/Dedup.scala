@@ -555,7 +555,13 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs, banded-LSH form (delegates to
     * `SimSearch.lshPairs`) — bucket-local candidate generation, no
-    * broadcast, no O(n²); the shape that survives 100 TB. */
+    * broadcast, no O(n²). The PLAN shape survives any scale, but a
+    * FIXED signature width does not: expected bucket size grows
+    * linearly with the corpus until the hot-bucket cap silently
+    * excludes everything (measured at 1000×: 100% of rows over-cap,
+    * zero pairs — PLANS.md round-8 capacity wall). Growing corpora use
+    * [[embeddingPairsBandedAuto]]; [[SimSearch.lshBucketHistogram]] is
+    * the audit that makes the wall visible. */
   def embeddingPairsBanded(embs: DataFrame, id: String, vec: String,
       dim: Int, minCosine: Double, nBits: Int = 16, bands: Int = 4,
       maxBucket: Int = 2000): DataFrame =
