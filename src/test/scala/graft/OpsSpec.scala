@@ -623,4 +623,45 @@ class OpsSpec extends AnyFunSuite {
     assert(added.forall(id => !after.contains(id)),
       "release should drop the snapshot's persisted RDD")
   }
+
+  test("Iterate.pin advertises partitioning+ordering: no Exchange/Sort on the pinned join side") {
+    // the r8 scale finding, pinned as an invariant: a fixpoint's static
+    // side must NOT re-shuffle or re-sort per round. localCheckpoint
+    // regressed exactly this (LogicalRDD -> UnknownPartitioning); the
+    // pin's InMemoryRelation must keep both properties visible to the
+    // planner. Broadcast disabled so the join actually exercises the
+    // shuffle requirement (at test scale the small side would broadcast
+    // and hide a regression).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val edges = Tables.orders(spark, TestSpark.sf).limit(5000)
+        .select($"o_orderkey".as("__m"), $"o_custkey".as("__n"))
+      val pinned = graft.ops.Iterate.pin(edges, $"__m")
+      try {
+        val labels = pinned.select($"__m").distinct()
+          .withColumn("__lbl", lit(1L))
+        val round = pinned.join(labels, "__m")
+          .groupBy($"__n").agg(count(lit(1)).as("c"))
+        val plan = round.queryExecution.executedPlan.toString
+        val joinLine = plan.linesIterator
+          .find(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+        assert(joinLine.nonEmpty, s"expected a shuffle join in:\n$plan")
+        // the pinned (left) side between the join and its InMemoryTableScan
+        // must contain no Exchange and no Sort: both were paid at pin time
+        val lines = plan.linesIterator.toSeq
+        val jIdx = lines.indexWhere(l =>
+          l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+        val leftSide = lines.drop(jIdx + 1)
+          .takeWhile(l => !l.contains("InMemoryTableScan"))
+        assert(!leftSide.exists(_.contains("Exchange")),
+          s"pinned side re-shuffled:\n${leftSide.mkString("\n")}")
+        assert(!leftSide.exists(_.contains("Sort ")),
+          s"pinned side re-sorted:\n${leftSide.mkString("\n")}")
+        // and the result is right: every order key pairs with its customer
+        assert(round.count() == edges.select($"__n").distinct().count())
+      } finally graft.ops.Iterate.unpin(pinned)
+    } finally spark.conf.set(key, saved)
+  }
 }
