@@ -29,7 +29,14 @@ object ItemCf {
     * 6 dp for cross-engine-stable downstream ranking). */
   def cooccurrence(baskets: DataFrame, basket: String, item: String,
       maxBasket: Int = 1000, minCo: Long = 1L): DataFrame = {
+    // null keys dropped EXPLICITLY (they carry no CF signal): the deg
+    // joins infer isnotnull on their side of the plan but the window
+    // side doesn't, and that constraint asymmetry made the three uses
+    // of this distinct canonically different — three full basket
+    // shuffles where ReuseExchange now serves two of them from one
+    // (r8 plan audit of m9; same pattern in the other basket miners)
     val ui = baskets.select(col(basket).as("__b"), col(item).as("__i"))
+      .where(col("__b").isNotNull && col("__i").isNotNull)
       .distinct()
     val deg = ui.groupBy(col("__i")).agg(count(lit(1)).as("__deg"))
     val members = ui
@@ -81,7 +88,10 @@ object ItemCf {
   def associationRules(baskets: DataFrame, basket: String, item: String,
       maxBasket: Int = 1000, minCo: Long = 1L,
       minConfidence: Double = 0.0): DataFrame = {
+    // explicit null-drop: canonicalizes every use of the distinct so the
+    // basket shuffle is computed once and reused (see [[cooccurrence]])
     val ui = baskets.select(col(basket).as("__b"), col(item).as("__i"))
+      .where(col("__b").isNotNull && col("__i").isNotNull)
       .distinct()
     val deg = ui.groupBy(col("__i")).agg(count(lit(1)).as("__deg"))
     val nB = ui.select(col("__b")).distinct()
@@ -125,7 +135,10 @@ object ItemCf {
     * bound is unchanged. Output rounded to 6 dp (float sum order). */
   def adamicAdar(baskets: DataFrame, basket: String, item: String,
       maxBasket: Int = 1000, minCo: Long = 1L): DataFrame = {
+    // explicit null-drop: same shuffle-reuse canonicalization as
+    // [[cooccurrence]]
     val ui = baskets.select(col(basket).as("__b"), col(item).as("__i"))
+      .where(col("__b").isNotNull && col("__i").isNotNull)
       .distinct()
     val members = ui
       .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("__b"))))
@@ -166,7 +179,11 @@ object ItemCf {
   def swingPairs(baskets: DataFrame, user: String, item: String,
       alpha: Double = 1.0, maxUsersPerItem: Int = 1000,
       maxItemsShared: Int = 1000): DataFrame = {
+    // explicit null-drop: same shuffle-reuse canonicalization as
+    // [[cooccurrence]] (userPairs feeds both sides of the supported
+    // self-join through cuv)
     val ui = baskets.select(col(user).as("__u"), col(item).as("__i"))
+      .where(col("__u").isNotNull && col("__i").isNotNull)
       .distinct()
     val userPairs = ui
       .withColumn("__ic", count(lit(1)).over(Window.partitionBy(col("__i"))))
