@@ -214,11 +214,17 @@ object ItemCf {
     * engine-stable. `interactions` must have columns (user, item). */
   def recommend(interactions: DataFrame, co: DataFrame, k: Int)
       : DataFrame = {
-    val scored = interactions.join(symmetric(co), "item")
+    // explicit null-drop (no semantic change: a null user/item matches
+    // no neighbor in either join) so BOTH uses of the interaction frame
+    // — the scoring join and the seen-exclusion anti-join — canonicalize
+    // identically and AQE serves them from one shuffle/scan
+    val ia = interactions.select(col("user"), col("item"))
+      .where(col("user").isNotNull && col("item").isNotNull)
+    val scored = ia.join(symmetric(co), "item")
       .groupBy(col("user"), col("neighbor"))
       .agg(round(sum(col("cosine")), 6).as("score"))
     val unseen = scored.join(
-      interactions.select(col("user"), col("item").as("neighbor")),
+      ia.select(col("user"), col("item").as("neighbor")),
       Seq("user", "neighbor"), "left_anti")
     TopK.perGroup(unseen, Seq(col("user")),
         Seq(col("score").desc, col("neighbor")), k)
