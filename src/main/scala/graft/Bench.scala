@@ -20,19 +20,21 @@ object Bench {
     * with matching `pin_n` convicts the environment, not the plans.
     * MUST be refreshed (standalone `runMain graft.Bench`) whenever the
     * query set or a heavy plan changes. */
-  // 136.6 s: round-8 CLOSING standalone pin at 250 queries in the new
-  // SORTED query order (uncontended, xcpu 0.0%, gc 56.3 s). Same-day
-  // clean-run spread for calibration: 130.7 (pre-Iterate.pin, map
-  // order) / 142.4 / 146.4 (post-pin, map order) / 136.6 (post-pin,
-  // sorted) — ±5% run-to-run on this 250-query single-JVM total, of
-  // which ~+3 s is the structural Iterate.pin build cost on the 7
-  // fixpoint queries (bought: g10 −42% and g5 −26% at the 100×
-  // corpus, PLANS.md). Lineage: 127.3 s at 248 q after the native
-  // SimHash/MinHash kernel lowerings and the md5-mix re-family, on
-  // top of the mid-r8 152.5 s pin at 246 q (4096-entry codegen
-  // cache + rebuilt g10; 167.2 s at the old 100-entry cache).
-  // 0.55 s/q. r6 pin for reference: 99.6 s at 182 queries (0.55 s/q).
-  private val pinWarmS = 136.6
+  // 138.7 s: round-8 CLOSING standalone pin at 250 queries in SORTED
+  // query order (uncontended, xcpu 0.0%, gc 55.8 s), taken after the
+  // final round-8 plan state (Iterate.pin fixpoints + basket-miner
+  // shuffle-reuse canonicalization). Same-day clean-run spread for
+  // calibration: 130.7 (pre-Iterate.pin, map order) / 142.4 / 146.4
+  // (post-pin, map order) / 136.6 / 138.7 (post-pin, sorted) — ±5%
+  // run-to-run on this 250-query single-JVM total, of which ~+3 s is
+  // the structural Iterate.pin build cost on the 7 fixpoint queries
+  // (bought: g10 −42%, g5 −26%, d7 −38% at the 100× corpus, PLANS.md).
+  // Lineage: 127.3 s at 248 q after the native SimHash/MinHash kernel
+  // lowerings and the md5-mix re-family, on top of the mid-r8 152.5 s
+  // pin at 246 q (4096-entry codegen cache + rebuilt g10; 167.2 s at
+  // the old 100-entry cache). 0.55 s/q. r6 pin for reference: 99.6 s
+  // at 182 queries (0.55 s/q).
+  private val pinWarmS = 138.7
   private val pinN = 250
 
   /** PIDs of this JVM plus its ancestor chain (the sbt launcher that

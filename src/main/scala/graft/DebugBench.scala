@@ -21,13 +21,13 @@ object DebugBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val df = SparkEntry.queries("m9_itemcf_recommend")(spark, dir)
+    val df = SparkEntry.queries("d17_canonicalize")(spark, dir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     val reuse = plan.linesIterator.count(l =>
       l.contains("(reuse)") || l.contains("ReusedQueryStage") ||
         l.contains("ReusedExchange"))
-    val scans = plan.linesIterator.count(_.contains("lineitem.parquet"))
+    val scans = plan.linesIterator.count(_.contains("documents.parquet"))
     val stages = plan.linesIterator.count(_.contains("ShuffleQueryStage"))
     println(s"[debug] reuse-marked=$reuse lineitemScans=$scans shuffleStages=$stages")
     plan.linesIterator.filter(l => l.contains("ShuffleQueryStage"))
