@@ -82,9 +82,11 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * reduced to 30 bits and the per-seed values derive from an ANSI-safe
   * 2-universal mix `sig[k] = min over shingles of
   * ((v48 % 2^30) · (2654435761 + 80906·k) + k) % 2^30` — every
-  * intermediate ≤ 2^62, so the identical arithmetic runs under Spark's
-  * ANSI overflow checks AND in DuckDB BIGINTs (the oracle recomputes it
-  * from `CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)`). This is
+  * intermediate ≤ 2^62 while numHashes ≤ 20278 (the constructor
+  * enforces the bound; past it the multiplier crosses 2^32), so the
+  * identical arithmetic runs under Spark's ANSI overflow checks AND in
+  * DuckDB BIGINTs (the oracle recomputes it from
+  * `CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)`). This is
   * the same one-hash-plus-cheap-mixes shape as the xxhash64 production
   * kernel ([[MinHashSig]]) — the previous portable family re-ran md5
   * once PER SEED (16 digest block transforms per shingle), which the
@@ -96,6 +98,16 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * positions, matching the composed form's `array_min(empty) = null`. */
 case class MinHashSigMix(child: Expression, numHashes: Int)
     extends MinHashKernel with CodegenFallback {
+
+  // the ≤2^62 ANSI-safety claim above needs the multiplier
+  // 2654435761 + 80906·k to stay below 2^32 for every seed k <
+  // numHashes: (2^32 − 2654435761) / 80906 = 20277.9…, so seed 20277 is
+  // the largest safe one. Beyond it the native kernel would silently
+  // wrap Long while the HOF/DuckDB forms error under ANSI/BIGINT
+  // checks, breaking the bit-identical pin — fail fast instead.
+  require(numHashes <= 20278,
+    s"numHashes must be <= 20278 (multiplier 2654435761 + 80906*k must " +
+      s"stay below 2^32 for ANSI-safe arithmetic), got $numHashes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
 

@@ -179,6 +179,16 @@ object Graph {
         struct(col(src).as("__n"), col(dst).as("__m")),
         struct(col(dst).as("__n"), col(src).as("__m")))).as("__e"))
       .select(col("__e.__n"), col("__e.__m"))
+    // labels are node ids and the per-round argmax negates them twice
+    // (max(struct(count, -label)) below); under non-ANSI mode a unary
+    // minus on a string id silently CASTS to double and returns
+    // corrupted (possibly null) labels instead of failing — assert the
+    // numeric requirement up front
+    val idType = symRaw.schema("__n").dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"labelPropagation requires numeric node ids (the tie-break " +
+        s"negates labels); got ${idType.catalogString} — map ids through " +
+        "a dictionary index (DictIndex) first")
     val sym = Iterate.pin(
       if (edgesDistinct) symRaw else symRaw.distinct(), col("__m"))
     var labels = sym.select(col("__n")).distinct()
@@ -230,6 +240,14 @@ object Graph {
   def pageRank(edges: DataFrame, src: String, dst: String,
       seeds: DataFrame, seedCol: String,
       iters: Int, damping: Double): DataFrame = {
+    val r0 = seeds.select(col(seedCol).as("__id")).distinct()
+      .withColumn("__e", lit(1.0))
+    var r = r0.select(col("__id"), col("__e").as("__r"))
+    if (iters == 0)
+      // zero-round walk never touches the edge table — return the
+      // personalization vector without building (and leaking — a cache
+      // entry is not ContextCleaner-reclaimed) an unused pin
+      return r.select(col("__id").as("id"), col("__r").as("score"))
     val deg = edges.groupBy(col(src)).agg(count(lit(1)).as("__deg"))
     // each iteration's lineage references the degree-joined edge table, so
     // an iters-round walk would otherwise rebuild it iters(+1) times —
@@ -242,9 +260,6 @@ object Graph {
       edges.select(col(src).as("__s"), col(dst).as("__t"))
         .join(deg.select(col(src).as("__s"), col("__deg")), "__s"),
       col("__s"))
-    val r0 = seeds.select(col(seedCol).as("__id")).distinct()
-      .withColumn("__e", lit(1.0))
-    var r = r0.select(col("__id"), col("__e").as("__r"))
     for (i <- 1 to iters) {
       val contrib = e.join(r, col("__s") === col("__id"))
         .groupBy(col("__t"))
@@ -259,7 +274,8 @@ object Graph {
     }
     // the final ranks are materialized, so the edge table releases now;
     // the last snapshot goes to the ContextCleaner once unreferenced
-    if (iters > 0) Iterate.unpin(e)
+    // (iters > 0 is guaranteed by the early return above)
+    Iterate.unpin(e)
     r.select(col("__id").as("id"), col("__r").as("score"))
   }
 

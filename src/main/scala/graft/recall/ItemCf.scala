@@ -214,10 +214,15 @@ object ItemCf {
     * engine-stable. `interactions` must have columns (user, item). */
   def recommend(interactions: DataFrame, co: DataFrame, k: Int)
       : DataFrame = {
-    // explicit null-drop (no semantic change: a null user/item matches
-    // no neighbor in either join) so BOTH uses of the interaction frame
-    // — the scoring join and the seen-exclusion anti-join — canonicalize
-    // identically and AQE serves them from one shuffle/scan
+    // explicit null-drop so BOTH uses of the interaction frame — the
+    // scoring join and the seen-exclusion anti-join — canonicalize
+    // identically and AQE serves them from one shuffle/scan. This
+    // INTENTIONALLY excludes null keys from the output: a null-user
+    // interaction with a non-null item would otherwise still join the
+    // co-occurrence table and emit a null-user recommendation group
+    // (the anti-join on user never matches NULL) — rows no recommender
+    // can act on. Callers whose interactions may carry null keys get
+    // the non-null groups only.
     val ia = interactions.select(col("user"), col("item"))
       .where(col("user").isNotNull && col("item").isNotNull)
     val scored = ia.join(symmetric(co), "item")
