@@ -36,6 +36,10 @@ object BenchOne {
       val w1 = time { fn(spark, sfDir).count(): Unit }
       val w2 = time { fn(spark, sfDir).count(): Unit }
       println(f"[benchone] $name cold=$cold%.2f warm=$w1%.2f/$w2%.2f")
+      // SPARK_GRAFT_SHOW=1: also print the result rows (evidence runs —
+      // e.g. the sim14 recall curve at a ScaleSmoke corpus)
+      if (sys.env.get("SPARK_GRAFT_SHOW").contains("1"))
+        fn(spark, sfDir).show(200, truncate = false)
     }
     spark.stop()
   }

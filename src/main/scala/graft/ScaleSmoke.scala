@@ -58,7 +58,10 @@ object ScaleSmoke {
     "d7_dup_clusters", "g10_label_prop", "g5_pagerank",
     // round-8: the auto-width embedding near-dup — the variant whose
     // bucket capacity survives growth (run at 1000x, only:embeddings)
-    "d22_embedding_dedup_auto")
+    "d22_embedding_dedup_auto",
+    // round-9: the simhash twin of d22 (run at 1000x,
+    // only:documents + perturb — constant dup density)
+    "d24_simhash_auto")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -194,23 +197,27 @@ object ScaleSmoke {
     def timeOnce(f: => Unit): Double = {
       val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e9
     }
-    def warm(name: String, dir: String): Double = {
+    def warm(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
+      var n = 0L
       System.gc()
-      timeOnce { fn(spark, dir).count(): Unit } // cold, discarded
-      math.min(
-        timeOnce { fn(spark, dir).count(): Unit },
-        timeOnce { fn(spark, dir).count(): Unit })
+      timeOnce { n = fn(spark, dir).count() } // cold, discarded
+      (math.min(
+        timeOnce { n = fn(spark, dir).count() },
+        timeOnce { n = fn(spark, dir).count() }), n)
     }
     val fams = if (args.length > 3) args(3).split(",").toSeq else families
     val rows = fams.map { q =>
-      val w1 = warm(q, sfDir)
-      val wK = warm(q, workDir)
-      println(f"SCALESMOKE $q%-18s 1x=$w1%7.2f s  ${factor}x=$wK%7.2f s  ratio=${wK / w1}%5.2f (linear=$factor)")
-      (q, w1, wK)
+      val (w1, n1) = warm(q, sfDir)
+      val (wK, nK) = warm(q, workDir)
+      // result-row counts make SILENT capacity loss visible in the same
+      // table that defends runtime: a flat-runtime family whose Kx row
+      // count collapses to zero is the d6-at-1000x wall, not a win
+      println(f"SCALESMOKE $q%-18s 1x=$w1%7.2f s ($n1%d rows)  ${factor}x=$wK%7.2f s ($nK%d rows)  ratio=${wK / w1}%5.2f (linear=$factor)")
+      (q, w1, wK, n1, nK)
     }
-    val json = rows.map { case (q, w1, wK) =>
-      f""""$q":{"w1":$w1%.2f,"wK":$wK%.2f,"ratio":${wK / w1}%.2f}"""
+    val json = rows.map { case (q, w1, wK, n1, nK) =>
+      f""""$q":{"w1":$w1%.2f,"wK":$wK%.2f,"ratio":${wK / w1}%.2f,"rows1":$n1%d,"rowsK":$nK%d}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","factor":$factor,"families":$json}""")
     spark.stop()

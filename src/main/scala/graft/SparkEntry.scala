@@ -694,6 +694,53 @@ object SparkEntry {
         "embedding", dim = 64, bands = 4, targetBucketSize = 50L)
       .select(col("band"), col("bucket_size"), col("n_buckets"))
 
+  /** LLM-D24: the d22/d23 treatment applied to SIMHASH's fixed-width
+    * banding wall ([[Dedup.simHashPairsAuto]]): a 64-bit md5 fingerprint
+    * (two 32-bit halves from one digest per token) over 4 disjoint bands
+    * whose width is auto-sized from the corpus count — pigeonhole-exact
+    * through Hamming 3 — where d3's fixed 2×16-bit form saturates its
+    * buckets at ~100M docs and silently emits nothing. The DuckDB oracle
+    * replays the dynamic width (`least(16, length(bin(m-1)))`) and both
+    * bit rules, so the query stays oracle-exact at any fixture size. */
+  private val d24SimhashAuto: Q = (s, dir) =>
+    Dedup.simHashPairsAuto(Tables.documents(s, dir), "doc_id", "text",
+      maxHamming = 3, targetBucketSize = 50L)
+
+  /** LLM-D25: simhash banding capacity audit
+    * ([[Dedup.simHashBucketHistogramAuto]]) — d23's monitoring view for
+    * the d24 band family: per-band bucket-size histogram at the exact
+    * width the pair stage runs, making rows-silently-lost-to-the-cap a
+    * query instead of a post-mortem. */
+  private val d25SimhashCapacityAudit: Q = (s, dir) =>
+    Dedup.simHashBucketHistogramAuto(Tables.documents(s, dir), "doc_id",
+        "text", targetBucketSize = 50L)
+      .select(col("band"), col("bucket_size"), col("n_buckets"))
+
+  /** LLM-D26: the xxhash64 MinHash PRODUCTION kernel
+    * ([[Dedup.minHashPairs]] → [[graft.functions.MinHashSig]]) on the
+    * bench path. Rows-only by construction (DuckDB cannot replay
+    * xxhash64 internals) and twinned to the oracle-exact md5-portable
+    * d5 exactly as sim2→sim4: the kernel's VALUES are unit-pinned
+    * bit-identical to the composed HOF spec (LlmOpsSpec), this entry
+    * restores BENCH/registry coverage of its runtime — a perf
+    * regression in the fast path was invisible between the r8
+    * re-family and this entry. */
+  private val d26MinhashFast: Q = (s, dir) =>
+    Dedup.minHashPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.3)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+
+  /** LLM-D27: the xxhash64 64-bit SimHash PRODUCTION kernel
+    * ([[Dedup.simHashPairs]] over [[Dedup.simHash64]]) on the bench
+    * path — rows-only, twinned to the oracle-exact d3/d24 md5 family;
+    * same rationale as d26 (LlmOpsSpec pins the signature values, this
+    * pins the runtime into BENCH). 8 bands ⇒ pigeonhole-exact through
+    * Hamming 7; threshold 3 matches d24's operating point. */
+  private val d27SimhashFast: Q = (s, dir) =>
+    Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
+      maxHamming = 3, bands = 8)
+
   /** LLM-D13: SemDeDup ([[Dedup.semDedup]]) — portable-centroid
     * clustering of the embedding space, then cell-local near-dup drop:
     * a row is dropped iff a smaller-id row in the SAME cell has cosine
@@ -706,6 +753,39 @@ object SparkEntry {
         nCells = 4, minCosine = 0.4, maxCell = 10000)
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("keep"))
+
+  /** LLM-D28: auto-sized SemDeDup ([[Dedup.semDedupAuto]]) — the d22/d24
+    * dynamic-sizing contract applied to cluster counts: nCells =
+    * `least(4096, ceil(n/128))` (pure integer math the oracle replays),
+    * so expected cell size stays ≈ 128 as the corpus grows instead of
+    * cells swelling toward the maxCell cutoff where rows silently stop
+    * being deduped. At the sf0.01 gate this sizes to d13's 4 cells —
+    * the point is that the SAME query stays correctly sized at 100×. */
+  private val d28SemdedupAuto: Q = (s, dir) =>
+    Dedup.semDedupAuto(Tables.embeddings(s, dir), "vec_id", "embedding",
+        targetCellSize = 128L, minCosine = 0.4, maxCell = 10000)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("keep"))
+
+  /** LLM-S15: auto-sized portable IVF top-k
+    * ([[SimSearch.ivfTopKPortableAuto]]) — nCells =
+    * `least(4096, ceil(n/64))` derived from the corpus count, probing
+    * stays at 4 cells, so probe FRACTION (≈ nProbe·target/n) shrinks
+    * as the corpus grows while per-probe work stays ≈ 64·nProbe rows —
+    * the scaling a fixed nCells=8 forfeits (its cells grow linearly
+    * and every probe rescans n/2 of the corpus forever). Oracle-exact:
+    * the DuckDB twin recomputes the cell count and ranks the same
+    * md5-ordered centroids. Production path = [[SimSearch.ivfTopKAuto]]
+    * (real k-means; same sizing). */
+  private val sim15IvfAuto: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.ivfTopKPortableAuto(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, targetCellSize = 64L, nProbe = 4)
+      .select(col("query_id"), col("item_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
 
   /** LLM-D7: duplicate clusters — near-dup pairs (exact n-gram Jaccard
     * ≥ 0.6) closed transitively into components; cluster_id = min member
@@ -2137,20 +2217,17 @@ object SparkEntry {
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
-  /** MM1: multimodal binary-column pipeline (stub codec, real plumbing).
-    * Output is flattened to scalars — the driver's comparison sorts every
-    * column, and a raw `array<float>` column is unsortable/unhashable on
-    * its side (round-1 `unhashable type: numpy.ndarray` failure). */
-  private val mm1MediaFeatures: Q = (s, dir) => {
-    val assets = multimodal.Multimodal.assetsFromText(
-      Tables.documents(s, dir), "doc_id", "text")
-    multimodal.Multimodal.extractFeatures(assets)
-      .select(col("asset_id"), col("media_type"),
-        size(col("feature")).cast("long").as("feat_dim"),
-        round(aggregate(col("feature").cast("array<double>"),
-          lit(0.0), (acc, v) => acc + v), 4).as("feat_sum"),
-        round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
-  }
+  /** MM1: REAL image feature extraction
+    * ([[multimodal.RealCodecs.imageQuadFeatures]]): PNG encode → ImageIO
+    * decode → 2×2 quadrant-pooled grayscale sums, the pooled-patch
+    * feature shape of an image front-end. Integer-exact (gray = r+g+b
+    * summed per 8×8 quadrant), so the oracle replays the pixel formula
+    * per (x, y) and any stride/channel-order decode bug breaks the
+    * hash — the mm5/mm6 trick, now carrying the feature path too
+    * (retired the round-≤8 DETERMINISTIC-FAKE byte-mix kernel). */
+  private val mm1MediaFeatures: Q = (s, dir) =>
+    multimodal.RealCodecs.imageQuadFeatures(
+      Tables.documents(s, dir), "doc_id")
 
   /** G4: full LightGCN forward (2 layers + skip-connection average) on the
     * bidirectional supplier↔part graph. */
@@ -2722,59 +2799,59 @@ object SparkEntry {
       .select(col("id"), round(col("score"), 6).as("score"))
   }
 
-  /** MM3: audio analysis-window segmentation — overlapping 50-unit
-    * windows every 10 units (the MFCC front-end framing shape) with a
-    * deterministic fake energy; the explode + slice plumbing is the real
-    * contract (`Multimodal.audioWindows`). */
-  private val mm3AudioWindows: Q = (s, dir) => {
-    val assets = multimodal.Multimodal.videoAssetsFromText(
-      Tables.documents(s, dir).where(col("doc_id") % 10 === 5), "doc_id", "text")
-    multimodal.Multimodal.audioWindows(assets, winMs = 50, hopMs = 10)
-  }
+  /** MM3: REAL audio analysis-window segmentation
+    * ([[multimodal.RealCodecs.audioWindowEnergy]]): WAV encode → RIFF
+    * header parse + PCM16 decode → overlapping 160-sample (10 ms)
+    * windows every 80 samples over the DECODED stream, integer Σs²
+    * energy per window — the MFCC framing front-end on a real codec
+    * path. The oracle replays the sample formula per (window, t), so
+    * any endianness/offset decode bug shifts every energy and breaks
+    * the hash (retired the round-≤8 fake mean-of-chars kernel). */
+  private val mm3AudioWindows: Q = (s, dir) =>
+    multimodal.RealCodecs.audioWindowEnergy(
+      Tables.documents(s, dir).where(col("doc_id") % 10 === 5), "doc_id",
+      winSamples = 160, hopSamples = 80)
 
-  /** MM4: perceptual-hash near-dup detection over media assets — the
-    * image-dedup stage of a multimodal curation pipeline
-    * ([[graft.multimodal.Multimodal.mediaPHash]] kernel; decode is
-    * DETERMINISTIC-FAKE, the banded matching is the real design). Each
-    * doc yields an original asset and a tail-trimmed "re-encode"; the
-    * 60-bit hash splits into 4 × 15-bit bands, candidates equi-join on
-    * (band, bits) — Hamming ≤ 3 guarantees ≥ 1 clean band by pigeonhole,
-    * so banding finds every true pair without an all-pairs product — and
-    * the exact popcount filter verifies. Duplicate-saturated corpora
-    * would add the d2-style hot-bucket cap before the self-join.
-    *
-    * ASCII-only by construction: the fake decode hashes UTF-8 BYTES
-    * (binary plumbing, the honest contract for a media column) while
-    * the oracle can only index CHARACTERS, so both engines filter to
-    * docs whose byte length equals their char length — the two
-    * iterations coincide exactly on that set and the comparison is
-    * well-defined for any fixture, not just an all-ASCII one. */
+  /** MM4: REAL perceptual-hash near-dup detection — the image-dedup
+    * stage of a multimodal curation pipeline on a real codec path
+    * ([[multimodal.RealCodecs.imageAHashes]]): each doc id renders an
+    * original AND a one-block-perturbed variant, both PNG-encoded and
+    * ImageIO-DECODED, hashed with the classical average-hash over the
+    * decoded pixels (8×8 blocks, bit = 64·blockSum > totalSum —
+    * integer-exact, so the oracle replays it from the pixel formula).
+    * The 64-bit hash travels as two 32-bit halves (d24's layout) over
+    * 4 × 16-bit disjoint bands: Hamming ≤ 3 guarantees ≥ 1 clean band
+    * by pigeonhole, so banding finds every true pair without an
+    * all-pairs product, and the exact popcount filter verifies.
+    * Duplicate-saturated corpora would add the d2-style hot-bucket cap
+    * before the self-join (retired the round-≤8 fake byte-parity
+    * kernel). */
   private val mm4PhashDedup: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-      .where(octet_length(col("text")) === length(col("text")))
-    val orig = multimodal.Multimodal.assetsFromText(
-      docs.select((col("doc_id") * 2).as("doc_id"), col("text")),
-      "doc_id", "text")
-    val trimmed = multimodal.Multimodal.assetsFromText(
-      docs.where(length(col("text")) > 3)
-        .select((col("doc_id") * 2 + 1).as("doc_id"),
-          col("text").substr(lit(1), length(col("text")) - 3).as("text")),
-      "doc_id", "text")
-    val ph = multimodal.Multimodal.mediaPHash(orig.unionByName(trimmed))
-    val bands = ph.select(col("asset_id"), col("phash"),
-        explode(array((0 until 4).map(bnd => struct(
-          lit(bnd).as("band"),
-          shiftright(col("phash"), bnd * 15).bitwiseAND(lit(0x7fffL))
-            .as("bits"))): _*)).as("b"))
-      .select(col("asset_id"), col("phash"), col("b.band"), col("b.bits"))
+    val ph = multimodal.RealCodecs.imageAHashes(
+      Tables.documents(s, dir).where(col("doc_id") % 5 === 0), "doc_id")
+    val bands = ph.select(col("asset_id"), col("lo"), col("hi"),
+        explode(array(
+          struct(lit(0).as("band"),
+            col("lo").bitwiseAND(lit(0xffffL)).as("bits")),
+          struct(lit(1).as("band"),
+            shiftright(col("lo"), 16).bitwiseAND(lit(0xffffL)).as("bits")),
+          struct(lit(2).as("band"),
+            col("hi").bitwiseAND(lit(0xffffL)).as("bits")),
+          struct(lit(3).as("band"),
+            shiftright(col("hi"), 16).bitwiseAND(lit(0xffffL)).as("bits"))
+        )).as("b"))
+      .select(col("asset_id"), col("lo"), col("hi"),
+        col("b.band"), col("b.bits"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
           col("x.asset_id") < col("y.asset_id"))
       .select(col("x.asset_id").as("a"), col("y.asset_id").as("b"),
-        col("x.phash").as("__pa"), col("y.phash").as("__pb"))
+        col("x.lo").as("__la"), col("x.hi").as("__ha"),
+        col("y.lo").as("__lb"), col("y.hi").as("__hb"))
       .distinct() // a close pair collides in several bands
       .select(col("a"), col("b"),
-        expr("CAST(bit_count(__pa ^ __pb) AS BIGINT)").as("hamming"))
+        expr("CAST(bit_count(__la ^ __lb) + bit_count(__ha ^ __hb) AS BIGINT)")
+          .as("hamming"))
       .where(col("hamming") <= 3)
   }
 
@@ -4740,7 +4817,12 @@ object SparkEntry {
     "d6_embedding_dedup" -> d6EmbeddingDedup,
     "d22_embedding_dedup_auto" -> d22EmbeddingDedupAuto,
     "d23_lsh_capacity_audit" -> d23LshCapacityAudit,
+    "d24_simhash_auto" -> d24SimhashAuto,
+    "d25_simhash_capacity_audit" -> d25SimhashCapacityAudit,
+    "d26_minhash_fast" -> d26MinhashFast,
+    "d27_simhash_fast" -> d27SimhashFast,
     "d13_semdedup" -> d13SemDedup,
+    "d28_semdedup_auto" -> d28SemdedupAuto,
     "d7_dup_clusters" -> d7DupClusters,
     "d10_dedup_pipeline" -> d10DedupPipeline,
     "t21_curation_pipeline" -> t21CurationPipeline,
@@ -4777,6 +4859,7 @@ object SparkEntry {
     "sim4_lsh_portable" -> sim4LshPortable,
     "sim9_knn_classify" -> sim9KnnClassify,
     "sim5_ivf_portable" -> sim5IvfPortable,
+    "sim15_ivf_auto" -> sim15IvfAuto,
     "sim10_filtered_ann" -> sim10FilteredAnn,
     "mm1_media_features" -> mm1MediaFeatures,
     "g4_lightgcn" -> g4LightGcn,
@@ -5016,32 +5099,41 @@ object SparkEntry {
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND v_start <= p_end AND p_start <= v_end""".stripMargin,
     "mm4_phash_dedup" ->
-      """WITH ascii_docs AS (
-        |  SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)),
-        |assets AS (
-        |  SELECT doc_id * 2 AS asset_id, text FROM ascii_docs
-        |  UNION ALL
-        |  SELECT doc_id * 2 + 1, substring(text, 1, length(text) - 3)
-        |  FROM ascii_docs WHERE length(text) > 3),
-        |vals AS (SELECT asset_id, (i - 1) % 60 AS slot,
-        |    ((ord(substring(text, i, 1)) * 2654435761
-        |      + (i - 1) * 40503) % 1000) AS v
-        |  FROM (SELECT asset_id, text,
-        |      unnest(generate_series(1, length(text))) AS i FROM assets)),
-        |slots AS (SELECT asset_id, slot, CAST(sum(v) % 2 AS BIGINT) AS bit
-        |  FROM vals GROUP BY 1, 2),
-        |ph AS (SELECT asset_id, CAST(sum(bit << slot) AS BIGINT) AS phash
-        |  FROM slots GROUP BY asset_id),
-        |bands AS (SELECT asset_id, phash, bd.band,
-        |    (phash >> (bd.band * 15)) & 32767 AS bits
-        |  FROM ph CROSS JOIN
+      """WITH assets AS (
+        |  SELECT doc_id, unnest([0, 1]) AS var FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |px AS (SELECT a.doc_id * 2 + a.var AS asset_id, x.i AS x, y.j AS y,
+        |    (CASE WHEN a.var = 1 AND x.i = 0 AND y.j = 0
+        |      THEN ((a.doc_id * 31 + x.i * 7 + y.j * 13) % 256 + 8) % 256
+        |      ELSE (a.doc_id * 31 + x.i * 7 + y.j * 13) % 256 END)
+        |    + (a.doc_id * 17 + x.i * 11 + y.j * 3) % 256
+        |    + (a.doc_id * 29 + x.i * 5 + y.j * 19) % 256 AS g
+        |  FROM assets a,
+        |    (SELECT unnest(generate_series(0, 15)) AS i) x,
+        |    (SELECT unnest(generate_series(0, 15)) AS j) y),
+        |blocks AS (SELECT asset_id, (y // 2) * 8 + (x // 2) AS j,
+        |    CAST(sum(g) AS BIGINT) AS bs
+        |  FROM px GROUP BY 1, 2),
+        |tot AS (SELECT asset_id, CAST(sum(bs) AS BIGINT) AS t
+        |  FROM blocks GROUP BY 1),
+        |hash AS (SELECT b.asset_id,
+        |    CAST(coalesce(sum(CASE WHEN j < 32 AND 64 * bs > t
+        |      THEN (1::BIGINT << CAST(j AS INT)) END), 0) AS BIGINT) AS lo,
+        |    CAST(coalesce(sum(CASE WHEN j >= 32 AND 64 * bs > t
+        |      THEN (1::BIGINT << CAST(j - 32 AS INT)) END), 0) AS BIGINT) AS hi
+        |  FROM blocks b JOIN tot USING (asset_id) GROUP BY 1),
+        |bands AS (SELECT asset_id, lo, hi, bd.band,
+        |    (CASE bd.band WHEN 0 THEN lo WHEN 1 THEN lo >> 16
+        |                  WHEN 2 THEN hi ELSE hi >> 16 END) & 65535 AS bits
+        |  FROM hash CROSS JOIN
         |    (SELECT unnest(generate_series(0, 3)) AS band) bd),
         |cand AS (SELECT DISTINCT x.asset_id AS a, y.asset_id AS b,
-        |    x.phash AS pa, y.phash AS pb
+        |    x.lo AS la, x.hi AS ha, y.lo AS lb, y.hi AS hb
         |  FROM bands x JOIN bands y ON x.band = y.band
         |    AND x.bits = y.bits AND x.asset_id < y.asset_id)
-        |SELECT a, b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-        |FROM cand WHERE bit_count(xor(pa, pb)) <= 3""".stripMargin,
+        |SELECT a, b, CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
+        |  AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3""".stripMargin,
     "a3_user_history" ->
       """SELECT user_id,
         |  array_to_string(list(event_id ORDER BY ts, event_id), '|') AS history,
@@ -5467,6 +5559,76 @@ object SparkEntry {
         |  FROM bits GROUP BY vec_id, band),
         |sizes AS (SELECT band, key, count(*) AS bucket_size
         |  FROM bk GROUP BY band, key)
+        |SELECT band, bucket_size, count(*) AS n_buckets
+        |FROM sizes GROUP BY band, bucket_size""".stripMargin,
+    "d24_simhash_auto" ->
+      """WITH w AS (
+        |  SELECT least(16, length(bin(((count(*) + 49) // 50) - 1))) AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list(md5(t)) AS hs FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0)) AS t
+        |    FROM documents)
+        |  GROUP BY doc_id),
+        |sig AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) IN
+        |          ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM toks),
+        |banded AS (SELECT doc_id, lo, hi, b,
+        |    (CASE b WHEN 0 THEN lo WHEN 1 THEN lo >> 16
+        |            WHEN 2 THEN hi ELSE hi >> 16 END)
+        |      & ((1::BIGINT << w.w) - 1) AS key
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t, w),
+        |hot AS (SELECT b, key FROM banded GROUP BY b, key
+        |  HAVING count(*) > 1000),
+        |capped AS (SELECT banded.* FROM banded
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |    WHERE hot.b = banded.b AND hot.key = banded.key))
+        |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |  CAST(bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi))
+        |    AS BIGINT) AS hamming
+        |FROM capped l JOIN capped r
+        |  ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi)) <= 3""".stripMargin,
+    "d25_simhash_capacity_audit" ->
+      """WITH w AS (
+        |  SELECT least(16, length(bin(((count(*) + 49) // 50) - 1))) AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list(md5(t)) AS hs FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0)) AS t
+        |    FROM documents)
+        |  GROUP BY doc_id),
+        |sig AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) IN
+        |          ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM toks),
+        |banded AS (SELECT doc_id, b,
+        |    (CASE b WHEN 0 THEN lo WHEN 1 THEN lo >> 16
+        |            WHEN 2 THEN hi ELSE hi >> 16 END)
+        |      & ((1::BIGINT << w.w) - 1) AS key
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t, w),
+        |sizes AS (SELECT CAST(b AS BIGINT) AS band, key,
+        |    count(*) AS bucket_size
+        |  FROM banded GROUP BY b, key)
         |SELECT band, bucket_size, count(*) AS n_buckets
         |FROM sizes GROUP BY band, bucket_size""".stripMargin,
     "d7_dup_clusters" ->
@@ -6982,23 +7144,24 @@ object SparkEntry {
         |    i -> abs(v[i] - (codes[i] * scale + mn)))), 9) AS max_err
         |FROM c""".stripMargin,
     "mm1_media_features" ->
-      """WITH vals AS (
-        |  SELECT doc_id, (i-1) % 8 AS slot,
-        |    ((ord(substring(text, i, 1)) * 2654435761
-        |      + (i-1) * 40503) % 1000) / 1000.0 AS v
-        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)))
-        |      AS i FROM documents)),
-        |slots AS (
-        |  SELECT d.doc_id, s.slot, CAST(coalesce(sum(v), 0) AS FLOAT) AS f
-        |  FROM documents d
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS slot) s
-        |  LEFT JOIN vals ON vals.doc_id = d.doc_id AND vals.slot = s.slot
-        |  GROUP BY d.doc_id, s.slot)
+      """WITH px AS (
+        |  SELECT d.doc_id, x.i AS x, y.j AS y,
+        |    (d.doc_id * 31 + x.i * 7 + y.j * 13) % 256
+        |    + (d.doc_id * 17 + x.i * 11 + y.j * 3) % 256
+        |    + (d.doc_id * 29 + x.i * 5 + y.j * 19) % 256 AS g
+        |  FROM documents d,
+        |    (SELECT unnest(generate_series(0, 15)) AS i) x,
+        |    (SELECT unnest(generate_series(0, 15)) AS j) y),
+        |q AS (SELECT doc_id, (y // 8) * 2 + (x // 8) AS quad,
+        |    CAST(sum(g) AS BIGINT) AS s
+        |  FROM px GROUP BY 1, 2)
         |SELECT doc_id AS asset_id, 'image' AS media_type,
-        |  CAST(8 AS BIGINT) AS feat_dim,
-        |  round(sum(CAST(f AS DOUBLE)), 4) AS feat_sum,
-        |  round(CAST(min(CASE WHEN slot = 0 THEN f END) AS DOUBLE), 4) AS f0
-        |FROM slots GROUP BY doc_id""".stripMargin,
+        |  CAST(4 AS BIGINT) AS feat_dim,
+        |  max(CASE WHEN quad = 0 THEN s END) AS f0,
+        |  max(CASE WHEN quad = 1 THEN s END) AS f1,
+        |  max(CASE WHEN quad = 2 THEN s END) AS f2,
+        |  max(CASE WHEN quad = 3 THEN s END) AS f3
+        |FROM q GROUP BY doc_id""".stripMargin,
     "mm5_image_codec" ->
       """WITH px AS (
         |  SELECT d.doc_id, x.i AS x, y.j AS y FROM documents d,
@@ -7054,6 +7217,29 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    "d28_semdedup_auto" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |nc AS (SELECT least(4096, (count(*) + 127) // 128) AS c FROM v),
+        |cent AS (SELECT rn - 1 AS cell, v AS cv FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM v) WHERE rn <= (SELECT c FROM nc)),
+        |assigned AS (SELECT vec_id, v, cell FROM (
+        |    SELECT x.vec_id, x.v, ct.cell, row_number() OVER (
+        |      PARTITION BY x.vec_id
+        |      ORDER BY list_cosine_similarity(x.v, ct.cv) DESC, ct.cell)
+        |      AS rn
+        |    FROM v x CROSS JOIN cent ct) WHERE rn = 1),
+        |inplay AS (SELECT vec_id, v, cell FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY cell) AS cn
+        |    FROM assigned) WHERE cn <= 10000),
+        |dropped AS (SELECT DISTINCT b.vec_id FROM inplay a
+        |  JOIN inplay b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+        |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+        |  (d.vec_id IS NULL) AS keep
+        |FROM assigned c LEFT JOIN dropped d USING (vec_id)""".stripMargin,
     "d13_semdedup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
@@ -7086,6 +7272,35 @@ object SparkEntry {
         |    SELECT v, row_number() OVER (
         |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
         |    FROM corpus) WHERE rn <= 8),
+        |assigned AS (SELECT item_id, v, cell FROM (
+        |    SELECT c.item_id, c.v, ct.cell, row_number() OVER (
+        |      PARTITION BY c.item_id
+        |      ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+        |probed AS (SELECT query_id, v, cell FROM (
+        |    SELECT q.query_id, q.v, ct.cell, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM queries q CROSS JOIN cent ct) WHERE rn <= 4),
+        |scored AS (SELECT p.query_id, a.item_id,
+        |    list_cosine_similarity(p.v, a.v) AS cosine
+        |  FROM probed p JOIN assigned a USING (cell))
+        |SELECT query_id, item_id, round(cosine, 6) AS cosine, rank FROM (
+        |  SELECT query_id, item_id, cosine, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    "sim15_ivf_auto" ->
+      """WITH corpus AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |queries AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |nc AS (SELECT least(4096, (count(*) + 63) // 64) AS c FROM corpus),
+        |cent AS (SELECT rn - 1 AS cell, v AS cv FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |    FROM corpus) WHERE rn <= (SELECT c FROM nc)),
         |assigned AS (SELECT item_id, v, cell FROM (
         |    SELECT c.item_id, c.v, ct.cell, row_number() OVER (
         |      PARTITION BY c.item_id
@@ -7631,16 +7846,16 @@ object SparkEntry {
         |  FROM orders)
         |WHERE rank <= 3""".stripMargin,
     "mm3_audio_windows" ->
-      """WITH a AS (SELECT doc_id AS asset_id, text,
-        |    CAST(length(text) AS BIGINT) AS dur FROM documents
+      """WITH a AS (SELECT doc_id AS asset_id FROM documents
         |  WHERE doc_id % 10 = 5),
-        |w AS (SELECT asset_id, text,
-        |    unnest(generate_series(0, dur - 50, 10)) AS win_start
-        |  FROM a WHERE dur >= 50)
+        |w AS (SELECT asset_id,
+        |    unnest(generate_series(0, 800 - 160, 80)) AS win_start
+        |  FROM a)
         |SELECT asset_id, win_start,
-        |  round(list_sum(list_transform(generate_series(1, 50),
-        |    i -> ord(substring(text, CAST(win_start + i AS INT), 1))))
-        |    / 50.0, 6) AS energy
+        |  CAST(list_sum(list_transform(generate_series(0, 159), i ->
+        |    (((asset_id * 7919 + (win_start + i) * 104729) % 65536) - 32768)
+        |    * (((asset_id * 7919 + (win_start + i) * 104729) % 65536) - 32768)
+        |  )) AS BIGINT) AS energy
         |FROM w""".stripMargin,
     "g5_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS sk,

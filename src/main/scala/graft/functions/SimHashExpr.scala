@@ -82,7 +82,88 @@ case class SimHash32Md5(child: Expression)
     copy(child = newChild)
 }
 
+/** Native portable 64-bit SimHash kernel: TWO 32-bit signatures from ONE
+  * md5 per token, returned as `array<bigint> [lo, hi]` (each half
+  * non-negative, bits 0..31 only — so band keys extracted by
+  * shift-and-mask never sign-extend in any engine).
+  *
+  *  - `lo` bit b votes on the TOP bit of hex digit b+1 (digit ≥ '8') —
+  *    exactly [[SimHash32Md5]]'s rule, so `result[0]` is bit-identical
+  *    to the 32-bit kernel over the same tokens;
+  *  - `hi` bit b votes on the SECOND bit of hex digit b+1 (digit in
+  *    '4'-'7' or 'c'-'f', i.e. nibble & 4) — an independent md5 bit, so
+  *    the pair forms a 64-projection fingerprint at one digest per
+  *    token (a second md5 stream would double the dominant cost).
+  *
+  * The composed-HOF spec this is pinned against (LlmOpsSpec) is
+  * [[graft.llmops.Dedup.simHash64PortableHof]]; the DuckDB oracles
+  * replay the same two bit rules with `substring(h, b+1, 1) >= '8'`
+  * and `substring(h, b+1, 1) IN ('4','5','6','7','c','d','e','f')`.
+  * Null tokens vote −1 at every position of both halves; an empty
+  * token array yields [0, 0] — same edge contract as the 32-bit
+  * kernel. CodegenFallback for the same reason as [[SimHash32Md5]]. */
+case class SimHash64Md5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"expects array<string> tokens, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val voteLo = new Array[Int](32)
+    val voteHi = new Array[Int](32)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        var b = 0
+        while (b < 32) { voteLo(b) -= 1; voteHi(b) -= 1; b += 1 }
+      } else {
+        md.reset()
+        md.update(arr.getUTF8String(i).getBytes)
+        val d = md.digest()
+        var by = 0
+        while (by < 16) {
+          // hex digit 2*by = high nibble (top bit 0x80, second 0x40);
+          // hex digit 2*by+1 = low nibble (top bit 0x08, second 0x04)
+          if ((d(by) & 0x80) != 0) voteLo(2 * by) += 1 else voteLo(2 * by) -= 1
+          if ((d(by) & 0x08) != 0) voteLo(2 * by + 1) += 1
+          else voteLo(2 * by + 1) -= 1
+          if ((d(by) & 0x40) != 0) voteHi(2 * by) += 1 else voteHi(2 * by) -= 1
+          if ((d(by) & 0x04) != 0) voteHi(2 * by + 1) += 1
+          else voteHi(2 * by + 1) -= 1
+          by += 1
+        }
+      }
+      i += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < 32) {
+      if (voteLo(b) > 0) lo |= 1L << b
+      if (voteHi(b) > 0) hi |= 1L << b
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](lo, hi))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SimHashFunctions {
   def simHash32Md5(tokens: Column): Column =
     GraftSqlShim.column(SimHash32Md5(GraftSqlShim.expression(tokens)))
+
+  def simHash64Md5(tokens: Column): Column =
+    GraftSqlShim.column(SimHash64Md5(GraftSqlShim.expression(tokens)))
 }

@@ -193,6 +193,47 @@ object Dedup {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** Engine-portable 64-bit SimHash fingerprint as `array<bigint>
+    * [lo, hi]` — two 32-bit halves from ONE md5 per token (`lo` votes on
+    * each hex digit's top bit, exactly [[simHash32Portable]]'s rule;
+    * `hi` on its second bit), so `result[0]` is bit-identical to the
+    * 32-bit signature and the whole fingerprint replicates in ANSI SQL
+    * at no extra digest cost. Halves are non-negative (bits 0..31), so
+    * band keys extracted by shift-and-mask never sign-extend — the
+    * reason for two BIGINT halves instead of one 64-bit value whose top
+    * bit would flip it negative under two engines' arithmetic shifts.
+    * Lowered to the native one-pass kernel
+    * ([[graft.functions.SimHash64Md5]]), bit-pinned to
+    * [[simHash64PortableHof]] by LlmOpsSpec. Empty token streams yield
+    * [0, 0]. */
+  def simHash64Portable(text: Column): Column =
+    graft.functions.SimHashFunctions.simHash64Md5(TextFunctions.tokens(text))
+
+  /** Composed-HOF reference form of [[simHash64Portable]] — the spec the
+    * native kernel is pinned against, in exactly the shape the DuckDB
+    * oracles replay (two bit rules over the same md5 hex digits). */
+  def simHash64PortableHof(text: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => md5(t))
+    def half(bitOf: (Column, Int) => Column): Column = {
+      val votes = aggregate(
+        hashes,
+        array_repeat(lit(0L), 32),
+        (acc, h) => zip_with(
+          acc,
+          array((0 until 32).map(b =>
+            when(bitOf(h, b), lit(1L)).otherwise(lit(-1L))): _*),
+          (a, v) => a + v))
+      val bitValues = array((0 until 32).map(b => lit(1L << b)): _*)
+      aggregate(
+        zip_with(votes, bitValues, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc.bitwiseOR(b))
+    }
+    array(
+      half((h, b) => substring(h, b + 1, 1) >= "8"),
+      half((h, b) => substring(h, b + 1, 1)
+        .isin("4", "5", "6", "7", "c", "d", "e", "f")))
+  }
+
   /** SimHash near-dup candidate pairs: the 64-bit signature is cut into
     * `bands` equal bit-bands; docs sharing any full band become candidates
     * and are verified by exact Hamming distance ≤ `maxHamming`.
@@ -210,7 +251,12 @@ object Dedup {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sig = docs.select(col(id).as("doc"), simHash64(col(text)).as("sig"))
+    // same degenerate-doc guard as the portable variant: every
+    // empty-token doc folds to signature 0 and would pair with every
+    // other at Hamming 0
+    val sig = docs
+      .where(size(TextFunctions.tokens(col(text))) > 0)
+      .select(col(id).as("doc"), simHash64(col(text)).as("sig"))
     val banded = sig.select(col("doc"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -250,12 +296,11 @@ object Dedup {
     * docs buckets cross any sane hot-bucket cap and the cap starts
     * silently excluding REAL near-dup mass (the exact failure the
     * 1000× d6 embedding run measured; PLANS.md round-8 capacity wall).
-    * The scale form is a 64-bit fingerprint over 4×16-bit bands
-    * (pigeonhole then gives exact detection at Hamming ≤ 3); this
-    * 32-bit form is sized for the reference-scale corpus and for
-    * bit-exact DuckDB replay. [[graft.llmops.SimSearch.lshBucketHistogram]]'s
-    * band/key histogram applies unchanged if the audit is needed on
-    * simhash buckets. */
+    * The scale form is [[simHashPairsAuto]] — a 64-bit fingerprint over
+    * 4 auto-width bands (pigeonhole-exact through Hamming 3), with
+    * [[simHashBucketHistogramAuto]] as the capacity monitor; this
+    * 32-bit form is kept at the reference-scale operating point the d3
+    * oracle replays bit-exactly. */
   def simHashPairsPortable(docs: DataFrame, id: String, text: String,
       maxHamming: Int, bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
     require(32 % bands == 0, s"bands must divide 32, got $bands")
@@ -274,6 +319,95 @@ object Dedup {
           .cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** The scale re-family of [[simHashPairsPortable]] — the d22/d23
+    * treatment applied to simhash's fixed-width banding wall: a 64-bit
+    * fingerprint ([[simHash64Portable]]) over 4 disjoint bands whose
+    * WIDTH is auto-sized from the corpus count
+    * ([[SimSearch.autoWidth]], pure integer math the DuckDB oracle
+    * replays via `length(bin(m-1))`), clamped to the 16 bits a quarter
+    * of the fingerprint holds.
+    *
+    * Why: with any FIXED band width w, expected bucket size grows as
+    * n/2^w until every bucket trips the hot-bucket cap and the pair
+    * stage silently emits nothing — runtime defended, recall zero (the
+    * exact failure the 1000× embedding ScaleSmoke measured for d6, and
+    * the documented wall of [[simHashPairsPortable]]'s 2×16-bit form at
+    * ~100M docs). Auto width keeps expected bucket size ≈
+    * `targetBucketSize` at any corpus size up to the 16-bit clamp.
+    *
+    * Pigeonhole guarantee: the 4 bands are DISJOINT bit sets, so a pair
+    * differing in ≤ 3 fingerprint bits always agrees on at least one
+    * full band — detection is EXACT through Hamming 3 (the default
+    * `maxHamming`) and probabilistic above, modulo the hot-bucket cap
+    * (which [[simHashBucketHistogramAuto]] audits). Band b reads bits
+    * [16b, 16b+w) of the fingerprint: bands 0-1 from the lo half at
+    * shifts 0/16, bands 2-3 from the hi half — unused high bits of each
+    * 16-bit lane still count toward verification Hamming, they just
+    * don't key buckets.
+    *
+    * Residual wall, stated honestly: the clamp means expected bucket
+    * size resumes growing as n/65536 past ~65k·targetBucketSize docs —
+    * a 64-bit fingerprint cannot yield more than 4 disjoint 16-bit
+    * bands. The next lever is a 128-bit fingerprint (4 bits per md5 hex
+    * digit, 4×32-bit bands — the same two-halves construction extended),
+    * not a wider band over the same bits; [[simHashBucketHistogramAuto]]
+    * is the monitor that says when. Costs one count job at plan time —
+    * at 100 TB a metadata read on parquet sources. */
+  def simHashPairsAuto(docs: DataFrame, id: String, text: String,
+      maxHamming: Int = 3, targetBucketSize: Long = 50L,
+      maxBucket: Int = 1000): DataFrame =
+    bucketLocalPairStructs(simHashBandedAuto(docs, id, text,
+        targetBucketSize), maxBucket)
+      .select(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
+        (bit_count(element_at(col("p.a.sig"), 1)
+            .bitwiseXOR(element_at(col("p.b.sig"), 1)))
+          + bit_count(element_at(col("p.a.sig"), 2)
+            .bitwiseXOR(element_at(col("p.b.sig"), 2))))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+
+  /** Capacity audit for [[simHashPairsAuto]]'s banding — the simhash
+    * twin of [[SimSearch.lshBucketHistogramAuto]]: per-band bucket-size
+    * histogram `(band, bucket_size, n_buckets)` at the exact width the
+    * pair stage runs, so "rows silently lost to the hot-bucket cap" is
+    * a monitoring query (bucket_size > cap rows never reach pair
+    * generation), not a post-mortem. No pair stage — runs at any corpus
+    * size; output is ≤ |distinct bucket sizes| × 4 rows. */
+  def simHashBucketHistogramAuto(docs: DataFrame, id: String, text: String,
+      targetBucketSize: Long = 50L): DataFrame =
+    simHashBandedAuto(docs, id, text, targetBucketSize)
+      .groupBy(col("bk")).agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bk.band").cast("long").as("band"), col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+
+  /** Shared signature+banding stage of [[simHashPairsAuto]] /
+    * [[simHashBucketHistogramAuto]] — audit and pair stage must see the
+    * SAME buckets. One row per (doc, band): doc, sig = [lo, hi], bk =
+    * struct(band, key). Empty-token docs are excluded (their
+    * fingerprint would be the degenerate [0, 0], pairing every empty
+    * doc with every other). */
+  private def simHashBandedAuto(docs: DataFrame, id: String, text: String,
+      targetBucketSize: Long): DataFrame = {
+    val n = math.max(1L, docs.count())
+    val width = math.min(16, SimSearch.autoWidth(n, targetBucketSize))
+    val mask = (1L << width) - 1
+    val sig = docs
+      .where(size(TextFunctions.tokens(col(text))) > 0)
+      .select(col(id).as("doc"), simHash64Portable(col(text)).as("sig"))
+    sig.select(col("doc"), col("sig"),
+      explode(array(
+        struct(lit(0).as("band"),
+          element_at(col("sig"), 1).bitwiseAND(mask).as("key")),
+        struct(lit(1).as("band"),
+          shiftright(element_at(col("sig"), 1), 16).bitwiseAND(mask).as("key")),
+        struct(lit(2).as("band"),
+          element_at(col("sig"), 2).bitwiseAND(mask).as("key")),
+        struct(lit(3).as("band"),
+          shiftright(element_at(col("sig"), 2), 16).bitwiseAND(mask).as("key"))
+      )).as("bk"))
   }
 
   /** MinHash signature: `numHashes` independent permutations via seeded
@@ -599,6 +733,22 @@ object Dedup {
     * centroid-fit problem to solve upstream (more cells), not a
     * license for a quadratic task. Output: every input row as
     * (id, cell, keep). */
+  /** [[semDedup]] with the cell count auto-sized from the corpus count
+    * ([[SimSearch.autoCells]]): expected cell size stays ≈
+    * `targetCellSize` as the corpus grows, so the per-cell pair stage's
+    * quadratic stays bounded by the TARGET, not by n/nCells — with a
+    * fixed nCells, cells grow linearly with the corpus until they cross
+    * `maxCell` and their rows silently stop being deduped (the same
+    * wall shape as fixed-width LSH banding, in cap clothing). Pure
+    * integer sizing the DuckDB twin replays. */
+  def semDedupAuto(embs: DataFrame, id: String, vec: String,
+      targetCellSize: Long, minCosine: Double,
+      maxCell: Int = 100000): DataFrame = {
+    val n = math.max(1L, embs.count())
+    semDedup(embs, id, vec, SimSearch.autoCells(n, targetCellSize),
+      minCosine, maxCell)
+  }
+
   def semDedup(embs: DataFrame, id: String, vec: String,
       nCells: Int, minCosine: Double, maxCell: Int = 100000): DataFrame = {
     import graft.functions.GraftFunctions

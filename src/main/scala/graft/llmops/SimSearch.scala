@@ -256,6 +256,47 @@ object SimSearch {
       nBits = bands * autoWidth(n, targetBucketSize), bands = bands)
   }
 
+  /** Auto cell count for the IVF/SemDeDup family — [[autoWidth]]'s
+    * integer-math discipline applied to cluster counts:
+    * `ceil(n / targetCellSize)`, clamped to [1, 4096], so expected CELL
+    * size stays ≈ targetCellSize as the corpus grows instead of growing
+    * linearly with it (fixed nCells degrades gracefully — ranked probes,
+    * not silent zero — but leaves probe-fraction recall on the table,
+    * and SemDeDup's per-cell pair stage grows quadratically in cell
+    * size). Pure integer division — the DuckDB twins replay it as
+    * `least(4096, (count(*) + t - 1) // t)`, no libm anywhere.
+    *
+    * The 4096 clamp is the driver/centroid budget: centroids are
+    * collected to the driver and evaluated per row as literals
+    * (O(nCells·dim) per row), k-means's own assumption. Past
+    * 4096·targetCellSize rows, raise targetCellSize — the classical
+    * sizing is cells ≈ √n, which targetCellSize ≈ √n achieves. */
+  def autoCells(n: Long, targetCellSize: Long): Int = {
+    val m = math.max(1L, (n + targetCellSize - 1L) / targetCellSize)
+    math.min(4096L, m).toInt
+  }
+
+  /** [[ivfIndex]] with the cell count auto-sized from the corpus count
+    * ([[autoCells]]) — the production k-means path's growing-corpus
+    * form; costs one count job (a metadata read on parquet at scale). */
+  def ivfIndexAuto(corpus: DataFrame, cId: String, cVec: String,
+      targetCellSize: Long, seed: Long = 42L,
+      kmeansIter: Int = 3): (DataFrame, DataFrame) = {
+    val n = math.max(1L, corpus.count())
+    ivfIndex(corpus, cId, cVec, autoCells(n, targetCellSize), seed,
+      kmeansIter)
+  }
+
+  /** One-shot auto-sized IVF ANN ([[ivfIndexAuto]] + [[ivfProbe]]). */
+  def ivfTopKAuto(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, targetCellSize: Long, nProbe: Int, seed: Long = 42L,
+      kmeansIter: Int = 3): DataFrame = {
+    val (assigned, centDf) = ivfIndexAuto(corpus, cId, cVec,
+      targetCellSize, seed, kmeansIter)
+    ivfProbe(queries, assigned, centDf, qId, qVec, k, nProbe)
+  }
+
   /** IVF (inverted-file) ANN top-k: the corpus is clustered once with
     * k-means; each corpus row is assigned to its nearest centroid cell and
     * a query scores only the rows in its `nProbe` nearest cells — the scan
@@ -424,6 +465,20 @@ object SimSearch {
         VectorOps.pqAdcDist(col("__lut"), col("__codes")).as("adc_dist"))
     TopK.perGroup(scored, Seq(col("query_id")),
       Seq(col("adc_dist").asc, col("item_id")), k)
+  }
+
+  /** [[ivfTopKPortable]] with the cell count auto-sized from the corpus
+    * count ([[autoCells]]) — the oracle-exact twin of [[ivfTopKAuto]]:
+    * the DuckDB replay computes the same `least(4096, ceil(n/target))`
+    * and ranks the same md5-ordered centroids, so the query stays
+    * hash-exact at ANY fixture size, the d22/d24 dynamic-sizing
+    * contract applied to cells. */
+  def ivfTopKPortableAuto(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, targetCellSize: Long, nProbe: Int): DataFrame = {
+    val n = math.max(1L, corpus.count())
+    ivfTopKPortable(queries, corpus, qId, qVec, cId, cVec, k,
+      autoCells(n, targetCellSize), nProbe)
   }
 
   def ivfTopKPortable(queries: DataFrame, corpus: DataFrame,

@@ -10,10 +10,14 @@ import org.apache.spark.sql.types._
   * Media assets travel as opaque `binary` columns plus typed metadata — the
   * lakehouse-standard layout for image/audio/video at 100 TB (content in the
   * row, never on the driver; partition by content hash so decode fans out
-  * evenly). The decode kernels themselves are STUBBED (no image/audio libs
-  * in this container, marked DETERMINISTIC-FAKE below); everything Spark
-  * cares about — schema, batching, partitioning, the mapPartitions
-  * contract — is real and tested.
+  * evenly). Image and audio decode run REAL JDK codecs in
+  * [[RealCodecs]] (PNG via ImageIO, RIFF/WAV PCM16 parsed from the byte
+  * layout) — the registry's mm1/mm3/mm4/mm5/mm6 all run real
+  * encode→decode paths since round 9. The one remaining stand-in is
+  * VIDEO ([[sampleFrames]]): the JDK ships no video codec and the
+  * container has no media libraries, so the per-frame decode is a
+  * digest over the content bytes, clearly marked below; the
+  * explode/metadata plumbing around it is the real contract.
   */
 object Multimodal {
 
@@ -36,85 +40,6 @@ object Multimodal {
       (length(col(text)) % 640 + 1).cast("int").as("width"),
       (length(col(text)) % 480 + 1).cast("int").as("height"),
       lit(null).cast("long").as("duration_ms"))
-
-  private val featDim = 8
-
-  /** DETERMINISTIC-FAKE decode: a real implementation would JNI/FFI into an
-    * image codec here; the fake derives `featDim` floats from a per-byte
-    * position mix `((byte·2654435761 + pos·40503) mod 1000)/1000` summed
-    * into slot `pos mod featDim` (double accumulate, float at the end).
-    * Position-independent by design — unlike a rolling hash it is
-    * replicable in ANSI SQL, so the whole binary→feature path is
-    * oracle-checkable end-to-end. The mapPartitions shape
-    * (iterator→iterator, batched, no driver traffic) is the real contract.
-    */
-  private def fakeDecode(bytes: Array[Byte]): Array[Float] = {
-    val acc = new Array[Double](featDim)
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      acc(i % featDim) += ((b * 2654435761L + i.toLong * 40503L) % 1000L) / 1000.0
-      i += 1
-    }
-    acc.map(_.toFloat)
-  }
-
-  /** Decode + feature-extract: binary content → fixed-dim feature vector.
-    * Runs partition-parallel; the per-partition loop is the batch boundary
-    * an external codec would amortize setup over. */
-  def extractFeatures(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("asset_id", LongType),
-      StructField("media_type", StringType),
-      StructField("feature", ArrayType(FloatType))))
-    val enc = RowEncoder.encoderFor(outSchema)
-    assets.select(col("asset_id"), col("media_type"), col("content"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          Row(r.getLong(0), r.getString(1),
-            fakeDecode(r.getAs[Array[Byte]](2)).toSeq)
-        }
-      }(enc)
-  }
-
-  /** 60-bit parity perceptual hash (DETERMINISTIC-FAKE decode, real
-    * mapPartitions plumbing): bit j = parity of the summed position-mix
-    * over content bytes at positions ≡ j (mod 60). Integer arithmetic
-    * end-to-end, so the hash is bit-exact replicable in ANSI SQL — a
-    * float pHash could never be oracle-compared across engines. The
-    * property a real pHash would share: a k-byte tail edit/truncation
-    * touches ≤ k slots ⇒ Hamming distance ≤ k, so banded matching finds
-    * re-encoded variants. 60 bits (not 64) keeps the hash and every
-    * band value positive in both engines' signed BIGINTs. */
-  private val phashBits = 60
-
-  private def fakePHash(bytes: Array[Byte]): Long = {
-    val par = new Array[Long](phashBits)
-    var i = 0
-    while (i < bytes.length) {
-      par(i % phashBits) +=
-        ((bytes(i) & 0xff) * 2654435761L + i.toLong * 40503L) % 1000L
-      i += 1
-    }
-    var h = 0L
-    var j = 0
-    while (j < phashBits) { h |= (par(j) & 1L) << j; j += 1 }
-    h
-  }
-
-  /** Content → perceptual fingerprint, one row per asset. Same
-    * iterator→iterator batching contract as [[extractFeatures]]. */
-  def mediaPHash(assets: DataFrame): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("asset_id", LongType),
-      StructField("phash", LongType)))
-    val enc = RowEncoder.encoderFor(outSchema)
-    assets.select(col("asset_id"), col("content"))
-      .mapPartitions { rows =>
-        rows.map(r => Row(r.getLong(0), fakePHash(r.getAs[Array[Byte]](1))))
-      }(enc)
-  }
 
   /** Resize stub: metadata-only transform (real impl would re-encode
     * content); demonstrates pushdown-friendly metadata handling. */
@@ -154,31 +79,4 @@ object Multimodal {
       lit(640).as("width"), lit(480).as("height"),
       length(col(text)).cast("long").as("duration_ms"))
 
-  /** Audio analysis-window segmentation — the MFCC/fbank front-end shape:
-    * overlapping windows of `winMs` every `hopMs` (hop < width ⇒ overlap),
-    * one row per window with its byte-span summary over the content. The
-    * per-window "energy" is the DETERMINISTIC-FAKE decode (mean of the
-    * windowed bytes) — a real codec would FFT here; the explode + slice
-    * plumbing and the (start, len) windowing contract are the real part.
-    * Windows start while `start + win ≤ duration` (trailing partial
-    * window dropped, like every framing front-end); assets shorter than
-    * one window emit nothing. */
-  def audioWindows(assets: DataFrame, winMs: Long, hopMs: Long): DataFrame = {
-    require(winMs > 0 && hopMs > 0, s"window/hop must be positive")
-    assets.where(col("duration_ms").isNotNull &&
-        col("duration_ms") >= winMs)
-      // decode to the sample array ONCE per asset, before the window
-      // explode — slicing per window must not re-run the decode
-      // (O(len) once vs O(len·windows) if placed after the explode)
-      .withColumn("__samples", split(decode(col("content"), "UTF-8"), ""))
-      .withColumn("win_start",
-        explode(sequence(lit(0L), col("duration_ms") - winMs, lit(hopMs))))
-      // 1 unit ≙ 1 sample in the text-backed fixture: window = slice
-      .select(col("asset_id"), col("win_start"),
-        round(aggregate(
-          transform(slice(col("__samples"),
-            (col("win_start") + 1).cast("int"), lit(winMs.toInt)),
-            c => ascii(c).cast("double")),
-          lit(0.0), (acc, v) => acc + v) / winMs.toDouble, 6).as("energy"))
-  }
 }

@@ -49,14 +49,19 @@ object RealCodecs {
     ((id * 17 + x * 11 + y * 3) % 256).toInt,
     ((id * 29 + x * 5 + y * 19) % 256).toInt)
 
-  /** Render the deterministic pattern and ENCODE it as real PNG bytes. */
-  def encodePng(id: Long): Array[Byte] = {
+  /** Render the deterministic pattern and ENCODE it as real PNG bytes.
+    * `perturb` renders the "re-encoded variant" for the near-dup family
+    * (mm4): pixel (0,0)'s red channel shifts by +8 (mod 256) — a
+    * one-block edit whose aHash lands within a few bits of the
+    * original's, the property a perceptual-hash dedup exists to catch. */
+  def encodePng(id: Long, perturb: Boolean = false): Array[Byte] = {
     val img = new BufferedImage(imgW, imgH, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < imgH) {
       var x = 0
       while (x < imgW) {
-        val (r, g, b) = rgbAt(id, x, y)
+        val (r0, g, b) = rgbAt(id, x, y)
+        val r = if (perturb && x == 0 && y == 0) (r0 + 8) % 256 else r0
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -112,6 +117,92 @@ object RealCodecs {
       // evidence the codec actually ran; it is NOT oracle-replicable
       // (zlib), so the query layer drops it and keeps a >0 check in the
       // spec. Means are exact rationals with denominator 256.
+  }
+
+  /** REAL image feature extraction (mm1): encode → ImageIO decode →
+    * 2×2 quadrant-pooled grayscale sums — the pooled-patch feature shape
+    * of an image front-end, integer-exact (gray = r+g+b, 0..765, summed
+    * over each 8×8 quadrant) so DuckDB replays the formula per (x, y)
+    * and any decode bug (stride, channel order) breaks the hash.
+    * Output: (asset_id, media_type, feat_dim, f0..f3) with f_j the sum
+    * over quadrant j = (y div 8)·2 + (x div 8). */
+  def imageQuadFeatures(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("media_type", StringType),
+      StructField("feat_dim", LongType),
+      StructField("f0", LongType), StructField("f1", LongType),
+      StructField("f2", LongType), StructField("f3", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    ids.select(col(idCol).cast("long").as("id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = ImageIO.read(new ByteArrayInputStream(encodePng(id)))
+          val q = new Array[Long](4)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              q((y / 8) * 2 + (x / 8)) +=
+                ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, "image", 4L, q(0), q(1), q(2), q(3))
+        }
+      }(enc)
+  }
+
+  /** REAL perceptual hashing (mm4): for each id, render + PNG-encode +
+    * decode BOTH the original and the perturbed variant, and compute the
+    * classical average-hash over the decoded pixels — 8×8 grid of 2×2
+    * pixel blocks, bit j set iff 64·blockGraySum_j > totalGraySum
+    * (integer cross-multiply, no division, ties → 0). Returned as two
+    * non-negative 32-bit halves [lo = blocks 0..31, hi = 32..63], the
+    * d24 layout, so 4×16-bit disjoint bands give pigeonhole-exact
+    * matching through Hamming 3 with no sign-extension in any engine.
+    * Output: (asset_id = 2·id + variant, lo, hi). */
+  def imageAHashes(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("lo", LongType), StructField("hi", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    ids.select(col(idCol).cast("long").as("id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          Seq(false, true).map { perturb =>
+            val img = ImageIO.read(
+              new ByteArrayInputStream(encodePng(id, perturb)))
+            val blocks = new Array[Long](64)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                blocks((y / 2) * 8 + (x / 2)) +=
+                  ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            val total = blocks.sum
+            var lo = 0L
+            var hi = 0L
+            var j = 0
+            while (j < 64) {
+              if (64L * blocks(j) > total) {
+                if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+              }
+              j += 1
+            }
+            Row(2 * id + (if (perturb) 1L else 0L), lo, hi)
+          }
+        }
+      }(enc)
   }
 
   // ---------- WAV / RIFF PCM16 (public container, parsed directly) ----
@@ -184,6 +275,52 @@ object RealCodecs {
       t += 1
     }
     (rate, n, sumSq, peak)
+  }
+
+  /** REAL audio analysis-window segmentation (mm3): WAV encode → header
+    * parse + PCM16 decode → overlapping windows of `winSamples` every
+    * `hopSamples` over the DECODED samples, one row per window with its
+    * integer energy Σs² — the MFCC/fbank framing front-end over a real
+    * codec path (a real front-end would FFT the window; the framing
+    * contract and the decode are the real parts, and the integer energy
+    * is what DuckDB can replay from the sample formula). Windows start
+    * while start + win ≤ nSamples (trailing partial dropped, standard
+    * framing); the window loop runs inside the same mapPartitions pass
+    * as the decode, so samples never leave the executor row.
+    * Output: (asset_id, win_start, energy). */
+  def audioWindowEnergy(ids: DataFrame, idCol: String,
+      winSamples: Int, hopSamples: Int): DataFrame = {
+    require(winSamples > 0 && hopSamples > 0, "window/hop must be positive")
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("win_start", LongType),
+      StructField("energy", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    ids.select(col(idCol).cast("long").as("id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = encodeWav(id)
+          require(new String(bytes, 0, 4) == "RIFF" &&
+            new String(bytes, 36, 4) == "data", "not a canonical WAV")
+          val n = getLE(bytes, 40, 4) / 2
+          val s = new Array[Int](n)
+          var t = 0
+          while (t < n) {
+            s(t) = getLE(bytes, 44 + t * 2, 2).toShort.toInt
+            t += 1
+          }
+          (0 to n - winSamples by hopSamples).map { start =>
+            var e = 0L
+            var i = start
+            while (i < start + winSamples) {
+              e += s(i).toLong * s(i)
+              i += 1
+            }
+            Row(id, start.toLong, e)
+          }
+        }
+      }(enc)
   }
 
   /** ids → real WAV encode → real header-parse + PCM decode → per-asset

@@ -250,6 +250,101 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simHash64Portable: kernel ≡ HOF spec; lo half ≡ 32-bit signature") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .unionByName(Seq((900001L, ""), (900002L, "one")) // empty / 1 token
+        .toDF("doc_id", "text"), allowMissingColumns = true)
+    val mism = docs.select(
+        Dedup.simHash64Portable($"text").as("native"),
+        Dedup.simHash64PortableHof($"text").as("hof"))
+      .where(not($"native" <=> $"hof")).count()
+    assert(mism == 0, s"$mism simhash64 signature mismatches")
+    // lo uses exactly the 32-bit rule (top bit of each hex digit)
+    val loMism = docs.select(
+        element_at(Dedup.simHash64Portable($"text"), 1).as("lo"),
+        Dedup.simHash32Portable($"text").as("s32"))
+      .where(not($"lo" <=> $"s32")).count()
+    assert(loMism == 0, "lo half must equal the 32-bit signature")
+    // halves are non-negative 32-bit values (band shift-and-mask relies
+    // on it), empty doc → [0, 0]
+    val bad = docs.select(Dedup.simHash64Portable($"text").as("s"))
+      .where(element_at($"s", 1) < 0 || element_at($"s", 1) > 0xffffffffL
+        || element_at($"s", 2) < 0 || element_at($"s", 2) > 0xffffffffL)
+      .count()
+    assert(bad == 0)
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+      .select(Dedup.simHash64Portable($"text")).as[Seq[Long]].head()
+    assert(empty == Seq(0L, 0L))
+  }
+
+  test("simHashPairsAuto: pigeonhole-exact through hamming 3 vs brute force") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val got = Dedup.simHashPairsAuto(docs, "doc_id", "text",
+        maxHamming = 3, targetBucketSize = 50L)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over the full 64-bit fingerprints: with no bucket over
+    // the cap at fixture scale, 4 disjoint bands MUST catch every pair
+    // within 3 differing bits (≤3 dirty bands → ≥1 clean band)
+    val sigs = docs
+      .where(size(graft.functions.TextFunctions.tokens($"text")) > 0)
+      .select($"doc_id", Dedup.simHash64Portable($"text").as("s"))
+      .as[(Long, Seq[Long])].collect()
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa.head ^ sb.head) +
+        java.lang.Long.bitCount(sa(1) ^ sb(1))
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == brute,
+      s"banded=${got.size} brute=${brute.size} missing=${(brute -- got).take(3)}")
+  }
+
+  test("simHashBucketHistogramAuto: each band partitions the tokenful docs") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val n = docs
+      .where(size(graft.functions.TextFunctions.tokens($"text")) > 0).count()
+    val hist = Dedup.simHashBucketHistogramAuto(docs, "doc_id", "text",
+        targetBucketSize = 50L)
+      .as[(Long, Long, Long)].collect()
+    assert(hist.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    hist.groupBy(_._1).foreach { case (band, rows) =>
+      assert(rows.map(r => r._2 * r._3).sum == n, s"band $band")
+    }
+  }
+
+  test("autoCells: ceil division, clamped to [1, 4096]") {
+    val cases = Seq(
+      (1L, 50L, 1), (50L, 50L, 1), (51L, 50L, 2), (500L, 128L, 4),
+      (500L, 64L, 8), (2000000L, 128L, 4096), (1L << 40, 1L, 4096))
+    cases.foreach { case (n, t, want) =>
+      assert(SimSearch.autoCells(n, t) == want, s"autoCells($n, $t)")
+    }
+  }
+
+  test("auto-sized IVF/SemDeDup equal their manual twins at the derived count") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = emb.where($"vec_id" >= 10)
+    val q = emb.where($"vec_id" < 10)
+    val nCells = SimSearch.autoCells(corpus.count(), 8L)
+    assert(nCells > 1, "fixture must yield a multi-cell index")
+    val auto = SimSearch.ivfTopKPortableAuto(q, corpus, "vec_id",
+      "embedding", "vec_id", "embedding", 5, 8L, 2)
+    val manual = SimSearch.ivfTopKPortable(q, corpus, "vec_id",
+      "embedding", "vec_id", "embedding", 5, nCells, 2)
+    assert(auto.except(manual).count() == 0 &&
+      manual.except(auto).count() == 0)
+    val nAll = emb.count()
+    val sAuto = Dedup.semDedupAuto(emb, "vec_id", "embedding", 16L, 0.2)
+    val sManual = Dedup.semDedup(emb, "vec_id", "embedding",
+      SimSearch.autoCells(nAll, 16L), 0.2)
+    assert(sAuto.except(sManual).count() == 0 &&
+      sManual.except(sAuto).count() == 0)
+    // the production k-means path sizes identically
+    val (_, cents) = SimSearch.ivfIndexAuto(corpus, "vec_id", "embedding", 8L)
+    assert(cents.count() == nCells)
+  }
+
   test("autoWidth: integer bit-length math, clamped to [1, 24]") {
     // (n, target) -> width; width = ceil(log2(ceil(n/target))) clamped
     val cases = Seq(

@@ -118,16 +118,22 @@ class MetricsSpec extends AnyFunSuite {
   }
 
   test("multimodal feature extraction is deterministic with fixed shape") {
-    val assets = Multimodal.assetsFromText(
-      Tables.documents(spark, TestSpark.sf), "doc_id", "text")
-    val f1 = Multimodal.extractFeatures(assets)
-      .as[(Long, String, Seq[Float])].collect().sortBy(_._1)
-    val f2 = Multimodal.extractFeatures(assets)
-      .as[(Long, String, Seq[Float])].collect().sortBy(_._1)
+    import graft.multimodal.RealCodecs
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val f1 = RealCodecs.imageQuadFeatures(docs, "doc_id")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val f2 = RealCodecs.imageQuadFeatures(docs, "doc_id")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(f1.length == 500)
-    assert(f1.forall(_._3.length == 8))
+    assert(f1.forall(_._3 == 4L))
     assert(f1.toSeq == f2.toSeq)
+    // quadrant sums re-add to the codec-roundtrip channel sums — the
+    // pooled features really come from the same decoded pixels
+    val id = f1.head._1
+    val (_, _, sr, sg, sb) = RealCodecs.decodePngSums(RealCodecs.encodePng(id))
+    assert(f1.head._4 + f1.head._5 + f1.head._6 + f1.head._7 == sr + sg + sb)
     // frame sampling plumbing
+    val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
     val vids = assets.withColumn("duration_ms", lit(2500L))
     val frames = Multimodal.sampleFrames(vids, 1000L)
     assert(frames.count() == 500 * 3) // 0,1000,2000

@@ -478,41 +478,61 @@ class MiscApiSpec extends AnyFunSuite {
     assert(frames.forall(_._3.length == 16))
   }
 
-  test("audioWindows frames with overlap and drops short assets (MM3)") {
-    val docs = Seq((1L, "a" * 7), (2L, "ab")).toDF("doc_id", "text")
-    val assets = graft.multimodal.Multimodal.videoAssetsFromText(docs, "doc_id", "text")
-    val out = graft.multimodal.Multimodal.audioWindows(assets, winMs = 4, hopMs = 2)
-      .as[(Long, Long, Double)].collect().sortBy(_._2)
-    // len 7, win 4, hop 2 → starts 0, 2 (start 4 would need len 8); len 2 < win → dropped
-    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 0L), (1L, 2L)))
-    assert(out.forall(_._3 == 97.0)) // all-'a' windows: mean codepoint 97
+  test("audioWindowEnergy: real WAV decode, framing math, formula-exact (MM3)") {
+    val ids = Seq(3L, 4L).toDF("doc_id")
+    val out = graft.multimodal.RealCodecs
+      .audioWindowEnergy(ids, "doc_id", winSamples = 160, hopSamples = 80)
+      .as[(Long, Long, Long)].collect()
+    // 800 decoded samples, win 160 hop 80 → starts 0..640 → 9 windows
+    assert(out.groupBy(_._1).view.mapValues(_.length).toMap ==
+      Map(3L -> 9, 4L -> 9))
+    // each window energy replays the sample formula exactly — any
+    // endianness/offset bug in the real RIFF parse would shift it
+    def s(id: Long, t: Int): Long = ((id * 7919 + t.toLong * 104729) % 65536) - 32768
+    out.foreach { case (id, ws, e) =>
+      val want = (ws.toInt until ws.toInt + 160).map(t => s(id, t) * s(id, t)).sum
+      assert(e == want, s"asset $id window $ws")
+    }
   }
 
-  test("mediaPHash: tail trim flips ≤ k bits; banding finds every close pair (MM4)") {
-    val docs = (1L to 30L).map(i => (i, s"doc $i " + ("payload " * 12)))
-      .toDF("doc_id", "text")
-    val orig = graft.multimodal.Multimodal.assetsFromText(
-      docs.select(($"doc_id" * 2).as("doc_id"), $"text"), "doc_id", "text")
-    val trimmed = graft.multimodal.Multimodal.assetsFromText(
-      docs.select(($"doc_id" * 2 + 1).as("doc_id"),
-        $"text".substr(lit(1), length($"text") - 3).as("text")),
-      "doc_id", "text")
-    val ph = graft.multimodal.Multimodal.mediaPHash(orig.unionByName(trimmed))
-      .as[(Long, Long)].collect().toMap
-    // 60-bit positive hashes; trimming 3 trailing bytes flips ≤ 3 bits
-    assert(ph.values.forall(h => h >= 0 && h < (1L << 60)))
-    (1L to 30L).foreach { i =>
-      val d = java.lang.Long.bitCount(ph(i * 2) ^ ph(i * 2 + 1))
-      assert(d <= 3, s"doc $i hamming $d")
+  test("imageAHashes: real decode, formula-exact aHash, banding complete (MM4)") {
+    val ids = (1L to 20L).toDF("doc_id")
+    val h = graft.multimodal.RealCodecs.imageAHashes(ids, "doc_id")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(h.size == 40) // original + perturbed variant per id
+    // recompute the aHash from the pixel FORMULA (no codec) — exact
+    // equality proves the PNG encode→decode roundtrip preserved every
+    // pixel and the block/threshold math matches
+    def expected(id: Long, perturb: Boolean): (Long, Long) = {
+      val blocks = new Array[Long](64)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val r0 = (id * 31 + x * 7 + y * 13) % 256
+        val r = if (perturb && x == 0 && y == 0) (r0 + 8) % 256 else r0
+        blocks((y / 2) * 8 + (x / 2)) +=
+          r + (id * 17 + x * 11 + y * 3) % 256 + (id * 29 + x * 5 + y * 19) % 256
+      }
+      val t = blocks.sum
+      var lo = 0L; var hi = 0L
+      for (j <- 0 until 64 if 64L * blocks(j) > t)
+        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+      (lo, hi)
     }
-    // banded candidate generation (4 × 15 bits) is complete for ham ≤ 3:
-    // every such pair shares at least one intact band
-    val ids = ph.keys.toSeq.sorted
-    for (a <- ids; b <- ids if a < b) {
-      val x = ph(a) ^ ph(b)
-      if (java.lang.Long.bitCount(x) <= 3) {
-        val shared = (0 until 4).exists(k => ((x >> (k * 15)) & 0x7fffL) == 0)
-        assert(shared, s"pair ($a,$b) missed by banding")
+    (1L to 20L).foreach { id =>
+      assert(h(2 * id) == expected(id, perturb = false), s"id $id orig")
+      assert(h(2 * id + 1) == expected(id, perturb = true), s"id $id variant")
+    }
+    // banding completeness: any pair within hamming 3 shares a clean
+    // 16-bit band of the (lo, hi) halves — pigeonhole over 4 disjoint bands
+    val ks = h.keys.toSeq.sorted
+    for (a <- ks; b <- ks if a < b) {
+      val (la, ha) = h(a); val (lb, hb) = h(b)
+      val d = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+      if (d <= 3) {
+        val xl = la ^ lb; val xh = ha ^ hb
+        val shared = (xl & 0xffffL) == 0 || ((xl >> 16) & 0xffffL) == 0 ||
+          (xh & 0xffffL) == 0 || ((xh >> 16) & 0xffffL) == 0
+        assert(shared, s"pair ($a,$b) hamming $d missed by banding")
       }
     }
   }
