@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.{BehaviorIngest, StreamingDedup}
+
+/** Streaming scale-evidence harness (round-9: the state-v2 operators'
+  * ScaleSmoke). The batch families carry 1x/10x/100x/1000x rows; the
+  * stateful streaming operators — [[StreamingDedup.nearDups]],
+  * [[BehaviorIngest.rollingFeaturesStream]],
+  * [[BehaviorIngest.funnelStream]] — had none. This main feeds
+  * MemoryStream micro-batches at K ∈ {1, 10, 100} × the base key count
+  * through each operator on the RocksDB state store and reports, per
+  * scale: mean/max per-batch wall latency, rows/s, and the state-store
+  * row count from the final query progress — the numbers that bound a
+  * production deployment (state growth with keys, per-batch cost with
+  * input rate).
+  *
+  * Data is synthesized deterministically (no Date.now/random — formulas
+  * of (user, batch) only), one event per key per batch so input rows
+  * scale linearly with K and per-key state stays constant-shaped: the
+  * same "more users, more docs" growth model as ScaleSmoke.
+  *
+  * Usage: runMain graft.StreamScale [baseKeys] [nBatches] [factors]
+  */
+object StreamScale {
+  def main(args: Array[String]): Unit = {
+    val baseKeys = args.headOption.map(_.toInt).getOrElse(1000)
+    val nBatches = if (args.length > 1) args(1).toInt else 5
+    val factors = if (args.length > 2) args(2).split(",").map(_.toInt).toSeq
+      else Seq(1, 10, 100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    /** Drive `batches` through `q`'s source by calling `feed` per batch;
+      * returns (meanBatchSec, maxBatchSec, stateRows, totalRows). */
+    def drive(q: StreamingQuery, feed: Int => Long): (Double, Double, Long, Long) = {
+      var total = 0L
+      val times = (0 until nBatches).map { b =>
+        val n = feed(b)
+        total += n
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val stateRows = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      q.stop()
+      (times.sum / times.size, times.max, stateRows, total)
+    }
+
+    def report(op: String, k: Int, keys: Int,
+        r: (Double, Double, Long, Long)): String = {
+      val (mean, max, state, total) = r
+      val row = f"STREAMSCALE $op%-14s ${k}x keys=$keys%8d rows=$total%9d " +
+        f"batch_mean=$mean%6.2f s batch_max=$max%6.2f s " +
+        f"rows_per_s=${total / (mean * nBatches)}%9.0f state_rows=$state%9d"
+      println(row)
+      f""""$op/${k}x":{"keys":$keys,"rows":$total,"batch_mean":$mean%.2f,"batch_max":$max%.2f,"state_rows":$state}"""
+    }
+
+    val out = Seq.newBuilder[String]
+    factors.foreach { k =>
+      val keys = baseKeys * k
+
+      // --- rollingFeaturesStream: one event per user per batch ---------
+      locally {
+        val mem = MemoryStream[(String, Long, Long, Double)]
+        val q = BehaviorIngest.rollingFeaturesStream(
+            mem.toDF().toDF("user_id", "event_id", "ts", "value")
+              .as[BehaviorIngest.FeatEvent], lastN = 8)
+          .writeStream.outputMode("append")
+          .format("noop").queryName(s"ss_roll_$k").start()
+        out += report("rolling_feat", k, keys, drive(q, { b =>
+          mem.addData((0 until keys).map(u => (s"u$u",
+            b.toLong * keys + u, b.toLong * 100 + u % 97,
+            ((u * 31 + b * 7) % 1000) / 10.0)))
+          keys.toLong
+        }))
+      }
+
+      // --- funnelStream: view/click/purchase cycling per user ----------
+      locally {
+        val types = Array("view", "click", "purchase")
+        val mem = MemoryStream[(String, Long, Long, String)]
+        val q = BehaviorIngest.funnelStream(
+            mem.toDF().toDF("user_id", "event_id", "ts", "event_type")
+              .as[BehaviorIngest.FunnelEvent])
+          .writeStream.outputMode("update")
+          .format("noop").queryName(s"ss_funnel_$k").start()
+        out += report("funnel", k, keys, drive(q, { b =>
+          mem.addData((0 until keys).map(u => (s"u$u",
+            b.toLong * keys + u, b.toLong * 100 + u % 89,
+            types((u + b) % 3))))
+          keys.toLong
+        }))
+      }
+
+      // --- nearDups: one doc per "family slot" per batch; vocabulary ---
+      // scales with K so band buckets keep constant expected occupancy
+      // (the d24 growth model), and every 10th doc repeats its family's
+      // batch-0 text to keep a constant true-dup density for the
+      // match-then-claim path
+      locally {
+        val mem = MemoryStream[(Long, String)]
+        val q = StreamingDedup.nearDups(
+            mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+            shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+          .writeStream.outputMode("append")
+          .format("noop").queryName(s"ss_dedup_$k").start()
+        def text(slot: Int, b: Int): String =
+          (0 until 20).map(j => s"w${(slot * 13 + b * 101 + j * 7) % (50 * k)}")
+            .mkString(" ")
+        out += report("near_dups", k, keys, drive(q, { b =>
+          mem.addData((0 until keys).map { s =>
+            val body = if (b > 0 && s % 10 == 0) text(s, 0) else text(s, b)
+            (b.toLong * keys + s, body)
+          })
+          keys.toLong
+        }))
+      }
+    }
+    println(s"""{"metric":"stream_scale","base_keys":$baseKeys,"n_batches":$nBatches,"ops":{${out.result().mkString(",")}}}""")
+    spark.stop()
+  }
+}

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -184,6 +184,113 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native top-`take` cell ranking against LITERAL centroids — the
+  * scale-path of the IVF/SemDeDup assignment and probe steps.
+  *
+  * The composed form (`array_sort(array(struct(-cosine(v, cent_i), i)))`
+  * over one struct expression PER centroid) is correct and
+  * oracle-portable, but its plan size grows linearly with nCells: at
+  * the auto-sized cell counts ([[graft.llmops.SimSearch.autoCells]],
+  * up to 4096) the expression tree blows past the 64 KB codegen method
+  * limit, falls back to interpreted eval, and sorts a 4096-struct array
+  * per row. This kernel computes the identical ranking in one pass —
+  * fused single-pass cosine per centroid (bit-identical accumulation
+  * order to [[CosineSim]], NaN → 0), centroid norms precomputed once,
+  * and an O(nCells·take) partial insertion instead of a full sort.
+  *
+  * Returns the `take` best cell indices ordered by (cosine DESC, index
+  * ASC) — exactly the composed form's `(negSim, cell)` ascending sort,
+  * including the ±0.0 edge (both use java.lang.Double total order).
+  * take = 1 is assignment, take = nProbe is probing. NULL on a null /
+  * malformed vector (null element or length ≠ centroid dim — the
+  * composed form's null-poisoned sort is undefined there anyway).
+  * CodegenFallback: per-row work is an O(nCells·dim) loop, so row
+  * boxing is noise (same rationale as [[MinHashKernel]]). Pinned to the
+  * composed form by DotProductSpec. */
+case class RankCells(child: Expression, centroids: Seq[Seq[Double]],
+    take: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(take >= 1, s"take must be >= 1, got $take")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rank_cells expects array<float|double>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  // norms accumulate left-to-right like the fused loop, so sqrt sees the
+  // same partial-sum sequence and the cosine stays bit-identical
+  @transient private lazy val cNorms: Array[Double] = cents.map { ct =>
+    var yy = 0.0
+    var j = 0
+    while (j < ct.length) { yy += ct(j) * ct(j); j += 1 }
+    math.sqrt(yy)
+  }
+
+  override def nullSafeEval(in: Any): Any = {
+    val a = in.asInstanceOf[ArrayData]
+    val isFloat = child.dataType.asInstanceOf[ArrayType]
+      .elementType == FloatType
+    val n = a.numElements()
+    val v = new Array[Double](n)
+    var xx = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      v(i) = x
+      xx += x * x
+      i += 1
+    }
+    val vNorm = math.sqrt(xx)
+    val k = math.min(take, cents.length)
+    val topIdx = new Array[Int](math.max(k, 1))
+    val topCos = new Array[Double](math.max(k, 1))
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      if (ct.length != n) return null
+      var xy = 0.0
+      var j = 0
+      while (j < n) { xy += v(j) * ct(j); j += 1 }
+      val r0 = xy / (vNorm * cNorms(c))
+      val cos = if (java.lang.Double.isNaN(r0)) 0.0 else r0
+      // insertion position: strictly-greater moves left, so an incoming
+      // equal-cosine candidate (which has the LARGER index) stays after
+      // its equals — (cosine DESC, index ASC)
+      var pos = filled
+      while (pos > 0 && java.lang.Double.compare(cos, topCos(pos - 1)) > 0)
+        pos -= 1
+      if (pos < k) {
+        var m = math.min(filled, k - 1)
+        while (m > pos) {
+          topCos(m) = topCos(m - 1); topIdx(m) = topIdx(m - 1); m -= 1
+        }
+        topCos(pos) = cos
+        topIdx(pos) = c
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(topIdx, filled))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the native expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.GraftSqlShim
@@ -222,4 +329,10 @@ object GraftFunctions {
   def cosine(x: Column, y: Column): Column =
     GraftSqlShim.column(
       CosineSim(GraftSqlShim.expression(x), GraftSqlShim.expression(y)))
+
+  /** Top-`take` centroid indices by (cosine DESC, index ASC) — see
+    * [[RankCells]]. */
+  def rankCells(v: Column, centroids: Seq[Seq[Double]], take: Int): Column =
+    GraftSqlShim.column(
+      RankCells(GraftSqlShim.expression(v), centroids, take))
 }

@@ -757,14 +757,13 @@ object Dedup {
     val cents: Seq[Seq[Double]] = v
       .orderBy(md5(col("__id").cast("string")), col("__id"))
       .limit(nCells).collect().map(_.getSeq[Double](1).toSeq).toSeq
-    val ranked = array_sort(array(cents.zipWithIndex.map { case (ct, i) =>
-      struct(
-        (-GraftFunctions.cosine(col("__v"), array(ct.map(lit): _*)))
-          .as("negSim"),
-        lit(i.toLong).as("cell"))
-    }: _*))
+    // native RankCells argmax (cosine DESC, cell ASC — bit-pinned to
+    // the composed array_sort form): at auto-sized cell counts the
+    // composed form's per-centroid struct expressions blow the codegen
+    // method limit; cast back to long to keep the public `cell` type
     val assigned = v.withColumn("__cell",
-      element_at(ranked, 1).getField("cell"))
+      element_at(GraftFunctions.rankCells(col("__v"), cents, 1), 1)
+        .cast("long"))
     val inPlay = assigned
       .withColumn("__cn",
         count(lit(1)).over(Window.partitionBy(col("__cell"))))

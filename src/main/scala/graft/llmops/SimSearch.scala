@@ -443,21 +443,16 @@ object SimSearch {
     val cents: Seq[Seq[Double]] = c
       .orderBy(md5(col("item_id").cast("string")), col("item_id"))
       .limit(nCells).collect().map(_.getSeq[Double](1).toSeq).toSeq
-    def cellsRanked(v: org.apache.spark.sql.Column) = array_sort(array(
-      cents.zipWithIndex.map { case (ct, i) =>
-        struct(
-          -graft.functions.GraftFunctions.cosine(v, array(ct.map(lit): _*))
-            .as("negSim"),
-          lit(i).as("cell"))
-      }: _*))
+    // native RankCells kernel — see ivfTopKPortable for the rationale
+    import graft.functions.GraftFunctions.rankCells
     val assigned = c.select(col("item_id"),
-      element_at(cellsRanked(col("__cv")), 1).getField("cell").as("__cell"),
+      element_at(rankCells(col("__cv"), cents, 1), 1).as("__cell"),
       VectorOps.pqCodes(VectorOps.pqAssign(col("__cv"), codebooks))
         .as("__codes"))
     val probed = queries.select(col(qId).as("query_id"),
         col(qVec).cast("array<double>").as("__qv"))
-      .withColumn("__cell", explode(transform(
-        slice(cellsRanked(col("__qv")), 1, nProbe), s => s.getField("cell"))))
+      .withColumn("__cell",
+        explode(rankCells(col("__qv"), cents, nProbe)))
       .select(col("query_id"), col("__cell"),
         VectorOps.pqAdcLut(col("__qv"), codebooks).as("__lut"))
     val scored = assigned.join(broadcast(probed), Seq("__cell"))
@@ -489,21 +484,17 @@ object SimSearch {
     val cents: Seq[Seq[Double]] = c
       .orderBy(md5(col("item_id").cast("string")), col("item_id"))
       .limit(nCells).collect().map(_.getSeq[Double](1).toSeq).toSeq
-    // (−cosine, cell) structs sorted ascending ≙ ORDER BY cosine DESC,
-    // cell — argmax/top-nProbe over literal centroids, zero shuffle
-    def cellsRanked(v: org.apache.spark.sql.Column) = array_sort(array(
-      cents.zipWithIndex.map { case (ct, i) =>
-        struct(
-          -graft.functions.GraftFunctions.cosine(v, array(ct.map(lit): _*))
-            .as("negSim"),
-          lit(i).as("cell"))
-      }: _*))
+    // argmax/top-nProbe over literal centroids, zero shuffle — the
+    // native RankCells kernel (ORDER BY cosine DESC, cell; bit-pinned
+    // to the composed array_sort form by DotProductSpec, whose plan
+    // size would grow linearly with the auto-sized nCells)
+    import graft.functions.GraftFunctions.rankCells
     val assigned = c.withColumn("__cell",
-      element_at(cellsRanked(col("__cv")), 1).getField("cell"))
+      element_at(rankCells(col("__cv"), cents, 1), 1))
     val probed = queries.select(col(qId).as("query_id"),
         col(qVec).cast("array<double>").as("__qv"))
-      .withColumn("__cell", explode(transform(
-        slice(cellsRanked(col("__qv")), 1, nProbe), s => s.getField("cell"))))
+      .withColumn("__cell",
+        explode(rankCells(col("__qv"), cents, nProbe)))
     val scored = assigned.join(broadcast(probed), Seq("__cell"))
       .withColumn("cosine",
         graft.functions.GraftFunctions.cosine(col("__qv"), col("__cv")))

@@ -99,6 +99,42 @@ class DotProductSpec extends AnyFunSuite {
     }
   }
 
+  test("rankCells: bit-identical to the composed array_sort ranking") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents: Seq[Seq[Double]] = emb
+      .orderBy(md5($"vec_id".cast("string")), $"vec_id")
+      .limit(8).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    def composed(take: Int) = emb.select($"vec_id",
+      slice(array_sort(array(cents.zipWithIndex.map { case (ct, i) =>
+        struct(
+          (-GraftFunctions.cosine($"v", array(ct.map(lit): _*))).as("negSim"),
+          lit(i).as("cell"))
+      }: _*)), 1, take).cast("array<struct<negSim:double,cell:int>>"))
+    for (take <- Seq(1, 3, 8)) {
+      val want = composed(take).collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getInt(1)).toSeq).toMap
+      val got = emb.select($"vec_id",
+          GraftFunctions.rankCells($"v", cents, take))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      assert(got == want, s"take=$take")
+    }
+    // tie determinism: duplicated centroid → lower index wins
+    val dupCents = Seq(cents.head, cents.head, cents(1))
+    val firstTwo = emb.limit(20).select(
+        GraftFunctions.rankCells($"v", dupCents, 3))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    firstTwo.foreach { r =>
+      assert(r.indexOf(0) < r.indexOf(1), s"tie order violated: $r")
+    }
+    // take beyond nCells truncates; null element poisons
+    val one = emb.limit(1).select(
+      GraftFunctions.rankCells($"v", cents, 99)).collect()
+    assert(one.head.getSeq[Int](0).length == 8)
+  }
+
   test("null/mismatch edges are identical to the composed HOF form") {
     val df = Seq(
       (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(3.0f)))), // len mismatch
