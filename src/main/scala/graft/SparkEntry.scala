@@ -735,11 +735,13 @@ object SparkEntry {
     * ([[Dedup.simHashPairs]] over [[Dedup.simHash64]]) on the bench
     * path — rows-only, twinned to the oracle-exact d3/d24 md5 family;
     * same rationale as d26 (LlmOpsSpec pins the signature values, this
-    * pins the runtime into BENCH). 8 bands ⇒ pigeonhole-exact through
-    * Hamming 7; threshold 3 matches d24's operating point. */
+    * pins the runtime into BENCH). 4 × 16-bit bands = d24's operating
+    * point (pigeonhole-exact through Hamming 3; 8-bit keys measured
+    * 2.6 s vs 0.9–1.3 s warm at sf0.1 — n/256 buckets are band noise,
+    * the r8 d3 banding A/B repeated; PLANS.md round 9). */
   private val d27SimhashFast: Q = (s, dir) =>
     Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
-      maxHamming = 3, bands = 8)
+      maxHamming = 3, bands = 4)
 
   /** LLM-D13: SemDeDup ([[Dedup.semDedup]]) — portable-centroid
     * clustering of the embedding space, then cell-local near-dup drop:

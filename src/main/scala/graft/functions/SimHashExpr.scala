@@ -160,10 +160,65 @@ case class SimHash64Md5(child: Expression)
     copy(child = newChild)
 }
 
+/** Native xxhash64 SimHash kernel — the PRODUCTION 64-bit signature
+  * ([[graft.llmops.Dedup.simHash64]]'s fast path). The composed HOF
+  * form pays a 64-element when-array plus two zip_with allocations per
+  * TOKEN just to turn hash bits into ±1 votes (the same shape the r8
+  * cost-share table measured at ~80% of d3); this kernel hashes each
+  * token once (`xxhash64(t)` ≡ `XXH64.hashUTF8String(t, 42)`) and
+  * votes straight off the hash bits. BIT-IDENTICAL to the HOF spec
+  * (pinned by LlmOpsSpec) including edges: a null token hashes to the
+  * accumulated seed 42 (Spark's hash expressions skip null children),
+  * and an empty token array yields signature 0. CodegenFallback, same
+  * rationale as [[SimHash32Md5]]. */
+case class SimHash64Xx(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"expects array<string> tokens, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h =
+        if (arr.isNullAt(i)) 42L // xxhash64(null) = the seed
+        else org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(arr.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SimHashFunctions {
   def simHash32Md5(tokens: Column): Column =
     GraftSqlShim.column(SimHash32Md5(GraftSqlShim.expression(tokens)))
 
   def simHash64Md5(tokens: Column): Column =
     GraftSqlShim.column(SimHash64Md5(GraftSqlShim.expression(tokens)))
+
+  def simHash64Xx(tokens: Column): Column =
+    GraftSqlShim.column(SimHash64Xx(GraftSqlShim.expression(tokens)))
 }

@@ -37,11 +37,19 @@ object Dedup {
       .where(col("__rn") === 1).drop("__rn")
   }
 
-  /** 64-bit SimHash of a document's token stream, as a pure expression
-    * tree: per-token xxhash64 → per-bit ±1 votes folded with a 64-int
-    * accumulator → sign bits reassembled. Codegen'd; no UDF.
-    */
-  def simHash64(text: Column): Column = {
+  /** 64-bit SimHash of a document's token stream: per-token xxhash64 →
+    * per-bit ±1 votes → sign bits. Lowered to the native one-pass
+    * kernel ([[graft.functions.SimHash64Xx]]) since round 9 — the
+    * composed HOF form below paid a 64-element when-array per token,
+    * measured as d27's 4.5 s bench wall (the same 80%-of-runtime shape
+    * the r8 cost-share table found for d3). Bit-identical to
+    * [[simHash64Hof]] (pinned by LlmOpsSpec). */
+  def simHash64(text: Column): Column =
+    graft.functions.SimHashFunctions.simHash64Xx(TextFunctions.tokens(text))
+
+  /** Composed-HOF reference form of [[simHash64]] — the spec the native
+    * kernel is pinned against. */
+  def simHash64Hof(text: Column): Column = {
     val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
     val zero = array_repeat(lit(0L), 64)
     val votes = aggregate(

@@ -75,6 +75,11 @@ class LlmOpsSpec extends AnyFunSuite {
         Dedup.simHash32PortableHof($"text").as("hof"))
       .where(not($"native" <=> $"hof")).count()
     assert(sh == 0, s"$sh simhash32 signature mismatches")
+    val sx = docs.select(
+        Dedup.simHash64($"text").as("native"),
+        Dedup.simHash64Hof($"text").as("hof"))
+      .where(not($"native" <=> $"hof")).count()
+    assert(sx == 0, s"$sx xxhash64 simhash mismatches")
   }
 
   test("minhash estimated jaccard correlates with exact jaccard") {
