@@ -716,6 +716,29 @@ object SparkEntry {
         "text", targetBucketSize = 50L)
       .select(col("band"), col("bucket_size"), col("n_buckets"))
 
+  /** LLM-D29: the 128-bit SimHash family ([[Dedup.simHashPairsAuto128]])
+    * — d24's prescribed next lever shipped: four 32-bit md5-digit lanes
+    * (p0 ≡ d8's signature, (p0,p1) ≡ d24's) banded at auto width up to
+    * 24 bits, moving the capacity wall from ~65k·target to ~16M·target
+    * docs. Hamming verifies over all 128 projections (a stricter bar
+    * than d24's 64 at the same threshold, so this runs at 6 ≈ d24's 3);
+    * detection is pigeonhole-EXACT through 3 differing bits and
+    * probabilistic at 4–6 (any shared band still surfaces the pair —
+    * standard LSH recall, identical in the oracle since it replays the
+    * same banding). Oracle replays the dynamic width and all four
+    * hex-digit bit rules. */
+  private val d29Simhash128Auto: Q = (s, dir) =>
+    Dedup.simHashPairsAuto128(Tables.documents(s, dir), "doc_id", "text",
+      maxHamming = 6, targetBucketSize = 50L)
+
+  /** LLM-D30: capacity audit for the 128-bit banding
+    * ([[Dedup.simHashBucketHistogramAuto128]]) — d25's monitor at d29's
+    * exact width. */
+  private val d30Simhash128CapacityAudit: Q = (s, dir) =>
+    Dedup.simHashBucketHistogramAuto128(Tables.documents(s, dir),
+        "doc_id", "text", targetBucketSize = 50L)
+      .select(col("band"), col("bucket_size"), col("n_buckets"))
+
   /** LLM-D26: the xxhash64 MinHash PRODUCTION kernel
     * ([[Dedup.minHashPairs]] → [[graft.functions.MinHashSig]]) on the
     * bench path. Rows-only by construction (DuckDB cannot replay
@@ -4821,6 +4844,8 @@ object SparkEntry {
     "d23_lsh_capacity_audit" -> d23LshCapacityAudit,
     "d24_simhash_auto" -> d24SimhashAuto,
     "d25_simhash_capacity_audit" -> d25SimhashCapacityAudit,
+    "d29_simhash128_auto" -> d29Simhash128Auto,
+    "d30_simhash128_capacity_audit" -> d30Simhash128CapacityAudit,
     "d26_minhash_fast" -> d26MinhashFast,
     "d27_simhash_fast" -> d27SimhashFast,
     "d13_semdedup" -> d13SemDedup,
@@ -5626,6 +5651,98 @@ object SparkEntry {
         |banded AS (SELECT doc_id, b,
         |    (CASE b WHEN 0 THEN lo WHEN 1 THEN lo >> 16
         |            WHEN 2 THEN hi ELSE hi >> 16 END)
+        |      & ((1::BIGINT << w.w) - 1) AS key
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t, w),
+        |sizes AS (SELECT CAST(b AS BIGINT) AS band, key,
+        |    count(*) AS bucket_size
+        |  FROM banded GROUP BY b, key)
+        |SELECT band, bucket_size, count(*) AS n_buckets
+        |FROM sizes GROUP BY band, bucket_size""".stripMargin,
+    "d29_simhash128_auto" ->
+      """WITH w AS (
+        |  SELECT least(24, length(bin(((count(*) + 49) // 50) - 1))) AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list(md5(t)) AS hs FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0)) AS t
+        |    FROM documents)
+        |  GROUP BY doc_id),
+        |sig AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS p0,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) IN
+        |          ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS p1,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) IN
+        |          ('2','3','6','7','a','b','e','f') THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS p2,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) IN
+        |          ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS p3
+        |  FROM toks),
+        |banded AS (SELECT doc_id, p0, p1, p2, p3, b,
+        |    (CASE b WHEN 0 THEN p0 WHEN 1 THEN p1
+        |            WHEN 2 THEN p2 ELSE p3 END)
+        |      & ((1::BIGINT << w.w) - 1) AS key
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t, w),
+        |hot AS (SELECT b, key FROM banded GROUP BY b, key
+        |  HAVING count(*) > 1000),
+        |capped AS (SELECT banded.* FROM banded
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |    WHERE hot.b = banded.b AND hot.key = banded.key))
+        |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |  CAST(bit_count(xor(l.p0, r.p0)) + bit_count(xor(l.p1, r.p1))
+        |    + bit_count(xor(l.p2, r.p2)) + bit_count(xor(l.p3, r.p3))
+        |    AS BIGINT) AS hamming
+        |FROM capped l JOIN capped r
+        |  ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.p0, r.p0)) + bit_count(xor(l.p1, r.p1))
+        |  + bit_count(xor(l.p2, r.p2)) + bit_count(xor(l.p3, r.p3)) <= 6""".stripMargin,
+    "d30_simhash128_capacity_audit" ->
+      """WITH w AS (
+        |  SELECT least(24, length(bin(((count(*) + 49) // 50) - 1))) AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list(md5(t)) AS hs FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0)) AS t
+        |    FROM documents)
+        |  GROUP BY doc_id),
+        |sig AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS p0,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) IN
+        |          ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS p1,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) IN
+        |          ('2','3','6','7','a','b','e','f') THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS p2,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) IN
+        |          ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS p3
+        |  FROM toks),
+        |banded AS (SELECT doc_id, b,
+        |    (CASE b WHEN 0 THEN p0 WHEN 1 THEN p1
+        |            WHEN 2 THEN p2 ELSE p3 END)
         |      & ((1::BIGINT << w.w) - 1) AS key
         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t, w),
         |sizes AS (SELECT CAST(b AS BIGINT) AS band, key,

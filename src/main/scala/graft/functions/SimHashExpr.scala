@@ -160,6 +160,86 @@ case class SimHash64Md5(child: Expression)
     copy(child = newChild)
 }
 
+/** Native portable 128-bit SimHash kernel: FOUR 32-bit signatures from
+  * ONE md5 per token, returned as `array<bigint> [p0, p1, p2, p3]`
+  * (each part non-negative, bits 0..31 only). Part k's bit b votes on
+  * bit (8 >> k) of hex digit b+1 — p0 = the top bit (≡ [[SimHash32Md5]]
+  * and `simHash64Portable`'s lo), p1 = nibble & 4 (≡ its hi), p2 =
+  * nibble & 2, p3 = nibble & 1 — so the 128-projection fingerprint
+  * costs the same one digest per token as the 32/64-bit forms and each
+  * prefix of parts IS the narrower family (pinned by LlmOpsSpec).
+  * Banding takes each part as its own band, so no shifting is ever
+  * needed and band keys mask directly off a part. DuckDB replays the
+  * four bit rules as hex-digit membership tests. Null tokens vote −1
+  * everywhere; empty token array → [0,0,0,0]. */
+case class SimHash128Md5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"expects array<string> tokens, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = Array.ofDim[Int](4, 32)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        var p = 0
+        while (p < 4) {
+          var b = 0
+          while (b < 32) { votes(p)(b) -= 1; b += 1 }
+          p += 1
+        }
+      } else {
+        md.reset()
+        md.update(arr.getUTF8String(i).getBytes)
+        val d = md.digest()
+        var by = 0
+        while (by < 16) {
+          // high nibble = hex digit 2*by (bits 0x80..0x10),
+          // low nibble = hex digit 2*by+1 (bits 0x08..0x01)
+          var p = 0
+          while (p < 4) {
+            val hiMask = 0x80 >> p
+            val loMask = 0x08 >> p
+            if ((d(by) & hiMask) != 0) votes(p)(2 * by) += 1
+            else votes(p)(2 * by) -= 1
+            if ((d(by) & loMask) != 0) votes(p)(2 * by + 1) += 1
+            else votes(p)(2 * by + 1) -= 1
+            p += 1
+          }
+          by += 1
+        }
+      }
+      i += 1
+    }
+    val parts = new Array[Any](4)
+    var p = 0
+    while (p < 4) {
+      var sig = 0L
+      var b = 0
+      while (b < 32) {
+        if (votes(p)(b) > 0) sig |= 1L << b
+        b += 1
+      }
+      parts(p) = sig
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(parts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native xxhash64 SimHash kernel — the PRODUCTION 64-bit signature
   * ([[graft.llmops.Dedup.simHash64]]'s fast path). The composed HOF
   * form pays a 64-element when-array plus two zip_with allocations per
@@ -218,6 +298,9 @@ object SimHashFunctions {
 
   def simHash64Md5(tokens: Column): Column =
     GraftSqlShim.column(SimHash64Md5(GraftSqlShim.expression(tokens)))
+
+  def simHash128Md5(tokens: Column): Column =
+    GraftSqlShim.column(SimHash128Md5(GraftSqlShim.expression(tokens)))
 
   def simHash64Xx(tokens: Column): Column =
     GraftSqlShim.column(SimHash64Xx(GraftSqlShim.expression(tokens)))

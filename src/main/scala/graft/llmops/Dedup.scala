@@ -329,6 +329,97 @@ object Dedup {
       .distinct()
   }
 
+  /** Engine-portable 128-bit SimHash fingerprint as `array<bigint>
+    * [p0..p3]` — FOUR 32-bit parts from ONE md5 per token, part k
+    * voting on bit (8 >> k) of each hex digit, so p0 ≡
+    * [[simHash32Portable]] and (p0, p1) ≡ [[simHash64Portable]]: each
+    * narrower family is a prefix of this one at the same digest cost.
+    * Native kernel [[graft.functions.SimHash128Md5]], bit-pinned to
+    * [[simHash128PortableHof]]. This is the fingerprint the d24
+    * residual-wall note names: four DISJOINT 32-bit lanes support
+    * band widths up to [[SimSearch.autoWidth]]'s 24-bit cap, moving
+    * the capacity wall from ~65k·target docs (64-bit, 16-bit lanes)
+    * to ~16M·target. */
+  def simHash128Portable(text: Column): Column =
+    graft.functions.SimHashFunctions.simHash128Md5(TextFunctions.tokens(text))
+
+  /** Composed-HOF reference form of [[simHash128Portable]] — the spec
+    * the native kernel is pinned against, in the hex-digit membership
+    * shape the DuckDB oracle replays. */
+  def simHash128PortableHof(text: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => md5(t))
+    def half(bitOf: (Column, Int) => Column): Column = {
+      val votes = aggregate(
+        hashes,
+        array_repeat(lit(0L), 32),
+        (acc, h) => zip_with(
+          acc,
+          array((0 until 32).map(b =>
+            when(bitOf(h, b), lit(1L)).otherwise(lit(-1L))): _*),
+          (a, v) => a + v))
+      val bitValues = array((0 until 32).map(b => lit(1L << b)): _*)
+      aggregate(
+        zip_with(votes, bitValues, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc.bitwiseOR(b))
+    }
+    def digitIn(members: String*)(h: Column, b: Int): Column =
+      substring(h, b + 1, 1).isin(members: _*)
+    array(
+      half((h, b) => substring(h, b + 1, 1) >= "8"),
+      half(digitIn("4", "5", "6", "7", "c", "d", "e", "f")),
+      half(digitIn("2", "3", "6", "7", "a", "b", "e", "f")),
+      half(digitIn("1", "3", "5", "7", "9", "b", "d", "f")))
+  }
+
+  /** The 128-bit extension of [[simHashPairsAuto]] — same auto-width
+    * contract, four DISJOINT bands that are simply the four fingerprint
+    * parts masked to `autoWidth(n, target)` bits (≤ 24, no shifting):
+    * pigeonhole-exact through Hamming 3 over the 128-bit distance, with
+    * expected bucket size ≈ target up to ~16M·target docs — the family
+    * the d24 residual-wall note prescribes past ~65k·target. Verification
+    * Hamming is over all 128 projections, so the same `maxHamming`
+    * is a STRICTER near-dup bar than d24's (more projections must
+    * agree); pick thresholds per family, not across them. */
+  def simHashPairsAuto128(docs: DataFrame, id: String, text: String,
+      maxHamming: Int = 3, targetBucketSize: Long = 50L,
+      maxBucket: Int = 1000): DataFrame =
+    bucketLocalPairStructs(simHash128BandedAuto(docs, id, text,
+        targetBucketSize), maxBucket)
+      .select(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
+        (0 until 4).map(k =>
+          bit_count(element_at(col("p.a.sig"), k + 1)
+            .bitwiseXOR(element_at(col("p.b.sig"), k + 1))))
+          .reduce(_ + _).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+
+  /** Capacity audit for [[simHashPairsAuto128]] — d25's histogram at
+    * the 128-bit family's width. */
+  def simHashBucketHistogramAuto128(docs: DataFrame, id: String,
+      text: String, targetBucketSize: Long = 50L): DataFrame =
+    simHash128BandedAuto(docs, id, text, targetBucketSize)
+      .groupBy(col("bk")).agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bk.band").cast("long").as("band"), col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+
+  /** Shared signature+banding stage of the 128-bit family: band k =
+    * part k & (2^w − 1), w = autoWidth (≤ 24 — beyond that buckets are
+    * singletons at any achievable n). Empty-token docs excluded. */
+  private def simHash128BandedAuto(docs: DataFrame, id: String,
+      text: String, targetBucketSize: Long): DataFrame = {
+    val n = math.max(1L, docs.count())
+    val width = SimSearch.autoWidth(n, targetBucketSize)
+    val mask = (1L << width) - 1
+    docs
+      .where(size(TextFunctions.tokens(col(text))) > 0)
+      .select(col(id).as("doc"), simHash128Portable(col(text)).as("sig"))
+      .select(col("doc"), col("sig"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("band"),
+            element_at(col("sig"), k + 1).bitwiseAND(mask).as("key"))): _*))
+          .as("bk"))
+  }
+
   /** The scale re-family of [[simHashPairsPortable]] — the d22/d23
     * treatment applied to simhash's fixed-width banding wall: a 64-bit
     * fingerprint ([[simHash64Portable]]) over 4 disjoint bands whose
@@ -358,11 +449,11 @@ object Dedup {
     * Residual wall, stated honestly: the clamp means expected bucket
     * size resumes growing as n/65536 past ~65k·targetBucketSize docs —
     * a 64-bit fingerprint cannot yield more than 4 disjoint 16-bit
-    * bands. The next lever is a 128-bit fingerprint (4 bits per md5 hex
-    * digit, 4×32-bit bands — the same two-halves construction extended),
-    * not a wider band over the same bits; [[simHashBucketHistogramAuto]]
-    * is the monitor that says when. Costs one count job at plan time —
-    * at 100 TB a metadata read on parquet sources. */
+    * bands. Past that point use [[simHashPairsAuto128]] (4 bits per md5
+    * hex digit → four 32-bit lanes, widths to 24 bits, wall at
+    * ~16M·target); [[simHashBucketHistogramAuto]] is the monitor that
+    * says when. Costs one count job at plan time — at 100 TB a
+    * metadata read on parquet sources. */
   def simHashPairsAuto(docs: DataFrame, id: String, text: String,
       maxHamming: Int = 3, targetBucketSize: Long = 50L,
       maxBucket: Int = 1000): DataFrame =

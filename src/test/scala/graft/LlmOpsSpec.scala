@@ -282,6 +282,47 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(empty == Seq(0L, 0L))
   }
 
+  test("simHash128Portable: kernel ≡ HOF; parts prefix the narrower families") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .unionByName(Seq((900001L, ""), (900002L, "one"))
+        .toDF("doc_id", "text"), allowMissingColumns = true)
+    val mism = docs.select(
+        Dedup.simHash128Portable($"text").as("native"),
+        Dedup.simHash128PortableHof($"text").as("hof"))
+      .where(not($"native" <=> $"hof")).count()
+    assert(mism == 0, s"$mism simhash128 signature mismatches")
+    // p0 ≡ the 32-bit signature, (p0, p1) ≡ the 64-bit halves — the
+    // families are prefixes of one another at the same digest cost
+    val pfx = docs.select(
+        Dedup.simHash128Portable($"text").as("s128"),
+        Dedup.simHash64Portable($"text").as("s64"),
+        Dedup.simHash32Portable($"text").as("s32"))
+      .where(not(element_at($"s128", 1) <=> $"s32") ||
+        not(element_at($"s128", 1) <=> element_at($"s64", 1)) ||
+        not(element_at($"s128", 2) <=> element_at($"s64", 2)))
+      .count()
+    assert(pfx == 0, "prefix property violated")
+  }
+
+  test("simHashPairsAuto128: pigeonhole-exact through hamming 3 vs brute force") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val got = Dedup.simHashPairsAuto128(docs, "doc_id", "text",
+        maxHamming = 3, targetBucketSize = 50L)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val sigs = docs
+      .where(size(graft.functions.TextFunctions.tokens($"text")) > 0)
+      .select($"doc_id", Dedup.simHash128Portable($"text").as("s"))
+      .as[(Long, Seq[Long])].collect()
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = (0 until 4).map(k => java.lang.Long.bitCount(sa(k) ^ sb(k))).sum
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == brute,
+      s"banded=${got.size} brute=${brute.size} missing=${(brute -- got).take(3)}")
+  }
+
   test("simHashPairsAuto: pigeonhole-exact through hamming 3 vs brute force") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val got = Dedup.simHashPairsAuto(docs, "doc_id", "text",
