@@ -81,12 +81,14 @@ object ScaleSmoke {
 
     val modes: Set[String] =
       if (args.length > 4) args(4).split(",").toSet else Set.empty
-    // "only:embeddings;documents" — synthesize just those tables (the
+    // "only:embeddings+documents" — synthesize just those tables (the
     // vector families need a 1000x embeddings corpus, which would be
-    // pointless to buy with a 600M-row lineitem synth)
+    // pointless to buy with a 600M-row lineitem synth). '+' or ';'
+    // separate tables; prefer '+' — sbt -batch splits its command
+    // string on ';', silently truncating the list (bit round 9)
     val onlyTables: Set[String] = modes.collectFirst {
       case m if m.startsWith("only:") =>
-        m.stripPrefix("only:").split(";").toSet
+        m.stripPrefix("only:").split("[;+]").toSet
     }.getOrElse(Set.empty)
     def want(t: String): Boolean = onlyTables.isEmpty || onlyTables(t)
     val reuseProbe =

@@ -346,6 +346,23 @@ class LlmOpsSpec extends AnyFunSuite {
       s"banded=${got.size} brute=${brute.size} missing=${(brute -- got).take(3)}")
   }
 
+  test("simHashPairsAuto plan shape: one scan, window cap and collect share the band-key exchange") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val df = Dedup.simHashPairsAuto(docs, "doc_id", "text",
+      maxHamming = 3, targetBucketSize = 50L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1,
+      s"expected exactly one documents scan:\n$plan")
+    // exactly two hash exchanges: the band-key shuffle (the spillable
+    // window cap AND the member collect both cluster on bk — a third
+    // exchange here means the groupBy stopped riding the window's
+    // partitioning) and the final pair distinct
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"quadratic join crept in:\n$plan")
+  }
+
   test("simHashBucketHistogramAuto: each band partitions the tokenful docs") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val n = docs
