@@ -4378,6 +4378,43 @@ object SparkEntry {
         .as("mean_recall"), count(lit(1)).as("n_queries"))
   }
 
+  /** SIM16: nProbe recall curve for the AUTO-sized index
+    * ([[SimSearch.ivfTopKPortableAuto]], target cell size 64) — sim14's
+    * sweep on sim15's sizing, stating the auto-sizing trade HONESTLY:
+    * auto cells keep per-probe COST ≈ target·nProbe rows at any corpus
+    * size, which means the probe FRACTION (nProbe/nCells) shrinks as
+    * the corpus grows — and on unclustered (iid-random fixture)
+    * vectors, recall tracks the probe fraction, so a constant nProbe
+    * trades recall for the constant cost. On real clustered embeddings
+    * the nearest cells hold the true neighbors and recall holds; this
+    * curve is the instrument that MEASURES which regime a corpus is in
+    * before the index ships (at the gate fixture nc = 8 and the curve
+    * coincides with sim14's; at 100× nc = 3,125 and the same query
+    * reports the shrunken-fraction recall — see PLANS.md round 9). */
+  private val sim16AutoRecallCurve: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.where(col("vec_id") < 10)
+    val c = emb.where(col("vec_id") >= 10)
+    val exact = SimSearch.bruteForceTopK(q, c,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("item_id"))
+    val approx = Seq(1, 2, 4, 8).map { p =>
+      SimSearch.ivfTopKPortableAuto(q, c, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, targetCellSize = 64L, nProbe = p)
+        .select(lit(p.toLong).as("n_probe"), col("query_id"),
+          col("item_id"), lit(1).as("__hit"))
+    }.reduce(_ unionAll _)
+    exact
+      .withColumn("n_probe",
+        explode(array(lit(1L), lit(2L), lit(4L), lit(8L))))
+      .join(approx, Seq("n_probe", "query_id", "item_id"), "left")
+      .groupBy(col("n_probe"), col("query_id"))
+      .agg(count(lit(1)).as("__ne"), count(col("__hit")).as("__nh"))
+      .groupBy(col("n_probe"))
+      .agg(round(avg(col("__nh") * lit(1.0) / col("__ne")), 6)
+        .as("mean_recall"), count(lit(1)).as("n_queries"))
+  }
+
   /** L10: layout effectiveness — the l7 zone-map skip test run under
     * two physical layouts of the same fact table (key-clustered
     * ÷6000-row blocks vs ship-month partitions) for the same 1995
@@ -5033,6 +5070,7 @@ object SparkEntry {
     "w27_stickiness" -> w27Stickiness,
     "v8_norm_audit" -> v8NormAudit,
     "sim14_nprobe_curve" -> sim14NprobeCurve,
+    "sim16_auto_recall_curve" -> sim16AutoRecallCurve,
     "l10_layout_effectiveness" -> l10LayoutEffectiveness,
     "q7_dataset_card" -> q7DatasetCard,
     "w30_growth_accounting" -> w30GrowthAccounting,
@@ -9311,6 +9349,54 @@ object SparkEntry {
         |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS sd_norm,
         |  min_norm, max_norm, n_non_unit
         |FROM s""".stripMargin,
+    "sim16_auto_recall_curve" ->
+      """WITH corpus AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |queries AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |nc AS (SELECT least(4096, (count(*) + 63) // 64) AS c FROM corpus),
+        |cent AS (SELECT rn - 1 AS cell, v AS cv FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |    FROM corpus) WHERE rn <= (SELECT c FROM nc)),
+        |assigned AS (SELECT item_id, v, cell FROM (
+        |    SELECT c.item_id, c.v, ct.cell, row_number() OVER (
+        |      PARTITION BY c.item_id
+        |      ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+        |probed AS (SELECT query_id, v, cell, rn AS pr FROM (
+        |    SELECT q.query_id, q.v, ct.cell, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM queries q CROSS JOIN cent ct) WHERE rn <= 8),
+        |np AS (SELECT unnest(CAST([1, 2, 4, 8] AS BIGINT[])) AS n_probe),
+        |scored AS (SELECT np.n_probe, p.query_id, a.item_id,
+        |    list_cosine_similarity(p.v, a.v) AS cosine
+        |  FROM probed p CROSS JOIN np JOIN assigned a USING (cell)
+        |  WHERE p.pr <= np.n_probe),
+        |approx AS (SELECT n_probe, query_id, item_id FROM (
+        |    SELECT n_probe, query_id, item_id, row_number() OVER (
+        |      PARTITION BY n_probe, query_id
+        |      ORDER BY cosine DESC, item_id) AS rank FROM scored)
+        |  WHERE rank <= 5),
+        |exact AS (SELECT query_id, item_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |  WHERE rank <= 5),
+        |per AS (SELECT np.n_probe, e.query_id,
+        |    count(ap.item_id) * 1.0 / count(*) AS recall
+        |  FROM exact e CROSS JOIN np
+        |  LEFT JOIN approx ap ON ap.n_probe = np.n_probe
+        |    AND ap.query_id = e.query_id AND ap.item_id = e.item_id
+        |  GROUP BY np.n_probe, e.query_id)
+        |SELECT n_probe, round(avg(recall), 6) AS mean_recall,
+        |  count(*) AS n_queries
+        |FROM per GROUP BY n_probe""".stripMargin,
     "sim14_nprobe_curve" ->
       """WITH corpus AS (SELECT vec_id AS item_id,
         |    CAST(embedding AS DOUBLE[]) AS v
