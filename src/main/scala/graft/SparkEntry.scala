@@ -2896,6 +2896,18 @@ object SparkEntry {
         round(col("mean_g"), 6).as("mean_g"),
         round(col("mean_b"), 6).as("mean_b"))
 
+  /** MM7: REAL image resize ([[multimodal.RealCodecs
+    * .imageResizeRoundtrip]]) — the last charter verb (decode /
+    * feature-extract / RESIZE / frame-sample) moved off a metadata
+    * stub: decode → integer nearest-neighbor 16×16 → 8×8 downsample →
+    * RE-encode as PNG → decode again → channel sums. Two full codec
+    * roundtrips per asset; the oracle replays the resample as the
+    * pixel formula at (2x, 2y), so a bug in either encode or either
+    * decode (or the sampling arithmetic) breaks the hash. */
+  private val mm7ImageResize: Q = (s, dir) =>
+    multimodal.RealCodecs.imageResizeRoundtrip(
+      Tables.documents(s, dir), "doc_id", outW = 8, outH = 8)
+
   /** MM6: REAL audio codec roundtrip — deterministic PCM16 samples
     * ENCODED as a canonical RIFF/WAVE file (44-byte header + LE data)
     * and DECODED by parsing the header fields and sign-extending the
@@ -4968,6 +4980,7 @@ object SparkEntry {
     "mm4_phash_dedup" -> mm4PhashDedup,
     "mm5_image_codec" -> mm5ImageCodec,
     "mm6_audio_codec" -> mm6AudioCodec,
+    "mm7_image_resize" -> mm7ImageResize,
     "w6_sessionize" -> w6Sessionize,
     "w6_padding" -> w6Padding,
     "s12_latest_snapshot" -> s12LatestSnapshot,
@@ -7319,6 +7332,20 @@ object SparkEntry {
         |  max(CASE WHEN quad = 2 THEN s END) AS f2,
         |  max(CASE WHEN quad = 3 THEN s END) AS f3
         |FROM q GROUP BY doc_id""".stripMargin,
+    "mm7_image_resize" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x.i AS x, y.j AS y FROM documents d,
+        |    (SELECT unnest(generate_series(0, 7)) AS i) x,
+        |    (SELECT unnest(generate_series(0, 7)) AS j) y)
+        |SELECT doc_id AS asset_id,
+        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  CAST(sum((doc_id * 31 + (x * 2) * 7 + (y * 2) * 13) % 256)
+        |    AS BIGINT) AS sum_r,
+        |  CAST(sum((doc_id * 17 + (x * 2) * 11 + (y * 2) * 3) % 256)
+        |    AS BIGINT) AS sum_g,
+        |  CAST(sum((doc_id * 29 + (x * 2) * 5 + (y * 2) * 19) % 256)
+        |    AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin,
     "mm5_image_codec" ->
       """WITH px AS (
         |  SELECT d.doc_id, x.i AS x, y.j AS y FROM documents d,

@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   * row, never on the driver; partition by content hash so decode fans out
   * evenly). Image and audio decode run REAL JDK codecs in
   * [[RealCodecs]] (PNG via ImageIO, RIFF/WAV PCM16 parsed from the byte
-  * layout) — the registry's mm1/mm3/mm4/mm5/mm6 all run real
+  * layout) — the registry's mm1/mm3/mm4/mm5/mm6/mm7 all run real
   * encode→decode paths since round 9. The one remaining stand-in is
   * VIDEO ([[sampleFrames]]): the JDK ships no video codec and the
   * container has no media libraries, so the per-frame decode is a
@@ -41,8 +41,10 @@ object Multimodal {
       (length(col(text)) % 480 + 1).cast("int").as("height"),
       lit(null).cast("long").as("duration_ms"))
 
-  /** Resize stub: metadata-only transform (real impl would re-encode
-    * content); demonstrates pushdown-friendly metadata handling. */
+  /** Metadata-only resize annotation (pushdown-friendly width/height
+    * rewrite without touching content). The REAL pixel path — decode →
+    * nearest-neighbor resample → re-encode — is
+    * [[RealCodecs.imageResizeRoundtrip]] (registry query mm7). */
   def resize(assets: DataFrame, w: Int, h: Int): DataFrame =
     assets.withColumn("width", lit(w)).withColumn("height", lit(h))
 

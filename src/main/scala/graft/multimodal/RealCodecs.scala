@@ -205,6 +205,59 @@ object RealCodecs {
       }(enc)
   }
 
+  /** REAL image resize (mm7): PNG encode → ImageIO decode →
+    * nearest-neighbor downsample at integer coordinates (out(x,y) =
+    * in(x·W/outW, y·H/outH) — floor division, the one resampling rule
+    * an oracle can replay exactly; Graphics2D's filtered scalers are
+    * real too but not bit-replayable) → RE-encode the resized image as
+    * PNG → decode AGAIN → per-channel sums. Two full codec roundtrips
+    * per row: a header/stride/palette bug in either direction shifts
+    * the sums and breaks the hash. Output: (asset_id, width, height,
+    * sum_r, sum_g, sum_b) of the RESIZED image. */
+  def imageResizeRoundtrip(ids: DataFrame, idCol: String,
+      outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, "output dims must be positive")
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    ids.select(col(idCol).cast("long").as("id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val src = ImageIO.read(new ByteArrayInputStream(encodePng(id)))
+          val dst = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < outH) {
+            var x = 0
+            while (x < outW) {
+              dst.setRGB(x, y,
+                src.getRGB(x * src.getWidth / outW, y * src.getHeight / outH))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(dst, "png", bos)
+          val back = ImageIO.read(new ByteArrayInputStream(bos.toByteArray))
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var yy = 0
+          while (yy < back.getHeight) {
+            var xx = 0
+            while (xx < back.getWidth) {
+              val p = back.getRGB(xx, yy)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              xx += 1
+            }
+            yy += 1
+          }
+          Row(id, back.getWidth.toLong, back.getHeight.toLong, sr, sg, sb)
+        }
+      }(enc)
+  }
+
   // ---------- WAV / RIFF PCM16 (public container, parsed directly) ----
 
   /** Synthetic audio geometry (50 ms @ 16 kHz mono PCM16). */

@@ -75,4 +75,33 @@ class RealCodecsSpec extends AnyFunSuite {
     assert(aud.length == 3 &&
       aud.forall(r => r.getLong(1) == 16000 && r.getLong(2) == 800))
   }
+
+  test("imageResizeRoundtrip: NN downsample sums equal the formula at (2x, 2y)") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 7L).toDF("doc_id")
+    val rs = RealCodecs.imageResizeRoundtrip(ids, "doc_id", outW = 8, outH = 8)
+      .orderBy("asset_id").collect()
+    assert(rs.length == 3 && rs.forall(r =>
+      r.getLong(1) == 8 && r.getLong(2) == 8))
+    rs.foreach { r =>
+      val id = r.getLong(0)
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val (pr, pg, pb) = rgbFormula(id, 2 * x, 2 * y)
+        er += pr; eg += pg; eb += pb
+      }
+      assert(r.getLong(3) == er && r.getLong(4) == eg && r.getLong(5) == eb,
+        s"resized sums diverge for id $id")
+    }
+    // identity resize = the original image's sums (both roundtrips real)
+    val full = RealCodecs.imageResizeRoundtrip(ids, "doc_id", 16, 16)
+      .orderBy("asset_id").collect()
+    val orig = RealCodecs.imageCodecRoundtrip(ids, "doc_id")
+      .orderBy("asset_id").collect()
+    full.zip(orig).foreach { case (f, o) =>
+      assert(f.getLong(3) == math.round(o.getDouble(4) * 256) &&
+        f.getLong(4) == math.round(o.getDouble(5) * 256) &&
+        f.getLong(5) == math.round(o.getDouble(6) * 256))
+    }
+  }
 }
