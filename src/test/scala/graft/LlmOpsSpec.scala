@@ -82,6 +82,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sx == 0, s"$sx xxhash64 simhash mismatches")
   }
 
+  test("minHashSigPortable enforces the ANSI-safe numHashes bound") {
+    // seed 20278's multiplier crosses 2^32: the native kernel would wrap
+    // silently while the HOF/DuckDB forms error — construction must fail
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minHashSigPortable(lit("x"), 3, 20279)
+    }
+    assert(e.getMessage.contains("20278"))
+    Dedup.minHashSigPortable(lit("x"), 3, 20278) // boundary constructs
+  }
+
   test("minhash estimated jaccard correlates with exact jaccard") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val est = Dedup.minHashPairs(docs, "doc_id", "text",

@@ -526,6 +526,26 @@ class OpsSpec extends AnyFunSuite {
       4L -> 3L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("labelPropagation fails fast on string node ids (negate tie-break)") {
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      ops.Graph.labelPropagation(edges, "a", "b", rounds = 1)
+    }
+    assert(e.getMessage.contains("numeric node ids"))
+  }
+
+  test("pageRank iters=0 returns the personalization vector, no edge work") {
+    // the edge table (and its pin) must not be built at iters=0 — the
+    // observable contract: seeds come back deduped with rank 1.0 and
+    // no node outside the seed set appears
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    val seeds = Seq(1L, 1L, 9L).toDF("seed")
+    val got = ops.Graph.pageRank(edges, "s", "t", seeds, "seed",
+        iters = 0, damping = 0.5)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0, 9L -> 1.0))
+  }
+
   test("retention: cohort from first event, offsets count distinct users") {
     // bucket = 10: u1 first at 5 (cohort 0), active in buckets 0,1,3;
     // u2 first at 12 (cohort 1), active in 1,3; u3 first at 5, only 0
