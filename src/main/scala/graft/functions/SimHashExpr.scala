@@ -45,15 +45,16 @@ case class SimHash32Md5(child: Expression)
   override def nullSafeEval(in: Any): Any = {
     val arr = in.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val votes = new Array[Int](32)
+    // count SET bits only: every token votes ±1 at every position (a
+    // null token votes −1 everywhere — md5(null) = null, when(null ≥
+    // '8') = false — i.e. sets nothing), so votes(b) = 2·cnt(b) − n and
+    // the sign test is exactly 2·cnt(b) > n. Halves the loop body vs
+    // the ±1 form, bit-identically.
+    val cnt = new Array[Int](32)
     val md = MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
-      if (arr.isNullAt(i)) {
-        // composed form: md5(null) = null, when(null >= '8') = false
-        var b = 0
-        while (b < 32) { votes(b) -= 1; b += 1 }
-      } else {
+      if (!arr.isNullAt(i)) {
         md.reset()
         md.update(arr.getUTF8String(i).getBytes)
         val d = md.digest()
@@ -61,9 +62,9 @@ case class SimHash32Md5(child: Expression)
         while (by < 16) {
           // hex digit 2*by   = high nibble of byte by → top bit = bit 7
           // hex digit 2*by+1 = low  nibble of byte by → top bit = bit 3
-          if ((d(by) & 0x80) != 0) votes(2 * by) += 1 else votes(2 * by) -= 1
-          if ((d(by) & 0x08) != 0) votes(2 * by + 1) += 1
-          else votes(2 * by + 1) -= 1
+          val v = d(by)
+          if ((v & 0x80) != 0) cnt(2 * by) += 1
+          if ((v & 0x08) != 0) cnt(2 * by + 1) += 1
           by += 1
         }
       }
@@ -72,7 +73,7 @@ case class SimHash32Md5(child: Expression)
     var sig = 0L
     var b = 0
     while (b < 32) {
-      if (votes(b) > 0) sig |= 1L << b
+      if (2 * cnt(b) > n) sig |= 1L << b
       b += 1
     }
     sig
@@ -117,15 +118,14 @@ case class SimHash64Md5(child: Expression)
   override def nullSafeEval(in: Any): Any = {
     val arr = in.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val voteLo = new Array[Int](32)
-    val voteHi = new Array[Int](32)
+    // set-bit counting (votes(b) = 2·cnt(b) − n; see SimHash32Md5 —
+    // null tokens vote −1 everywhere, i.e. set nothing)
+    val cntLo = new Array[Int](32)
+    val cntHi = new Array[Int](32)
     val md = MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
-      if (arr.isNullAt(i)) {
-        var b = 0
-        while (b < 32) { voteLo(b) -= 1; voteHi(b) -= 1; b += 1 }
-      } else {
+      if (!arr.isNullAt(i)) {
         md.reset()
         md.update(arr.getUTF8String(i).getBytes)
         val d = md.digest()
@@ -133,12 +133,12 @@ case class SimHash64Md5(child: Expression)
         while (by < 16) {
           // hex digit 2*by = high nibble (top bit 0x80, second 0x40);
           // hex digit 2*by+1 = low nibble (top bit 0x08, second 0x04)
-          if ((d(by) & 0x80) != 0) voteLo(2 * by) += 1 else voteLo(2 * by) -= 1
-          if ((d(by) & 0x08) != 0) voteLo(2 * by + 1) += 1
-          else voteLo(2 * by + 1) -= 1
-          if ((d(by) & 0x40) != 0) voteHi(2 * by) += 1 else voteHi(2 * by) -= 1
-          if ((d(by) & 0x04) != 0) voteHi(2 * by + 1) += 1
-          else voteHi(2 * by + 1) -= 1
+          val v = d(by)
+          val e = 2 * by
+          if ((v & 0x80) != 0) cntLo(e) += 1
+          if ((v & 0x08) != 0) cntLo(e + 1) += 1
+          if ((v & 0x40) != 0) cntHi(e) += 1
+          if ((v & 0x04) != 0) cntHi(e + 1) += 1
           by += 1
         }
       }
@@ -148,8 +148,8 @@ case class SimHash64Md5(child: Expression)
     var hi = 0L
     var b = 0
     while (b < 32) {
-      if (voteLo(b) > 0) lo |= 1L << b
-      if (voteHi(b) > 0) hi |= 1L << b
+      if (2 * cntLo(b) > n) lo |= 1L << b
+      if (2 * cntHi(b) > n) hi |= 1L << b
       b += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -187,18 +187,17 @@ case class SimHash128Md5(child: Expression)
   override def nullSafeEval(in: Any): Any = {
     val arr = in.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val votes = Array.ofDim[Int](4, 32)
+    // set-bit counting (votes(b) = 2·cnt(b) − n; see SimHash32Md5),
+    // flat per-part arrays and a hoisted byte with straight-line bit
+    // tests — the vote loop dominates this kernel (4×64 positions/token)
+    val c0 = new Array[Int](32)
+    val c1 = new Array[Int](32)
+    val c2 = new Array[Int](32)
+    val c3 = new Array[Int](32)
     val md = MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
-      if (arr.isNullAt(i)) {
-        var p = 0
-        while (p < 4) {
-          var b = 0
-          while (b < 32) { votes(p)(b) -= 1; b += 1 }
-          p += 1
-        }
-      } else {
+      if (!arr.isNullAt(i)) {
         md.reset()
         md.update(arr.getUTF8String(i).getBytes)
         val d = md.digest()
@@ -206,34 +205,32 @@ case class SimHash128Md5(child: Expression)
         while (by < 16) {
           // high nibble = hex digit 2*by (bits 0x80..0x10),
           // low nibble = hex digit 2*by+1 (bits 0x08..0x01)
-          var p = 0
-          while (p < 4) {
-            val hiMask = 0x80 >> p
-            val loMask = 0x08 >> p
-            if ((d(by) & hiMask) != 0) votes(p)(2 * by) += 1
-            else votes(p)(2 * by) -= 1
-            if ((d(by) & loMask) != 0) votes(p)(2 * by + 1) += 1
-            else votes(p)(2 * by + 1) -= 1
-            p += 1
-          }
+          val v = d(by)
+          val e = 2 * by
+          if ((v & 0x80) != 0) c0(e) += 1
+          if ((v & 0x08) != 0) c0(e + 1) += 1
+          if ((v & 0x40) != 0) c1(e) += 1
+          if ((v & 0x04) != 0) c1(e + 1) += 1
+          if ((v & 0x20) != 0) c2(e) += 1
+          if ((v & 0x02) != 0) c2(e + 1) += 1
+          if ((v & 0x10) != 0) c3(e) += 1
+          if ((v & 0x01) != 0) c3(e + 1) += 1
           by += 1
         }
       }
       i += 1
     }
-    val parts = new Array[Any](4)
-    var p = 0
-    while (p < 4) {
+    def fold(c: Array[Int]): Long = {
       var sig = 0L
       var b = 0
       while (b < 32) {
-        if (votes(p)(b) > 0) sig |= 1L << b
+        if (2 * c(b) > n) sig |= 1L << b
         b += 1
       }
-      parts(p) = sig
-      p += 1
+      sig
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(parts)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](fold(c0), fold(c1), fold(c2), fold(c3)))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -265,24 +262,28 @@ case class SimHash64Xx(child: Expression)
   override def nullSafeEval(in: Any): Any = {
     val arr = in.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val votes = new Array[Int](64)
+    // set-bit counting: every token votes ±1 at all 64 positions (here
+    // a null token votes by the bits of the seed 42, not −1), so
+    // votes(b) = 2·cnt(b) − n and the sign test is 2·cnt(b) > n.
+    // Iterate only the SET bits of each hash (clear-lowest-bit walk) —
+    // ~32 iterations/token instead of 64 fixed.
+    val cnt = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h =
+      var m =
         if (arr.isNullAt(i)) 42L // xxhash64(null) = the seed
         else org.apache.spark.sql.catalyst.expressions.XXH64
           .hashUTF8String(arr.getUTF8String(i), 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      while (m != 0L) {
+        cnt(java.lang.Long.numberOfTrailingZeros(m)) += 1
+        m &= m - 1L
       }
       i += 1
     }
     var sig = 0L
     var b = 0
     while (b < 64) {
-      if (votes(b) > 0) sig |= 1L << b
+      if (2 * cnt(b) > n) sig |= 1L << b
       b += 1
     }
     sig
