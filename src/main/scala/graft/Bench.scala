@@ -20,22 +20,20 @@ object Bench {
     * with matching `pin_n` convicts the environment, not the plans.
     * MUST be refreshed (standalone `runMain graft.Bench`) whenever the
     * query set or a heavy plan changes. */
-  // 138.7 s: round-8 CLOSING standalone pin at 250 queries in SORTED
-  // query order (uncontended, xcpu 0.0%, gc 55.8 s), taken after the
-  // final round-8 plan state (Iterate.pin fixpoints + basket-miner
-  // shuffle-reuse canonicalization). Same-day clean-run spread for
-  // calibration: 130.7 (pre-Iterate.pin, map order) / 142.4 / 146.4
-  // (post-pin, map order) / 136.6 / 138.7 (post-pin, sorted) — ±5%
-  // run-to-run on this 250-query single-JVM total, of which ~+3 s is
-  // the structural Iterate.pin build cost on the 7 fixpoint queries
-  // (bought: g10 −42%, g5 −26%, d7 −38% at the 100× corpus, PLANS.md).
-  // Lineage: 127.3 s at 248 q after the native SimHash/MinHash kernel
-  // lowerings and the md5-mix re-family, on top of the mid-r8 152.5 s
-  // pin at 246 q (4096-entry codegen cache + rebuilt g10; 167.2 s at
-  // the old 100-entry cache). 0.55 s/q. r6 pin for reference: 99.6 s
-  // at 182 queries (0.55 s/q).
-  private val pinWarmS = 138.7
-  private val pinN = 250
+  // 142.8 s: round-9 CLOSING standalone pin at 260 queries in SORTED
+  // query order (uncontended, xcpu 0.0%), the middle of the round-9
+  // three-run spread 130.6 s/258 → 142.8 / 143.6 s/260 — quote the
+  // spread, never one run (bench protocol). The +4–13 s over the r8
+  // 138.7/250 pin is ~7–10 s of genuinely new timed work in the ten
+  // round-9 queries (d24 1.8, d29 2.4, d26 1.3, mm7 1.7 + sub-threshold
+  // tails); the like-for-like 250-query subset sits ≈133–136 s.
+  // Lineage: r8 138.7 s/250 (Iterate.pin fixpoints, sorted order;
+  // same-day spread 130.7–146.4), 127.3 s/248 after the native
+  // SimHash/MinHash kernel lowerings, mid-r8 152.5 s/246 (4096-entry
+  // codegen cache; 167.2 s at the old 100-entry cache), r6 99.6 s/182.
+  // Per-query constant ~0.55 s/q throughout.
+  private val pinWarmS = 142.8
+  private val pinN = 260
 
   /** PIDs of this JVM plus its ancestor chain (the sbt launcher that
     * forked us) — the only Java processes that are NOT contamination. */

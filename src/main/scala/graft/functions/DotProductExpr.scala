@@ -199,8 +199,14 @@ case class CosineSim(left: Expression, right: Expression)
   * and an O(nCells·take) partial insertion instead of a full sort.
   *
   * Returns the `take` best cell indices ordered by (cosine DESC, index
-  * ASC) — exactly the composed form's `(negSim, cell)` ascending sort,
-  * including the ±0.0 edge (both use java.lang.Double total order).
+  * ASC) — exactly the composed form's `(negSim, cell)` ascending sort.
+  * The ±0.0 edge is handled by normalizing -0.0 → 0.0 before ranking:
+  * Spark's interpreted struct ordering (SQLOrderingUtil.compareDoubles)
+  * treats -0.0 == 0.0 while java.lang.Double.compare ranks them, so the
+  * kernel neutralizes the difference at the source. (-0.0 is reachable:
+  * the fused accumulator starts at +0.0 so xy itself can't be -0.0, but
+  * a tiny-negative xy over a huge norm product can UNDERFLOW the
+  * division to -0.0.)
   * take = 1 is assignment, take = nProbe is probing. NULL on a null /
   * malformed vector (null element or length ≠ centroid dim — the
   * composed form's null-poisoned sort is undefined there anyway).
@@ -265,7 +271,11 @@ case class RankCells(child: Expression, centroids: Seq[Seq[Double]],
       var j = 0
       while (j < n) { xy += v(j) * ct(j); j += 1 }
       val r0 = xy / (vNorm * cNorms(c))
-      val cos = if (java.lang.Double.isNaN(r0)) 0.0 else r0
+      // + 0.0 normalizes a division-underflow -0.0 to +0.0 (IEEE
+      // round-to-nearest: -0.0 + 0.0 = +0.0; every other value is
+      // unchanged) so Double.compare below agrees with Spark's
+      // -0.0 == 0.0 struct ordering
+      val cos = if (java.lang.Double.isNaN(r0)) 0.0 else r0 + 0.0
       // insertion position: strictly-greater moves left, so an incoming
       // equal-cosine candidate (which has the LARGER index) stays after
       // its equals — (cosine DESC, index ASC)

@@ -48,7 +48,8 @@ case class SimHash32Md5(child: Expression)
     // count SET bits only: every token votes ±1 at every position (a
     // null token votes −1 everywhere — md5(null) = null, when(null ≥
     // '8') = false — i.e. sets nothing), so votes(b) = 2·cnt(b) − n and
-    // the sign test is exactly 2·cnt(b) > n. Halves the loop body vs
+    // the sign test is exactly 2·cnt(b) > n (doubled in Long so a
+    // >2^30-token doc can't overflow it). Halves the loop body vs
     // the ±1 form, bit-identically.
     val cnt = new Array[Int](32)
     val md = MessageDigest.getInstance("MD5")
@@ -73,7 +74,7 @@ case class SimHash32Md5(child: Expression)
     var sig = 0L
     var b = 0
     while (b < 32) {
-      if (2 * cnt(b) > n) sig |= 1L << b
+      if (2L * cnt(b) > n) sig |= 1L << b
       b += 1
     }
     sig
@@ -148,8 +149,8 @@ case class SimHash64Md5(child: Expression)
     var hi = 0L
     var b = 0
     while (b < 32) {
-      if (2 * cntLo(b) > n) lo |= 1L << b
-      if (2 * cntHi(b) > n) hi |= 1L << b
+      if (2L * cntLo(b) > n) lo |= 1L << b
+      if (2L * cntHi(b) > n) hi |= 1L << b
       b += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -224,7 +225,7 @@ case class SimHash128Md5(child: Expression)
       var sig = 0L
       var b = 0
       while (b < 32) {
-        if (2 * c(b) > n) sig |= 1L << b
+        if (2L * c(b) > n) sig |= 1L << b
         b += 1
       }
       sig
@@ -283,7 +284,7 @@ case class SimHash64Xx(child: Expression)
     var sig = 0L
     var b = 0
     while (b < 64) {
-      if (2 * cnt(b) > n) sig |= 1L << b
+      if (2L * cnt(b) > n) sig |= 1L << b
       b += 1
     }
     sig

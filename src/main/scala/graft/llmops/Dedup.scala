@@ -382,9 +382,9 @@ object Dedup {
     * agree); pick thresholds per family, not across them. */
   def simHashPairsAuto128(docs: DataFrame, id: String, text: String,
       maxHamming: Int = 3, targetBucketSize: Long = 50L,
-      maxBucket: Int = 1000): DataFrame =
+      maxBucket: Int = 1000, precountedN: Option[Long] = None): DataFrame =
     bucketLocalPairStructs(simHash128BandedAuto(docs, id, text,
-        targetBucketSize), maxBucket)
+        targetBucketSize, precountedN), maxBucket)
       .select(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
         (0 until 4).map(k =>
           bit_count(element_at(col("p.a.sig"), k + 1)
@@ -396,18 +396,28 @@ object Dedup {
   /** Capacity audit for [[simHashPairsAuto128]] — d25's histogram at
     * the 128-bit family's width. */
   def simHashBucketHistogramAuto128(docs: DataFrame, id: String,
-      text: String, targetBucketSize: Long = 50L): DataFrame =
-    simHash128BandedAuto(docs, id, text, targetBucketSize)
+      text: String, targetBucketSize: Long = 50L,
+      precountedN: Option[Long] = None): DataFrame =
+    simHash128BandedAuto(docs, id, text, targetBucketSize, precountedN)
       .groupBy(col("bk")).agg(count(lit(1)).as("bucket_size"))
       .groupBy(col("bk.band").cast("long").as("band"), col("bucket_size"))
       .agg(count(lit(1)).as("n_buckets"))
 
   /** Shared signature+banding stage of the 128-bit family: band k =
     * part k & (2^w − 1), w = autoWidth (≤ 24 — beyond that buckets are
-    * singletons at any achievable n). Empty-token docs excluded. */
+    * singletons at any achievable n). Empty-token docs excluded.
+    *
+    * Width basis: n = count over ALL docs (pre empty-token filter) —
+    * deliberately, because the DuckDB oracle replays `count(*)` over the
+    * whole table and the two engines must derive the same width. The
+    * banded population is slightly smaller; the only effect is a
+    * marginally wider band than the post-filter count would give (i.e.
+    * slightly SMALLER buckets — conservative). Callers that already know
+    * the corpus size pass `precountedN` to skip the count job. */
   private def simHash128BandedAuto(docs: DataFrame, id: String,
-      text: String, targetBucketSize: Long): DataFrame = {
-    val n = math.max(1L, docs.count())
+      text: String, targetBucketSize: Long,
+      precountedN: Option[Long] = None): DataFrame = {
+    val n = math.max(1L, precountedN.getOrElse(docs.count()))
     val width = SimSearch.autoWidth(n, targetBucketSize)
     val mask = (1L << width) - 1
     docs
@@ -456,9 +466,9 @@ object Dedup {
     * metadata read on parquet sources. */
   def simHashPairsAuto(docs: DataFrame, id: String, text: String,
       maxHamming: Int = 3, targetBucketSize: Long = 50L,
-      maxBucket: Int = 1000): DataFrame =
+      maxBucket: Int = 1000, precountedN: Option[Long] = None): DataFrame =
     bucketLocalPairStructs(simHashBandedAuto(docs, id, text,
-        targetBucketSize), maxBucket)
+        targetBucketSize, precountedN), maxBucket)
       .select(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
         (bit_count(element_at(col("p.a.sig"), 1)
             .bitwiseXOR(element_at(col("p.b.sig"), 1)))
@@ -476,8 +486,9 @@ object Dedup {
     * generation), not a post-mortem. No pair stage — runs at any corpus
     * size; output is ≤ |distinct bucket sizes| × 4 rows. */
   def simHashBucketHistogramAuto(docs: DataFrame, id: String, text: String,
-      targetBucketSize: Long = 50L): DataFrame =
-    simHashBandedAuto(docs, id, text, targetBucketSize)
+      targetBucketSize: Long = 50L,
+      precountedN: Option[Long] = None): DataFrame =
+    simHashBandedAuto(docs, id, text, targetBucketSize, precountedN)
       .groupBy(col("bk")).agg(count(lit(1)).as("bucket_size"))
       .groupBy(col("bk.band").cast("long").as("band"), col("bucket_size"))
       .agg(count(lit(1)).as("n_buckets"))
@@ -487,10 +498,16 @@ object Dedup {
     * SAME buckets. One row per (doc, band): doc, sig = [lo, hi], bk =
     * struct(band, key). Empty-token docs are excluded (their
     * fingerprint would be the degenerate [0, 0], pairing every empty
-    * doc with every other). */
+    * doc with every other).
+    *
+    * Width basis: n = count over ALL docs (pre empty-token filter), the
+    * same `count(*)` the DuckDB oracle replays — see
+    * [[simHash128BandedAuto]] for why that basis is the contract.
+    * `precountedN` skips the count job when the caller already knows n
+    * (e.g. chaining the pair stage with its histogram audit). */
   private def simHashBandedAuto(docs: DataFrame, id: String, text: String,
-      targetBucketSize: Long): DataFrame = {
-    val n = math.max(1L, docs.count())
+      targetBucketSize: Long, precountedN: Option[Long] = None): DataFrame = {
+    val n = math.max(1L, precountedN.getOrElse(docs.count()))
     val width = math.min(16, SimSearch.autoWidth(n, targetBucketSize))
     val mask = (1L << width) - 1
     val sig = docs
