@@ -253,6 +253,20 @@ object Bench {
     val ccPools = java.lang.management.ManagementFactory
       .getMemoryPoolMXBeans.asScala.filter(_.getName.contains("CodeHeap"))
     val ccUsedMb = ccPools.map(_.getUsage.getUsed).sum / (1024 * 1024)
+    // Janino compile count — the codegen-cache eviction instrument: a
+    // query's warm runs hit the generated-class cache unless entries
+    // were evicted between its cold and warm runs (impossible here —
+    // runs are back-to-back) or the SUITE holds more distinct code
+    // shapes than spark.sql.codegen.cache.maxEntries, in which case
+    // repeated fragments recompile across queries and this count rises
+    // with no plan change. Compare across cache-size A/B runs: flat
+    // count = no eviction pressure at this suite size.
+    val janinoN = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+    // histogram values are already milliseconds (CodeGenerator.doCompile
+    // updates with timeMs)
+    val janinoMeanMs = math.rint(org.apache.spark.metrics.source
+      .CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getMean * 100) / 100
     // failed queries stay visible as -1 per-query but must NOT shrink the
     // aggregate: sum only successful timings and report the failure count
     val ok = results.map(_._2).filter(_._2 >= 0)
@@ -297,6 +311,7 @@ object Bench {
       s""","xcpu_pct":${r3(runNonSelfPct)},"xcpu_contended":$cpuContended""" +
       s""","load1":[${r3(loadStart)},${r3(loadEnd)}]""" +
       s""","gc_ms":$gcMs,"codecache_mb":$ccUsedMb""" +
+      s""","janino_n":$janinoN,"janino_mean_ms":$janinoMeanMs""" +
       s""","pin_warm_s":$pinWarmS,"pin_n":$pinN$suspectJson""" +
       s""","sf":"$sfDir""""
     val slowestFirst = results.sortBy { case (_, (_, w)) => -w }

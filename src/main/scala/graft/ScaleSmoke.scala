@@ -172,20 +172,42 @@ object ScaleSmoke {
       .drop("__copy")
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$workDir/customer.parquet")
-    // embeddings: shift the id AND rotate the vector by the copy index
-    if (want("embeddings")) emb.crossJoin(broadcast(copies))
-      .withColumn("vec_id", col("vec_id") + col("__copy") * vStride)
-      // rotate by __copy mod dim — at factors above the vector width a
-      // raw __copy offset would make slice()'s length negative (ANSI
-      // error; hit at the r8 100x promotion)
-      .withColumn("__rot", expr("cast(__copy % size(embedding) as int)"))
-      .withColumn("embedding", expr(
-        "concat(slice(embedding, __rot + 1, size(embedding) - __rot), " +
-          "slice(embedding, 1, __rot))"))
-      .drop("__rot")
-      .drop("__copy")
-      .repartition(cpus.toInt)
-      .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
+    // embeddings, two growth regimes:
+    //  - default (iid-like): shift the id AND rotate the vector by the
+    //    copy index — copies are mutually near-orthogonal, the WORST
+    //    case for cell-pruned ANN (sim16's shrunken-fraction regime);
+    //  - mode "cluster": each copy = base vector + a small
+    //    deterministic per-(vec, copy, dim) perturbation — copies of
+    //    one base form a tight cosine cluster (|base| clusters of K
+    //    members at factor K), the regime real embedding corpora live
+    //    in, where a query's true neighbors share its cells and the
+    //    recall-targeted probe policy (sim17/sim18) should hold its
+    //    target at small nProbe. Amplitude ±0.05 per dim keeps
+    //    within-cluster cosine ≈0.999 while cross-base similarity
+    //    stays at the iid baseline.
+    if (want("embeddings")) {
+      val shifted = emb.crossJoin(broadcast(copies))
+        .withColumn("vec_id", col("vec_id") + col("__copy") * vStride)
+      val grown =
+        if (modes("cluster"))
+          shifted.withColumn("embedding",
+            when(col("__copy") === 0, col("embedding")).otherwise(expr(
+              "transform(embedding, (x, i) -> cast(x + " +
+                "(pmod(xxhash64(vec_id, __copy, i), 1000) / 1000.0" +
+                " - 0.5) * 0.1 as float))")))
+        else shifted
+          // rotate by __copy mod dim — at factors above the vector
+          // width a raw __copy offset would make slice()'s length
+          // negative (ANSI error; hit at the r8 100x promotion)
+          .withColumn("__rot", expr("cast(__copy % size(embedding) as int)"))
+          .withColumn("embedding", expr(
+            "concat(slice(embedding, __rot + 1, size(embedding) - __rot), " +
+              "slice(embedding, 1, __rot))"))
+          .drop("__rot")
+      grown.drop("__copy")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
+    }
     println(f"SCALESMOKE synth ${factor}x done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     for (t <- Seq("orders", "lineitem", "documents", "events",
         "embeddings").filter(want)) {

@@ -4427,6 +4427,47 @@ object SparkEntry {
         .as("mean_recall"), count(lit(1)).as("n_queries"))
   }
 
+  /** SIM17: recall-TARGETED auto-nProbe IVF top-k
+    * ([[SimSearch.ivfTopKAutoProbePortable]]) — the round-9 verdict's
+    * probe policy: sim16 measured that the auto-sized index can
+    * silently ship low recall on unclustered corpora when nProbe is a
+    * caller constant; here nProbe is CHOSEN per corpus as the smallest
+    * ladder depth whose calibration recall (vec_id < 5 sample,
+    * brute-force ground truth, integer micro-average) meets the 80%
+    * target, falling back to the ladder max when the corpus is in the
+    * shrunken-fraction regime. The chosen depth ships as an output
+    * column; the DuckDB twin recomputes the identical calibration and
+    * choice (pure integer threshold — no float-mean knife edge). */
+  private val sim17AutoNprobe: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.ivfTopKAutoProbePortable(
+        emb.where(col("vec_id") < 10),  // served query batch
+        emb.where(col("vec_id") < 5),   // calibration sample
+        emb.where(col("vec_id") >= 10), // corpus
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, targetCellSize = 64L, recallPctTarget = 80)
+      .select(col("n_probe"), col("query_id"), col("item_id"),
+        round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** SIM18: held-out audit of sim17's policy
+    * ([[SimSearch.autoNProbeHoldoutAudit]]) — calibrate on vec_id < 5,
+    * then measure the CHOSEN depth's recall on queries 5–9 the
+    * calibration never saw: one integer row (n_probe, hits, truth,
+    * recall_pct_floor, meets_target 0/1). The shipping gate that says
+    * whether the policy generalizes off its calibration sample — and
+    * the row the 100× iid-vs-clustered scale evidence quotes. */
+  private val sim18PolicyHoldout: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.autoNProbeHoldoutAudit(
+        emb.where(col("vec_id") < 5),
+        emb.where(col("vec_id") >= 5 && col("vec_id") < 10),
+        emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, targetCellSize = 64L, recallPctTarget = 80)
+  }
+
   /** L10: layout effectiveness — the l7 zone-map skip test run under
     * two physical layouts of the same fact table (key-clustered
     * ÷6000-row blocks vs ship-month partitions) for the same 1995
@@ -5084,6 +5125,8 @@ object SparkEntry {
     "v8_norm_audit" -> v8NormAudit,
     "sim14_nprobe_curve" -> sim14NprobeCurve,
     "sim16_auto_recall_curve" -> sim16AutoRecallCurve,
+    "sim17_auto_nprobe" -> sim17AutoNprobe,
+    "sim18_policy_holdout" -> sim18PolicyHoldout,
     "l10_layout_effectiveness" -> l10LayoutEffectiveness,
     "q7_dataset_card" -> q7DatasetCard,
     "w30_growth_accounting" -> w30GrowthAccounting,
@@ -9376,6 +9419,133 @@ object SparkEntry {
         |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS sd_norm,
         |  min_norm, max_norm, n_non_unit
         |FROM s""".stripMargin,
+    "sim17_auto_nprobe" ->
+      """WITH corpus AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |queries AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |calib AS (SELECT * FROM queries WHERE query_id < 5),
+        |nc AS (SELECT least(4096, (count(*) + 63) // 64) AS c FROM corpus),
+        |cent AS (SELECT rn - 1 AS cell, v AS cv FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |    FROM corpus) WHERE rn <= (SELECT c FROM nc)),
+        |assigned AS (SELECT item_id, v, cell FROM (
+        |    SELECT c.item_id, c.v, ct.cell, row_number() OVER (
+        |      PARTITION BY c.item_id
+        |      ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+        |cprobed AS (SELECT query_id, v, cell, rn AS pr FROM (
+        |    SELECT q.query_id, q.v, ct.cell, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM calib q CROSS JOIN cent ct) WHERE rn <= 8),
+        |np AS (SELECT unnest(CAST([1, 2, 4, 8] AS BIGINT[])) AS n_probe),
+        |cscored AS (SELECT np.n_probe, p.query_id, a.item_id,
+        |    list_cosine_similarity(p.v, a.v) AS cosine
+        |  FROM cprobed p CROSS JOIN np JOIN assigned a USING (cell)
+        |  WHERE p.pr <= np.n_probe),
+        |capprox AS (SELECT n_probe, query_id, item_id FROM (
+        |    SELECT n_probe, query_id, item_id, row_number() OVER (
+        |      PARTITION BY n_probe, query_id
+        |      ORDER BY cosine DESC, item_id) AS rank FROM cscored)
+        |  WHERE rank <= 5),
+        |cexact AS (SELECT query_id, item_id FROM (
+        |    SELECT q.query_id, c.item_id, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.item_id) AS rank
+        |    FROM calib q CROSS JOIN corpus c) WHERE rank <= 5),
+        |truth AS (SELECT count(*) AS t FROM cexact),
+        |hits AS (SELECT n_probe, count(*) AS h
+        |  FROM capprox JOIN cexact USING (query_id, item_id)
+        |  GROUP BY n_probe),
+        |chosen AS (SELECT coalesce(min(n_probe), 8) AS p
+        |  FROM hits, truth WHERE 100 * h >= 80 * t),
+        |fprobed AS (SELECT query_id, v, cell, rn AS pr FROM (
+        |    SELECT q.query_id, q.v, ct.cell, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM queries q CROSS JOIN cent ct) WHERE rn <= 8),
+        |fscored AS (SELECT p.query_id, a.item_id,
+        |    list_cosine_similarity(p.v, a.v) AS cosine
+        |  FROM fprobed p JOIN assigned a USING (cell)
+        |  WHERE p.pr <= (SELECT p FROM chosen))
+        |SELECT (SELECT p FROM chosen) AS n_probe, query_id, item_id,
+        |  round(cosine, 6) AS cosine, rank FROM (
+        |  SELECT query_id, item_id, cosine, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rank
+        |  FROM fscored)
+        |WHERE rank <= 5""".stripMargin,
+    "sim18_policy_holdout" ->
+      """WITH corpus AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |queries AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |calib AS (SELECT * FROM queries WHERE query_id < 5),
+        |holdout AS (SELECT * FROM queries WHERE query_id >= 5),
+        |nc AS (SELECT least(4096, (count(*) + 63) // 64) AS c FROM corpus),
+        |cent AS (SELECT rn - 1 AS cell, v AS cv FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |    FROM corpus) WHERE rn <= (SELECT c FROM nc)),
+        |assigned AS (SELECT item_id, v, cell FROM (
+        |    SELECT c.item_id, c.v, ct.cell, row_number() OVER (
+        |      PARTITION BY c.item_id
+        |      ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+        |cprobed AS (SELECT query_id, v, cell, rn AS pr FROM (
+        |    SELECT q.query_id, q.v, ct.cell, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM calib q CROSS JOIN cent ct) WHERE rn <= 8),
+        |np AS (SELECT unnest(CAST([1, 2, 4, 8] AS BIGINT[])) AS n_probe),
+        |cscored AS (SELECT np.n_probe, p.query_id, a.item_id,
+        |    list_cosine_similarity(p.v, a.v) AS cosine
+        |  FROM cprobed p CROSS JOIN np JOIN assigned a USING (cell)
+        |  WHERE p.pr <= np.n_probe),
+        |capprox AS (SELECT n_probe, query_id, item_id FROM (
+        |    SELECT n_probe, query_id, item_id, row_number() OVER (
+        |      PARTITION BY n_probe, query_id
+        |      ORDER BY cosine DESC, item_id) AS rank FROM cscored)
+        |  WHERE rank <= 5),
+        |cexact AS (SELECT query_id, item_id FROM (
+        |    SELECT q.query_id, c.item_id, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.item_id) AS rank
+        |    FROM calib q CROSS JOIN corpus c) WHERE rank <= 5),
+        |truth AS (SELECT count(*) AS t FROM cexact),
+        |hits AS (SELECT n_probe, count(*) AS h
+        |  FROM capprox JOIN cexact USING (query_id, item_id)
+        |  GROUP BY n_probe),
+        |chosen AS (SELECT coalesce(min(n_probe), 8) AS p
+        |  FROM hits, truth WHERE 100 * h >= 80 * t),
+        |hprobed AS (SELECT query_id, v, cell FROM (
+        |    SELECT q.query_id, q.v, ct.cell, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM holdout q CROSS JOIN cent ct)
+        |  WHERE rn <= (SELECT p FROM chosen)),
+        |hscored AS (SELECT p.query_id, a.item_id,
+        |    list_cosine_similarity(p.v, a.v) AS cosine
+        |  FROM hprobed p JOIN assigned a USING (cell)),
+        |happrox AS (SELECT query_id, item_id FROM (
+        |    SELECT query_id, item_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rank
+        |    FROM hscored) WHERE rank <= 5),
+        |hexact AS (SELECT query_id, item_id FROM (
+        |    SELECT q.query_id, c.item_id, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.item_id) AS rank
+        |    FROM holdout q CROSS JOIN corpus c) WHERE rank <= 5),
+        |agg AS (SELECT count(a.item_id) AS hits, count(*) AS truth
+        |  FROM hexact e LEFT JOIN happrox a USING (query_id, item_id))
+        |SELECT (SELECT p FROM chosen) AS n_probe, hits, truth,
+        |  hits * 100 // truth AS recall_pct_floor,
+        |  CAST(CASE WHEN hits * 100 >= truth * 80 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS meets_target
+        |FROM agg""".stripMargin,
     "sim16_auto_recall_curve" ->
       """WITH corpus AS (SELECT vec_id AS item_id,
         |    CAST(embedding AS DOUBLE[]) AS v

@@ -114,6 +114,17 @@ object StreamScale {
       // (the d24 growth model), and every 10th doc repeats its family's
       // batch-0 text to keep a constant true-dup density for the
       // match-then-claim path
+      def dedupText(slot: Int, b: Int): String =
+        (0 until 20).map(j => s"w${(slot * 13 + b * 101 + j * 7) % (50 * k)}")
+          .mkString(" ")
+      def dedupFeed(mem: MemoryStream[(Long, String)])(b: Int): Long = {
+        mem.addData((0 until keys).map { s =>
+          val body =
+            if (b > 0 && s % 10 == 0) dedupText(s, 0) else dedupText(s, b)
+          (b.toLong * keys + s, body)
+        })
+        keys.toLong
+      }
       locally {
         val mem = MemoryStream[(Long, String)]
         val q = StreamingDedup.nearDups(
@@ -121,16 +132,47 @@ object StreamScale {
             shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
           .writeStream.outputMode("append")
           .format("noop").queryName(s"ss_dedup_$k").start()
-        def text(slot: Int, b: Int): String =
-          (0 until 20).map(j => s"w${(slot * 13 + b * 101 + j * 7) % (50 * k)}")
-            .mkString(" ")
-        out += report("near_dups", k, keys, drive(q, { b =>
-          mem.addData((0 until keys).map { s =>
-            val body = if (b > 0 && s % 10 == 0) text(s, 0) else text(s, b)
-            (b.toLong * keys + s, body)
-          })
-          keys.toLong
-        }))
+        out += report("near_dups", k, keys, drive(q, dedupFeed(mem)))
+      }
+
+      // --- nearDups cost decomposition (round-10 verdict item 4): the —
+      // same feed through (a) the stateless prefix only (signature +
+      // band explode, no shuffle, no state) and (b) prefix + groupByKey
+      // shuffle + a state-v2 processor that touches NO state — so
+      // full − (b) = RocksDB get/put + match cost, (b) − (a) = shuffle
+      // + transformWithState harness, (a) = MinHash/banding CPU.
+      locally {
+        val mem = MemoryStream[(Long, String)]
+        val q = StreamingDedup.bandRows(
+            mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+            shingleN = 3, numHashes = 16, bands = 4)
+          .writeStream.outputMode("append")
+          .format("noop").queryName(s"ss_dedup_sig_$k").start()
+        out += report("near_dups_sig", k, keys, drive(q, dedupFeed(mem)))
+      }
+      locally {
+        import org.apache.spark.sql.Encoders
+        import org.apache.spark.sql.streaming.{OutputMode => OM, StatefulProcessor, TimeMode, TimerValues}
+        val mem = MemoryStream[(Long, String)]
+        val noState = new StatefulProcessor[String,
+            StreamingDedup.BandRow, StreamingDedup.DupCandidate] {
+          override def init(outputMode: OM, timeMode: TimeMode): Unit = ()
+          override def handleInputRows(key: String,
+              rows: Iterator[StreamingDedup.BandRow],
+              tv: TimerValues): Iterator[StreamingDedup.DupCandidate] = {
+            rows.foreach(_ => ()) // consume, touch no state
+            Iterator.empty
+          }
+        }
+        val q = StreamingDedup.bandRows(
+            mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+            shingleN = 3, numHashes = 16, bands = 4)
+          .groupByKey(_.key)
+          .transformWithState(noState, TimeMode.None(), OM.Append(),
+            Encoders.product[StreamingDedup.DupCandidate])
+          .writeStream.outputMode("append")
+          .format("noop").queryName(s"ss_dedup_shuf_$k").start()
+        out += report("near_dups_shuf", k, keys, drive(q, dedupFeed(mem)))
       }
     }
     println(s"""{"metric":"stream_scale","base_keys":$baseKeys,"n_batches":$nBatches,"ops":{${out.result().mkString(",")}}}""")

@@ -462,6 +462,125 @@ object SimSearch {
       Seq(col("adc_dist").asc, col("item_id")), k)
   }
 
+  /** Recall-targeted probe policy for the auto-sized IVF index — the
+    * sim16 INSTRUMENT turned into a POLICY. sim16 measured the
+    * auto-sizing trade (cells grow with the corpus, so a constant
+    * nProbe probes a shrinking fraction and recall silently falls on
+    * unclustered corpora); this picks nProbe from a measured
+    * calibration instead of a caller constant: brute-force ground
+    * truth @k on a held-out calibration query sample, then the
+    * micro-averaged recall of each ladder depth (total approx∩truth
+    * hits over total truth rows — integer counts, so the threshold
+    * test `100·hits ≥ pct·truth` is pure integer math both engines
+    * evaluate identically, no float-mean knife edge), chosen = the
+    * SMALLEST ladder depth meeting `recallPctTarget`, else the ladder
+    * max — the honest fallback that says the corpus is in sim16's
+    * shrunken-fraction regime and the target is not reachable within
+    * the ladder's cost bound.
+    *
+    * Cost is bounded by the CALIBRATION sample, not the query load:
+    * one index build (centroid pull ≤ 4096 rows + zero-shuffle
+    * assignment), one probe join at the ladder max depth, one
+    * brute-force pass |calib|·|corpus| (size the sample — at 100 TB
+    * calibrate ~1k queries against the assigned index once per corpus
+    * snapshot, then serve every query batch at the chosen depth).
+    * Ladder must be ascending. Returns the chosen nProbe. */
+  def autoNProbePortable(calib: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, targetCellSize: Long, recallPctTarget: Int,
+      ladder: Seq[Int] = Seq(1, 2, 4, 8)): Int = {
+    require(ladder.nonEmpty && ladder == ladder.sorted,
+      s"ladder must be ascending, got $ladder")
+    require(recallPctTarget >= 0 && recallPctTarget <= 100,
+      s"recallPctTarget is a percent, got $recallPctTarget")
+    val pmax = ladder.max
+    val c = corpus.select(col(cId).as("item_id"),
+      col(cVec).cast("array<double>").as("__cv"))
+    val nCells = autoCells(math.max(1L, c.count()), targetCellSize)
+    val cents: Seq[Seq[Double]] = c
+      .orderBy(md5(col("item_id").cast("string")), col("item_id"))
+      .limit(nCells).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    import graft.functions.GraftFunctions.rankCells
+    val assigned = c.withColumn("__cell",
+      element_at(rankCells(col("__cv"), cents, 1), 1))
+    // one probe pass at the ladder MAX; depth-p hits are the subset
+    // with probe rank ≤ p (posexplode gives the rank for free — the
+    // same reuse the sim16 oracle's `pr <= n_probe` filter does)
+    val probed = calib.select(col(qId).as("query_id"),
+        col(qVec).cast("array<double>").as("__qv"))
+      .select(col("query_id"), col("__qv"),
+        posexplode(rankCells(col("__qv"), cents, pmax)))
+      .select(col("query_id"), col("__qv"),
+        (col("pos") + 1).as("__pr"), col("col").as("__cell"))
+    val scored = assigned.join(broadcast(probed), Seq("__cell"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosine(col("__qv"), col("__cv")))
+      .select(col("query_id"), col("item_id"), col("cosine"), col("__pr"))
+    val perDepth = ladder.map(p =>
+        scored.where(col("__pr") <= p)
+          .withColumn("n_probe", lit(p))).reduce(_ unionAll _)
+    val approx = TopK.perGroup(perDepth,
+        Seq(col("n_probe"), col("query_id")),
+        Seq(col("cosine").desc, col("item_id")), k)
+      .select(col("n_probe"), col("query_id"), col("item_id"))
+    val exact = bruteForceTopK(calib, corpus, qId, qVec, cId, cVec, k)
+      .select(col("query_id"), col("item_id"))
+    val hits: Map[Int, Long] = approx
+      .join(exact, Seq("query_id", "item_id"))
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val truth = exact.count()
+    ladder.find(p =>
+        100L * hits.getOrElse(p, 0L) >= recallPctTarget.toLong * truth)
+      .getOrElse(pmax)
+  }
+
+  /** [[ivfTopKPortableAuto]] driven by the [[autoNProbePortable]]
+    * policy: calibrate on `calib`, serve `queries` at the chosen depth.
+    * Output adds the chosen `n_probe` as a column so the policy's
+    * decision ships with the results (auditable, and the oracle twin
+    * recomputes the identical choice). */
+  def ivfTopKAutoProbePortable(queries: DataFrame, calib: DataFrame,
+      corpus: DataFrame, qId: String, qVec: String, cId: String,
+      cVec: String, k: Int, targetCellSize: Long, recallPctTarget: Int,
+      ladder: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val p = autoNProbePortable(calib, corpus, qId, qVec, cId, cVec, k,
+      targetCellSize, recallPctTarget, ladder)
+    ivfTopKPortableAuto(queries, corpus, qId, qVec, cId, cVec, k,
+        targetCellSize, nProbe = p)
+      .withColumn("n_probe", lit(p.toLong))
+  }
+
+  /** Held-out audit of the [[autoNProbePortable]] policy: calibrate on
+    * `calib`, then measure the CHOSEN depth's recall on `holdout`
+    * queries the calibration never saw — one row
+    * `(n_probe, hits, truth, recall_pct_floor, meets_target)` in pure
+    * integers (recall_pct_floor = 100·hits/truth integer division), the
+    * shipping gate that says whether the policy's choice generalizes
+    * off its calibration sample. This is the row the 100× iid/clustered
+    * scale evidence quotes. */
+  def autoNProbeHoldoutAudit(calib: DataFrame, holdout: DataFrame,
+      corpus: DataFrame, qId: String, qVec: String, cId: String,
+      cVec: String, k: Int, targetCellSize: Long, recallPctTarget: Int,
+      ladder: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val p = autoNProbePortable(calib, corpus, qId, qVec, cId, cVec, k,
+      targetCellSize, recallPctTarget, ladder)
+    val approx = ivfTopKPortableAuto(holdout, corpus, qId, qVec, cId,
+        cVec, k, targetCellSize, nProbe = p)
+      .select(col("query_id"), col("item_id"))
+    val exact = bruteForceTopK(holdout, corpus, qId, qVec, cId, cVec, k)
+      .select(col("query_id"), col("item_id"))
+    exact.join(approx.withColumn("__hit", lit(1)),
+        Seq("query_id", "item_id"), "left")
+      .agg(count(col("__hit")).as("hits"), count(lit(1)).as("truth"))
+      .select(lit(p.toLong).as("n_probe"), col("hits"), col("truth"),
+        // integer floor division (Spark `/` on longs is a double) and a
+        // 0/1 long instead of a boolean — both engines hash identically
+        expr("hits * 100 div truth").as("recall_pct_floor"),
+        when(col("hits") * 100L >= col("truth") * recallPctTarget.toLong,
+          1L).otherwise(0L).as("meets_target"))
+  }
+
   /** [[ivfTopKPortable]] with the cell count auto-sized from the corpus
     * count ([[autoCells]]) — the oracle-exact twin of [[ivfTopKAuto]]:
     * the DuckDB replay computes the same `least(4096, ceil(n/target))`
