@@ -418,6 +418,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cents.count() == nCells)
   }
 
+  test("autoNProbe policy: smallest qualifying depth, exhaustive fallback, held-out integer audit") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = emb.where($"vec_id" >= 10)
+    val calib = emb.where($"vec_id" < 5)
+    // target 0% qualifies at the FIRST ladder depth (any hits ≥ 0)
+    assert(SimSearch.autoNProbePortable(calib, corpus, "vec_id",
+      "embedding", "vec_id", "embedding", 5, 64L,
+      recallPctTarget = 0) == 1)
+    // target 100% on the tiny auto index (nc = 8) needs exhaustive
+    // probing — sim14's curve reaches 1.00 only at depth 8
+    val p100 = SimSearch.autoNProbePortable(calib, corpus, "vec_id",
+      "embedding", "vec_id", "embedding", 5, 64L,
+      recallPctTarget = 100)
+    assert(p100 == 8)
+    // chosen depth is monotone in the target
+    val p80 = SimSearch.autoNProbePortable(calib, corpus, "vec_id",
+      "embedding", "vec_id", "embedding", 5, 64L, recallPctTarget = 80)
+    assert(p80 <= p100)
+    // serving at the chosen depth equals the plain auto query at that
+    // depth (the policy only PICKS; it must not change the plan)
+    val served = SimSearch.ivfTopKAutoProbePortable(
+      emb.where($"vec_id" < 10), calib, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", 5, 64L, 80)
+    val plain = SimSearch.ivfTopKPortableAuto(emb.where($"vec_id" < 10),
+      corpus, "vec_id", "embedding", "vec_id", "embedding", 5, 64L, p80)
+    assert(served.drop("n_probe").except(plain).count() == 0 &&
+      plain.except(served.drop("n_probe")).count() == 0)
+    assert(served.select("n_probe").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(p80.toLong))
+    // held-out audit: pure integer row, exhaustive probe = exact = 100%
+    val audit = SimSearch.autoNProbeHoldoutAudit(calib,
+      emb.where($"vec_id" >= 5 && $"vec_id" < 10), corpus,
+      "vec_id", "embedding", "vec_id", "embedding", 5, 64L, 100).head()
+    assert(audit.getLong(0) == 8L)               // n_probe
+    assert(audit.getLong(1) == audit.getLong(2)) // hits == truth
+    assert(audit.getLong(3) == 100L)             // recall_pct_floor
+    assert(audit.getLong(4) == 1L)               // meets_target
+  }
+
   test("autoWidth: integer bit-length math, clamped to [1, 24]") {
     // (n, target) -> width; width = ceil(log2(ceil(n/target))) clamped
     val cases = Seq(
