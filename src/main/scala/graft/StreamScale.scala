@@ -117,18 +117,33 @@ object StreamScale {
       def dedupText(slot: Int, b: Int): String =
         (0 until 20).map(j => s"w${(slot * 13 + b * 101 + j * 7) % (50 * k)}")
           .mkString(" ")
+      // MemoryStream delivers each addData call as ONE input partition,
+      // so a single 100k-row addData serializes the pre-shuffle
+      // signature stage onto one core (round-10 decomposition: 9.1 of a
+      // 10.2 s batch) — a harness artifact, not an operator property (a
+      // production topic is partitioned). A downstream repartition does
+      // NOT fix it: the optimizer pushes the signature projection BELOW
+      // the shuffle, back onto the single source partition (measured:
+      // 3.65 s — exactly the serial md5 cost — with only the post-sig
+      // stages parallelized). Feed one addData per chunk instead, the
+      // shape a multi-partition source actually delivers.
       def dedupFeed(mem: MemoryStream[(Long, String)])(b: Int): Long = {
-        mem.addData((0 until keys).map { s =>
+        val rows = (0 until keys).map { s =>
           val body =
             if (b > 0 && s % 10 == 0) dedupText(s, 0) else dedupText(s, b)
           (b.toLong * keys + s, body)
-        })
+        }
+        val nChunks = math.min(cpus.toInt, math.max(1, keys / 64))
+        rows.grouped((keys + nChunks - 1) / nChunks)
+          .foreach(chunk => mem.addData(chunk))
         keys.toLong
       }
+      def dedupSrc(mem: MemoryStream[(Long, String)]) =
+        mem.toDF().toDF("doc_id", "text")
       locally {
         val mem = MemoryStream[(Long, String)]
         val q = StreamingDedup.nearDups(
-            mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+            dedupSrc(mem), "doc_id", "text",
             shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
           .writeStream.outputMode("append")
           .format("noop").queryName(s"ss_dedup_$k").start()
@@ -144,7 +159,7 @@ object StreamScale {
       locally {
         val mem = MemoryStream[(Long, String)]
         val q = StreamingDedup.bandRows(
-            mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+            dedupSrc(mem), "doc_id", "text",
             shingleN = 3, numHashes = 16, bands = 4)
           .writeStream.outputMode("append")
           .format("noop").queryName(s"ss_dedup_sig_$k").start()
@@ -165,7 +180,7 @@ object StreamScale {
           }
         }
         val q = StreamingDedup.bandRows(
-            mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+            dedupSrc(mem), "doc_id", "text",
             shingleN = 3, numHashes = 16, bands = 4)
           .groupByKey(_.key)
           .transformWithState(noState, TimeMode.None(), OM.Append(),
