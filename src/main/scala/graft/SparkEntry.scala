@@ -4468,6 +4468,24 @@ object SparkEntry {
         k = 5, targetCellSize = 64L, recallPctTarget = 80)
   }
 
+  /** SIM19: IVF index drift audit ([[SimSearch.ivfDriftAudit]]) — the
+    * RE-FIT signal of the ANN index lifecycle (fit once per corpus
+    * snapshot, serve many batches, re-fit when the data moves): the
+    * index is fitted on 80% of the corpus (every vec_id % 5 ≠ 0), the
+    * held-back 20% plays the newly-arrived batch, and the audit
+    * reports per cell how incoming mass distributes vs fit-time mass
+    * and whether incoming rows assign with degraded cosine — load skew
+    * and description drift, the two triggers that invalidate an index.
+    * The d23/d25 capacity-audit discipline applied to the IVF family's
+    * lifecycle. */
+  private val sim19IndexDrift: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir).where(col("vec_id") >= 10)
+    SimSearch.ivfDriftAudit(
+      emb.where(col("vec_id") % 5 =!= 0),
+      emb.where(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", targetCellSize = 64L)
+  }
+
   /** L10: layout effectiveness — the l7 zone-map skip test run under
     * two physical layouts of the same fact table (key-clustered
     * ÷6000-row blocks vs ship-month partitions) for the same 1995
@@ -5127,6 +5145,7 @@ object SparkEntry {
     "sim16_auto_recall_curve" -> sim16AutoRecallCurve,
     "sim17_auto_nprobe" -> sim17AutoNprobe,
     "sim18_policy_holdout" -> sim18PolicyHoldout,
+    "sim19_index_drift" -> sim19IndexDrift,
     "l10_layout_effectiveness" -> l10LayoutEffectiveness,
     "q7_dataset_card" -> q7DatasetCard,
     "w30_growth_accounting" -> w30GrowthAccounting,
@@ -9546,6 +9565,38 @@ object SparkEntry {
         |  CAST(CASE WHEN hits * 100 >= truth * 80 THEN 1 ELSE 0 END
         |    AS BIGINT) AS meets_target
         |FROM agg""".stripMargin,
+    "sim19_index_drift" ->
+      """WITH fit AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id % 5 <> 0),
+        |inc AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id % 5 = 0),
+        |nc AS (SELECT least(4096, (count(*) + 63) // 64) AS c FROM fit),
+        |cent AS (SELECT rn - 1 AS cell, v AS cv FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |    FROM fit) WHERE rn <= (SELECT c FROM nc)),
+        |af AS (SELECT cell, count(*) AS n_fit,
+        |    round(avg(cs), 6) AS mean_cos_fit FROM (
+        |    SELECT f.item_id, ct.cell,
+        |      round(list_cosine_similarity(f.v, ct.cv), 6) AS cs,
+        |      row_number() OVER (PARTITION BY f.item_id
+        |        ORDER BY list_cosine_similarity(f.v, ct.cv) DESC, ct.cell)
+        |        AS rn
+        |    FROM fit f CROSS JOIN cent ct) WHERE rn = 1 GROUP BY cell),
+        |an AS (SELECT cell, count(*) AS n_new,
+        |    round(avg(cs), 6) AS mean_cos_new FROM (
+        |    SELECT i.item_id, ct.cell,
+        |      round(list_cosine_similarity(i.v, ct.cv), 6) AS cs,
+        |      row_number() OVER (PARTITION BY i.item_id
+        |        ORDER BY list_cosine_similarity(i.v, ct.cv) DESC, ct.cell)
+        |        AS rn
+        |    FROM inc i CROSS JOIN cent ct) WHERE rn = 1 GROUP BY cell)
+        |SELECT coalesce(af.cell, an.cell) AS cell,
+        |  coalesce(n_fit, 0) AS n_fit, coalesce(n_new, 0) AS n_new,
+        |  mean_cos_fit, mean_cos_new,
+        |  round(mean_cos_new - mean_cos_fit, 6) AS cos_drift
+        |FROM af FULL OUTER JOIN an ON af.cell = an.cell""".stripMargin,
     "sim16_auto_recall_curve" ->
       """WITH corpus AS (SELECT vec_id AS item_id,
         |    CAST(embedding AS DOUBLE[]) AS v

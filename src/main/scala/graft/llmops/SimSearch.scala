@@ -581,6 +581,58 @@ object SimSearch {
           1L).otherwise(0L).as("meets_target"))
   }
 
+  /** IVF index-lifecycle drift monitor — the re-fit signal for the real
+    * ANN lifecycle (fit once per corpus snapshot, serve many batches):
+    * the index was fitted on `fit`; `incoming` rows arrive later and are
+    * assigned to the FIT-TIME cells. Per cell, the audit reports fit
+    * and incoming populations and their mean assignment cosine
+    * (6-dp-rounded per row before the mean, the engine-portable
+    * convention) plus the drift delta — incoming mass concentrating in
+    * few cells (load skew) or assigning with visibly lower cosine than
+    * the fit population (the centroids no longer describe the data) are
+    * the two re-fit triggers. Index shape is the portable auto-sized
+    * family (md5-ordered literal centroids over the FIT corpus,
+    * [[autoCells]] sizing), so the audit replicates in ANSI SQL; the
+    * production k-means path gets the same audit from
+    * [[ivfIndexAuto]]'s `assigned`/`centroids` frames.
+    *
+    * Scale shape: two zero-shuffle assignment passes over literals +
+    * one nCells-row broadcast join + one groupBy on cell (≤ 4096
+    * groups). Output: (cell, n_fit, n_new, mean_cos_fit, mean_cos_new,
+    * cos_drift) — ≤ nCells rows; sides missing from a cell stay null
+    * (n counts 0). */
+  def ivfDriftAudit(fit: DataFrame, incoming: DataFrame,
+      id: String, vec: String, targetCellSize: Long): DataFrame = {
+    val f = fit.select(col(id).as("item_id"),
+      col(vec).cast("array<double>").as("__v"))
+    val inc = incoming.select(col(id).as("item_id"),
+      col(vec).cast("array<double>").as("__v"))
+    val nCells = autoCells(math.max(1L, f.count()), targetCellSize)
+    val cents: Seq[Seq[Double]] = f
+      .orderBy(md5(col("item_id").cast("string")), col("item_id"))
+      .limit(nCells).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val spark = fit.sparkSession
+    import spark.implicits._
+    val centDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("__cell", "__centroid")
+    import graft.functions.GraftFunctions.rankCells
+    def cellStats(df: DataFrame, nCol: String, mCol: String): DataFrame =
+      df.withColumn("__cell", element_at(rankCells(col("__v"), cents, 1), 1))
+        .join(broadcast(centDf), Seq("__cell"))
+        .select(col("__cell"), round(graft.functions.GraftFunctions
+          .cosine(col("__v"), col("__centroid")), 6).as("__cos"))
+        .groupBy(col("__cell"))
+        .agg(count(lit(1)).as(nCol), round(avg(col("__cos")), 6).as(mCol))
+    cellStats(f, "n_fit", "mean_cos_fit")
+      .join(cellStats(inc, "n_new", "mean_cos_new"), Seq("__cell"), "full")
+      .select(col("__cell").cast("long").as("cell"),
+        coalesce(col("n_fit"), lit(0L)).as("n_fit"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("mean_cos_fit"), col("mean_cos_new"),
+        round(col("mean_cos_new") - col("mean_cos_fit"), 6)
+          .as("cos_drift"))
+  }
+
   /** [[ivfTopKPortable]] with the cell count auto-sized from the corpus
     * count ([[autoCells]]) — the oracle-exact twin of [[ivfTopKAuto]]:
     * the DuckDB replay computes the same `least(4096, ceil(n/target))`

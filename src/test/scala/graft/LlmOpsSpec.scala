@@ -457,6 +457,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(audit.getLong(4) == 1L)               // meets_target
   }
 
+  test("ivfDriftAudit: populations conserved, skewed batch collapses to one cell") {
+    val emb = Tables.embeddings(spark, TestSpark.sf).where($"vec_id" >= 10)
+    val fit = emb.where($"vec_id" % 5 =!= 0)
+    val inc = emb.where($"vec_id" % 5 === 0)
+    val audit = SimSearch.ivfDriftAudit(fit, inc, "vec_id", "embedding", 64L)
+      .collect()
+    // every fit and incoming row lands in exactly one cell
+    assert(audit.map(_.getLong(1)).sum == fit.count())
+    assert(audit.map(_.getLong(2)).sum == inc.count())
+    assert(audit.length <= SimSearch.autoCells(fit.count(), 64L))
+    // exchangeable split (same distribution both sides): no strong
+    // uniform degradation — mean drift over populated cells near zero
+    val drifts = audit.filter(r => !r.isNullAt(5)).map(_.getDouble(5))
+    assert(drifts.nonEmpty && math.abs(drifts.sum / drifts.length) < 0.2)
+    // the load-skew trigger: a degenerate incoming batch (every row the
+    // same vector) must collapse into exactly ONE cell — the audit row
+    // that says the fit-time partitioning no longer spreads the data.
+    // (A negated batch does NOT read negative cos_drift here: in a
+    // symmetric iid cloud the best-of-nc cosine of -v matches that of
+    // v in distribution — cosine degradation needs a fit corpus with
+    // cluster structure, which the load-skew signal does not.)
+    val one = inc.select($"embedding").head().getSeq[Float](0)
+    val skewed = inc.withColumn("embedding",
+      array(one.map(x => lit(x)): _*))
+    val a2 = SimSearch.ivfDriftAudit(fit, skewed, "vec_id", "embedding", 64L)
+      .collect()
+    assert(a2.count(_.getLong(2) > 0) == 1, "all skewed mass in one cell")
+    assert(a2.map(_.getLong(2)).sum == inc.count())
+  }
+
   test("autoWidth: integer bit-length math, clamped to [1, 24]") {
     // (n, target) -> width; width = ceil(log2(ceil(n/target))) clamped
     val cases = Seq(
