@@ -4486,6 +4486,25 @@ object SparkEntry {
       "vec_id", "embedding", targetCellSize = 64L)
   }
 
+  /** SIM20: the recall-targeted probe policy on the PRODUCTION k-means
+    * index ([[SimSearch.ivfTopKAutoProbe]]) — sim17's real-index twin:
+    * fit [[SimSearch.ivfIndexAuto]] once, calibrate the serving depth
+    * on the vec_id < 5 sample, serve the full batch at the chosen
+    * depth. Rows-only (k-means is not oracle-replayable); the
+    * oracle-exact sibling sim17 pins the selection math — the
+    * sim2→sim4 twin discipline. */
+  private val sim20KmeansAutoProbe: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.ivfTopKAutoProbe(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") < 5),
+        emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, targetCellSize = 64L, recallPctTarget = 80)
+      .select(col("n_probe"), col("query_id"), col("item_id"),
+        round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** L10: layout effectiveness — the l7 zone-map skip test run under
     * two physical layouts of the same fact table (key-clustered
     * ÷6000-row blocks vs ship-month partitions) for the same 1995
@@ -5146,6 +5165,7 @@ object SparkEntry {
     "sim17_auto_nprobe" -> sim17AutoNprobe,
     "sim18_policy_holdout" -> sim18PolicyHoldout,
     "sim19_index_drift" -> sim19IndexDrift,
+    "sim20_kmeans_auto_probe" -> sim20KmeansAutoProbe,
     "l10_layout_effectiveness" -> l10LayoutEffectiveness,
     "q7_dataset_card" -> q7DatasetCard,
     "w30_growth_accounting" -> w30GrowthAccounting,

@@ -581,6 +581,74 @@ object SimSearch {
           1L).otherwise(0L).as("meets_target"))
   }
 
+  /** [[autoNProbePortable]]'s selection over a PREBUILT index — the
+    * production form: `assigned`/`centDf` come from [[ivfIndex]] /
+    * [[ivfIndexAuto]] (real k-means), the index is fitted once per
+    * corpus snapshot, and this picks the serving depth from a
+    * calibration sample against THAT index. Identical integer
+    * threshold and smallest-qualifying-depth/ladder-max-fallback
+    * contract; ground truth is brute force against the indexed corpus
+    * (`assigned`'s item/vector columns). Not oracle-replayable (k-means
+    * is not) — the portable twin [[autoNProbePortable]] pins the math,
+    * the same twin discipline as sim2→sim4. */
+  def autoNProbeIndexed(calib: DataFrame, assigned: DataFrame,
+      centDf: DataFrame, qId: String, qVec: String, k: Int,
+      recallPctTarget: Int, ladder: Seq[Int] = Seq(1, 2, 4, 8)): Int = {
+    require(ladder.nonEmpty && ladder == ladder.sorted,
+      s"ladder must be ascending, got $ladder")
+    val pmax = ladder.max
+    val q = calib.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+    // same (−cosine, cell) ranking as ivfProbe, kept to the ladder max
+    // with the probe rank retained — depth-p candidates are pr ≤ p
+    val rankedCells = q.crossJoin(broadcast(centDf))
+      .withColumn("__dist", -graft.functions.GraftFunctions.cosine(
+        col("__qv").cast("array<double>"), col("__centroid")))
+    val probed = TopK.perGroup(rankedCells, Seq(col("query_id")),
+        Seq(col("__dist"), col("__cell")), pmax, "__pr")
+      .select(col("query_id"), col("__qv"), col("__cell"), col("__pr"))
+    val scored = assigned.join(broadcast(probed), Seq("__cell"))
+      .withColumn("cosine", graft.functions.GraftFunctions.cosine(
+        col("__qv"), col("__cv")))
+      .select(col("query_id"), col("item_id"), col("cosine"), col("__pr"))
+    val perDepth = ladder.map(p =>
+        scored.where(col("__pr") <= p)
+          .withColumn("n_probe", lit(p))).reduce(_ unionAll _)
+    val approx = TopK.perGroup(perDepth,
+        Seq(col("n_probe"), col("query_id")),
+        Seq(col("cosine").desc, col("item_id")), k)
+      .select(col("n_probe"), col("query_id"), col("item_id"))
+    val exact = bruteForceTopK(calib, assigned, qId, qVec,
+        "item_id", "__cv", k)
+      .select(col("query_id"), col("item_id"))
+    val hits: Map[Int, Long] = approx
+      .join(exact, Seq("query_id", "item_id"))
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val truth = exact.count()
+    ladder.find(p =>
+        100L * hits.getOrElse(p, 0L) >= recallPctTarget.toLong * truth)
+      .getOrElse(pmax)
+  }
+
+  /** One-shot production composition: [[ivfIndexAuto]] (real k-means,
+    * auto-sized cells) + [[autoNProbeIndexed]] calibration +
+    * [[ivfProbe]] at the chosen depth, depth shipped as a column —
+    * [[ivfTopKAutoProbePortable]]'s k-means twin. In the real lifecycle
+    * the three stages split: fit and calibrate once per corpus
+    * snapshot, probe per query batch. */
+  def ivfTopKAutoProbe(queries: DataFrame, calib: DataFrame,
+      corpus: DataFrame, qId: String, qVec: String, cId: String,
+      cVec: String, k: Int, targetCellSize: Long, recallPctTarget: Int,
+      ladder: Seq[Int] = Seq(1, 2, 4, 8), seed: Long = 42L,
+      kmeansIter: Int = 3): DataFrame = {
+    val (assigned, centDf) = ivfIndexAuto(corpus, cId, cVec,
+      targetCellSize, seed, kmeansIter)
+    val p = autoNProbeIndexed(calib, assigned, centDf, qId, qVec, k,
+      recallPctTarget, ladder)
+    ivfProbe(queries, assigned, centDf, qId, qVec, k, p)
+      .withColumn("n_probe", lit(p.toLong))
+  }
+
   /** IVF index-lifecycle drift monitor — the re-fit signal for the real
     * ANN lifecycle (fit once per corpus snapshot, serve many batches):
     * the index was fitted on `fit`; `incoming` rows arrive later and are

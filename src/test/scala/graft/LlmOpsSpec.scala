@@ -457,6 +457,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(audit.getLong(4) == 1L)               // meets_target
   }
 
+  test("autoNProbeIndexed: k-means-index policy serves exactly ivfProbe at the chosen depth") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = emb.where($"vec_id" >= 10)
+    val calib = emb.where($"vec_id" < 5)
+    val (assigned, centDf) = SimSearch.ivfIndexAuto(corpus, "vec_id",
+      "embedding", targetCellSize = 64L)
+    // exhaustive fallback: 100% target needs every cell probed
+    val nc = centDf.count().toInt
+    val ladder = Seq(1, 2, 4, math.max(8, nc))
+    assert(SimSearch.autoNProbeIndexed(calib, assigned, centDf,
+      "vec_id", "embedding", 5, 100, ladder) == ladder.max)
+    // policy only PICKS: the one-shot form equals ivfProbe at its depth
+    val served = SimSearch.ivfTopKAutoProbe(emb.where($"vec_id" < 10),
+      calib, corpus, "vec_id", "embedding", "vec_id", "embedding",
+      5, 64L, 80)
+    val p = served.select("n_probe").head().getLong(0).toInt
+    val plain = SimSearch.ivfProbe(emb.where($"vec_id" < 10), assigned,
+      centDf, "vec_id", "embedding", 5, p)
+    assert(served.drop("n_probe").except(plain).count() == 0 &&
+      plain.except(served.drop("n_probe")).count() == 0)
+  }
+
   test("ivfDriftAudit: populations conserved, skewed batch collapses to one cell") {
     val emb = Tables.embeddings(spark, TestSpark.sf).where($"vec_id" >= 10)
     val fit = emb.where($"vec_id" % 5 =!= 0)
