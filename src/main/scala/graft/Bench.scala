@@ -20,20 +20,20 @@ object Bench {
     * with matching `pin_n` convicts the environment, not the plans.
     * MUST be refreshed (standalone `runMain graft.Bench`) whenever the
     * query set or a heavy plan changes. */
-  // 142.8 s: round-9 CLOSING standalone pin at 260 queries in SORTED
-  // query order (uncontended, xcpu 0.0%), the middle of the round-9
-  // three-run spread 130.6 s/258 → 142.8 / 143.6 s/260 — quote the
-  // spread, never one run (bench protocol). The +4–13 s over the r8
-  // 138.7/250 pin is ~7–10 s of genuinely new timed work in the ten
-  // round-9 queries (d24 1.8, d29 2.4, d26 1.3, mm7 1.7 + sub-threshold
-  // tails); the like-for-like 250-query subset sits ≈133–136 s.
-  // Lineage: r8 138.7 s/250 (Iterate.pin fixpoints, sorted order;
-  // same-day spread 130.7–146.4), 127.3 s/248 after the native
-  // SimHash/MinHash kernel lowerings, mid-r8 152.5 s/246 (4096-entry
-  // codegen cache; 167.2 s at the old 100-entry cache), r6 99.6 s/182.
-  // Per-query constant ~0.55 s/q throughout.
-  private val pinWarmS = 142.8
-  private val pinN = 260
+  // 144.5 s: round-10 CLOSING standalone pin at 264 queries in SORTED
+  // query order (uncontended, xcpu 0.0%, janino_n 3,032 < the 4,096
+  // cache — no eviction). Same-day clean spread at the r10 code state:
+  // 131.3 s/260 (pre-sim17..20) → 144.5 s/264; the four new policy/
+  // drift queries carry ~3.5 s of new timed work (sim17 0.89, sim18
+  // 0.90, sim20 1.21, sim19 sub-threshold), the rest is the protocol's
+  // ±5% single-JVM spread — quote the spread, never one run. Lineage:
+  // r9 130.6–143.6/258–260, r8 138.7/250 (Iterate.pin fixpoints,
+  // sorted order; spread 130.7–146.4), 127.3/248 after the native
+  // SimHash/MinHash kernels, mid-r8 152.5/246 (4096-entry codegen
+  // cache; 167.2 at the old 100-entry), r6 99.6/182. Per-query
+  // constant ~0.55 s/q throughout.
+  private val pinWarmS = 144.5
+  private val pinN = 264
 
   /** PIDs of this JVM plus its ancestor chain (the sbt launcher that
     * forked us) — the only Java processes that are NOT contamination. */
