@@ -530,6 +530,10 @@ object SimSearch {
       .groupBy(col("n_probe")).agg(count(lit(1)).as("h"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val truth = exact.count()
+    // an empty calibration would satisfy ANY target vacuously
+    // (100·0 ≥ pct·0) and silently ship the cheapest depth — refuse
+    require(truth > 0,
+      "empty calibration sample: no ground-truth rows to target")
     ladder.find(p =>
         100L * hits.getOrElse(p, 0L) >= recallPctTarget.toLong * truth)
       .getOrElse(pmax)
@@ -625,6 +629,9 @@ object SimSearch {
       .groupBy(col("n_probe")).agg(count(lit(1)).as("h"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val truth = exact.count()
+    // same vacuous-satisfaction guard as autoNProbePortable
+    require(truth > 0,
+      "empty calibration sample: no ground-truth rows to target")
     ladder.find(p =>
         100L * hits.getOrElse(p, 0L) >= recallPctTarget.toLong * truth)
       .getOrElse(pmax)

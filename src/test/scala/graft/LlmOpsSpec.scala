@@ -479,6 +479,19 @@ class LlmOpsSpec extends AnyFunSuite {
       plain.except(served.drop("n_probe")).count() == 0)
   }
 
+  test("autoNProbe policy refuses an empty calibration sample") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = emb.where($"vec_id" >= 10)
+    val empty = emb.where($"vec_id" < 0)
+    // an empty sample satisfies any target vacuously (100*0 >= pct*0)
+    // and would silently ship the cheapest depth — must throw instead
+    val e = intercept[IllegalArgumentException] {
+      SimSearch.autoNProbePortable(empty, corpus, "vec_id", "embedding",
+        "vec_id", "embedding", 5, 64L, 80)
+    }
+    assert(e.getMessage.contains("empty calibration"))
+  }
+
   test("ivfDriftAudit: populations conserved, skewed batch collapses to one cell") {
     val emb = Tables.embeddings(spark, TestSpark.sf).where($"vec_id" >= 10)
     val fit = emb.where($"vec_id" % 5 =!= 0)
