@@ -479,6 +479,24 @@ class LlmOpsSpec extends AnyFunSuite {
       plain.except(served.drop("n_probe")).count() == 0)
   }
 
+  test("simHash banded-auto precountedN: identical results, same width basis") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val n = docs.count() // the documented basis: ALL docs, pre-filter
+    for ((dfl, pre) <- Seq(
+        Dedup.simHashPairsAuto(docs, "doc_id", "text") ->
+          Dedup.simHashPairsAuto(docs, "doc_id", "text",
+            precountedN = Some(n)),
+        Dedup.simHashBucketHistogramAuto(docs, "doc_id", "text") ->
+          Dedup.simHashBucketHistogramAuto(docs, "doc_id", "text",
+            precountedN = Some(n)))) {
+      assert(dfl.except(pre).count() == 0 && pre.except(dfl).count() == 0)
+    }
+    // a precount from a different basis CHANGES the width — the param
+    // is a scan-skip for callers that know n, not a tuning knob
+    assert(graft.llmops.SimSearch.autoWidth(n, 50L) !=
+      graft.llmops.SimSearch.autoWidth(n * 1000, 50L))
+  }
+
   test("autoNProbe policy refuses an empty calibration sample") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val corpus = emb.where($"vec_id" >= 10)
