@@ -526,6 +526,43 @@ object Dedup {
       )).as("bk"))
   }
 
+  /** Detection probability of a pair with true Jaccard `j` under
+    * (bands, rows) MinHash banding: `1 − (1 − j^rows)^bands` — the
+    * standard LSH S-curve (a pair is caught iff at least one band's
+    * `rows` signature positions all agree; positions agree
+    * independently with probability j). Public so monitoring can plot
+    * the curve an index was planned against. */
+  def detectionProb(j: Double, bands: Int, rows: Int): Double = {
+    require(j >= 0 && j <= 1 && bands >= 1 && rows >= 1)
+    1.0 - math.pow(1.0 - math.pow(j, rows), bands)
+  }
+
+  /** Analytic banding planner — the design-time companion of the d21
+    * threshold sweep and the sim17 probe policy: given the signature
+    * length, pick `(bands, rows = numHashes / bands)` meeting
+    * `targetDetectPct` recall at the `minJaccard` operating point with
+    * the FEWEST bands. Fewer bands = fewer bucket rows per doc (the
+    * banding stage's shuffle volume and the streaming claim state both
+    * scale with bands), so the cheapest qualifying pair is the right
+    * one; when no divisor pair reaches the target the most-detecting
+    * pair (max bands, rows = 1... i.e. bands = numHashes) is returned —
+    * the caller's signal to lengthen the signature. Pure math, no data
+    * pass: the S-curve is exact for MinHash position agreement, so
+    * unlike sim17's measured calibration nothing here needs an oracle.
+    */
+  def bandPlan(numHashes: Int, minJaccard: Double,
+      targetDetectPct: Int): (Int, Int) = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(targetDetectPct >= 0 && targetDetectPct <= 100,
+      s"targetDetectPct is a percent, got $targetDetectPct")
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    divisors
+      .find(b => detectionProb(minJaccard, b, numHashes / b)
+        >= targetDetectPct / 100.0)
+      .map(b => (b, numHashes / b))
+      .getOrElse((numHashes, 1))
+  }
+
   /** MinHash signature: `numHashes` independent permutations via seeded
     * xxhash64 over the shingle set — the native one-pass kernel
     * ([[graft.functions.MinHashSig]]; one string hash per shingle, cheap

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Continuous ANN-index monitoring — the streaming form of the batch
+  * drift audit ([[graft.llmops.SimSearch.ivfDriftAudit]], sim19): the
+  * index was fitted once on a corpus snapshot; the embedding INGEST
+  * stream is assigned to the fit-time cells as it arrives, and
+  * per-(event-time window, cell) statistics stream out so load skew and
+  * assignment-cosine degradation are visible while they happen instead
+  * of at the next batch audit.
+  *
+  * Shape: stateless per-row assignment against LITERAL centroids (the
+  * RankCells kernel — zero shuffle, no stream-static join for the
+  * argmax) + one broadcast stream-static join to fetch the winning
+  * centroid for the cosine + a watermarked windowed aggregate (Spark
+  * manages the per-(window, cell) state; bounded by nCells × open
+  * windows). At 100 TB-equivalent ingest the aggregate state is tiny —
+  * the stream's volume never lands in state, only the ≤4096-cell
+  * rollup does.
+  *
+  * The optional `fitStats` frame (cell, n_fit, mean_cos_fit — sim19's
+  * fit side, computed once at fit time) broadcast-joins onto the
+  * windowed rows so each output row carries its drift delta directly.
+  *
+  * Works identically on a batch frame (window() is a plain expression)
+  * — StreamingSpec pins stream ≡ batch on the same input.
+  */
+object IndexMonitor {
+
+  /** Per-(window, cell) ingest statistics against fit-time centroids.
+    *
+    * @param incoming streaming (or batch) frame with an embedding and
+    *                 an event-time timestamp column
+    * @param vec      embedding column (array of float/double)
+    * @param ts       event-time TIMESTAMP column for windowing
+    * @param cents    fit-time centroids, in cell order (collect them
+    *                 once from ivfIndex's centroid frame)
+    * @param fitStats optional (cell, n_fit, mean_cos_fit) baseline;
+    *                 when present each row carries cos_drift
+    * @param windowDur   e.g. "1 minute"
+    * @param watermarkDelay e.g. "2 minutes" — bounds window state
+    * Output: (window_start, window_end, cell, n_new, mean_cos_new
+    *          [, n_fit, mean_cos_fit, cos_drift]). */
+  def cellDriftStream(incoming: DataFrame, vec: String, ts: String,
+      cents: Seq[Seq[Double]], fitStats: Option[DataFrame] = None,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "2 minutes"): DataFrame = {
+    require(cents.nonEmpty, "need at least one fit-time centroid")
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{cosine, rankCells}
+    val centDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("__cell", "__centroid")
+    val assigned = incoming
+      .withColumn("__v", col(vec).cast("array<double>"))
+      .withColumn("__cell", element_at(rankCells(col("__v"), cents, 1), 1))
+      .join(broadcast(centDf), Seq("__cell"))
+      .select(col(ts).as("__ts"), col("__cell"),
+        round(cosine(col("__v"), col("__centroid")), 6).as("__cos"))
+    val windowed = assigned
+      .withWatermark("__ts", watermarkDelay)
+      .groupBy(window(col("__ts"), windowDur), col("__cell"))
+      .agg(count(lit(1)).as("n_new"),
+        round(avg(col("__cos")), 6).as("mean_cos_new"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("__cell").cast("long").as("cell"),
+        col("n_new"), col("mean_cos_new"))
+    fitStats match {
+      case None => windowed
+      case Some(fit) =>
+        windowed.join(
+            broadcast(fit.select(col("cell"), col("n_fit"),
+              col("mean_cos_fit"))), Seq("cell"), "left")
+          .withColumn("cos_drift",
+            round(col("mean_cos_new") - col("mean_cos_fit"), 6))
+    }
+  }
+}

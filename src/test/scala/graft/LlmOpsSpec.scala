@@ -497,6 +497,27 @@ class LlmOpsSpec extends AnyFunSuite {
       graft.llmops.SimSearch.autoWidth(n * 1000, 50L))
   }
 
+  test("bandPlan: S-curve hand-check, fewest qualifying bands, honest fallback") {
+    // hand-computed curve at numHashes = 16, j = 0.5:
+    //   b=1,r=16: 1-(1-2^-16)    ≈ 1.5e-5   b=2,r=8: ≈ 0.0078
+    //   b=4,r=4 : 1-(1-0.0625)^4 ≈ 0.2275   b=8,r=2: 1-0.75^8 ≈ 0.8999
+    //   b=16,r=1: 1-0.5^16       ≈ 0.99998
+    assert(math.abs(Dedup.detectionProb(0.5, 4, 4) - 0.22752) < 1e-4)
+    assert(math.abs(Dedup.detectionProb(0.5, 8, 2) - 0.89989) < 1e-4)
+    // target 80% at j=0.5 → the cheapest qualifying pair is (8, 2)
+    assert(Dedup.bandPlan(16, 0.5, 80) == ((8, 2)))
+    // 95% needs every position as its own band
+    assert(Dedup.bandPlan(16, 0.5, 95) == ((16, 1)))
+    // an unreachable target falls back to the most-detecting pair —
+    // the signal to lengthen the signature, never a silent under-plan
+    assert(Dedup.bandPlan(16, 0.1, 99) == ((16, 1)))
+    // trivial targets take the cheapest banding there is
+    assert(Dedup.bandPlan(16, 0.5, 0) == ((1, 16)))
+    // the default d2/d5 shape (16 hashes, 4 bands) is the 20%-at-0.5
+    // operating point — bandPlan reproduces it for that target
+    assert(Dedup.bandPlan(16, 0.5, 20) == ((4, 4)))
+  }
+
   test("autoNProbe policy refuses an empty calibration sample") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val corpus = emb.where($"vec_id" >= 10)

@@ -16,6 +16,41 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("IndexMonitor.cellDriftStream: stream ≡ batch, drift joins the fit baseline") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.IndexMonitor
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val fit = Seq((0L, 10L, 0.9), (1L, 5L, 0.8))
+      .toDF("cell", "n_fit", "mean_cos_fit")
+    // two event-time windows; rows 1/2/4 are cell-0-ish, row 3 cell 1
+    val rows = Seq(
+      (1L, Seq(0.9f, 0.1f), 10L), (2L, Seq(0.8f, 0.2f), 20L),
+      (3L, Seq(0.1f, 0.9f), 70L), (4L, Seq(1.0f, 0.0f), 75L))
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("id", "emb", "sec")
+        .withColumn("ts", timestamp_seconds($"sec"))
+    val mem = MemoryStream[(Long, Seq[Float], Long)]
+    val q = IndexMonitor.cellDriftStream(prep(mem.toDF()), "emb", "ts",
+        cents, Some(fit), "1 minute", "2 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cell_drift").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val cols = Seq("window_start", "window_end", "cell", "n_new",
+      "mean_cos_new", "n_fit", "mean_cos_fit", "cos_drift")
+    val got = spark.table("cell_drift")
+      .selectExpr(cols: _*).collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = IndexMonitor.cellDriftStream(prep(rows.toDF()), "emb",
+        "ts", cents, Some(fit), "1 minute", "2 minutes")
+      .selectExpr(cols: _*).collect().map(_.toSeq).toSet
+    assert(got == batch, s"stream $got\nbatch $batch")
+    // shape: window 0 holds the two cell-0 rows, window 1 one row per
+    // cell; every row carries its baseline delta
+    assert(batch.size == 3)
+    assert(batch.forall(r => r(7) != null), "every cell has a fit baseline")
+  }
+
   private val msgs = Seq(
     """{"user_id":"u1","history_items":["i1","i2"],"timestamp":100}""",
     """{"user_id":"u2","history_items":["i3"],"timestamp":200}""",
