@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.streaming.{BehaviorIngest, StreamingDedup}
+import graft.streaming.{BehaviorIngest, IndexMonitor, StreamingDedup}
 
 /** Streaming scale-evidence harness (round-9: the state-v2 operators'
   * ScaleSmoke). The batch families carry 1x/10x/100x/1000x rows; the
@@ -105,6 +106,28 @@ object StreamScale {
           mem.addData((0 until keys).map(u => (s"u$u",
             b.toLong * keys + u, b.toLong * 100 + u % 89,
             types((u + b) % 3))))
+          keys.toLong
+        }))
+      }
+
+      // --- cellDriftStream: windowed per-cell ingest monitor ----------
+      // (64 fit-time centroids; state = per-(window, cell) rollup only,
+      // never the stream's volume — the rate should track the O(1)-state
+      // ops, not nearDups)
+      locally {
+        val cents = Seq.tabulate(64)(c =>
+          Seq.tabulate(16)(i => ((c * 31 + i * 7) % 100) / 100.0))
+        val mem = MemoryStream[(Long, Seq[Float], Long)]
+        val src = mem.toDF().toDF("id", "emb", "sec")
+          .withColumn("ts", timestamp_seconds(col("sec")))
+        val q = IndexMonitor.cellDriftStream(src, "emb", "ts", cents,
+            None, "1 minute", "0 seconds")
+          .writeStream.outputMode("update").format("noop")
+          .queryName(s"ss_drift_$k").start()
+        out += report("cell_drift", k, keys, drive(q, { b =>
+          mem.addData((0 until keys).map(u => (b.toLong * keys + u,
+            Seq.tabulate(16)(i => ((u * 13 + i * 7 + b) % 1000) / 1000.0f),
+            b.toLong * 60 + u % 50)))
           keys.toLong
         }))
       }
