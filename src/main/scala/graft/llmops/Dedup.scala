@@ -556,6 +556,11 @@ object Dedup {
     require(targetDetectPct >= 0 && targetDetectPct <= 100,
       s"targetDetectPct is a percent, got $targetDetectPct")
     val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    // first qualifying in ascending band order IS the minimum because
+    // P(b) is monotone increasing in b for fixed numHashes (splitting
+    // bands grows the OR-power faster than shorter rows lose per-band
+    // match probability) — pinned over generated (n, j) by
+    // PropertiesSpec, not assumed
     divisors
       .find(b => detectionProb(minJaccard, b, numHashes / b)
         >= targetDetectPct / 100.0)

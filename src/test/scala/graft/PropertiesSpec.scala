@@ -37,6 +37,28 @@ class PropertiesSpec extends AnyFunSuite {
       ts <- Gen.choose(0L, 1000L)
     } yield (u, item, ts))
 
+  test("property: LSH detection prob is monotone in bands; bandPlan returns the true minimum") {
+    import graft.llmops.Dedup
+    // bandPlan's `find` over ASCENDING divisors is only the fewest
+    // qualifying bands if P(b) = 1-(1-j^(n/b))^b is increasing in b for
+    // fixed n — pin that law over generated (n, j) instead of trusting it
+    forAll(Gen.oneOf(4, 8, 12, 16, 24, 32, 64),
+        Gen.choose(1, 99)) { (n, jPct) =>
+      val j = jPct / 100.0
+      val divs = (1 to n).filter(n % _ == 0)
+      val probs = divs.map(b => Dedup.detectionProb(j, b, n / b))
+      probs.sliding(2).foreach { case Seq(a, b) =>
+        assert(b >= a - 1e-15, s"n=$n j=$j: $probs not monotone") }
+      // and therefore bandPlan == brute-force minimum qualifying pair
+      for (t <- Seq(10, 50, 90)) {
+        val brute = divs.find(b =>
+            Dedup.detectionProb(j, b, n / b) >= t / 100.0)
+          .map(b => (b, n / b)).getOrElse((n, 1))
+        assert(Dedup.bandPlan(n, j, t) == brute, s"n=$n j=$j t=$t")
+      }
+    }
+  }
+
   test("property: as-of last ≡ naive max over (ts, tiebreak) prefix") {
     forAll(behaviorGen, behaviorGen) { (qs0, bs0) =>
       whenever(qs0.nonEmpty && bs0.nonEmpty) {
