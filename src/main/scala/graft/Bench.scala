@@ -21,12 +21,14 @@ object Bench {
     * MUST be refreshed (standalone `runMain graft.Bench`) whenever the
     * query set or a heavy plan changes. */
   // 144.5 s: round-10 CLOSING standalone pin at 264 queries in SORTED
-  // query order (uncontended, xcpu 0.0%, janino_n 3,032 < the 4,096
-  // cache — no eviction). Same-day clean spread at the r10 code state:
-  // 131.3 s/260 (pre-sim17..20) → 144.5 s/264; the four new policy/
-  // drift queries carry ~3.5 s of new timed work (sim17 0.89, sim18
-  // 0.90, sim20 1.21, sim19 sub-threshold), the rest is the protocol's
-  // ±5% single-JVM spread — quote the spread, never one run. Lineage:
+  // query order (uncontended, xcpu 0.0%, janino_n ~3,035 < the 4,096
+  // cache — no eviction). Same-day clean three-run spread at the r10
+  // code state: 131.3 s/260 (pre-sim17..20) → 144.5 → 158.3 s/264
+  // (all xcpu 0.0, janino flat — a ±9% day after heavy ScaleSmoke
+  // corpus churn; cold_s moved 201→248 with it, page-cache state, not
+  // plans). The four new policy/drift queries carry ~3.5 s of new
+  // timed work (sim17 0.89, sim18 0.90, sim20 1.21, sim19
+  // sub-threshold) — quote the spread, never one run. Lineage:
   // r9 130.6–143.6/258–260, r8 138.7/250 (Iterate.pin fixpoints,
   // sorted order; spread 130.7–146.4), 127.3/248 after the native
   // SimHash/MinHash kernels, mid-r8 152.5/246 (4096-entry codegen
