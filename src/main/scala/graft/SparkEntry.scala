@@ -272,8 +272,8 @@ object SparkEntry {
         round(col("v"), 9).as("mean_v"))
 
   /** M8 (SURVEY M5): model-artifact introspection — the engine-side twin
-    * of the reference's checkpoint shape/stat dump
-    * (`serve-model/check_model_params.py`): per label class, vector
+    * of the reference's checkpoint param dump
+    * (`eval_offline/model_params_api.py:26-60`): per label class, vector
     * count, embedding dim, id range and mean L2 norm of the exported
     * embedding table. One map-side-combined aggregation; norms rounded
     * after the sum so accumulation order can't flip the hash. */
@@ -3007,7 +3007,8 @@ object SparkEntry {
     * ([[graft.ops.Behavior.funnel]]): earliest view, then earliest click
     * STRICTLY AFTER it, then earliest purchase after that — the
     * sequential-funnel semantics product analytics runs on exactly the
-    * event stream the reference produces (`data_pipeline/producer.py`).
+    * event stream the reference produces
+    * (`deploy_datapipeline/data_pipeline/kafka_stream/producer.py`).
     * Every stage shuffles on the user key only. */
   private val w12Funnel: Q = (s, dir) =>
     Behavior.funnel(
@@ -4505,6 +4506,82 @@ object SparkEntry {
         col("rank").cast("long").as("rank"))
   }
 
+  /** SIM21: event-time-windowed IVF drift monitor
+    * ([[SimSearch.ivfDriftWindowed]]) — the BATCH registry face of the
+    * streaming index monitor
+    * ([[graft.streaming.IndexMonitor.cellDriftStream]], whose
+    * stream ≡ batch parity StreamingSpec pins): sim19's fit-vs-incoming
+    * audit, but the incoming side aggregated per (1-minute event-time
+    * window, cell) with the fit baseline joined on. Event time is
+    * synthesized deterministically from the key
+    * (epoch 1704067200 + vec_id mod 180 → three windows) so the DuckDB
+    * twin replays the windows as pure integer epoch math — window
+    * bounds ship as epoch-second longs, never rendered timestamps. */
+  private val sim21CellDriftWindowed: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir).where(col("vec_id") >= 10)
+    val inc = emb.where(col("vec_id") % 5 === 0)
+      .withColumn("__ts",
+        timestamp_seconds(lit(1704067200L) + col("vec_id") % 180))
+    SimSearch.ivfDriftWindowed(
+      emb.where(col("vec_id") % 5 =!= 0), inc,
+      "vec_id", "embedding", "__ts", targetCellSize = 64L)
+  }
+
+  /** SIM22: the ANN lifecycle's ACT stage
+    * ([[SimSearch.refitIfDrifted]]) — sim19/sim21 DETECT drift; this
+    * acts on it: run the drift audit, decide re-fit by two
+    * integer-replayable triggers (load skew: hottest cell ≥ 3× the mean
+    * incoming load; cosine drift: any ≥ 5-row cell assigning ≥ 0.02
+    * cosine worse than its fit population), and emit the SERVING
+    * centroid set — re-pulled over fit ∪ incoming when triggered,
+    * fit-time otherwise — with the decision as columns. The DuckDB twin
+    * replays audit, decision and conditional re-pull end to end, the
+    * sim17 policy discipline applied to index maintenance. */
+  private val sim22RefitPolicy: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir).where(col("vec_id") >= 10)
+    SimSearch.refitIfDrifted(
+      emb.where(col("vec_id") % 5 =!= 0), emb.where(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", targetCellSize = 64L,
+      skewFactor = 3, driftMilli = 20, minCellN = 5L)
+  }
+
+  /** LLM-D31: the LSH banding planner as a query
+    * ([[Dedup.bandPlanDf]]) — `1 − (1 − j^r)^b` over every divisor pair
+    * of the signature length, fewest qualifying bands chosen, honest
+    * ladder-max fallback when nothing qualifies (the (4, 10%, 90%) grid
+    * row — its detect_prob < target is the lengthen-the-signature
+    * signal shipping in the output). Upgrades bandPlan's
+    * PropertiesSpec-only pin to a cross-engine CORRECTNESS row; the
+    * grid spans the operating points d2/d5/d26 and StreamingDedup run
+    * at. Margin-audited: every divisor's S-curve value sits ≥ 0.007
+    * from its threshold, 13 orders of magnitude above pow() ulp
+    * divergence between engines. */
+  private val d31BandPlan: Q = (s, _) => {
+    import s.implicits._
+    Dedup.bandPlanDf(Seq(
+      (16, 30, 50), (16, 50, 80), (16, 50, 95), (16, 70, 90),
+      (32, 50, 80), (32, 30, 90), (64, 80, 95), (20, 40, 70),
+      (24, 60, 85), (4, 10, 90))
+      .toDF("num_hashes", "min_jaccard_pct", "target_pct"))
+  }
+
+  /** LLM-D32: auto-banded portable MinHash near-dup pairs
+    * ([[Dedup.minHashPairsPortableAuto]]) — d5 with the band count
+    * chosen by the d31 planner instead of a caller constant: at the
+    * (j = 0.50, target 80%) operating point the divisor scan picks
+    * (8 bands, 2 rows) and the chosen plan ships as output columns.
+    * The oracle replays the divisor scan FIRST and bands the
+    * signatures with whatever it picks — cross-engine verification of
+    * the planner driving the operator, not just of the operator at a
+    * constant. */
+  private val d32MinhashAutoBand: Q = (s, dir) =>
+    Dedup.minHashPairsPortableAuto(Tables.documents(s, dir), "doc_id",
+        "text", shingleN = 3, numHashes = 16, minJaccardPct = 50,
+        targetDetectPct = 80)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"),
+        col("bands"), col("rows_per_band"))
+
   /** L10: layout effectiveness — the l7 zone-map skip test run under
     * two physical layouts of the same fact table (key-clustered
     * ÷6000-row blocks vs ship-month partitions) for the same 1995
@@ -5179,6 +5256,10 @@ object SparkEntry {
     "t38_zipf_fit" -> t38ZipfFit,
     "w33_peak_concurrency" -> w33PeakConcurrency,
     "x34_weighted_resample" -> x34WeightedResample,
+    "sim21_cell_drift_windowed" -> sim21CellDriftWindowed,
+    "sim22_refit_policy" -> sim22RefitPolicy,
+    "d31_band_plan" -> d31BandPlan,
+    "d32_minhash_auto_band" -> d32MinhashAutoBand,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -9956,5 +10037,150 @@ object SparkEntry {
         |SELECT row_number() OVER (ORDER BY ky, doc_id) AS rank,
         |  doc_id, n_chars AS weight
         |FROM t""".stripMargin,
+    "d31_band_plan" ->
+      """WITH grid(nh, jp, tp) AS (VALUES
+        |  (16, 30, 50), (16, 50, 80), (16, 50, 95), (16, 70, 90),
+        |  (32, 50, 80), (32, 30, 90), (64, 80, 95), (20, 40, 70),
+        |  (24, 60, 85), (4, 10, 90)),
+        |ser AS (SELECT unnest(generate_series(1, 64)) AS b),
+        |cand AS (SELECT CAST(nh AS BIGINT) AS num_hashes,
+        |    CAST(jp AS BIGINT) AS min_jaccard_pct,
+        |    CAST(tp AS BIGINT) AS target_pct,
+        |    CAST(b AS BIGINT) AS bands,
+        |    CAST(nh // b AS BIGINT) AS rows_per_band,
+        |    1.0 - pow(1.0 - pow(jp / 100.0, nh // b), b) AS detect
+        |  FROM grid, ser WHERE b <= nh AND nh % b = 0),
+        |chosen AS (SELECT num_hashes, min_jaccard_pct, target_pct,
+        |    coalesce(min(CASE WHEN detect >= target_pct / 100.0
+        |      THEN bands END), num_hashes) AS bands
+        |  FROM cand GROUP BY num_hashes, min_jaccard_pct, target_pct)
+        |SELECT c.num_hashes, c.min_jaccard_pct, c.target_pct, c.bands,
+        |  c.rows_per_band, round(c.detect, 6) AS detect_prob
+        |FROM chosen
+        |JOIN cand c USING (num_hashes, min_jaccard_pct, target_pct, bands)""".stripMargin,
+    "d32_minhash_auto_band" ->
+      """WITH plan AS (SELECT CAST(coalesce(min(CASE WHEN
+        |      1.0 - pow(1.0 - pow(50 / 100.0, 16 // b), b) >= 80 / 100.0
+        |      THEN b END), 16) AS BIGINT) AS bands
+        |  FROM (SELECT unnest(generate_series(1, 16)) AS b)
+        |  WHERE 16 % b = 0),
+        |pl AS (SELECT bands, CAST(16 // bands AS BIGINT) AS rpb FROM plan),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
+        |      seed -> list_min(list_transform(s, x ->
+        |      ((CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)
+        |        % 1073741824) * (2654435761 + 80906 * seed) + seed)
+        |      % 1073741824))) AS sg
+        |  FROM sh WHERE len(s) > 0),
+        |banded AS (SELECT doc_id, sg, b,
+        |    md5(array_to_string(sg[b*rpb+1:b*rpb+rpb], '|')) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, bands - 1)) AS b,
+        |    rpb FROM pl) t),
+        |hot AS (SELECT b, key FROM banded GROUP BY b, key
+        |  HAVING count(*) > 200),
+        |capped AS (SELECT banded.* FROM banded
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |    WHERE hot.b = banded.b AND hot.key = banded.key)),
+        |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    len(list_filter(list_transform(generate_series(1, 16),
+        |      i -> l.sg[i] = r.sg[i]), x -> x)) / 16.0 AS est_jaccard
+        |  FROM capped l JOIN capped r
+        |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id)
+        |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard,
+        |  bands, rpb AS rows_per_band
+        |FROM pairs, pl WHERE est_jaccard >= 50 / 100.0""".stripMargin,
+    "sim21_cell_drift_windowed" ->
+      """WITH fit AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id % 5 <> 0),
+        |inc AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    1704067200 + vec_id % 180 AS es
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id % 5 = 0),
+        |nc AS (SELECT least(4096, (count(*) + 63) // 64) AS c FROM fit),
+        |cent AS (SELECT rn - 1 AS cell, v AS cv FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |    FROM fit) WHERE rn <= (SELECT c FROM nc)),
+        |af AS (SELECT cell, count(*) AS n_fit,
+        |    round(avg(cs), 6) AS mean_cos_fit FROM (
+        |    SELECT f.item_id, ct.cell,
+        |      round(list_cosine_similarity(f.v, ct.cv), 6) AS cs,
+        |      row_number() OVER (PARTITION BY f.item_id
+        |        ORDER BY list_cosine_similarity(f.v, ct.cv) DESC, ct.cell)
+        |        AS rn
+        |    FROM fit f CROSS JOIN cent ct) WHERE rn = 1 GROUP BY cell),
+        |an AS (SELECT ws, cell, count(*) AS n_new,
+        |    round(sum(cs), 6) / count(*) AS mean_cos_new FROM (
+        |    SELECT i.item_id, i.es // 60 * 60 AS ws, ct.cell,
+        |      round(list_cosine_similarity(i.v, ct.cv), 6) AS cs,
+        |      row_number() OVER (PARTITION BY i.item_id
+        |        ORDER BY list_cosine_similarity(i.v, ct.cv) DESC, ct.cell)
+        |        AS rn
+        |    FROM inc i CROSS JOIN cent ct) WHERE rn = 1 GROUP BY ws, cell)
+        |SELECT CAST(ws AS BIGINT) AS window_start_s,
+        |  CAST(ws + 60 AS BIGINT) AS window_end_s,
+        |  CAST(an.cell AS BIGINT) AS cell, n_new, mean_cos_new,
+        |  n_fit, mean_cos_fit,
+        |  mean_cos_new - mean_cos_fit AS cos_drift
+        |FROM an LEFT JOIN af ON an.cell = af.cell""".stripMargin,
+    "sim22_refit_policy" ->
+      """WITH fit AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id % 5 <> 0),
+        |inc AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id % 5 = 0),
+        |nc AS (SELECT least(4096, (count(*) + 63) // 64) AS c FROM fit),
+        |cent AS (SELECT rn - 1 AS cell, v AS cv FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |    FROM fit) WHERE rn <= (SELECT c FROM nc)),
+        |af AS (SELECT cell, count(*) AS n_fit,
+        |    round(avg(cs), 6) AS mean_cos_fit FROM (
+        |    SELECT f.item_id, ct.cell,
+        |      round(list_cosine_similarity(f.v, ct.cv), 6) AS cs,
+        |      row_number() OVER (PARTITION BY f.item_id
+        |        ORDER BY list_cosine_similarity(f.v, ct.cv) DESC, ct.cell)
+        |        AS rn
+        |    FROM fit f CROSS JOIN cent ct) WHERE rn = 1 GROUP BY cell),
+        |an AS (SELECT cell, count(*) AS n_new,
+        |    round(avg(cs), 6) AS mean_cos_new FROM (
+        |    SELECT i.item_id, ct.cell,
+        |      round(list_cosine_similarity(i.v, ct.cv), 6) AS cs,
+        |      row_number() OVER (PARTITION BY i.item_id
+        |        ORDER BY list_cosine_similarity(i.v, ct.cv) DESC, ct.cell)
+        |        AS rn
+        |    FROM inc i CROSS JOIN cent ct) WHERE rn = 1 GROUP BY cell),
+        |audit AS (SELECT coalesce(af.cell, an.cell) AS cell,
+        |    coalesce(n_fit, 0) AS n_fit, coalesce(n_new, 0) AS n_new,
+        |    round(mean_cos_new - mean_cos_fit, 6) AS cos_drift
+        |  FROM af FULL OUTER JOIN an ON af.cell = an.cell),
+        |dec AS (SELECT
+        |    CASE WHEN (SELECT c FROM nc) * max(n_new) >= 3 * sum(n_new)
+        |      THEN 1 ELSE 0 END AS skew,
+        |    coalesce(max(CASE WHEN n_new >= 5
+        |      AND CAST(round(cos_drift * 1000000) AS BIGINT) <= -20000
+        |      THEN 1 ELSE 0 END), 0) AS drift
+        |  FROM audit),
+        |r AS (SELECT CASE WHEN skew = 1 OR drift = 1 THEN 1 ELSE 0 END
+        |    AS refit, skew, drift FROM dec),
+        |src AS (SELECT item_id FROM fit
+        |  UNION ALL SELECT item_id FROM inc
+        |    WHERE (SELECT refit FROM r) = 1),
+        |sc AS (SELECT least(4096, (count(*) + 63) // 64) AS c FROM src),
+        |pulled AS (SELECT item_id, row_number() OVER (
+        |    ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |  FROM src)
+        |SELECT CAST((SELECT refit FROM r) AS BIGINT) AS refit,
+        |  CAST((SELECT skew FROM r) AS BIGINT) AS skew_trigger,
+        |  CAST((SELECT drift FROM r) AS BIGINT) AS drift_trigger,
+        |  CAST((SELECT c FROM sc) AS BIGINT) AS n_cells,
+        |  CAST(rn - 1 AS BIGINT) AS cell, item_id AS centroid_id
+        |FROM pulled WHERE rn <= (SELECT c FROM sc)""".stripMargin,
   )
 }

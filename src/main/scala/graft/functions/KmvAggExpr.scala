@@ -53,7 +53,8 @@ final class KmvBuffer(val k: Int) {
   * shuffled, only serialized k-arrays merge across partitions; the same
   * posture as `TopKLargest`, whose codec this reuses in simplified
   * long-only form. Reference analogue: the overlap ratios behind the
-  * train/test leakage checks (`data_process/data_split.py:40-55`).
+  * train/test leakage checks around the user hold-out split
+  * (`deploy_datapipeline/data_processing/split_users.py:22-32`).
   */
 case class KmvSmallest(
     child: Expression,

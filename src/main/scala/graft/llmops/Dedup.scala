@@ -417,6 +417,11 @@ object Dedup {
   private def simHash128BandedAuto(docs: DataFrame, id: String,
       text: String, targetBucketSize: Long,
       precountedN: Option[Long] = None): DataFrame = {
+    // a zero/negative precount is always a caller bug: silently clamping
+    // it would pick a wrong band width and diverge from the DuckDB
+    // oracle's count(*) basis with no error — fail loudly instead
+    require(precountedN.forall(_ > 0),
+      s"precountedN must be positive when supplied, got $precountedN")
     val n = math.max(1L, precountedN.getOrElse(docs.count()))
     val width = SimSearch.autoWidth(n, targetBucketSize)
     val mask = (1L << width) - 1
@@ -507,6 +512,11 @@ object Dedup {
     * (e.g. chaining the pair stage with its histogram audit). */
   private def simHashBandedAuto(docs: DataFrame, id: String, text: String,
       targetBucketSize: Long, precountedN: Option[Long] = None): DataFrame = {
+    // same loud-failure contract as simHash128BandedAuto: a bad precount
+    // silently diverging the width from the oracle's count(*) basis is
+    // worse than an exception
+    require(precountedN.forall(_ > 0),
+      s"precountedN must be positive when supplied, got $precountedN")
     val n = math.max(1L, precountedN.getOrElse(docs.count()))
     val width = math.min(16, SimSearch.autoWidth(n, targetBucketSize))
     val mask = (1L << width) - 1
@@ -566,6 +576,83 @@ object Dedup {
         >= targetDetectPct / 100.0)
       .map(b => (b, numHashes / b))
       .getOrElse((numHashes, 1))
+  }
+
+  /** [[bandPlan]] as a relational query — the registry face of the
+    * planner (same divisor scan, S-curve and fewest-qualifying-bands
+    * choice, expressed in plain SQL arithmetic a DuckDB oracle replays
+    * term for term, upgrading the PropertiesSpec brute-force pin to a
+    * cross-engine row). Input: a grid frame with integer columns
+    * `num_hashes`, `min_jaccard_pct`, `target_pct` (percents, so the
+    * grid itself stays integer-exact across engines). Output per grid
+    * row: the chosen (bands, rows_per_band) and the 6-dp detection
+    * probability at the operating point — `detect_prob < target/100`
+    * on an output row IS the honest ladder-max fallback (bands =
+    * num_hashes, the caller's lengthen-the-signature signal).
+    *
+    * Grid rows are independent and the divisor explode is ≤ num_hashes
+    * wide — the plan is one explode + one ≤-grid-sized aggregate + one
+    * small join; the planner is design-time math, never data-sized.
+    * `PlanPinSpec`-style parity with the driver-side [[bandPlan]] is
+    * pinned by LlmOpsSpec over the full registered grid. */
+  def bandPlanDf(grid: DataFrame): DataFrame = {
+    val j = col("min_jaccard_pct").cast("double") / 100.0
+    val cand = grid.select(
+        col("num_hashes").cast("long").as("num_hashes"),
+        col("min_jaccard_pct").cast("long").as("min_jaccard_pct"),
+        col("target_pct").cast("long").as("target_pct"))
+      .withColumn("bands", explode(filter(
+        sequence(lit(1L), col("num_hashes")),
+        b => col("num_hashes") % b === 0)))
+      .withColumn("rows_per_band",
+        (col("num_hashes") / col("bands")).cast("long"))
+      .withColumn("__detect", lit(1.0) -
+        pow(lit(1.0) - pow(j, col("rows_per_band").cast("double")),
+          col("bands").cast("double")))
+    val keys = Seq("num_hashes", "min_jaccard_pct", "target_pct")
+    val chosen = cand
+      .groupBy(keys.map(col): _*)
+      .agg(coalesce(
+        // EXACTLY bandPlan's comparison (detect >= target/100, not the
+        // algebraically-equal detect*100 >= target) so the driver-side
+        // planner and this plan can never split on a float ulp
+        min(when(col("__detect")
+          >= col("target_pct").cast("double") / 100.0, col("bands"))),
+        first(col("num_hashes"))).as("bands"))
+    chosen.join(cand, keys :+ "bands")
+      .select(col("num_hashes"), col("min_jaccard_pct"),
+        col("target_pct"), col("bands"), col("rows_per_band"),
+        round(col("__detect"), 6).as("detect_prob"))
+  }
+
+  /** [[minHashPairsPortable]] with the band count chosen by [[bandPlan]]
+    * instead of a caller constant — the planner wired as the banded
+    * family's default chooser: bands = fewest divisors of `numHashes`
+    * whose S-curve detection at the `minJaccardPct` operating point
+    * meets `targetDetectPct`. The chosen plan ships as output columns
+    * (`bands`, `rows_per_band`) so the decision is auditable and the
+    * DuckDB twin replays the identical divisor scan before re-running
+    * the banding it implies.
+    *
+    * The operating point is an integer PERCENT so the planner input is
+    * engine-exact; the pair filter uses the same minJaccardPct/100
+    * threshold. Capacity note: shuffle volume of the banding stage is
+    * `bands` bucket rows per doc, so the fewest-qualifying-bands choice
+    * is also the cheapest qualifying shuffle — at 100 TB, lengthening
+    * the signature (more hashes) and re-planning beats manually raising
+    * bands, because the planner keeps rows-per-band (the precision
+    * knob) as high as the recall target allows. */
+  def minHashPairsPortableAuto(docs: DataFrame, id: String, text: String,
+      shingleN: Int, numHashes: Int, minJaccardPct: Int,
+      targetDetectPct: Int, maxBucket: Int = 200): DataFrame = {
+    require(minJaccardPct >= 0 && minJaccardPct <= 100,
+      s"minJaccardPct is a percent, got $minJaccardPct")
+    val (bands, rows) = bandPlan(numHashes, minJaccardPct / 100.0,
+      targetDetectPct)
+    minHashPairsPortable(docs, id, text, shingleN, numHashes, bands,
+        minJaccardPct / 100.0, maxBucket)
+      .withColumn("bands", lit(bands.toLong))
+      .withColumn("rows_per_band", lit(rows.toLong))
   }
 
   /** MinHash signature: `numHashes` independent permutations via seeded

@@ -682,30 +682,151 @@ object SimSearch {
       col(vec).cast("array<double>").as("__v"))
     val inc = incoming.select(col(id).as("item_id"),
       col(vec).cast("array<double>").as("__v"))
-    val nCells = autoCells(math.max(1L, f.count()), targetCellSize)
-    val cents: Seq[Seq[Double]] = f
-      .orderBy(md5(col("item_id").cast("string")), col("item_id"))
-      .limit(nCells).collect().map(_.getSeq[Double](1).toSeq).toSeq
-    val spark = fit.sparkSession
-    import spark.implicits._
-    val centDf = cents.zipWithIndex
-      .map { case (c, i) => (i, c) }.toDF("__cell", "__centroid")
-    import graft.functions.GraftFunctions.rankCells
-    def cellStats(df: DataFrame, nCol: String, mCol: String): DataFrame =
-      df.withColumn("__cell", element_at(rankCells(col("__v"), cents, 1), 1))
-        .join(broadcast(centDf), Seq("__cell"))
-        .select(col("__cell"), round(graft.functions.GraftFunctions
-          .cosine(col("__v"), col("__centroid")), 6).as("__cos"))
-        .groupBy(col("__cell"))
-        .agg(count(lit(1)).as(nCol), round(avg(col("__cos")), 6).as(mCol))
-    cellStats(f, "n_fit", "mean_cos_fit")
-      .join(cellStats(inc, "n_new", "mean_cos_new"), Seq("__cell"), "full")
+    val cents = mdCentroids(f, targetCellSize)
+    cellAssignStats(f, cents, "n_fit", "mean_cos_fit")
+      .join(cellAssignStats(inc, cents, "n_new", "mean_cos_new"),
+        Seq("__cell"), "full")
       .select(col("__cell").cast("long").as("cell"),
         coalesce(col("n_fit"), lit(0L)).as("n_fit"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
         col("mean_cos_fit"), col("mean_cos_new"),
         round(col("mean_cos_new") - col("mean_cos_fit"), 6)
           .as("cos_drift"))
+  }
+
+  /** The portable index's centroid pull, shared by the drift/refit
+    * family: the [[autoCells]]-many corpus rows with the smallest
+    * `md5(id)` over `f` (columns `item_id`, `__v`), in md5 order — the
+    * deterministic pseudo-random "fit" every portable IVF variant and
+    * its DuckDB replay agree on. ≤ 4096 driver rows by the autoCells
+    * clamp (k-means's own centroids-fit-on-the-driver assumption). */
+  private def mdCentroids(f: DataFrame,
+      targetCellSize: Long): Seq[Seq[Double]] = {
+    val nCells = autoCells(math.max(1L, f.count()), targetCellSize)
+    f.orderBy(md5(col("item_id").cast("string")), col("item_id"))
+      .limit(nCells).collect().map(_.getSeq[Double](1).toSeq).toSeq
+  }
+
+  /** Per-cell population + mean assignment cosine of `df` (columns
+    * `item_id`, `__v`) against literal `cents` — [[ivfDriftAudit]]'s
+    * one-sided stats, reused by the windowed and refit forms. Zero
+    * shuffle before the ≤-nCells-group aggregate. */
+  private def cellAssignStats(df: DataFrame, cents: Seq[Seq[Double]],
+      nCol: String, mCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.GraftFunctions.rankCells
+    val centDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("__cell", "__centroid")
+    df.withColumn("__cell", element_at(rankCells(col("__v"), cents, 1), 1))
+      .join(broadcast(centDf), Seq("__cell"))
+      .select(col("__cell"), round(graft.functions.GraftFunctions
+        .cosine(col("__v"), col("__centroid")), 6).as("__cos"))
+      .groupBy(col("__cell"))
+      .agg(count(lit(1)).as(nCol), round(avg(col("__cos")), 6).as(mCol))
+  }
+
+  /** Event-time-windowed drift monitor — [[ivfDriftAudit]]'s per-window
+    * form and the BATCH registry face of
+    * [[graft.streaming.IndexMonitor.cellDriftStream]] (window() is a
+    * plain expression, so the same composition runs over a batch frame
+    * or a stream): the portable index is fitted on `fit`
+    * (md5-ordered literal centroids, [[autoCells]] sizing), the fit-side
+    * per-cell baseline is computed once, and `incoming` rows are
+    * assigned and aggregated per (event-time window, cell) with the
+    * baseline joined on so every row carries its drift delta.
+    *
+    * Output: (window_start_s, window_end_s — epoch SECONDS as longs, so
+    * the cross-engine compare never touches timezone rendering —, cell,
+    * n_new, mean_cos_new, n_fit, mean_cos_fit, cos_drift); cells the fit
+    * never populated carry null fit columns (left join). */
+  def ivfDriftWindowed(fit: DataFrame, incoming: DataFrame,
+      id: String, vec: String, ts: String, targetCellSize: Long,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "2 minutes"): DataFrame = {
+    val f = fit.select(col(id).as("item_id"),
+      col(vec).cast("array<double>").as("__v"))
+    val cents = mdCentroids(f, targetCellSize)
+    val fitStats = cellAssignStats(f, cents, "n_fit", "mean_cos_fit")
+      .select(col("__cell").cast("long").as("cell"),
+        col("n_fit"), col("mean_cos_fit"))
+    graft.streaming.IndexMonitor.cellDriftStream(incoming, vec, ts,
+        cents, Some(fitStats), windowDur, watermarkDelay)
+      .select(col("window_start").cast("long").as("window_start_s"),
+        col("window_end").cast("long").as("window_end_s"),
+        col("cell"), col("n_new"), col("mean_cos_new"),
+        col("n_fit"), col("mean_cos_fit"), col("cos_drift"))
+  }
+
+  /** The ANN lifecycle's ACT stage — closes the loop [[ivfDriftAudit]]
+    * and [[graft.streaming.IndexMonitor.cellDriftStream]] only observe:
+    * run the drift audit, decide re-fit by two integer-replayable
+    * triggers, and when triggered re-pull the centroid set over
+    * fit ∪ incoming (the post-drift corpus) at its own [[autoCells]]
+    * size; otherwise keep the fit-time centroids. Both the decision and
+    * the action are deterministic md5/threshold math a SQL oracle
+    * replays end to end (the sim17 policy discipline applied to index
+    * maintenance).
+    *
+    * Triggers (integer math on the ≤-4096-row audit, no float knife
+    * edge): LOAD SKEW when `nCells · max(n_new) ≥ skewFactor ·
+    * sum(n_new)` — the hottest cell holds ≥ skewFactor× the mean
+    * incoming load (nCells is the INDEX size from [[autoCells]] over
+    * the fit count, not the audit's row count — cells nothing assigned
+    * to still dilute the mean); COS DRIFT when any cell with
+    * `n_new ≥ minCellN` has `round(cos_drift·10^6) ≤ −driftMilli·1000`
+    * — a populated cell's incoming rows assign ≥ driftMilli/1000 cosine
+    * worse than the fit population (cos_drift is already 6-dp-rounded,
+    * so the ×10^6 integerization is exact in any engine).
+    *
+    * Scale shape: the audit's two zero-shuffle assignment passes + the
+    * 1-row decision aggregate; the refit branch re-pulls ≤ 4096
+    * centroid ROWS (never vectors at scale — ids + vectors of the
+    * chosen rows only), exactly the index-build cost, so acting costs
+    * no more than fitting did. Output: one row per SERVING centroid —
+    * (refit, skew_trigger, drift_trigger 0/1 longs, n_cells, cell,
+    * centroid_id) — the decision ships with the re-emitted index. */
+  def refitIfDrifted(fit: DataFrame, incoming: DataFrame,
+      id: String, vec: String, targetCellSize: Long,
+      skewFactor: Int = 4, driftMilli: Int = 50,
+      minCellN: Long = 5L): DataFrame = {
+    require(skewFactor >= 1, s"skewFactor must be >= 1, got $skewFactor")
+    require(driftMilli >= 0, s"driftMilli must be >= 0, got $driftMilli")
+    val f = fit.select(col(id).as("item_id"),
+      col(vec).cast("array<double>").as("__v"))
+    val inc = incoming.select(col(id).as("item_id"),
+      col(vec).cast("array<double>").as("__v"))
+    val nCells = autoCells(math.max(1L, f.count()), targetCellSize)
+    val audit = ivfDriftAudit(fit, incoming, id, vec, targetCellSize)
+    // 1-row decision aggregate (bounded collect — the audit is ≤ nCells
+    // rows by construction)
+    val d = audit.agg(
+      max(col("n_new")).as("__mx"), sum(col("n_new")).as("__tot"),
+      max(when(col("n_new") >= minCellN &&
+          round(col("cos_drift") * 1e6).cast("long")
+            <= lit(-driftMilli.toLong * 1000L), 1L)
+        .otherwise(0L)).as("__dr")).head()
+    val skew = !d.isNullAt(0) && !d.isNullAt(1) &&
+      nCells.toLong * d.getLong(0) >= skewFactor.toLong * d.getLong(1)
+    val drift = !d.isNullAt(2) && d.getLong(2) == 1L
+    val refit = skew || drift
+    val src = if (refit) f.unionAll(inc) else f
+    val servingCells = autoCells(math.max(1L, src.count()), targetCellSize)
+    // orderBy+limit lowers to TakeOrderedAndProject (distributed top-N,
+    // never a global sort); the rank window then runs over the ≤ 4096
+    // surviving rows only
+    val pulled = src
+      .orderBy(md5(col("item_id").cast("string")), col("item_id"))
+      .limit(servingCells)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(col("item_id").cast("string")), col("item_id"))
+    pulled
+      .select(lit(if (refit) 1L else 0L).as("refit"),
+        lit(if (skew) 1L else 0L).as("skew_trigger"),
+        lit(if (drift) 1L else 0L).as("drift_trigger"),
+        lit(servingCells.toLong).as("n_cells"),
+        (row_number().over(w) - 1).cast("long").as("cell"),
+        col("item_id").as("centroid_id"))
   }
 
   /** [[ivfTopKPortable]] with the cell count auto-sized from the corpus

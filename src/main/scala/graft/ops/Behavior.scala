@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * completion and cohort retention — the two standard product-analytics
   * queries a recommendation platform runs beside its serving metrics
   * (reference surfaces raw behavior events at
-  * `data_pipeline/producer.py:21-58`; these are the canonical downstream
+  * `deploy_datapipeline/data_pipeline/kafka_stream/producer.py:63-80`;
+  * these are the canonical downstream
   * aggregations over that log).
   *
   * Both lower to shuffles keyed on the user id only — at 100 TB the event

@@ -59,11 +59,19 @@ object IndexMonitor {
       .join(broadcast(centDf), Seq("__cell"))
       .select(col(ts).as("__ts"), col("__cell"),
         round(cosine(col("__v"), col("__centroid")), 6).as("__cos"))
+    // mean = round(sum, 6) / n, NOT round(avg, 6): the per-row __cos are
+    // 6-dp multiples, so their true sum is one too — rounding the sum is
+    // pure float-error correction and can never sit on a boundary,
+    // while an AVG quotient lands exactly on x.5e-7 whenever a small
+    // window's sum/n does (observed: a 4-row window at .1415375), and
+    // engines legitimately disagree there. The division itself is
+    // IEEE-exact, so the quotient is bit-identical in any engine with
+    // no final rounding; the drift delta of two such quotients likewise.
     val windowed = assigned
       .withWatermark("__ts", watermarkDelay)
       .groupBy(window(col("__ts"), windowDur), col("__cell"))
       .agg(count(lit(1)).as("n_new"),
-        round(avg(col("__cos")), 6).as("mean_cos_new"))
+        (round(sum(col("__cos")), 6) / count(lit(1))).as("mean_cos_new"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("__cell").cast("long").as("cell"),
@@ -75,7 +83,7 @@ object IndexMonitor {
             broadcast(fit.select(col("cell"), col("n_fit"),
               col("mean_cos_fit"))), Seq("cell"), "left")
           .withColumn("cos_drift",
-            round(col("mean_cos_new") - col("mean_cos_fit"), 6))
+            col("mean_cos_new") - col("mean_cos_fit"))
     }
   }
 }

@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   * `dropDuplicates`, exactly like the batch op's final `.distinct()`.
   *
   * Reference analogue: the reference dedups only within batch jobs
-  * (`recall/train_data.py` exact drops); continuous near-dup screening
+  * (`deploy_datapipeline/data_processing/generate_lightgcn_data.py:22-37`
+  * exact drops via the sample set); continuous near-dup screening
   * of an ingest stream is part of the charter's LLM-data-pipeline
   * surface.
   */

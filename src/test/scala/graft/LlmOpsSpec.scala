@@ -495,6 +495,19 @@ class LlmOpsSpec extends AnyFunSuite {
     // is a scan-skip for callers that know n, not a tuning knob
     assert(graft.llmops.SimSearch.autoWidth(n, 50L) !=
       graft.llmops.SimSearch.autoWidth(n * 1000, 50L))
+    // an obviously-wrong precount fails loudly instead of being clamped
+    // (a silent clamp would diverge the width from the oracle's count(*)
+    // basis with no error)
+    for (bad <- Seq(0L, -5L)) {
+      intercept[IllegalArgumentException] {
+        Dedup.simHashPairsAuto(docs, "doc_id", "text",
+          precountedN = Some(bad))
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.simHashPairsAuto128(docs, "doc_id", "text",
+          precountedN = Some(bad))
+      }
+    }
   }
 
   test("bandPlan: S-curve hand-check, fewest qualifying bands, honest fallback") {
@@ -1015,5 +1028,97 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got((1L, 2L)) == ((2L, 0.666667, 0.666667, 1.0)))
     assert(got((2L, 1L)) == ((2L, 0.666667, 1.0, 1.0)))
     assert(got((3L, 1L)) == ((1L, 0.333333, 1.0, 1.0)))
+  }
+
+  test("bandPlanDf ≡ driver-side bandPlan over the full registered grid") {
+    val grid = Seq((16, 30, 50), (16, 50, 80), (16, 50, 95), (16, 70, 90),
+      (32, 50, 80), (32, 30, 90), (64, 80, 95), (20, 40, 70),
+      (24, 60, 85), (4, 10, 90))
+    val got = Dedup.bandPlanDf(
+        grid.toDF("num_hashes", "min_jaccard_pct", "target_pct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)), r.getDouble(5))).toMap
+    assert(got.size == grid.size, "exactly one plan row per grid row")
+    for ((nh, jp, tp) <- grid) {
+      val (b, rw) = Dedup.bandPlan(nh, jp / 100.0, tp)
+      val (plan, detect) = got((nh.toLong, jp.toLong, tp.toLong))
+      assert(plan == ((b.toLong, rw.toLong)),
+        s"grid ($nh, $jp, $tp): relational plan $plan != bandPlan ($b, $rw)")
+      assert(math.abs(detect
+        - Dedup.detectionProb(jp / 100.0, b, rw)) < 1e-6)
+    }
+    // the (4, 10%, 90%) row is the honest ladder-max fallback: bands =
+    // num_hashes AND the shipped detect_prob < target — the
+    // lengthen-the-signature signal is visible in the output itself
+    assert(got((4L, 10L, 90L))._1 == ((4L, 1L)))
+    assert(got((4L, 10L, 90L))._2 < 0.90)
+  }
+
+  test("minHashPairsPortableAuto: planner drives the banding, ≡ explicit bands") {
+    // the registered operating point: j = 0.50, target 80% → (8, 2)
+    assert(Dedup.bandPlan(16, 0.50, 80) == ((8, 2)))
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val auto = Dedup.minHashPairsPortableAuto(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, minJaccardPct = 50,
+      targetDetectPct = 80)
+    val manual = Dedup.minHashPairsPortable(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 8, minJaccard = 0.5)
+    val a = auto.drop("bands", "rows_per_band")
+    assert(a.except(manual).count() == 0 && manual.except(a).count() == 0)
+    // the chosen plan ships on every row
+    assert(auto.where(col("bands") =!= 8L ||
+      col("rows_per_band") =!= 2L).count() == 0)
+  }
+
+  test("refitIfDrifted: benign incoming keeps the fit-time index") {
+    // fit ids 0..9; md5 order of "0".."9" is 6,9,7,4,1,2,8,0,5,3 so with
+    // targetCellSize=5 → nCells=2 the centroids are id 6's and id 9's
+    // vectors — pinned (1,0) and (0,1) here
+    val fit = (0L to 9L).map { i =>
+      if (i == 6L) (i, Seq(1.0, 0.0))
+      else if (i == 9L) (i, Seq(0.0, 1.0))
+      else if (i < 5L) (i, Seq(1.0, 0.02 * (i + 1)))
+      else (i, Seq(0.02 * i, 1.0))
+    }.toDF("id", "v")
+    // 3 rows per cell: under minCellN=5 (drift gated) and balanced
+    // (skew 2·3 < 3·6)
+    val inc = Seq((100L, Seq(1.0, 0.05)), (101L, Seq(1.0, 0.06)),
+      (102L, Seq(1.0, 0.07)), (103L, Seq(0.05, 1.0)),
+      (104L, Seq(0.06, 1.0)), (105L, Seq(0.07, 1.0))).toDF("id", "v")
+    val out = SimSearch.refitIfDrifted(fit, inc, "id", "v",
+        targetCellSize = 5L, skewFactor = 3, driftMilli = 20, minCellN = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.forall(r => r._1 == 0L && r._2 == 0L && r._3 == 0L))
+    // serving index = the fit-time centroids, in md5 order
+    assert(out.map(r => (r._5, r._6)).sorted.toSeq == Seq((0L, 6L), (1L, 9L)))
+  }
+
+  test("refitIfDrifted: skew trigger re-pulls centroids over fit ∪ incoming") {
+    val fit = (0L to 9L).map(i => (i, Seq(1.0, 0.0))).toDF("id", "v")
+    // 30 identical rows → all land in one of the 5 cells: 5·30 ≥ 3·30,
+    // but cosine 1.0 against the centroid → zero drift
+    val inc = (100L to 129L).map(i => (i, Seq(1.0, 0.0))).toDF("id", "v")
+    val out = SimSearch.refitIfDrifted(fit, inc, "id", "v",
+        targetCellSize = 2L, skewFactor = 3, driftMilli = 20, minCellN = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5)))
+    assert(out.forall(r => r._1 == 1L && r._2 == 1L && r._3 == 0L))
+    // re-pulled over the 40-row union: autoCells(40, 2) = 20 cells, and
+    // with only 10 fit ids at least 10 centroids come from the incoming
+    assert(out.length == 20 && out.forall(_._4 == 20L))
+    assert(out.count(_._5 >= 100L) >= 10)
+  }
+
+  test("refitIfDrifted: cosine-drift trigger fires on a degraded cell") {
+    val fit = (0L to 9L).map(i => (i, Seq(1.0, 0.0))).toDF("id", "v")
+    // 6 rows at cosine 0.8 to the centroid: n_new ≥ minCellN and
+    // cos_drift = 0.8 − 1.0 = −0.2 ≤ −driftMilli/1000
+    val inc = (100L to 105L).map(i => (i, Seq(0.8, 0.6))).toDF("id", "v")
+    val out = SimSearch.refitIfDrifted(fit, inc, "id", "v",
+        targetCellSize = 2L, skewFactor = 3, driftMilli = 20, minCellN = 5L)
+      .collect()
+    assert(out.forall(r => r.getLong(0) == 1L && r.getLong(2) == 1L),
+      "drift trigger must fire and force the refit")
   }
 }

@@ -51,6 +51,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.forall(r => r(7) != null), "every cell has a fit baseline")
   }
 
+  test("IndexMonitor.cellDriftStream: UPDATE mode with fitStats — the production shape") {
+    // the drift-join path (stream-static join AFTER the windowed
+    // aggregation) in the output mode a real monitor runs: update +
+    // watermark eviction, across two triggers where the second trigger
+    // RE-UPDATES an open window — pins that Spark accepts the
+    // post-aggregation join there and re-emits joined rows
+    implicit val sql = spark.sqlContext
+    import graft.streaming.IndexMonitor
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val fit = Seq((0L, 10L, 0.9), (1L, 5L, 0.8))
+      .toDF("cell", "n_fit", "mean_cos_fit")
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("id", "emb", "sec")
+        .withColumn("ts", timestamp_seconds($"sec"))
+    val batch1 = Seq((1L, Seq(0.9f, 0.1f), 10L), (2L, Seq(0.8f, 0.2f), 20L))
+    val batch2 = Seq((3L, Seq(1.0f, 0.0f), 40L), // window 0 again → update
+      (4L, Seq(0.1f, 0.9f), 70L), (5L, Seq(1.0f, 0.0f), 75L))
+    val mem = MemoryStream[(Long, Seq[Float], Long)]
+    val q = IndexMonitor.cellDriftStream(prep(mem.toDF()), "emb", "ts",
+        cents, Some(fit), "1 minute", "2 minutes")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cell_drift_upd").start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    val cols = Seq("window_start", "window_end", "cell", "n_new",
+      "mean_cos_new", "n_fit", "mean_cos_fit", "cos_drift")
+    val emitted = spark.table("cell_drift_upd")
+      .selectExpr(cols: _*).collect().map(_.toSeq)
+    q.stop()
+    val expected = IndexMonitor.cellDriftStream(
+        prep((batch1 ++ batch2).toDF()), "emb", "ts",
+        cents, Some(fit), "1 minute", "2 minutes")
+      .selectExpr(cols: _*).collect().map(_.toSeq).toSet
+    // every final (batch-computed) row was emitted, joined columns
+    // included, and the update stream covered exactly the final key set
+    assert(expected.subsetOf(emitted.toSet),
+      s"final rows missing from updates:\n${expected -- emitted.toSet}")
+    assert(emitted.map(r => (r(0), r(2))).toSet ==
+      expected.map(r => (r(0), r(2))))
+    // window 0 / cell 0 was emitted TWICE — n_new 2 then 3 — proving a
+    // genuine update re-passed through the stream-static drift join
+    val w0c0 = emitted.filter(r => r(2) == 0L &&
+      r(0).asInstanceOf[java.sql.Timestamp].getTime == 0L).map(_(3)).toSet
+    assert(w0c0 == Set(2L, 3L), s"got $w0c0")
+    assert(emitted.forall(r => r(7) != null))
+  }
+
   private val msgs = Seq(
     """{"user_id":"u1","history_items":["i1","i2"],"timestamp":100}""",
     """{"user_id":"u2","history_items":["i3"],"timestamp":200}""",
