@@ -703,7 +703,10 @@ object Dedup {
 
   /** Portable near-dup pairs on the md5 signature: estimated Jaccard =
     * fraction of agreeing signature positions, pairs pre-filtered by
-    * sharing at least one full band of `numHashes/bands` positions. */
+    * sharing at least one full band of `numHashes/bands` positions.
+    * `bands` is a caller constant here; prefer
+    * [[minHashPairsPortableAuto]], which derives it from [[bandPlan]]'s
+    * S-curve at the operating point (and ships the choice as columns). */
   def minHashPairsPortable(docs: DataFrame, id: String, text: String,
       shingleN: Int, numHashes: Int, bands: Int,
       minJaccard: Double, maxBucket: Int = 200): DataFrame = {
@@ -816,7 +819,11 @@ object Dedup {
 
   /** MinHash LSH near-dup pairs: signature → `bands` bands of
     * `numHashes/bands` rows → bucket join on (band, bandHash) → verify with
-    * the signature-estimated Jaccard ≥ `minJaccard`. */
+    * the signature-estimated Jaccard ≥ `minJaccard`. Choose `bands` with
+    * [[bandPlan]] (fewest bands meeting the detection target = least
+    * banding shuffle volume); the defaults here are bandPlan(16, 0.5, ~23%)
+    * territory — fine for the production xxhash64 path's callers, who
+    * historically set their own operating point. */
   def minHashPairs(docs: DataFrame, id: String, text: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.5, maxBucket: Int = 200): DataFrame = {

@@ -785,7 +785,19 @@ object SimSearch {
     * chosen rows only), exactly the index-build cost, so acting costs
     * no more than fitting did. Output: one row per SERVING centroid —
     * (refit, skew_trigger, drift_trigger 0/1 longs, n_cells, cell,
-    * centroid_id) — the decision ships with the re-emitted index. */
+    * centroid_id) — the decision ships with the re-emitted index.
+    *
+    * Threshold calibration, measured at a 100× corpus (RefitAudit,
+    * round 11): the drift trigger is an ANY-CELL test, so at fine cell
+    * granularity (few incoming rows per cell) a tight `driftMilli` is
+    * noise-sensitive — on a distributionally-IDENTICAL iid incoming
+    * slice, driftMilli=20 fired off per-cell sampling noise while
+    * driftMilli=100 was correctly quiet (refit=0, the no-op a stable
+    * corpus should produce); on the clustered-growth corpus both
+    * triggers fire at either setting and the serving index re-sizes
+    * 2500 → 3125 cells with the post-drift corpus. Size driftMilli to
+    * the per-cell sample size (raise it or `minCellN` when
+    * n_new/nCells is small), exactly as the audit rows document. */
   def refitIfDrifted(fit: DataFrame, incoming: DataFrame,
       id: String, vec: String, targetCellSize: Long,
       skewFactor: Int = 4, driftMilli: Int = 50,
