@@ -4582,6 +4582,23 @@ object SparkEntry {
         round(col("est_jaccard"), 6).as("est_jaccard"),
         col("bands"), col("rows_per_band"))
 
+  /** LLM-D33: empirical S-curve audit ([[Dedup.bandPlanAudit]]) —
+    * theory vs practice for the d31 planner on the actual corpus:
+    * exact n-gram Jaccard pairs (d4's ground truth, floor 0.05) are
+    * bucketed by Jaccard and checked against the banding stage's
+    * candidate set under the PLANNED (8, 2) layout; each bucket ships
+    * its measured detection rate beside the S-curve's prediction at
+    * the bucket midpoint. Buckets at/above the j = 0.5 operating point
+    * should meet the 80% target; sub-threshold buckets show the
+    * filter-out the plan bought. Rates are IEEE quotients of integer
+    * counts (no terminal rounding); only the pow() prediction is
+    * 6-dp-rounded (pow is not correctly-rounded — midpoint margins
+    * ≥ 2.6e-8, audited). */
+  private val d33BandPlanAudit: Q = (s, dir) =>
+    Dedup.bandPlanAudit(Tables.documents(s, dir), "doc_id", "text",
+      shingleN = 3, numHashes = 16, minJaccardPct = 50,
+      targetDetectPct = 80)
+
   /** L10: layout effectiveness — the l7 zone-map skip test run under
     * two physical layouts of the same fact table (key-clustered
     * ÷6000-row blocks vs ship-month partitions) for the same 1995
@@ -5260,6 +5277,7 @@ object SparkEntry {
     "sim22_refit_policy" -> sim22RefitPolicy,
     "d31_band_plan" -> d31BandPlan,
     "d32_minhash_auto_band" -> d32MinhashAutoBand,
+    "d33_band_plan_audit" -> d33BandPlanAudit,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -10095,6 +10113,69 @@ object SparkEntry {
         |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard,
         |  bands, rpb AS rows_per_band
         |FROM pairs, pl WHERE est_jaccard >= 50 / 100.0""".stripMargin,
+    "d33_band_plan_audit" ->
+      """WITH plan AS (SELECT CAST(coalesce(min(CASE WHEN
+        |      1.0 - pow(1.0 - pow(50 / 100.0, 16 // b), b) >= 80 / 100.0
+        |      THEN b END), 16) AS BIGINT) AS bands
+        |  FROM (SELECT unnest(generate_series(1, 16)) AS b)
+        |  WHERE 16 % b = 0),
+        |pl AS (SELECT bands, CAST(16 // bands AS BIGINT) AS rpb FROM plan),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |cappedx AS (SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS c
+        |    FROM inv) WHERE c <= 1000),
+        |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    count(*) AS i
+        |  FROM cappedx l JOIN cappedx r
+        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT doc_a, doc_b,
+        |    i * 1.0 / (na.n + nb.n - i) AS j
+        |  FROM inter
+        |  JOIN sizes na ON na.doc_id = doc_a
+        |  JOIN sizes nb ON nb.doc_id = doc_b
+        |  WHERE i * 1.0 / (na.n + nb.n - i) >= 0.05),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
+        |      seed -> list_min(list_transform(s, x ->
+        |      ((CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)
+        |        % 1073741824) * (2654435761 + 80906 * seed) + seed)
+        |      % 1073741824))) AS sg
+        |  FROM sh WHERE len(s) > 0),
+        |banded AS (SELECT doc_id, b,
+        |    md5(array_to_string(sg[b*rpb+1:b*rpb+rpb], '|')) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, bands - 1)) AS b,
+        |    rpb FROM pl) t),
+        |hot AS (SELECT b, key FROM banded GROUP BY b, key
+        |  HAVING count(*) > 1000),
+        |cappedb AS (SELECT banded.* FROM banded
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |    WHERE hot.b = banded.b AND hot.key = banded.key)),
+        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM cappedb l JOIN cappedb r
+        |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+        |det AS (SELECT CAST(least(floor(e.j * 10), 9) AS BIGINT)
+        |      AS j_bucket,
+        |    CASE WHEN c.doc_a IS NOT NULL THEN 1 END AS d
+        |  FROM exact e LEFT JOIN cand c
+        |    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b),
+        |agg AS (SELECT j_bucket, count(*) AS n_pairs,
+        |    count(d) AS n_detected FROM det GROUP BY j_bucket)
+        |SELECT j_bucket, n_pairs, n_detected,
+        |  n_detected * 1.0 / n_pairs AS detect_rate,
+        |  round(1.0 - pow(1.0 - pow((j_bucket + 0.5) / 10.0,
+        |    (SELECT rpb FROM pl)), (SELECT bands FROM pl)), 6)
+        |    AS predicted_prob,
+        |  (SELECT bands FROM pl) AS bands,
+        |  (SELECT rpb FROM pl) AS rows_per_band
+        |FROM agg""".stripMargin,
     "sim21_cell_drift_windowed" ->
       """WITH fit AS (SELECT vec_id AS item_id,
         |    CAST(embedding AS DOUBLE[]) AS v

@@ -625,6 +625,59 @@ object Dedup {
         round(col("__detect"), 6).as("detect_prob"))
   }
 
+  /** Empirical audit of the [[bandPlan]] S-curve — theory vs practice
+    * on the actual corpus, closing the plan → operate → audit loop for
+    * the banding family (the d23/d25 capacity-audit discipline applied
+    * to the PLANNER): ground truth is the exact n-gram Jaccard of every
+    * candidate pair ≥ `jaccardFloor` ([[ngramJaccardPairs]]); the
+    * banding stage under the PLANNED (bands, rows) emits its candidate
+    * set (threshold 0 — detection is sharing ≥ 1 band, before any
+    * estimate filter); per 0.1-wide Jaccard bucket the audit reports
+    * how many true pairs the banding caught against what the S-curve
+    * predicted at the bucket midpoint. Buckets at/above the operating
+    * point should meet the detection target; the sub-threshold buckets
+    * show the filter-out rate the plan paid for its shuffle budget.
+    *
+    * All rates are IEEE quotients of exact integer counts (no terminal
+    * rounding — bit-identical in any engine); the predicted curve is
+    * the same pow() arithmetic d31 replays. Scale: the exact side is
+    * the inverted-index join (hot shingles capped), the banded side the
+    * capped bucket join — both the shapes their own queries defend.
+    * Output: (j_bucket = min(floor(10·jaccard), 9) — bucket 9 is
+    * closed-top so exact duplicates land in [0.9, 1.0] —, n_pairs,
+    * n_detected, detect_rate, predicted_prob, bands, rows_per_band). */
+  def bandPlanAudit(docs: DataFrame, id: String, text: String,
+      shingleN: Int, numHashes: Int, minJaccardPct: Int,
+      targetDetectPct: Int, jaccardFloor: Double = 0.05,
+      maxBucket: Int = 1000): DataFrame = {
+    val (bands, rows) = bandPlan(numHashes, minJaccardPct / 100.0,
+      targetDetectPct)
+    val exact = ngramJaccardPairs(docs, id, text, shingleN,
+      jaccardFloor, maxBucket)
+    val cand = minHashPairsPortable(docs, id, text, shingleN, numHashes,
+        bands, minJaccard = 0.0, maxBucket)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("__det"))
+    val mid = (col("j_bucket").cast("double") + 0.5) / 10.0
+    // bucket 9 is closed-top ([0.9, 1.0]): exact duplicates (j = 1)
+    // would otherwise mint a bucket 10 whose midpoint 1.05 is outside
+    // the S-curve's domain
+    exact.join(cand, Seq("doc_a", "doc_b"), "left")
+      .select(least(floor(col("jaccard") * 10), lit(9L)).cast("long")
+          .as("j_bucket"),
+        col("__det"))
+      .groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"), count(col("__det")).as("n_detected"))
+      .select(col("j_bucket"), col("n_pairs"), col("n_detected"),
+        (col("n_detected").cast("double") / col("n_pairs"))
+          .as("detect_rate"),
+        // rounded: pow() is not correctly-rounded, so unlike the pure
+        // divisions above its last ulp may differ between engines; the
+        // 6-dp round absorbs that (midpoint margins audited in the spec)
+        round(lit(1.0) - pow(lit(1.0) - pow(mid, lit(rows.toDouble)),
+          lit(bands.toDouble)), 6).as("predicted_prob"),
+        lit(bands.toLong).as("bands"), lit(rows.toLong).as("rows_per_band"))
+  }
+
   /** [[minHashPairsPortable]] with the band count chosen by [[bandPlan]]
     * instead of a caller constant — the planner wired as the banded
     * family's default chooser: bands = fewest divisors of `numHashes`

@@ -1070,6 +1070,35 @@ class LlmOpsSpec extends AnyFunSuite {
       col("rows_per_band") =!= 2L).count() == 0)
   }
 
+  test("bandPlanAudit: exact dups always detected, plan ships, curve matches") {
+    // pair (1,2): identical (j = 1 → closed-top bucket 9, MUST be
+    // detected — all bands agree); (1,3)/(2,3): one token differs;
+    // (1,4)/(2,4)/(3,4): low overlap
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta kappa mu"),
+      (4L, "one two three four five six seven alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val out = Dedup.bandPlanAudit(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, minJaccardPct = 50,
+      targetDetectPct = 80).collect()
+    val b9 = out.find(_.getLong(0) == 9L)
+    assert(b9.isDefined, "the identical pair must appear in bucket 9")
+    assert(b9.get.getLong(1) == b9.get.getLong(2),
+      "identical docs share every band — detection is structural")
+    assert(out.forall(r => r.getLong(5) == 8L && r.getLong(6) == 2L),
+      "the planned (8, 2) layout ships on every bucket row")
+    out.foreach { r =>
+      val mid = (r.getLong(0) + 0.5) / 10.0
+      val pred = 1.0 - math.pow(1.0 - math.pow(mid, 2), 8)
+      assert(math.abs(r.getDouble(4) - pred) < 1e-6,
+        s"bucket ${r.getLong(0)}: predicted ${r.getDouble(4)} vs $pred")
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("refitIfDrifted: benign incoming keeps the fit-time index") {
     // fit ids 0..9; md5 order of "0".."9" is 6,9,7,4,1,2,8,0,5,3 so with
     // targetCellSize=5 → nCells=2 the centroids are id 6's and id 9's
