@@ -4545,6 +4545,23 @@ object SparkEntry {
       skewFactor = 3, driftMilli = 20, minCellN = 5L)
   }
 
+  /** SIM23: the refit policy's NO-OP branch, cross-engine-verified —
+    * sim22's twin at a conservative drift threshold (0.10 cosine vs
+    * 0.02): on this corpus the audit's worst populated-cell drift is
+    * −0.0227, so sim22 refits (marginal drift fire — the RefitAudit
+    * calibration finding in the scaladoc) while this query correctly
+    * KEEPS the fit-time index (refit=0, fit-only centroid set). With
+    * both registered, BOTH decision branches — and the fact that the
+    * threshold alone flips them — are pinned by the DuckDB replay,
+    * not just by specs. */
+  private val sim23RefitNoop: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir).where(col("vec_id") >= 10)
+    SimSearch.refitIfDrifted(
+      emb.where(col("vec_id") % 5 =!= 0), emb.where(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", targetCellSize = 64L,
+      skewFactor = 3, driftMilli = 100, minCellN = 5L)
+  }
+
   /** LLM-D31: the LSH banding planner as a query
     * ([[Dedup.bandPlanDf]]) — `1 − (1 − j^r)^b` over every divisor pair
     * of the signature length, fewest qualifying bands chosen, honest
@@ -5278,6 +5295,7 @@ object SparkEntry {
     "d31_band_plan" -> d31BandPlan,
     "d32_minhash_auto_band" -> d32MinhashAutoBand,
     "d33_band_plan_audit" -> d33BandPlanAudit,
+    "sim23_refit_noop" -> sim23RefitNoop,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -10246,6 +10264,59 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END AS skew,
         |    coalesce(max(CASE WHEN n_new >= 5
         |      AND CAST(round(cos_drift * 1000000) AS BIGINT) <= -20000
+        |      THEN 1 ELSE 0 END), 0) AS drift
+        |  FROM audit),
+        |r AS (SELECT CASE WHEN skew = 1 OR drift = 1 THEN 1 ELSE 0 END
+        |    AS refit, skew, drift FROM dec),
+        |src AS (SELECT item_id FROM fit
+        |  UNION ALL SELECT item_id FROM inc
+        |    WHERE (SELECT refit FROM r) = 1),
+        |sc AS (SELECT least(4096, (count(*) + 63) // 64) AS c FROM src),
+        |pulled AS (SELECT item_id, row_number() OVER (
+        |    ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |  FROM src)
+        |SELECT CAST((SELECT refit FROM r) AS BIGINT) AS refit,
+        |  CAST((SELECT skew FROM r) AS BIGINT) AS skew_trigger,
+        |  CAST((SELECT drift FROM r) AS BIGINT) AS drift_trigger,
+        |  CAST((SELECT c FROM sc) AS BIGINT) AS n_cells,
+        |  CAST(rn - 1 AS BIGINT) AS cell, item_id AS centroid_id
+        |FROM pulled WHERE rn <= (SELECT c FROM sc)""".stripMargin,
+    "sim23_refit_noop" ->
+      """WITH fit AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id % 5 <> 0),
+        |inc AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id % 5 = 0),
+        |nc AS (SELECT least(4096, (count(*) + 63) // 64) AS c FROM fit),
+        |cent AS (SELECT rn - 1 AS cell, v AS cv FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |    FROM fit) WHERE rn <= (SELECT c FROM nc)),
+        |af AS (SELECT cell, count(*) AS n_fit,
+        |    round(avg(cs), 6) AS mean_cos_fit FROM (
+        |    SELECT f.item_id, ct.cell,
+        |      round(list_cosine_similarity(f.v, ct.cv), 6) AS cs,
+        |      row_number() OVER (PARTITION BY f.item_id
+        |        ORDER BY list_cosine_similarity(f.v, ct.cv) DESC, ct.cell)
+        |        AS rn
+        |    FROM fit f CROSS JOIN cent ct) WHERE rn = 1 GROUP BY cell),
+        |an AS (SELECT cell, count(*) AS n_new,
+        |    round(avg(cs), 6) AS mean_cos_new FROM (
+        |    SELECT i.item_id, ct.cell,
+        |      round(list_cosine_similarity(i.v, ct.cv), 6) AS cs,
+        |      row_number() OVER (PARTITION BY i.item_id
+        |        ORDER BY list_cosine_similarity(i.v, ct.cv) DESC, ct.cell)
+        |        AS rn
+        |    FROM inc i CROSS JOIN cent ct) WHERE rn = 1 GROUP BY cell),
+        |audit AS (SELECT coalesce(af.cell, an.cell) AS cell,
+        |    coalesce(n_fit, 0) AS n_fit, coalesce(n_new, 0) AS n_new,
+        |    round(mean_cos_new - mean_cos_fit, 6) AS cos_drift
+        |  FROM af FULL OUTER JOIN an ON af.cell = an.cell),
+        |dec AS (SELECT
+        |    CASE WHEN (SELECT c FROM nc) * max(n_new) >= 3 * sum(n_new)
+        |      THEN 1 ELSE 0 END AS skew,
+        |    coalesce(max(CASE WHEN n_new >= 5
+        |      AND CAST(round(cos_drift * 1000000) AS BIGINT) <= -100000
         |      THEN 1 ELSE 0 END), 0) AS drift
         |  FROM audit),
         |r AS (SELECT CASE WHEN skew = 1 OR drift = 1 THEN 1 ELSE 0 END
