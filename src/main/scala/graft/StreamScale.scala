@@ -132,6 +132,33 @@ object StreamScale {
         }))
       }
 
+      // --- cellDriftStream PRODUCTION SHAPE: fitStats joined, update ---
+      // mode — the post-aggregation stream-static drift join under
+      // watermark eviction (the shape a real monitor deploys; the
+      // fitStats-less row above isolates the windowed agg itself). The
+      // join is a 64-row broadcast onto the ≤ (windows × cells) rollup,
+      // so the rate should be indistinguishable from cell_drift.
+      locally {
+        val cents = Seq.tabulate(64)(c =>
+          Seq.tabulate(16)(i => ((c * 31 + i * 7) % 100) / 100.0))
+        val fitStats = spark.createDataFrame(
+          (0 until 64).map(c => (c.toLong, 100L + c, 0.9 - c * 0.001)))
+          .toDF("cell", "n_fit", "mean_cos_fit")
+        val mem = MemoryStream[(Long, Seq[Float], Long)]
+        val src = mem.toDF().toDF("id", "emb", "sec")
+          .withColumn("ts", timestamp_seconds(col("sec")))
+        val q = IndexMonitor.cellDriftStream(src, "emb", "ts", cents,
+            Some(fitStats), "1 minute", "0 seconds")
+          .writeStream.outputMode("update").format("noop")
+          .queryName(s"ss_drift_fit_$k").start()
+        out += report("cell_drift_fit", k, keys, drive(q, { b =>
+          mem.addData((0 until keys).map(u => (b.toLong * keys + u,
+            Seq.tabulate(16)(i => ((u * 13 + i * 7 + b) % 1000) / 1000.0f),
+            b.toLong * 60 + u % 50)))
+          keys.toLong
+        }))
+      }
+
       // --- nearDups: one doc per "family slot" per batch; vocabulary ---
       // scales with K so band buckets keep constant expected occupancy
       // (the d24 growth model), and every 10th doc repeats its family's

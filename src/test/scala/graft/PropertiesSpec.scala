@@ -59,6 +59,31 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: bandPlanDf (the relational d31 plan) ≡ bandPlan on generated grids") {
+    import graft.llmops.Dedup
+    // the registered d31 grid is fixed; pin the RELATIONAL planner
+    // against the driver one over generated operating points too, so a
+    // future grid change can't silently diverge the two forms
+    val gridGen: Gen[List[(Int, Int, Int)]] = Gen.nonEmptyListOf(for {
+      nh <- Gen.oneOf(4, 8, 12, 16, 20, 24, 32, 48, 64)
+      jp <- Gen.choose(1, 99)
+      tp <- Gen.choose(0, 100)
+    } yield (nh, jp, tp))
+    forAll(gridGen) { grid0 =>
+      val grid = grid0.distinct
+      val got = Dedup.bandPlanDf(
+          grid.toDF("num_hashes", "min_jaccard_pct", "target_pct"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+      assert(got.size == grid.size)
+      for ((nh, jp, tp) <- grid) {
+        val (b, rw) = Dedup.bandPlan(nh, jp / 100.0, tp)
+        assert(got((nh.toLong, jp.toLong, tp.toLong)) == ((b.toLong, rw.toLong)),
+          s"grid point ($nh, $jp, $tp)")
+      }
+    }
+  }
+
   test("property: as-of last ≡ naive max over (ts, tiebreak) prefix") {
     forAll(behaviorGen, behaviorGen) { (qs0, bs0) =>
       whenever(qs0.nonEmpty && bs0.nonEmpty) {
