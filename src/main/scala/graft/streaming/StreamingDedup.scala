@@ -127,4 +127,23 @@ object StreamingDedup {
       ttl: Option[java.time.Duration] = None): Dataset[DupCandidate] =
     nearDupStream(bandRows(docs, id, text, shingleN, numHashes, bands),
       numHashes, minJaccard, maxClaimants, ttl)
+
+  /** [[nearDups]] with the band count chosen by
+    * [[graft.llmops.Dedup.bandPlan]] at the (minJaccard,
+    * targetDetectPct) operating point — the planner wired into the
+    * streaming family like [[graft.llmops.Dedup.minHashPairsPortableAuto]]
+    * wires it into batch. Worth noticing: [[nearDups]]'s historical
+    * default (16 hashes, 4 bands) detects only ~23% of true j = 0.5
+    * pairs per the S-curve; the plan at an 80% target picks (8, 2) —
+    * ~90% detection for 2× the band rows (state and shuffle volume
+    * scale with bands, the documented trade the planner minimizes). */
+  def nearDupsPlanned(docs: DataFrame, id: String, text: String,
+      shingleN: Int = 3, numHashes: Int = 16, minJaccard: Double = 0.5,
+      targetDetectPct: Int = 80, maxClaimants: Int = 16,
+      ttl: Option[java.time.Duration] = None): Dataset[DupCandidate] = {
+    val (bands, _) = graft.llmops.Dedup.bandPlan(numHashes, minJaccard,
+      targetDetectPct)
+    nearDups(docs, id, text, shingleN, numHashes, bands, minJaccard,
+      maxClaimants, ttl)
+  }
 }

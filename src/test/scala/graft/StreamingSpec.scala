@@ -407,6 +407,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows() == Set(("u1", 300L), ("u2", 200L)), rows().toString)
   }
 
+  test("nearDupsPlanned: the band planner drives the streaming dedup") {
+    implicit val sql = spark.sqlContext
+    // at (16 hashes, j=0.5, target 80%) the plan is (8, 2) — pin that
+    // the planned stream equals the explicit-bands stream on the same
+    // input (same claims, same matches), i.e. the planner only CHOOSES,
+    // the operator semantics are untouched
+    assert(graft.llmops.Dedup.bandPlan(16, 0.5, 80) == ((8, 2)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .collect().take(200)
+    def run(name: String,
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[
+          graft.streaming.StreamingDedup.DupCandidate]): Set[(Long, Long, Double)] = {
+      val mem = MemoryStream[(Long, String)]
+      val q = mk(mem.toDF().toDF("doc_id", "text"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      mem.addData(docs: _*); q.processAllAvailable(); q.stop()
+      spark.table(name).as[(Long, Long, Double)].collect().toSet
+    }
+    val planned = run("sdp_planned", df =>
+      graft.streaming.StreamingDedup.nearDupsPlanned(df, "doc_id", "text",
+        shingleN = 3, numHashes = 16, minJaccard = 0.5,
+        targetDetectPct = 80, maxClaimants = 100000))
+    val explicit = run("sdp_explicit", df =>
+      graft.streaming.StreamingDedup.nearDups(df, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 8, minJaccard = 0.5,
+        maxClaimants = 100000))
+    assert(planned == explicit,
+      s"planned ${planned.size} pairs vs explicit ${explicit.size}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming near-dup (state-v2) matches the batch incremental dedup") {
     implicit val sql = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
