@@ -20,22 +20,21 @@ object Bench {
     * with matching `pin_n` convicts the environment, not the plans.
     * MUST be refreshed (standalone `runMain graft.Bench`) whenever the
     * query set or a heavy plan changes. */
-  // 144.5 s: round-10 CLOSING standalone pin at 264 queries in SORTED
-  // query order (uncontended, xcpu 0.0%, janino_n ~3,035 < the 4,096
-  // cache — no eviction). Same-day clean three-run spread at the r10
-  // code state: 131.3 s/260 (pre-sim17..20) → 144.5 → 158.3 s/264
-  // (all xcpu 0.0, janino flat — a ±9% day after heavy ScaleSmoke
-  // corpus churn; cold_s moved 201→248 with it, page-cache state, not
-  // plans). The four new policy/drift queries carry ~3.5 s of new
-  // timed work (sim17 0.89, sim18 0.90, sim20 1.21, sim19
-  // sub-threshold) — quote the spread, never one run. Lineage:
-  // r9 130.6–143.6/258–260, r8 138.7/250 (Iterate.pin fixpoints,
-  // sorted order; spread 130.7–146.4), 127.3/248 after the native
-  // SimHash/MinHash kernels, mid-r8 152.5/246 (4096-entry codegen
-  // cache; 167.2 at the old 100-entry), r6 99.6/182. Per-query
-  // constant ~0.55 s/q throughout.
-  private val pinWarmS = 144.5
-  private val pinN = 264
+  // 154.2 s: round-11 CLOSING standalone pin at 270 queries in SORTED
+  // query order (uncontended, xcpu 0.0%, janino_n 3,107 < the 4,096
+  // cache — no eviction). Same-day clean two-run spread at the r11
+  // code state: 143.3 s/268 (pre-d33/sim23) → 154.2 s/270 — the two
+  // new queries carry ~4 s of genuinely new timed work (d33 2.83 —
+  // two full dedup pipelines joined — and sim23 ~1), remainder
+  // in-spread drift. Quote the spread, never one run. Lineage:
+  // r10 144.5/264 (same-day spread 131.3–158.3), r9 130.6–143.6/
+  // 258–260, r8 138.7/250 (Iterate.pin fixpoints, sorted order;
+  // spread 130.7–146.4), 127.3/248 after the native SimHash/MinHash
+  // kernels, mid-r8 152.5/246 (4096-entry codegen cache; 167.2 at the
+  // old 100-entry), r6 99.6/182. Per-query constant ~0.55 s/q
+  // throughout.
+  private val pinWarmS = 154.2
+  private val pinN = 270
 
   /** PIDs of this JVM plus its ancestor chain (the sbt launcher that
     * forked us) — the only Java processes that are NOT contamination. */
