@@ -3656,15 +3656,16 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val clusters = Dedup.dupClusters(docs, "doc_id", "text",
       shingleN = 3, minJaccard = 0.6, maxBucket = 1000)
-    val ranked = clusters
+    // first_value over the ordered cluster window (default frame =
+    // UNBOUNDED PRECEDING..CURRENT ROW, and the first row by the ORDER
+    // is the representative) replaces the former rank-then-self-join:
+    // one window pass instead of two plan subtrees joined on
+    // cluster_id — measured fresh-JVM warm 4.5/3.5 → 3.6/3.0 s at sf0.1
+    clusters
       .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
-      .withColumn("rn", row_number().over(
+      .withColumn("canonical_id", first(col("doc_id")).over(
         Window.partitionBy(col("cluster_id"))
           .orderBy(col("n_chars").desc, col("doc_id"))))
-    ranked.join(
-        ranked.where(col("rn") === 1)
-          .select(col("cluster_id"), col("doc_id").as("canonical_id")),
-        "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
         (col("doc_id") === col("canonical_id")).as("is_canonical"))
   }
