@@ -22,11 +22,14 @@ object Bench {
     * query set or a heavy plan changes. */
   // 154.2 s: round-11 CLOSING standalone pin at 270 queries in SORTED
   // query order (uncontended, xcpu 0.0%, janino_n 3,107 < the 4,096
-  // cache — no eviction). Same-day clean two-run spread at the r11
-  // code state: 143.3 s/268 (pre-d33/sim23) → 154.2 s/270 — the two
-  // new queries carry ~4 s of genuinely new timed work (d33 2.83 —
-  // two full dedup pipelines joined — and sim23 ~1), remainder
-  // in-spread drift. Quote the spread, never one run. Lineage:
+  // cache — no eviction). Same-day three-run spread at the r11 code
+  // state: 143.3 s/268 (pre-d33/sim23) → 154.2 s/270 → 166.1 s/270
+  // (the last started at load1 5.1 after a 60 GB spill-cleanup
+  // episode — see PLANS round-11 ops note; d17's fresh-JVM pin
+  // improved 3.5→3.0 the same day, so the drift is environment, not
+  // plans). The two new queries carry ~4 s of genuinely new timed
+  // work (d33 2.83 — two full dedup pipelines joined — and sim23 ~1).
+  // Quote the spread, never one run. Lineage:
   // r10 144.5/264 (same-day spread 131.3–158.3), r9 130.6–143.6/
   // 258–260, r8 138.7/250 (Iterate.pin fixpoints, sorted order;
   // spread 130.7–146.4), 127.3/248 after the native SimHash/MinHash
