@@ -10261,7 +10261,8 @@ object SparkEntry {
         |    round(mean_cos_new - mean_cos_fit, 6) AS cos_drift
         |  FROM af FULL OUTER JOIN an ON af.cell = an.cell),
         |dec AS (SELECT
-        |    CASE WHEN (SELECT c FROM nc) * max(n_new) >= 3 * sum(n_new)
+        |    CASE WHEN sum(n_new) > 0
+        |      AND (SELECT c FROM nc) * max(n_new) >= 3 * sum(n_new)
         |      THEN 1 ELSE 0 END AS skew,
         |    coalesce(max(CASE WHEN n_new >= 5
         |      AND CAST(round(cos_drift * 1000000) AS BIGINT) <= -20000
@@ -10314,7 +10315,8 @@ object SparkEntry {
         |    round(mean_cos_new - mean_cos_fit, 6) AS cos_drift
         |  FROM af FULL OUTER JOIN an ON af.cell = an.cell),
         |dec AS (SELECT
-        |    CASE WHEN (SELECT c FROM nc) * max(n_new) >= 3 * sum(n_new)
+        |    CASE WHEN sum(n_new) > 0
+        |      AND (SELECT c FROM nc) * max(n_new) >= 3 * sum(n_new)
         |      THEN 1 ELSE 0 END AS skew,
         |    coalesce(max(CASE WHEN n_new >= 5
         |      AND CAST(round(cos_drift * 1000000) AS BIGINT) <= -100000

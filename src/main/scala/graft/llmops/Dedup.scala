@@ -593,6 +593,17 @@ object Dedup {
     * Grid rows are independent and the divisor explode is ≤ num_hashes
     * wide — the plan is one explode + one ≤-grid-sized aggregate + one
     * small join; the planner is design-time math, never data-sized.
+    *
+    * Input contract (where the driver-side [[bandPlan]] `require`s,
+    * a relational plan cannot throw per-row): a grid row with
+    * `num_hashes < 1` VANISHES from the output — its divisor sequence
+    * is empty, so the explode eliminates it (callers validating a
+    * user-supplied grid should count output vs input rows); an
+    * out-of-range `target_pct` is accepted and behaves as the clamped
+    * comparison implies — > 100 can never qualify so the row takes the
+    * honest ladder-max fallback (bands = num_hashes), ≤ 0 qualifies at
+    * the first divisor (bands = 1). Both behaviors are pinned by
+    * LlmOpsSpec, not incidental.
     * `PlanPinSpec`-style parity with the driver-side [[bandPlan]] is
     * pinned by LlmOpsSpec over the full registered grid. */
   def bandPlanDf(grid: DataFrame): DataFrame = {
@@ -601,8 +612,14 @@ object Dedup {
         col("num_hashes").cast("long").as("num_hashes"),
         col("min_jaccard_pct").cast("long").as("min_jaccard_pct"),
         col("target_pct").cast("long").as("target_pct"))
+      // the num_hashes >= 1 guard makes the documented contract real:
+      // sequence() under ANSI DESCENDS for nh < 1 (1, 0, …, nh), so an
+      // unguarded divisor filter would hit remainder-by-zero instead of
+      // dropping the row
       .withColumn("bands", explode(filter(
-        sequence(lit(1L), col("num_hashes")),
+        when(col("num_hashes") >= 1L,
+          sequence(lit(1L), col("num_hashes")))
+          .otherwise(array().cast("array<long>")),
         b => col("num_hashes") % b === 0)))
       .withColumn("rows_per_band",
         (col("num_hashes") / col("bands")).cast("long"))

@@ -682,7 +682,15 @@ object SimSearch {
       col(vec).cast("array<double>").as("__v"))
     val inc = incoming.select(col(id).as("item_id"),
       col(vec).cast("array<double>").as("__v"))
-    val cents = mdCentroids(f, targetCellSize)
+    ivfDriftAuditWith(f, inc, mdCentroids(f, targetCellSize))
+  }
+
+  /** [[ivfDriftAudit]] body against PRECOMPUTED centroids — the overload
+    * [[refitIfDrifted]] shares so one invocation counts and pulls the
+    * fit side exactly once (the audit itself adds only the two
+    * assignment passes). */
+  private def ivfDriftAuditWith(f: DataFrame, inc: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame =
     cellAssignStats(f, cents, "n_fit", "mean_cos_fit")
       .join(cellAssignStats(inc, cents, "n_new", "mean_cos_new"),
         Seq("__cell"), "full")
@@ -692,7 +700,6 @@ object SimSearch {
         col("mean_cos_fit"), col("mean_cos_new"),
         round(col("mean_cos_new") - col("mean_cos_fit"), 6)
           .as("cos_drift"))
-  }
 
   /** The portable index's centroid pull, shared by the drift/refit
     * family: the [[autoCells]]-many corpus rows with the smallest
@@ -701,11 +708,18 @@ object SimSearch {
     * its DuckDB replay agree on. ≤ 4096 driver rows by the autoCells
     * clamp (k-means's own centroids-fit-on-the-driver assumption). */
   private def mdCentroids(f: DataFrame,
-      targetCellSize: Long): Seq[Seq[Double]] = {
-    val nCells = autoCells(math.max(1L, f.count()), targetCellSize)
+      targetCellSize: Long): Seq[Seq[Double]] =
+    mdCentroidRows(f, autoCells(math.max(1L, f.count()), targetCellSize))
+      .map(_.getSeq[Double](1).toSeq).toSeq
+
+  /** The pull itself at a KNOWN cell count — full (item_id, __v) rows in
+    * md5 order, so callers that already counted the fit side ([[
+    * refitIfDrifted]]) reuse one collect for both the centroid vectors
+    * and the serving (cell, centroid_id) emission. */
+  private def mdCentroidRows(f: DataFrame, nCells: Int)
+      : Array[org.apache.spark.sql.Row] =
     f.orderBy(md5(col("item_id").cast("string")), col("item_id"))
-      .limit(nCells).collect().map(_.getSeq[Double](1).toSeq).toSeq
-  }
+      .limit(nCells).collect()
 
   /** Per-cell population + mean assignment cosine of `df` (columns
     * `item_id`, `__v`) against literal `cents` — [[ivfDriftAudit]]'s
@@ -769,11 +783,13 @@ object SimSearch {
     * maintenance).
     *
     * Triggers (integer math on the ≤-4096-row audit, no float knife
-    * edge): LOAD SKEW when `nCells · max(n_new) ≥ skewFactor ·
-    * sum(n_new)` — the hottest cell holds ≥ skewFactor× the mean
-    * incoming load (nCells is the INDEX size from [[autoCells]] over
-    * the fit count, not the audit's row count — cells nothing assigned
-    * to still dilute the mean); COS DRIFT when any cell with
+    * edge): LOAD SKEW when `sum(n_new) > 0` AND `nCells · max(n_new) ≥
+    * skewFactor · sum(n_new)` — the hottest cell holds ≥ skewFactor×
+    * the mean incoming load (nCells is the INDEX size from
+    * [[autoCells]] over the fit count, not the audit's row count —
+    * cells nothing assigned to still dilute the mean; the positivity
+    * gate keeps a QUIET interval a no-op instead of the vacuous
+    * `0 ≥ 0` fire); COS DRIFT when any cell with
     * `n_new ≥ minCellN` has `round(cos_drift·10^6) ≤ −driftMilli·1000`
     * — a populated cell's incoming rows assign ≥ driftMilli/1000 cosine
     * worse than the fit population (cos_drift is already 6-dp-rounded,
@@ -808,8 +824,15 @@ object SimSearch {
       col(vec).cast("array<double>").as("__v"))
     val inc = incoming.select(col(id).as("item_id"),
       col(vec).cast("array<double>").as("__v"))
+    // fit side is counted ONCE and its centroid rows pulled ONCE; the
+    // collected rows serve both the audit's literal centroids and (on
+    // the keep branch) the serving emission itself — a periodic
+    // maintenance caller pays one fit count + one ≤-4096-row pull +
+    // the two assignment passes, nothing scanned twice
     val nCells = autoCells(math.max(1L, f.count()), targetCellSize)
-    val audit = ivfDriftAudit(fit, incoming, id, vec, targetCellSize)
+    val centRows = mdCentroidRows(f, nCells)
+    val audit = ivfDriftAuditWith(f, inc,
+      centRows.map(_.getSeq[Double](1).toSeq).toSeq)
     // 1-row decision aggregate (bounded collect — the audit is ≤ nCells
     // rows by construction)
     val d = audit.agg(
@@ -818,27 +841,50 @@ object SimSearch {
           round(col("cos_drift") * 1e6).cast("long")
             <= lit(-driftMilli.toLong * 1000L), 1L)
         .otherwise(0L)).as("__dr")).head()
-    val skew = !d.isNullAt(0) && !d.isNullAt(1) &&
+    // sum(n_new) > 0 gate: a QUIET interval (no incoming rows) must be
+    // a no-op — without it `nCells·0 ≥ skewFactor·0` holds vacuously and
+    // a maintenance caller acting on the flag would refit on silence
+    val skew = !d.isNullAt(0) && !d.isNullAt(1) && d.getLong(1) > 0L &&
       nCells.toLong * d.getLong(0) >= skewFactor.toLong * d.getLong(1)
     val drift = !d.isNullAt(2) && d.getLong(2) == 1L
     val refit = skew || drift
-    val src = if (refit) f.unionAll(inc) else f
-    val servingCells = autoCells(math.max(1L, src.count()), targetCellSize)
-    // orderBy+limit lowers to TakeOrderedAndProject (distributed top-N,
-    // never a global sort); the rank window then runs over the ≤ 4096
-    // surviving rows only
-    val pulled = src
-      .orderBy(md5(col("item_id").cast("string")), col("item_id"))
-      .limit(servingCells)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(md5(col("item_id").cast("string")), col("item_id"))
-    pulled
-      .select(lit(if (refit) 1L else 0L).as("refit"),
-        lit(if (skew) 1L else 0L).as("skew_trigger"),
-        lit(if (drift) 1L else 0L).as("drift_trigger"),
-        lit(servingCells.toLong).as("n_cells"),
-        (row_number().over(w) - 1).cast("long").as("cell"),
-        col("item_id").as("centroid_id"))
+    if (!refit) {
+      // KEEP: the serving set IS the fit-time pull already on the
+      // driver — emit it directly, no second scan of the fit side
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val spark = fit.sparkSession
+      val schema = StructType(Seq(
+        StructField("refit", LongType, nullable = false),
+        StructField("skew_trigger", LongType, nullable = false),
+        StructField("drift_trigger", LongType, nullable = false),
+        StructField("n_cells", LongType, nullable = false),
+        StructField("cell", LongType, nullable = false),
+        f.schema("item_id").copy(name = "centroid_id")))
+      val rows = centRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(0L, 0L, 0L, nCells.toLong, i.toLong,
+          r.get(0))
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+    } else {
+      val src = f.unionAll(inc)
+      val servingCells = autoCells(math.max(1L, src.count()), targetCellSize)
+      // orderBy+limit lowers to TakeOrderedAndProject (distributed top-N,
+      // never a global sort); the rank window then runs over the ≤ 4096
+      // surviving rows only
+      val pulled = src
+        .orderBy(md5(col("item_id").cast("string")), col("item_id"))
+        .limit(servingCells)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(md5(col("item_id").cast("string")), col("item_id"))
+      pulled
+        .select(lit(1L).as("refit"),
+          lit(if (skew) 1L else 0L).as("skew_trigger"),
+          lit(if (drift) 1L else 0L).as("drift_trigger"),
+          lit(servingCells.toLong).as("n_cells"),
+          (row_number().over(w) - 1).cast("long").as("cell"),
+          col("item_id").as("centroid_id"))
+    }
   }
 
   /** [[ivfTopKPortable]] with the cell count auto-sized from the corpus

@@ -1054,6 +1054,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got((4L, 10L, 90L))._2 < 0.90)
   }
 
+  test("bandPlanDf input contract: invalid grid rows vanish / clamp as documented") {
+    // where driver-side bandPlan require()s, the relational form's
+    // documented contract applies — pinned here so it can't drift
+    val got = Dedup.bandPlanDf(
+        Seq((0, 50, 80), (-3, 50, 80), (16, 50, 150), (16, 50, -10))
+          .toDF("num_hashes", "min_jaccard_pct", "target_pct"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // num_hashes < 1 → empty divisor sequence → the row is GONE
+    assert(!got.keySet.exists(_._1 <= 0L), "num_hashes < 1 rows must vanish")
+    assert(got.size == 2)
+    // target_pct > 100 can never qualify → ladder-max fallback
+    assert(got((16L, 150L)) == ((16L, 1L)))
+    // target_pct <= 0 qualifies at the first divisor → bands = 1
+    assert(got((16L, -10L)) == ((1L, 16L)))
+  }
+
   test("minHashPairsPortableAuto: planner drives the banding, ≡ explicit bands") {
     // the registered operating point: j = 0.50, target 80% → (8, 2)
     assert(Dedup.bandPlan(16, 0.50, 80) == ((8, 2)))
@@ -1137,6 +1154,24 @@ class LlmOpsSpec extends AnyFunSuite {
     // with only 10 fit ids at least 10 centroids come from the incoming
     assert(out.length == 20 && out.forall(_._4 == 20L))
     assert(out.count(_._5 >= 100L) >= 10)
+  }
+
+  test("refitIfDrifted: a quiet interval (no incoming) is a KEEP, not a vacuous skew fire") {
+    // with zero incoming rows, max(n_new) = sum(n_new) = 0 and the
+    // ungated skew test `nCells·0 ≥ skewFactor·0` would hold vacuously;
+    // the sum(n_new) > 0 gate makes silence a no-op — the decision a
+    // periodic maintenance caller acting on the flag requires
+    val fit = (0L to 9L).map(i => (i, Seq(1.0, 0.0))).toDF("id", "v")
+    val inc = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val out = SimSearch.refitIfDrifted(fit, inc, "id", "v",
+        targetCellSize = 2L, skewFactor = 3, driftMilli = 20, minCellN = 5L)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) == 0L && r.getLong(1) == 0L
+      && r.getLong(2) == 0L), "empty incoming must not trigger a refit")
+    // serving set = the fit-time index: autoCells(10, 2) = 5 centroids
+    assert(out.length == 5 && out.forall(_.getLong(3) == 5L))
+    assert(out.map(_.getLong(5)).forall(_ <= 9L))
   }
 
   test("refitIfDrifted: cosine-drift trigger fires on a degraded cell") {
