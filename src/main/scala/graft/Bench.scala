@@ -117,6 +117,29 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // reclaim orphaned shuffle-spill litter BEFORE the session exists —
+    // round 11 hit ENOSPC mid-run from ~50 GB of /tmp/spark-* left by
+    // killed scale experiments, and the cleanup was manual
+    SpillJanitor.sweep()
+    // quiet-start guard (round-11 postmortem): BENCH_r11's headline was
+    // captured at start load1 7.96 and its per-query numbers were noise
+    // regardless of the in-run jiffy accounting — a run that STARTS
+    // contended is unquotable before it begins. Wait for the host to go
+    // quiet (load1 ≤ 2, no foreign JVM) up to 10 minutes; if it never
+    // does, run anyway but stamp pinnable:false so the artifact can't be
+    // quoted as a pin.
+    val quietDeadlineNs = System.nanoTime() + 10L * 60 * 1000 * 1000 * 1000
+    def quietNow(): Boolean = load1() <= 2.0 && otherJvm().isEmpty
+    var startWaitS = 0
+    var quietAtStart = quietNow()
+    while (!quietAtStart && System.nanoTime() < quietDeadlineNs) {
+      Thread.sleep(15000)
+      startWaitS += 15
+      quietAtStart = quietNow()
+    }
+    if (!quietAtStart)
+      println(s"[bench] WARN host still contended after ${startWaitS}s " +
+        s"wait (load1=${load1()}) — output will be stamped pinnable:false")
     // default to every core (the driver contract is local[32] on this
     // machine); SPARK_GRAFT_CPUS narrows it for local experiments
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -310,7 +333,13 @@ object Bench {
         .mkString(",")}]""" +
         (if (suspects.size > 4) s""","suspect_more":${suspects.size - 4}"""
          else "")
+    // a run is PINNABLE (quotable as the standalone reference number)
+    // only when nothing contaminated it end to end: quiet start, no
+    // foreign JVM, no external CPU, no per-query suspects, no failures
+    val pinnable = quietAtStart && contendedBy.isEmpty &&
+      runNonSelfPct <= 5.0 && suspects.isEmpty && nFailed == 0
     val header = s""""metric":"total_warm","value":${r3(total)},"unit":"sec"""" +
+      s""","pinnable":$pinnable,"start_wait_s":$startWaitS""" +
       s""","cold_s":${r3(coldTotal)},"failed":$nFailed$contention""" +
       s""","xcpu_pct":${r3(runNonSelfPct)},"xcpu_contended":$cpuContended""" +
       s""","load1":[${r3(loadStart)},${r3(loadEnd)}]""" +

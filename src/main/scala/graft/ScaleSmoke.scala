@@ -64,6 +64,9 @@ object ScaleSmoke {
     "d24_simhash_auto")
 
   def main(args: Array[String]): Unit = {
+    // scale runs are the spill producers — reclaim earlier orphans first
+    // (the round-11 ENOSPC episode was exactly their accumulation)
+    SpillJanitor.sweep()
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
     val factor = if (args.length > 2) args(2).toInt else 10

@@ -28,6 +28,7 @@ import graft.streaming.{BehaviorIngest, IndexMonitor, StreamingDedup}
   */
 object StreamScale {
   def main(args: Array[String]): Unit = {
+    SpillJanitor.sweep()
     val baseKeys = args.headOption.map(_.toInt).getOrElse(1000)
     val nBatches = if (args.length > 1) args(1).toInt else 5
     val factors = if (args.length > 2) args(2).split(",").map(_.toInt).toSeq
