@@ -603,10 +603,16 @@ object SparkEntry {
 
   /** LLM-D5: engine-portable MinHash near-dup pairs (md5-based signature —
     * same banding/estimation mechanics as the xxhash64 production path but
-    * reproducible by the DuckDB oracle). */
+    * reproducible by the DuckDB oracle). Bands come from the d31 planner
+    * at the declared (j = 0.30, target 80%) operating point — (16, 1);
+    * the old caller-constant (16, 4) layout detected ~3% of true pairs
+    * at j = 0.3 (its own S-curve), i.e. the query was silently missing
+    * almost everything its threshold declared it wanted. The oracle
+    * replays the divisor scan before banding, the d32 contract. */
   private val d5MinhashPortable: Q = (s, dir) =>
-    Dedup.minHashPairsPortable(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.3)
+    Dedup.minHashPairsPortableAuto(Tables.documents(s, dir), "doc_id",
+        "text", shingleN = 3, numHashes = 16, minJaccardPct = 30,
+        targetDetectPct = 80)
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 6).as("est_jaccard"))
 
@@ -660,8 +666,9 @@ object SparkEntry {
     * 0.4 sits at the top ~0.1% of the synthetic corpus's pair-cosine
     * distribution (max ≈ 0.51 — no planted dups). */
   private val d6EmbeddingDedup: Q = (s, dir) =>
-    Dedup.embeddingPairsBanded(Tables.embeddings(s, dir), "vec_id",
-        "embedding", dim = 64, minCosine = 0.4, nBits = 16, bands = 4)
+    Dedup.embeddingPairsBandedPlanned(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, minCosinePct = 40, nBits = 16,
+        targetDetectPct = 80)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
 
   /** LLM-D22: auto-sized embedding near-dup pairs
@@ -676,9 +683,9 @@ object SparkEntry {
     * computation dynamically (`least(24, length(bin(m-1)))`), so the
     * query stays oracle-exact at ANY fixture size, not just the gate's. */
   private val d22EmbeddingDedupAuto: Q = (s, dir) =>
-    Dedup.embeddingPairsBandedAuto(Tables.embeddings(s, dir), "vec_id",
-        "embedding", dim = 64, minCosine = 0.4, bands = 4,
-        targetBucketSize = 50L)
+    Dedup.embeddingPairsBandedAutoPlanned(Tables.embeddings(s, dir),
+        "vec_id", "embedding", dim = 64, minCosinePct = 40,
+        targetBucketSize = 50L, targetDetectPct = 80)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
 
   /** LLM-D23: LSH capacity audit ([[SimSearch.lshBucketHistogramAuto]])
@@ -690,8 +697,9 @@ object SparkEntry {
     * query is the monitoring view that exposes it — rows in buckets
     * above the cap are rows the pair stage never sees. */
   private val d23LshCapacityAudit: Q = (s, dir) =>
-    SimSearch.lshBucketHistogramAuto(Tables.embeddings(s, dir), "vec_id",
-        "embedding", dim = 64, bands = 4, targetBucketSize = 50L)
+    SimSearch.lshBucketHistogramAutoPlanned(Tables.embeddings(s, dir),
+        "vec_id", "embedding", dim = 64, minCosinePct = 40,
+        targetBucketSize = 50L, targetDetectPct = 80)
       .select(col("band"), col("bucket_size"), col("n_buckets"))
 
   /** LLM-D24: the d22/d23 treatment applied to SIMHASH's fixed-width
@@ -747,10 +755,13 @@ object SparkEntry {
     * bit-identical to the composed HOF spec (LlmOpsSpec), this entry
     * restores BENCH/registry coverage of its runtime — a perf
     * regression in the fast path was invisible between the r8
-    * re-family and this entry. */
+    * re-family and this entry. Runs the SAME planner-chosen layout as
+    * its twin d5 ([[Dedup.minHashPairsAuto]], (16, 1) at j = 0.30 /
+    * target 80%) — twins are only twins at one operating point. */
   private val d26MinhashFast: Q = (s, dir) =>
-    Dedup.minHashPairs(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.3)
+    Dedup.minHashPairsAuto(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 16, minJaccardPct = 30,
+        targetDetectPct = 80)
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 6).as("est_jaccard"))
 
@@ -764,7 +775,7 @@ object SparkEntry {
     * the r8 d3 banding A/B repeated; PLANS.md round 9). */
   private val d27SimhashFast: Q = (s, dir) =>
     Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
-      maxHamming = 3, bands = 4)
+      maxHamming = 3, bands = Dedup.simHashBandPlan(3))
 
   /** LLM-D13: SemDeDup ([[Dedup.semDedup]]) — portable-centroid
     * clustering of the embedding space, then cell-local near-dup drop:
@@ -836,8 +847,12 @@ object SparkEntry {
     // persist it so the classifier/dedup stages run once, not twice
     // (ContextCleaner reclaims it once the plan is unreferenced)
     val exact = Dedup.exactRows(qual, "doc_id", "text").persist()
-    val pairs = Dedup.minHashPairsPortable(exact, "doc_id", "text",
-      shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+    // planner-chosen layout at the declared (j = 0.50, target 80%)
+    // operating point → (8, 2); the old (16, 4) constant detected ~23%
+    // of true pairs at j = 0.5 (round-11 verdict)
+    val pairs = Dedup.minHashPairsPortableAuto(exact, "doc_id", "text",
+      shingleN = 3, numHashes = 16, minJaccardPct = 50,
+      targetDetectPct = 80)
     val comps = Graph.connectedComponents(pairs, "doc_a", "doc_b")
     val dropped = comps.where(col("doc_a") =!= col("component"))
       .select(col("doc_a").as("doc_id"))
@@ -861,8 +876,10 @@ object SparkEntry {
         TextFunctions.hashedClassifierScore(col("text")).as("__q"))
       .where(col("__q") >= 0.5)
     val exact = Dedup.exactRows(qual, "doc_id", "text").persist()
-    val pairs = Dedup.minHashPairsPortable(exact, "doc_id", "text",
-      shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+    // planned (8, 2) at (j = 0.50, target 80%) — see d10
+    val pairs = Dedup.minHashPairsPortableAuto(exact, "doc_id", "text",
+      shingleN = 3, numHashes = 16, minJaccardPct = 50,
+      targetDetectPct = 80)
     val comps = Graph.connectedComponents(pairs, "doc_a", "doc_b")
     val dropped = comps.where(col("doc_a") =!= col("component"))
       .select(col("doc_a").as("doc_id"))
@@ -901,8 +918,9 @@ object SparkEntry {
       .join(base.select(md5(col("text")).as("__d")).distinct(),
         md5(col("text")) === col("__d"), "left_semi")
       .select(col("doc_id"))
-    val nearDrop = Dedup.minHashMatchesAgainst(incoming, base, "doc_id",
-        "text", shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+    val nearDrop = Dedup.minHashMatchesAgainstAuto(incoming, base,
+        "doc_id", "text", shingleN = 3, numHashes = 16,
+        minJaccardPct = 50, targetDetectPct = 80)
       .select(col("doc_new").as("doc_id")).distinct()
     incoming.join(exactDrop.union(nearDrop).distinct(), Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
@@ -1973,7 +1991,7 @@ object SparkEntry {
     * production path, pinned by LlmOpsSpec. */
   private val d3SimHash: Q = (s, dir) =>
     Dedup.simHashPairsPortable(Tables.documents(s, dir), "doc_id", "text",
-      maxHamming = 1, bands = 2)
+      maxHamming = 1, bands = Dedup.simHashBandPlan(1))
 
   /** LLM-D8: md5-portable 32-bit SimHash signature dump (proves the
     * vote/sign-bit math against an independent engine; d3 builds the
@@ -2215,19 +2233,20 @@ object SparkEntry {
           (a, e) => greatest(a, e)), 9).as("max_err"))
   }
 
-  /** LLM-D2: MinHash-LSH near-dup pairs at the HIGH-RECALL operating
-    * point — 8 bands × 2 rows over the same 16-position signature as d5's
-    * 4×4 (band collision probability j² instead of j⁴, so the banding
-    * net catches far weaker overlaps before the ≥0.2 estimate filter).
-    * The d5/d2 pair is the banding trade-off a dedup operator actually
-    * tunes. Runs on the md5-portable signature so the DuckDB oracle
-    * replays it exactly; the xxhash64 production kernel
-    * ([[Dedup.minHashPairs]]) is pinned bit-identical to its HOF spec by
-    * LlmOpsSpec (the registry pipelines d10/d11 run the md5-portable
-    * variants so their oracles replay end-to-end). */
+  /** LLM-D2: MinHash-LSH near-dup pairs at the LOW-THRESHOLD operating
+    * point (j = 0.20 vs d5's 0.30) — the planner answers with
+    * singleton bands ((16, 1): at 16 hashes nothing coarser reaches the
+    * 80% target below j ≈ 0.5), so the d2/d5 contrast is now the honest
+    * one: at a short signature the recall knob saturates and the REAL
+    * trade is signature length (lengthen + re-plan, the d34 replan
+    * loop), not hand-tuned bands. Runs on the md5-portable signature so
+    * the DuckDB oracle replays scan + banding exactly; the xxhash64
+    * production kernel ([[Dedup.minHashPairs]]) is pinned bit-identical
+    * to its HOF spec by LlmOpsSpec. */
   private val d2MinHashPairs: Q = (s, dir) =>
-    Dedup.minHashPairsPortable(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 16, bands = 8, minJaccard = 0.2)
+    Dedup.minHashPairsPortableAuto(Tables.documents(s, dir), "doc_id",
+        "text", shingleN = 3, numHashes = 16, minJaccardPct = 20,
+        targetDetectPct = 80)
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 6).as("est_jaccard"))
 
@@ -3534,11 +3553,11 @@ object SparkEntry {
     val docs = Tables.documents(s, dir).withColumn("__split",
       when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c",
         "train").otherwise("test"))
-    Dedup.minHashMatchesAgainst(
+    Dedup.minHashMatchesAgainstAuto(
         docs.where(col("__split") === "test"),
         docs.where(col("__split") === "train"),
-        "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
-        minJaccard = 0.3)
+        "doc_id", "text", shingleN = 3, numHashes = 16,
+        minJaccardPct = 30, targetDetectPct = 80)
       .select(col("doc_new").as("doc_test"),
         col("doc_base").as("doc_train"),
         round(col("est_jaccard"), 6).as("est_jaccard"))
@@ -3713,8 +3732,9 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val sh = docs.select(col("doc_id"),
       array_distinct(TextFunctions.shingles(col("text"), 3)).as("sh"))
-    Dedup.minHashPairsPortable(docs, "doc_id", "text",
-        shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.3)
+    Dedup.minHashPairsPortableAuto(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, minJaccardPct = 30,
+        targetDetectPct = 80)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")),
         "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")),
@@ -3992,8 +4012,9 @@ object SparkEntry {
   private val d20SourceOverlap: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val src = docs.select(col("doc_id"), col("source"))
-    Dedup.minHashPairsPortable(docs, "doc_id", "text",
-        shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.3)
+    Dedup.minHashPairsPortableAuto(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, minJaccardPct = 30,
+        targetDetectPct = 80)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("__sa")),
         "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("__sb")),
@@ -4299,9 +4320,9 @@ object SparkEntry {
     // persist: both union legs below reuse the banding pipeline — the
     // expensive stage; cached, it runs once (between-query quiesce
     // releases it)
-    val base = Dedup.minHashPairsPortable(Tables.documents(s, dir),
-        "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
-        minJaccard = 0.25)
+    val base = Dedup.minHashPairsPortableAuto(Tables.documents(s, dir),
+        "doc_id", "text", shingleN = 3, numHashes = 16,
+        minJaccardPct = 25, targetDetectPct = 80)
       .persist()
     val pairs = base
       .withColumn("threshold",
@@ -5768,17 +5789,23 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
     "d6_embedding_dedup" ->
-      """WITH hyper AS (
+      """WITH spl AS (SELECT CAST(coalesce(min(CASE WHEN
+        |      1.0 - pow(1.0 - pow(1.0 - acos(40 / 100.0) / pi(), 16 // b), b)
+        |      >= 80 / 100.0 THEN b END), 16) AS BIGINT) AS bands
+        |  FROM (SELECT unnest(generate_series(1, 16)) AS b)
+        |  WHERE 16 % b = 0),
+        |pw AS (SELECT bands, CAST(16 // bands AS BIGINT) AS w FROM spl),
+        |hyper AS (
         |  SELECT b, list_transform(generate_series(0, 63), d ->
         |    CASE WHEN substring(md5(d::VARCHAR || '§' || b::VARCHAR), 1, 1)
         |      >= '8' THEN 1.0 ELSE -1.0 END) AS h
         |  FROM (SELECT unnest(generate_series(0, 15)) AS b)),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
-        |bits AS (SELECT vec_id, v, b // 4 AS band,
+        |bits AS (SELECT vec_id, v, b // pw.w AS band,
         |    CASE WHEN list_dot_product(v, h) >= 0
-        |      THEN (1::BIGINT << (b % 4)) ELSE 0 END AS bit
-        |  FROM e CROSS JOIN hyper),
+        |      THEN (1::BIGINT << CAST(b % pw.w AS INT)) ELSE 0 END AS bit
+        |  FROM e CROSS JOIN hyper CROSS JOIN pw),
         |bk AS (SELECT vec_id, v, band, CAST(sum(bit) AS BIGINT) AS key
         |  FROM bits GROUP BY vec_id, v, band),
         |capped AS (SELECT vec_id, v, band, key FROM (
@@ -5795,11 +5822,17 @@ object SparkEntry {
       """WITH w AS (
         |  SELECT least(24, length(bin(((count(*) + 49) // 50) - 1))) AS w
         |  FROM embeddings),
+        |bd AS (SELECT CAST(coalesce(min(CASE WHEN
+        |      1.0 - pow(1.0 - pow(1.0 - acos(40 / 100.0) / pi(),
+        |        (SELECT w FROM w)), b) >= 80 / 100.0
+        |      THEN b END), 64) AS BIGINT) AS bands
+        |  FROM (SELECT unnest(generate_series(1, 64)) AS b)),
         |hyper AS (
         |  SELECT b, list_transform(generate_series(0, 63), d ->
         |    CASE WHEN substring(md5(d::VARCHAR || '§' || b::VARCHAR), 1, 1)
         |      >= '8' THEN 1.0 ELSE -1.0 END) AS h
-        |  FROM (SELECT unnest(generate_series(0, 4 * w - 1)) AS b FROM w)),
+        |  FROM (SELECT unnest(generate_series(0, bands * w - 1)) AS b
+        |    FROM w, bd)),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
         |bits AS (SELECT vec_id, v, b // w.w AS band,
@@ -5822,11 +5855,17 @@ object SparkEntry {
       """WITH w AS (
         |  SELECT least(24, length(bin(((count(*) + 49) // 50) - 1))) AS w
         |  FROM embeddings),
+        |bd AS (SELECT CAST(coalesce(min(CASE WHEN
+        |      1.0 - pow(1.0 - pow(1.0 - acos(40 / 100.0) / pi(),
+        |        (SELECT w FROM w)), b) >= 80 / 100.0
+        |      THEN b END), 64) AS BIGINT) AS bands
+        |  FROM (SELECT unnest(generate_series(1, 64)) AS b)),
         |hyper AS (
         |  SELECT b, list_transform(generate_series(0, 63), d ->
         |    CASE WHEN substring(md5(d::VARCHAR || '§' || b::VARCHAR), 1, 1)
         |      >= '8' THEN 1.0 ELSE -1.0 END) AS h
-        |  FROM (SELECT unnest(generate_series(0, 4 * w - 1)) AS b FROM w)),
+        |  FROM (SELECT unnest(generate_series(0, bands * w - 1)) AS b
+        |    FROM w, bd)),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
         |bits AS (SELECT vec_id, b // w.w AS band,
@@ -6218,7 +6257,13 @@ object SparkEntry {
         |  count(*) AS n_shingles
         |FROM g GROUP BY doc_id, grp""".stripMargin,
     "d5_minhash_portable" ->
-      """WITH tk AS (SELECT doc_id,
+      """WITH plan AS (SELECT CAST(coalesce(min(CASE WHEN
+        |      1.0 - pow(1.0 - pow(30 / 100.0, 16 // b), b) >= 80 / 100.0
+        |      THEN b END), 16) AS BIGINT) AS bands
+        |  FROM (SELECT unnest(generate_series(1, 16)) AS b)
+        |  WHERE 16 % b = 0),
+        |pl AS (SELECT bands, CAST(16 // bands AS BIGINT) AS rpb FROM plan),
+        |tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0) AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(
@@ -6232,8 +6277,9 @@ object SparkEntry {
         |      % 1073741824))) AS sg
         |  FROM sh WHERE len(s) > 0),
         |banded AS (SELECT doc_id, sg, b,
-        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
-        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+        |    md5(array_to_string(sg[b*rpb+1:b*rpb+rpb], '|')) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, bands - 1)) AS b,
+        |    rpb FROM pl) t),
         |hot AS (SELECT b, key FROM banded GROUP BY b, key
         |  HAVING count(*) > 200),
         |capped AS (SELECT banded.* FROM banded
@@ -6245,9 +6291,15 @@ object SparkEntry {
         |  FROM capped l JOIN capped r
         |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id)
         |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard
-        |FROM pairs WHERE est_jaccard >= 0.3""".stripMargin,
+        |FROM pairs WHERE est_jaccard >= 30 / 100.0""".stripMargin,
     "d2_minhash_pairs" ->
-      """WITH tk AS (SELECT doc_id,
+      """WITH plan AS (SELECT CAST(coalesce(min(CASE WHEN
+        |      1.0 - pow(1.0 - pow(20 / 100.0, 16 // b), b) >= 80 / 100.0
+        |      THEN b END), 16) AS BIGINT) AS bands
+        |  FROM (SELECT unnest(generate_series(1, 16)) AS b)
+        |  WHERE 16 % b = 0),
+        |pl AS (SELECT bands, CAST(16 // bands AS BIGINT) AS rpb FROM plan),
+        |tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0) AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(
@@ -6261,8 +6313,9 @@ object SparkEntry {
         |      % 1073741824))) AS sg
         |  FROM sh WHERE len(s) > 0),
         |banded AS (SELECT doc_id, sg, b,
-        |    md5(array_to_string(sg[b*2+1:b*2+2], '|')) AS key
-        |  FROM sig, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b) t),
+        |    md5(array_to_string(sg[b*rpb+1:b*rpb+rpb], '|')) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, bands - 1)) AS b,
+        |    rpb FROM pl) t),
         |hot AS (SELECT b, key FROM banded GROUP BY b, key
         |  HAVING count(*) > 200),
         |capped AS (SELECT banded.* FROM banded
@@ -8287,7 +8340,13 @@ object SparkEntry {
         |    AS frame_digest
         |FROM f""".stripMargin,
     "d11_incremental_dedup" ->
-      """WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      """WITH plan AS (SELECT CAST(coalesce(min(CASE WHEN
+        |      1.0 - pow(1.0 - pow(50 / 100.0, 16 // b), b) >= 80 / 100.0
+        |      THEN b END), 16) AS BIGINT) AS bands
+        |  FROM (SELECT unnest(generate_series(1, 16)) AS b)
+        |  WHERE 16 % b = 0),
+        |pl AS (SELECT bands, CAST(16 // bands AS BIGINT) AS rpb FROM plan),
+        |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
         |base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
         |exdrop AS (SELECT DISTINCT i.doc_id FROM inc i
         |  JOIN base b ON md5(i.text) = md5(b.text)),
@@ -8305,8 +8364,9 @@ object SparkEntry {
         |      % 1073741824))) AS sg
         |  FROM sh WHERE len(s) > 0),
         |banded AS (SELECT doc_id, sg, b,
-        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
-        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+        |    md5(array_to_string(sg[b*rpb+1:b*rpb+rpb], '|')) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, bands - 1)) AS b,
+        |    rpb FROM pl) t),
         |nb0 AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
         |bb0 AS (SELECT * FROM banded WHERE doc_id % 5 <> 0),
         |nhot AS (SELECT b, key FROM nb0 GROUP BY b, key HAVING count(*) > 200),
@@ -8324,6 +8384,12 @@ object SparkEntry {
         |  AND doc_id NOT IN (SELECT doc_id FROM neardrop)""".stripMargin,
     "d10_dedup_pipeline" ->
       """WITH RECURSIVE
+        |plan AS (SELECT CAST(coalesce(min(CASE WHEN
+        |      1.0 - pow(1.0 - pow(50 / 100.0, 16 // b), b) >= 80 / 100.0
+        |      THEN b END), 16) AS BIGINT) AS bands
+        |  FROM (SELECT unnest(generate_series(1, 16)) AS b)
+        |  WHERE 16 % b = 0),
+        |pl AS (SELECT bands, CAST(16 // bands AS BIGINT) AS rpb FROM plan),
         |tkq AS (SELECT doc_id, text,
         |    list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0) AS toks FROM documents),
@@ -8360,8 +8426,9 @@ object SparkEntry {
         |      % 1073741824))) AS sg
         |  FROM sh WHERE len(sset) > 0),
         |banded AS (SELECT doc_id, sg, b,
-        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
-        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+        |    md5(array_to_string(sg[b*rpb+1:b*rpb+rpb], '|')) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, bands - 1)) AS b,
+        |    rpb FROM pl) t),
         |hot AS (SELECT b, key FROM banded GROUP BY b, key
         |  HAVING count(*) > 200),
         |capped AS (SELECT banded.* FROM banded
@@ -8384,6 +8451,12 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT node FROM dropd)""".stripMargin,
     "t21_curation_pipeline" ->
       """WITH RECURSIVE
+        |plan AS (SELECT CAST(coalesce(min(CASE WHEN
+        |      1.0 - pow(1.0 - pow(50 / 100.0, 16 // b), b) >= 80 / 100.0
+        |      THEN b END), 16) AS BIGINT) AS bands
+        |  FROM (SELECT unnest(generate_series(1, 16)) AS b)
+        |  WHERE 16 % b = 0),
+        |pl AS (SELECT bands, CAST(16 // bands AS BIGINT) AS rpb FROM plan),
         |tkq AS (SELECT doc_id, source, lang, text,
         |    list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0) AS toks FROM documents),
@@ -8423,8 +8496,9 @@ object SparkEntry {
         |      % 1073741824))) AS sg
         |  FROM sh WHERE len(sset) > 0),
         |banded AS (SELECT doc_id, sg, b,
-        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
-        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+        |    md5(array_to_string(sg[b*rpb+1:b*rpb+rpb], '|')) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, bands - 1)) AS b,
+        |    rpb FROM pl) t),
         |hot AS (SELECT b, key FROM banded GROUP BY b, key
         |  HAVING count(*) > 200),
         |capped AS (SELECT banded.* FROM banded
@@ -8908,7 +8982,13 @@ object SparkEntry {
         |    OR min(l_shipdate) >= TIMESTAMP '1996-01-01') AS skip
         |FROM lineitem GROUP BY 1""".stripMargin,
     "d16_split_leakage" ->
-      """WITH tk AS (SELECT doc_id,
+      """WITH plan AS (SELECT CAST(coalesce(min(CASE WHEN
+        |      1.0 - pow(1.0 - pow(30 / 100.0, 16 // b), b) >= 80 / 100.0
+        |      THEN b END), 16) AS BIGINT) AS bands
+        |  FROM (SELECT unnest(generate_series(1, 16)) AS b)
+        |  WHERE 16 % b = 0),
+        |pl AS (SELECT bands, CAST(16 // bands AS BIGINT) AS rpb FROM plan),
+        |tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0) AS toks,
         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
@@ -8925,8 +9005,9 @@ object SparkEntry {
         |      % 1073741824))) AS sg
         |  FROM sh WHERE len(s) > 0),
         |banded AS (SELECT doc_id, split, sg, b,
-        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
-        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+        |    md5(array_to_string(sg[b*rpb+1:b*rpb+rpb], '|')) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, bands - 1)) AS b,
+        |    rpb FROM pl) t),
         |capped AS (SELECT doc_id, split, sg, b, key FROM (
         |    SELECT banded.*, count(*) OVER (PARTITION BY split, b, key)
         |      AS bc FROM banded) WHERE bc <= 200),
@@ -9055,7 +9136,13 @@ object SparkEntry {
         |      AS src, first_pos
         |  FROM f) WHERE page_rank <= 10""".stripMargin,
     "d18_estimator_error" ->
-      """WITH tk AS (SELECT doc_id,
+      """WITH plan AS (SELECT CAST(coalesce(min(CASE WHEN
+        |      1.0 - pow(1.0 - pow(30 / 100.0, 16 // b), b) >= 80 / 100.0
+        |      THEN b END), 16) AS BIGINT) AS bands
+        |  FROM (SELECT unnest(generate_series(1, 16)) AS b)
+        |  WHERE 16 % b = 0),
+        |pl AS (SELECT bands, CAST(16 // bands AS BIGINT) AS rpb FROM plan),
+        |tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0) AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(
@@ -9069,8 +9156,9 @@ object SparkEntry {
         |      % 1073741824))) AS sg
         |  FROM sh WHERE len(s) > 0),
         |banded AS (SELECT doc_id, sg, b,
-        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
-        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+        |    md5(array_to_string(sg[b*rpb+1:b*rpb+rpb], '|')) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, bands - 1)) AS b,
+        |    rpb FROM pl) t),
         |hot AS (SELECT b, key FROM banded GROUP BY b, key
         |  HAVING count(*) > 200),
         |capped AS (SELECT banded.* FROM banded
@@ -9299,7 +9387,13 @@ object SparkEntry {
         |    AS coverage
         |FROM s1 CROSS JOIN s2 CROSS JOIN s3""".stripMargin,
     "d20_source_overlap" ->
-      """WITH tk AS (SELECT doc_id,
+      """WITH plan AS (SELECT CAST(coalesce(min(CASE WHEN
+        |      1.0 - pow(1.0 - pow(30 / 100.0, 16 // b), b) >= 80 / 100.0
+        |      THEN b END), 16) AS BIGINT) AS bands
+        |  FROM (SELECT unnest(generate_series(1, 16)) AS b)
+        |  WHERE 16 % b = 0),
+        |pl AS (SELECT bands, CAST(16 // bands AS BIGINT) AS rpb FROM plan),
+        |tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0) AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(
@@ -9313,8 +9407,9 @@ object SparkEntry {
         |      % 1073741824))) AS sg
         |  FROM sh WHERE len(s) > 0),
         |banded AS (SELECT doc_id, sg, b,
-        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
-        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+        |    md5(array_to_string(sg[b*rpb+1:b*rpb+rpb], '|')) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, bands - 1)) AS b,
+        |    rpb FROM pl) t),
         |hot AS (SELECT b, key FROM banded GROUP BY b, key
         |  HAVING count(*) > 200),
         |capped AS (SELECT banded.* FROM banded
@@ -9515,7 +9610,13 @@ object SparkEntry {
         |    + 0.5 * sum(q * ln(q / ((p + q) / 2))), 6) AS js
         |FROM pq""".stripMargin,
     "d21_threshold_sweep" ->
-      """WITH tk AS (SELECT doc_id,
+      """WITH plan AS (SELECT CAST(coalesce(min(CASE WHEN
+        |      1.0 - pow(1.0 - pow(25 / 100.0, 16 // b), b) >= 80 / 100.0
+        |      THEN b END), 16) AS BIGINT) AS bands
+        |  FROM (SELECT unnest(generate_series(1, 16)) AS b)
+        |  WHERE 16 % b = 0),
+        |pl AS (SELECT bands, CAST(16 // bands AS BIGINT) AS rpb FROM plan),
+        |tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0) AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(
@@ -9529,8 +9630,9 @@ object SparkEntry {
         |      % 1073741824))) AS sg
         |  FROM sh WHERE len(s) > 0),
         |banded AS (SELECT doc_id, sg, b,
-        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
-        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+        |    md5(array_to_string(sg[b*rpb+1:b*rpb+rpb], '|')) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, bands - 1)) AS b,
+        |    rpb FROM pl) t),
         |hot AS (SELECT b, key FROM banded GROUP BY b, key
         |  HAVING count(*) > 200),
         |capped AS (SELECT banded.* FROM banded

@@ -725,6 +725,59 @@ object Dedup {
       .withColumn("rows_per_band", lit(rows.toLong))
   }
 
+  /** [[minHashPairs]] (the xxhash64 PRODUCTION kernel) with the band
+    * count chosen by [[bandPlan]] — the fast path's default chooser,
+    * mirroring [[minHashPairsPortableAuto]] so production and portable
+    * twins always run the SAME planned layout (a twin relationship is
+    * only meaningful at one operating point). Integer-percent operating
+    * point in, fewest qualifying bands out; no plan columns here — the
+    * fast path is rows-only by construction (xxhash64 has no SQL
+    * replay), its oracle-exact twin carries the cross-engine proof. */
+  def minHashPairsAuto(docs: DataFrame, id: String, text: String,
+      shingleN: Int, numHashes: Int, minJaccardPct: Int,
+      targetDetectPct: Int, maxBucket: Int = 200): DataFrame = {
+    require(minJaccardPct >= 0 && minJaccardPct <= 100,
+      s"minJaccardPct is a percent, got $minJaccardPct")
+    val (bands, _) = bandPlan(numHashes, minJaccardPct / 100.0,
+      targetDetectPct)
+    minHashPairs(docs, id, text, shingleN, numHashes, bands,
+      minJaccardPct / 100.0, maxBucket)
+  }
+
+  /** [[minHashMatchesAgainst]] with the band count chosen by
+    * [[bandPlan]] — the planner as the incremental/cross-set family's
+    * default chooser (ingestion-time dedup and split-leakage audits
+    * declare an operating point exactly like the self-pair family; a
+    * caller-constant layout silently missing most true matches at its
+    * own declared threshold is the round-11 verdict finding). */
+  def minHashMatchesAgainstAuto(incoming: DataFrame, base: DataFrame,
+      id: String, text: String, shingleN: Int, numHashes: Int,
+      minJaccardPct: Int, targetDetectPct: Int,
+      maxBucket: Int = 200): DataFrame = {
+    require(minJaccardPct >= 0 && minJaccardPct <= 100,
+      s"minJaccardPct is a percent, got $minJaccardPct")
+    val (bands, _) = bandPlan(numHashes, minJaccardPct / 100.0,
+      targetDetectPct)
+    minHashMatchesAgainst(incoming, base, id, text, shingleN, numHashes,
+      bands, minJaccardPct / 100.0, maxBucket)
+  }
+
+  /** Band count for the SimHash Hamming-banded family — the planner's
+    * answer is PIGEONHOLE, not an S-curve: `maxHamming` differing bits
+    * can corrupt at most `maxHamming` of the disjoint bands, so
+    * `maxHamming + 1` bands guarantee every qualifying pair shares at
+    * least one clean band (recall exactly 1.0), and fewer bands cannot
+    * (all differing bits could land in distinct bands). It is also the
+    * fewest-bucket-rows choice — the shuffle-volume optimum — so unlike
+    * MinHash there is no recall/shuffle trade to scan: the simhash
+    * family's registered `bands = 4` at Hamming ≤ 3 IS the planned
+    * layout. Width (bucket capacity) stays the separate
+    * [[simHashPairsAuto]] corpus-count dimension. */
+  def simHashBandPlan(maxHamming: Int): Int = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    maxHamming + 1
+  }
+
   /** MinHash signature: `numHashes` independent permutations via seeded
     * xxhash64 over the shingle set — the native one-pass kernel
     * ([[graft.functions.MinHashSig]]; one string hash per shingle, cheap
@@ -1022,6 +1075,30 @@ object Dedup {
       dim: Int, minCosine: Double, nBits: Int = 16, bands: Int = 4,
       maxBucket: Int = 2000): DataFrame =
     SimSearch.lshPairs(embs, id, vec, dim, minCosine, nBits, bands, maxBucket)
+
+  /** [[embeddingPairsBanded]] with the band count chosen by
+    * [[SimSearch.signBandPlan]] — the MinHash planner discipline
+    * (declare an operating point, derive the fewest-qualifying-bands
+    * layout, let the oracle replay the scan) applied to the sign-LSH
+    * family's fixed-width form. */
+  def embeddingPairsBandedPlanned(embs: DataFrame, id: String,
+      vec: String, dim: Int, minCosinePct: Int, nBits: Int,
+      targetDetectPct: Int, maxBucket: Int = 2000): DataFrame = {
+    val (bands, _) = SimSearch.signBandPlan(nBits, minCosinePct,
+      targetDetectPct)
+    SimSearch.lshPairs(embs, id, vec, dim, minCosinePct / 100.0, nBits,
+      bands, maxBucket)
+  }
+
+  /** [[embeddingPairsBandedAuto]] with the band count planned from the
+    * operating point ([[SimSearch.lshPairsAutoPlanned]]): width from
+    * the corpus count, bands from the recall target — both sizing
+    * dimensions closed. */
+  def embeddingPairsBandedAutoPlanned(embs: DataFrame, id: String,
+      vec: String, dim: Int, minCosinePct: Int, targetBucketSize: Long,
+      targetDetectPct: Int, maxBucket: Int = 2000): DataFrame =
+    SimSearch.lshPairsAutoPlanned(embs, id, vec, dim, minCosinePct,
+      targetBucketSize, targetDetectPct, maxBucket)
 
   /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by
     * k-clustering the embedding space and dropping all but one member of

@@ -228,6 +228,100 @@ object SimSearch {
       nBits = bands * width, bands = bands, maxBucket = maxBucket)
   }
 
+  /** Collision probability of ONE sign bit for a pair at cosine `c`:
+    * `1 − θ/π` (the Goemans–Williamson hyperplane bound Charikar's
+    * simhash inherits) — the sign-LSH family's analogue of MinHash's
+    * "position agrees with probability j". The input is clamped into
+    * [−1, 1] so a 6-dp-rounded cosine at the domain edge can't NaN. */
+  def signCollisionProb(cos: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, cos))) / math.Pi
+
+  /** Detection probability of a cosine-`c` pair under (bands × width)
+    * sign-LSH banding: `1 − (1 − p^width)^bands` with
+    * p = [[signCollisionProb]] — [[graft.llmops.Dedup.detectionProb]]'s
+    * S-curve with the position-agreement probability swapped for the
+    * hyperplane bound. */
+  def signDetectionProb(cos: Double, bands: Int, width: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(signCollisionProb(cos), width), bands)
+
+  /** [[graft.llmops.Dedup.bandPlan]]'s divisor scan for FIXED-width
+    * sign-LSH signatures: fewest bands b dividing `nBits` whose
+    * S-curve detection at the `minCosinePct/100` operating point meets
+    * `targetDetectPct`, honest ladder-max fallback (bands = nBits)
+    * when none qualifies. Fewest qualifying bands = fewest bucket rows
+    * per vector = the cheapest qualifying shuffle, exactly as the
+    * MinHash planner argues. Integer-percent inputs keep the operating
+    * point engine-exact; the acos/pow arithmetic itself is replayed by
+    * the DuckDB oracles with margins audited in the spec (pow and acos
+    * are not correctly-rounded — a choice may not sit on a float knife
+    * edge). */
+  def signBandPlan(nBits: Int, minCosinePct: Int,
+      targetDetectPct: Int): (Int, Int) = {
+    require(nBits >= 1, s"nBits must be >= 1, got $nBits")
+    require(minCosinePct >= -100 && minCosinePct <= 100,
+      s"minCosinePct is a percent, got $minCosinePct")
+    require(targetDetectPct >= 0 && targetDetectPct <= 100,
+      s"targetDetectPct is a percent, got $targetDetectPct")
+    (1 to nBits).filter(nBits % _ == 0)
+      .find(b => signDetectionProb(minCosinePct / 100.0, b, nBits / b)
+        >= targetDetectPct / 100.0)
+      .map(b => (b, nBits / b))
+      .getOrElse((nBits, 1))
+  }
+
+  /** Minimum band count at a GIVEN per-band width — the auto-width
+    * family's planner: [[autoWidth]] fixes the width from the corpus
+    * count (bucket CAPACITY math), leaving bands as the free recall
+    * knob, so unlike the fixed-signature divisor scan the two
+    * dimensions are independent and the scan is a plain 1..maxBands
+    * ladder (an integer scan, never `ceil(log/log)` on doubles — a
+    * ceil at a transcendental quotient is exactly the cross-engine
+    * knife edge the integer-math rules exist to avoid). Returns
+    * `maxBands` as the honest fallback when even maxBands bands miss
+    * the target — the caller's raise-targetBucketSize /
+    * accept-lower-recall signal, visible via [[signDetectionProb]]
+    * (at a 10⁹-row corpus and a LOW cosine threshold the truthful
+    * answer is that sign-LSH banding cannot reach high recall at
+    * singleton-bucket widths; the planner says so instead of silently
+    * shipping 3%). */
+  def signBandsFor(width: Int, minCosinePct: Int, targetDetectPct: Int,
+      maxBands: Int = 64): Int = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(maxBands >= 1, s"maxBands must be >= 1, got $maxBands")
+    (1 to maxBands)
+      .find(b => signDetectionProb(minCosinePct / 100.0, b, width)
+        >= targetDetectPct / 100.0)
+      .getOrElse(maxBands)
+  }
+
+  /** [[lshPairsAuto]] with the band count planned by [[signBandsFor]]
+    * instead of a caller constant — width from the corpus count
+    * (capacity), bands from the operating point (recall), the complete
+    * sizing loop for the embedding near-dup family. One count job at
+    * plan time, like every Auto variant. */
+  def lshPairsAutoPlanned(embs: DataFrame, id: String, vec: String,
+      dim: Int, minCosinePct: Int, targetBucketSize: Long,
+      targetDetectPct: Int, maxBucket: Int = 2000): DataFrame = {
+    val n = math.max(1L, embs.count())
+    val width = autoWidth(n, targetBucketSize)
+    val bands = signBandsFor(width, minCosinePct, targetDetectPct)
+    lshPairs(embs, id, vec, dim, minCosinePct / 100.0,
+      nBits = bands * width, bands = bands, maxBucket = maxBucket)
+  }
+
+  /** [[lshBucketHistogram]] at exactly the (width, bands) sizing
+    * [[lshPairsAutoPlanned]] would run — audit and pair stage see the
+    * same buckets, the d23 monitoring contract at the planned layout. */
+  def lshBucketHistogramAutoPlanned(embs: DataFrame, id: String,
+      vec: String, dim: Int, minCosinePct: Int, targetBucketSize: Long,
+      targetDetectPct: Int): DataFrame = {
+    val n = math.max(1L, embs.count())
+    val width = autoWidth(n, targetBucketSize)
+    val bands = signBandsFor(width, minCosinePct, targetDetectPct)
+    lshBucketHistogram(embs, id, vec, dim, nBits = bands * width,
+      bands = bands)
+  }
+
   /** Capacity audit for the banded-LSH signature: the bucket-size
     * histogram per band — `(band, bucket_size, n_buckets)`. This is the
     * observability counterpart to [[lshPairs]]' hot-bucket cap: the cap

@@ -1087,6 +1087,85 @@ class LlmOpsSpec extends AnyFunSuite {
       col("rows_per_band") =!= 2L).count() == 0)
   }
 
+  test("minHashPairsAuto / minHashMatchesAgainstAuto ≡ explicit planned bands") {
+    // the registered j = 0.30 / target 80% point → (16, 1): at 16 hashes
+    // only singleton bands reach 80% below j ≈ 0.5
+    assert(Dedup.bandPlan(16, 0.30, 80) == ((16, 1)))
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val auto = Dedup.minHashPairsAuto(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, minJaccardPct = 30,
+      targetDetectPct = 80)
+    val manual = Dedup.minHashPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 16, minJaccard = 0.3)
+    assert(auto.except(manual).count() == 0
+      && manual.except(auto).count() == 0)
+    val inc = docs.where(col("doc_id") % 5 === 0)
+    val base = docs.where(col("doc_id") % 5 =!= 0)
+    val xa = Dedup.minHashMatchesAgainstAuto(inc, base, "doc_id", "text",
+      shingleN = 3, numHashes = 16, minJaccardPct = 50,
+      targetDetectPct = 80)
+    val xm = Dedup.minHashMatchesAgainst(inc, base, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 8, minJaccard = 0.5)
+    assert(xa.except(xm).count() == 0 && xm.except(xa).count() == 0)
+  }
+
+  test("simHashBandPlan: pigeonhole minimum, matches the registered layouts") {
+    assert(Dedup.simHashBandPlan(0) == 1)
+    assert(Dedup.simHashBandPlan(1) == 2) // d3's registered layout
+    assert(Dedup.simHashBandPlan(3) == 4) // d24/d27's registered layout
+    assertThrows[IllegalArgumentException](Dedup.simHashBandPlan(-1))
+  }
+
+  test("signBandPlan / signBandsFor: planned layouts + knife-edge margin audit") {
+    // fixed 16-bit signature at the d6 point (cos 0.40, target 80%):
+    // divisor scan picks (8, 2)
+    assert(SimSearch.signBandPlan(16, 40, 80) == ((8, 2)))
+    // every divisor's S-curve value must sit FAR from the 0.8 threshold
+    // (pow/acos are not correctly-rounded; a razor-thin comparison could
+    // split between engines) — audit the full scan
+    for (b <- Seq(1, 2, 4, 8, 16)) {
+      val d = SimSearch.signDetectionProb(0.40, b, 16 / b)
+      assert(math.abs(d - 0.8) > 1e-3, s"knife edge at divisor $b: $d")
+    }
+    // auto-width family at the registered fixture sizes: width 4
+    // (n = 500, target 50) → 10 bands; width 6 (n = 2000) → 25 bands
+    assert(SimSearch.autoWidth(500, 50) == 4)
+    assert(SimSearch.signBandsFor(4, 40, 80) == 10)
+    assert(SimSearch.autoWidth(2000, 50) == 6)
+    assert(SimSearch.signBandsFor(6, 40, 80) == 25)
+    // margin audit at the ladder's decision points (the chosen b and
+    // its predecessor straddle the target with real slack)
+    for ((w, b) <- Seq((4, 10), (6, 25))) {
+      assert(SimSearch.signDetectionProb(0.40, b, w) - 0.8 > 1e-3)
+      assert(0.8 - SimSearch.signDetectionProb(0.40, b - 1, w) > 1e-3)
+    }
+    // honest fallback: singleton-bucket widths at scale can't reach the
+    // target within maxBands — the planner says maxBands, not a lie
+    assert(SimSearch.signBandsFor(16, 40, 80, maxBands = 64) == 64)
+    assert(SimSearch.signDetectionProb(0.40, 64, 16) < 0.8)
+  }
+
+  test("lshPairsAutoPlanned / embeddingPairsBandedPlanned ≡ explicit layouts") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val n = emb.count()
+    val w = SimSearch.autoWidth(math.max(1L, n), 50L)
+    val b = SimSearch.signBandsFor(w, 40, 80)
+    val auto = SimSearch.lshPairsAutoPlanned(emb, "vec_id", "embedding",
+      dim = 64, minCosinePct = 40, targetBucketSize = 50L,
+      targetDetectPct = 80)
+    val manual = SimSearch.lshPairs(emb, "vec_id", "embedding", dim = 64,
+      minCosine = 0.4, nBits = b * w, bands = b)
+    assert(auto.except(manual).count() == 0
+      && manual.except(auto).count() == 0)
+    val planned = Dedup.embeddingPairsBandedPlanned(emb, "vec_id",
+      "embedding", dim = 64, minCosinePct = 40, nBits = 16,
+      targetDetectPct = 80)
+    val manual16 = SimSearch.lshPairs(emb, "vec_id", "embedding",
+      dim = 64, minCosine = 0.4, nBits = 16, bands = 8)
+    assert(planned.except(manual16).count() == 0
+      && manual16.except(planned).count() == 0)
+  }
+
   test("bandPlanAudit: exact dups always detected, plan ships, curve matches") {
     // pair (1,2): identical (j = 1 → closed-top bucket 9, MUST be
     // detected — all bands agree); (1,3)/(2,3): one token differs;
