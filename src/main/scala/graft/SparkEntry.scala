@@ -4638,6 +4638,34 @@ object SparkEntry {
       shingleN = 3, numHashes = 16, minJaccardPct = 50,
       targetDetectPct = 80)
 
+  /** LLM-D34: banding replan policy, REPLAN branch
+    * ([[Dedup.bandReplanIfUndershot]]) — the d33 audit promoted to an
+    * ACT stage (the sim22 discipline applied to banding): the legacy
+    * (16 hashes, 4 bands) layout is measured at a j ≥ 0.05 operating
+    * point where its S-curve detects ~3·10⁻⁵ per pair; the corpus's
+    * low-Jaccard bucket goes undetected, the ANY-BUCKET integer
+    * trigger fires, and the remedy ladder finds no qualifying divisor
+    * layout at 16 hashes (best is (16,1) at 0.56 < 0.80) so the
+    * signature LENGTHENS to 32 hashes / 32 bands (analytic 0.806).
+    * The oracle replays the exact-pair join, the banded candidate set,
+    * the per-bucket trigger AND the doubling-ladder divisor scan —
+    * decision and remedy both cross-engine. */
+  private val d34BandReplan: Q = (s, dir) =>
+    Dedup.bandReplanIfUndershot(Tables.documents(s, dir), "doc_id",
+      "text", shingleN = 3, numHashes = 16, bands = 4,
+      minJaccardPct = 5, targetDetectPct = 80)
+
+  /** LLM-D35: banding replan policy, KEEP branch — d34's no-op twin
+    * (the sim23 discipline): the PLANNED (16, 8) layout at its own
+    * (j ≥ 0.5, 80%) operating point detects every qualifying bucket,
+    * so the policy keeps the serving layout and re-states it with its
+    * analytic detection (0.899887). The threshold math that does NOT
+    * fire is pinned cross-engine alongside d34's firing branch. */
+  private val d35BandReplanKeep: Q = (s, dir) =>
+    Dedup.bandReplanIfUndershot(Tables.documents(s, dir), "doc_id",
+      "text", shingleN = 3, numHashes = 16, bands = 8,
+      minJaccardPct = 50, targetDetectPct = 80)
+
   /** L10: layout effectiveness — the l7 zone-map skip test run under
     * two physical layouts of the same fact table (key-clustered
     * ÷6000-row blocks vs ship-month partitions) for the same 1995
@@ -5317,6 +5345,8 @@ object SparkEntry {
     "d31_band_plan" -> d31BandPlan,
     "d32_minhash_auto_band" -> d32MinhashAutoBand,
     "d33_band_plan_audit" -> d33BandPlanAudit,
+    "d34_band_replan" -> d34BandReplan,
+    "d35_band_replan_keep" -> d35BandReplanKeep,
     "sim23_refit_noop" -> sim23RefitNoop,
   )
 
@@ -10297,6 +10327,180 @@ object SparkEntry {
         |  (SELECT bands FROM pl) AS bands,
         |  (SELECT rpb FROM pl) AS rows_per_band
         |FROM agg""".stripMargin,
+    "d34_band_replan" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |cappedx AS (SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS c
+        |    FROM inv) WHERE c <= 1000),
+        |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    count(*) AS i
+        |  FROM cappedx l JOIN cappedx r
+        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT doc_a, doc_b,
+        |    i * 1.0 / (na.n + nb.n - i) AS j
+        |  FROM inter
+        |  JOIN sizes na ON na.doc_id = doc_a
+        |  JOIN sizes nb ON nb.doc_id = doc_b
+        |  WHERE i * 1.0 / (na.n + nb.n - i) >= 5 / 100.0),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
+        |      seed -> list_min(list_transform(s, x ->
+        |      ((CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)
+        |        % 1073741824) * (2654435761 + 80906 * seed) + seed)
+        |      % 1073741824))) AS sg
+        |  FROM sh WHERE len(s) > 0),
+        |banded AS (SELECT doc_id, b,
+        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) t),
+        |hot AS (SELECT b, key FROM banded GROUP BY b, key
+        |  HAVING count(*) > 1000),
+        |cappedb AS (SELECT banded.* FROM banded
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |    WHERE hot.b = banded.b AND hot.key = banded.key)),
+        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM cappedb l JOIN cappedb r
+        |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+        |det AS (SELECT CAST(least(floor(e.j * 10), 9) AS BIGINT) AS jb,
+        |    CASE WHEN c.doc_a IS NOT NULL THEN 1 END AS d
+        |  FROM exact e LEFT JOIN cand c
+        |    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b),
+        |buck AS (SELECT jb, count(*) AS n, count(d) AS dt
+        |  FROM det GROUP BY jb),
+        |dec AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_pairs,
+        |    CAST(coalesce(sum(dt), 0) AS BIGINT) AS n_detected,
+        |    CAST(coalesce(sum(CASE WHEN dt * 100 < 80 * n
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_below
+        |  FROM buck),
+        |ladder AS (SELECT nh, b, CAST(nh // b AS BIGINT) AS rpb,
+        |    1.0 - pow(1.0 - pow(5 / 100.0, CAST(nh // b AS DOUBLE)),
+        |      CAST(b AS DOUBLE)) AS dp
+        |  FROM (SELECT CAST(16 * (1 << k) AS BIGINT) AS nh
+        |      FROM (SELECT unnest(generate_series(0, 6)) AS k)) nn,
+        |    (SELECT unnest(generate_series(1, 1024)) AS b) bs
+        |  WHERE b <= nh AND nh % b = 0),
+        |pernh AS (SELECT nh, min(CASE WHEN dp >= 80 / 100.0 THEN b END)
+        |    AS pb FROM ladder GROUP BY nh),
+        |qual AS (SELECT l.nh, l.b, l.rpb FROM pernh p JOIN ladder l
+        |    ON l.nh = p.nh AND l.b = p.pb
+        |  WHERE p.pb IS NOT NULL AND NOT (p.nh = 16 AND p.pb = 4)
+        |  ORDER BY p.nh LIMIT 1),
+        |newp AS (SELECT
+        |    CAST(coalesce((SELECT nh FROM qual), 1024) AS BIGINT) AS nnh,
+        |    CAST(coalesce((SELECT b FROM qual), 1024) AS BIGINT) AS nb,
+        |    CAST(coalesce((SELECT rpb FROM qual), 1) AS BIGINT) AS nr),
+        |fin AS (SELECT d.n_pairs, d.n_detected, d.n_below,
+        |    (d.n_pairs > 0 AND d.n_below > 0) AS rp,
+        |    np.nnh, np.nb, np.nr FROM dec d, newp np)
+        |SELECT CAST(CASE WHEN rp THEN 1 ELSE 0 END AS BIGINT) AS replan,
+        |  CAST(CASE WHEN NOT rp THEN 0 WHEN nnh = 16 THEN 1 ELSE 2 END
+        |    AS BIGINT) AS action,
+        |  n_pairs, n_detected, n_below AS n_buckets_below,
+        |  CAST(16 AS BIGINT) AS num_hashes,
+        |  CAST(4 AS BIGINT) AS bands,
+        |  CAST(4 AS BIGINT) AS rows_per_band,
+        |  CASE WHEN rp THEN nnh ELSE 16 END AS new_num_hashes,
+        |  CASE WHEN rp THEN nb ELSE 4 END AS new_bands,
+        |  CASE WHEN rp THEN nr ELSE 4 END AS new_rows_per_band,
+        |  round(1.0 - pow(1.0 - pow(5 / 100.0,
+        |    CAST(CASE WHEN rp THEN nr ELSE 4 END AS DOUBLE)),
+        |    CAST(CASE WHEN rp THEN nb ELSE 4 END AS DOUBLE)), 6)
+        |    AS new_detect_prob
+        |FROM fin""".stripMargin,
+    "d35_band_replan_keep" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |cappedx AS (SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS c
+        |    FROM inv) WHERE c <= 1000),
+        |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    count(*) AS i
+        |  FROM cappedx l JOIN cappedx r
+        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT doc_a, doc_b,
+        |    i * 1.0 / (na.n + nb.n - i) AS j
+        |  FROM inter
+        |  JOIN sizes na ON na.doc_id = doc_a
+        |  JOIN sizes nb ON nb.doc_id = doc_b
+        |  WHERE i * 1.0 / (na.n + nb.n - i) >= 50 / 100.0),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
+        |      seed -> list_min(list_transform(s, x ->
+        |      ((CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)
+        |        % 1073741824) * (2654435761 + 80906 * seed) + seed)
+        |      % 1073741824))) AS sg
+        |  FROM sh WHERE len(s) > 0),
+        |banded AS (SELECT doc_id, b,
+        |    md5(array_to_string(sg[b*2+1:b*2+2], '|')) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b) t),
+        |hot AS (SELECT b, key FROM banded GROUP BY b, key
+        |  HAVING count(*) > 1000),
+        |cappedb AS (SELECT banded.* FROM banded
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |    WHERE hot.b = banded.b AND hot.key = banded.key)),
+        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM cappedb l JOIN cappedb r
+        |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+        |det AS (SELECT CAST(least(floor(e.j * 10), 9) AS BIGINT) AS jb,
+        |    CASE WHEN c.doc_a IS NOT NULL THEN 1 END AS d
+        |  FROM exact e LEFT JOIN cand c
+        |    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b),
+        |buck AS (SELECT jb, count(*) AS n, count(d) AS dt
+        |  FROM det GROUP BY jb),
+        |dec AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_pairs,
+        |    CAST(coalesce(sum(dt), 0) AS BIGINT) AS n_detected,
+        |    CAST(coalesce(sum(CASE WHEN dt * 100 < 80 * n
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_below
+        |  FROM buck),
+        |ladder AS (SELECT nh, b, CAST(nh // b AS BIGINT) AS rpb,
+        |    1.0 - pow(1.0 - pow(50 / 100.0, CAST(nh // b AS DOUBLE)),
+        |      CAST(b AS DOUBLE)) AS dp
+        |  FROM (SELECT CAST(16 * (1 << k) AS BIGINT) AS nh
+        |      FROM (SELECT unnest(generate_series(0, 6)) AS k)) nn,
+        |    (SELECT unnest(generate_series(1, 1024)) AS b) bs
+        |  WHERE b <= nh AND nh % b = 0),
+        |pernh AS (SELECT nh, min(CASE WHEN dp >= 80 / 100.0 THEN b END)
+        |    AS pb FROM ladder GROUP BY nh),
+        |qual AS (SELECT l.nh, l.b, l.rpb FROM pernh p JOIN ladder l
+        |    ON l.nh = p.nh AND l.b = p.pb
+        |  WHERE p.pb IS NOT NULL AND NOT (p.nh = 16 AND p.pb = 8)
+        |  ORDER BY p.nh LIMIT 1),
+        |newp AS (SELECT
+        |    CAST(coalesce((SELECT nh FROM qual), 1024) AS BIGINT) AS nnh,
+        |    CAST(coalesce((SELECT b FROM qual), 1024) AS BIGINT) AS nb,
+        |    CAST(coalesce((SELECT rpb FROM qual), 1) AS BIGINT) AS nr),
+        |fin AS (SELECT d.n_pairs, d.n_detected, d.n_below,
+        |    (d.n_pairs > 0 AND d.n_below > 0) AS rp,
+        |    np.nnh, np.nb, np.nr FROM dec d, newp np)
+        |SELECT CAST(CASE WHEN rp THEN 1 ELSE 0 END AS BIGINT) AS replan,
+        |  CAST(CASE WHEN NOT rp THEN 0 WHEN nnh = 16 THEN 1 ELSE 2 END
+        |    AS BIGINT) AS action,
+        |  n_pairs, n_detected, n_below AS n_buckets_below,
+        |  CAST(16 AS BIGINT) AS num_hashes,
+        |  CAST(8 AS BIGINT) AS bands,
+        |  CAST(2 AS BIGINT) AS rows_per_band,
+        |  CASE WHEN rp THEN nnh ELSE 16 END AS new_num_hashes,
+        |  CASE WHEN rp THEN nb ELSE 8 END AS new_bands,
+        |  CASE WHEN rp THEN nr ELSE 2 END AS new_rows_per_band,
+        |  round(1.0 - pow(1.0 - pow(50 / 100.0,
+        |    CAST(CASE WHEN rp THEN nr ELSE 2 END AS DOUBLE)),
+        |    CAST(CASE WHEN rp THEN nb ELSE 8 END AS DOUBLE)), 6)
+        |    AS new_detect_prob
+        |FROM fin""".stripMargin,
     "sim21_cell_drift_windowed" ->
       """WITH fit AS (SELECT vec_id AS item_id,
         |    CAST(embedding AS DOUBLE[]) AS v

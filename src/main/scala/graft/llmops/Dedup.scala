@@ -695,6 +695,128 @@ object Dedup {
         lit(bands.toLong).as("bands"), lit(rows.toLong).as("rows_per_band"))
   }
 
+  /** The banding lifecycle's ACT stage — the [[bandPlanAudit]] twin of
+    * [[SimSearch.refitIfDrifted]]: measure the CURRENT (numHashes,
+    * bands) layout's detection per exact-Jaccard bucket at/above the
+    * declared operating point, decide replan by an integer-replayable
+    * trigger, and when triggered choose the remedial layout from a
+    * signature-doubling ladder — re-band at the same signature length
+    * when a divisor layout qualifies analytically, lengthen the
+    * signature otherwise (the two remedies the planner's own fallback
+    * semantics name). Both the decision and the chosen plan are
+    * deterministic count/divisor/S-curve math a SQL oracle replays end
+    * to end (the sim22/sim23 policy discipline applied to banding
+    * maintenance).
+    *
+    * Trigger (ANY-BUCKET, mirroring refitIfDrifted's any-cell drift
+    * test): REPLAN when any 0.1-wide Jaccard bucket of qualifying pairs
+    * (exact j ≥ minJaccardPct/100) has `n_detected·100 <
+    * targetDetectPct·n_pairs` — integer math on exact counts, no float
+    * knife edge. The test is per-bucket, NOT aggregate, because dup
+    * mass dominates real corpora: a layout missing everything at
+    * j ≈ 0.5 still aggregates > 80% when most qualifying pairs are
+    * exact duplicates, exactly the miss the policy exists to catch.
+    * Detection is the BANDING stage's candidate set (threshold 0,
+    * [[bandPlanAudit]]'s definition) — the estimate filter is a
+    * separate precision knob the S-curve does not model. A corpus with
+    * NO qualifying pairs is a KEEP (no evidence — the quiet-interval
+    * gate, same as refitIfDrifted's sum(n_new) > 0).
+    *
+    * Remedy ladder: the first `numHashes · 2^k` (k = 0..maxDoublings)
+    * whose [[bandPlan]] layout qualifies ANALYTICALLY at the operating
+    * point AND differs from the failing layout — k = 0 with a different
+    * band count is action REBAND (1, same shuffle-volume class), a
+    * longer signature is action LENGTHEN (2, more hashing but
+    * rows-per-band kept high); when nothing on the ladder qualifies the
+    * ladder-max honest fallback (bands = numHashes·2^maxDoublings,
+    * rows = 1) ships, exactly [[bandPlan]]'s own signal. The
+    * ≠-current filter matters for the theory–practice gap: a layout
+    * that IS the planned one but empirically undershoots (capped
+    * buckets, skewed shingles) must lengthen, not "re-band" to itself.
+    *
+    * Scale shape: one exact-pair inverted-index join + one banded
+    * candidate join (both the capped shapes their own queries defend),
+    * a ≤-10-row bucket aggregate, and a 1-row decision collect; the
+    * ladder is pure driver math. Output: ONE row — (replan, action
+    * 0 keep / 1 reband / 2 lengthen, n_pairs, n_detected,
+    * n_buckets_below, num_hashes, bands, rows_per_band,
+    * new_num_hashes, new_bands, new_rows_per_band, new_detect_prob
+    * 6-dp) — the decision ships with the layout it mandates; on KEEP
+    * the new_* columns re-state the current layout and its analytic
+    * detection at the operating point. */
+  def bandReplanIfUndershot(docs: DataFrame, id: String, text: String,
+      shingleN: Int, numHashes: Int, bands: Int, minJaccardPct: Int,
+      targetDetectPct: Int, maxBucket: Int = 1000,
+      maxDoublings: Int = 6): DataFrame = {
+    require(numHashes >= 1 && bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes, got ($numHashes, $bands)")
+    require(minJaccardPct >= 0 && minJaccardPct <= 100,
+      s"minJaccardPct is a percent, got $minJaccardPct")
+    require(targetDetectPct >= 0 && targetDetectPct <= 100,
+      s"targetDetectPct is a percent, got $targetDetectPct")
+    require(maxDoublings >= 0 && (numHashes.toLong << maxDoublings)
+      <= Int.MaxValue, s"maxDoublings out of range: $maxDoublings")
+    val spark = docs.sparkSession
+    val j = minJaccardPct / 100.0
+    // the operating-point filter IS the exact-pair floor: pairs below
+    // the declared threshold carry no evidence about the target
+    val exact = ngramJaccardPairs(docs, id, text, shingleN, j, maxBucket)
+    val cand = minHashPairsPortable(docs, id, text, shingleN, numHashes,
+        bands, minJaccard = 0.0, maxBucket)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("__det"))
+    // per-bucket counts (≤ 10 rows), then the 1-row any-bucket decision
+    // aggregate — a bounded collect, the refitIfDrifted discipline
+    val d = exact.join(cand, Seq("doc_a", "doc_b"), "left")
+      .select(least(floor(col("jaccard") * 10), lit(9L)).cast("long")
+          .as("__jb"),
+        col("__det"))
+      .groupBy(col("__jb"))
+      .agg(count(lit(1)).as("__n"), count(col("__det")).as("__d"))
+      .agg(coalesce(sum(col("__n")), lit(0L)),
+        coalesce(sum(col("__d")), lit(0L)),
+        coalesce(sum(when(col("__d") * 100L
+          < lit(targetDetectPct.toLong) * col("__n"), 1L)
+          .otherwise(0L)), lit(0L)))
+      .head()
+    val nPairs = d.getLong(0)
+    val nDet = d.getLong(1)
+    val nBelow = d.getLong(2)
+    val replan = nPairs > 0L && nBelow > 0L
+    val (newNh, newBands, newRows) =
+      if (!replan) (numHashes, bands, numHashes / bands)
+      else (0 to maxDoublings).iterator
+        .map { k =>
+          val nh = numHashes << k
+          val (b, r) = bandPlan(nh, j, targetDetectPct)
+          (nh, b, r)
+        }
+        .find { case (nh, b, r) =>
+          detectionProb(j, b, r) >= targetDetectPct / 100.0 &&
+            (nh != numHashes || b != bands)
+        }
+        .getOrElse {
+          val nh = numHashes << maxDoublings
+          (nh, nh, 1)
+        }
+    val action = if (!replan) 0L else if (newNh == numHashes) 1L else 2L
+    spark.range(1).select(
+      lit(if (replan) 1L else 0L).as("replan"),
+      lit(action).as("action"),
+      lit(nPairs).as("n_pairs"),
+      lit(nDet).as("n_detected"),
+      lit(nBelow).as("n_buckets_below"),
+      lit(numHashes.toLong).as("num_hashes"),
+      lit(bands.toLong).as("bands"),
+      lit((numHashes / bands).toLong).as("rows_per_band"),
+      lit(newNh.toLong).as("new_num_hashes"),
+      lit(newBands.toLong).as("new_bands"),
+      lit(newRows.toLong).as("new_rows_per_band"),
+      // Spark-side round, the d33 precedent (pow is not
+      // correctly-rounded; the 6-dp round absorbs the last ulp)
+      round(lit(detectionProb(j, newBands, newRows)), 6)
+        .as("new_detect_prob"))
+  }
+
   /** [[minHashPairsPortable]] with the band count chosen by [[bandPlan]]
     * instead of a caller constant — the planner wired as the banded
     * family's default chooser: bands = fewest divisors of `numHashes`

@@ -1195,6 +1195,102 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bandReplanIfUndershot: detected corpus keeps the serving layout") {
+    // one identical pair (bucket 9, detected structurally) under the
+    // planned (16, 8) layout at its own operating point → KEEP, and the
+    // new_* columns re-state the current layout
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val r = Dedup.bandReplanIfUndershot(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 8, minJaccardPct = 50,
+      targetDetectPct = 80).collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L) // replan=0, keep
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L) // 1 pair, detected
+    assert(r.getLong(4) == 0L)                       // no bucket below
+    assert((r.getLong(8), r.getLong(9), r.getLong(10)) == ((16L, 8L, 2L)))
+    assert(math.abs(r.getDouble(11) - 0.899887) < 1e-9)
+  }
+
+  test("bandReplanIfUndershot: no qualifying pairs is a KEEP (quiet gate)") {
+    // disjoint docs — zero pairs at j >= 0.5; no evidence must be a
+    // no-op, the refitIfDrifted sum(n_new) > 0 discipline
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val r = Dedup.bandReplanIfUndershot(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, minJaccardPct = 50,
+      targetDetectPct = 80).collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+  }
+
+  test("bandReplanIfUndershot: missed low-j bucket LENGTHENS the signature") {
+    // pair shares exactly the "x y z" shingle: j = 1/15 ≈ 0.067 ≥ 0.05
+    // qualifies at the 5% operating point; under (16, 4) a band agrees
+    // with probability j⁴ ≈ 2·10⁻⁵ — the pair goes undetected, bucket 0
+    // fails the 80% target, and no divisor layout at 16 hashes reaches
+    // 0.80 at j = 0.05 (best is (16,1) at 0.56) → the ladder doubles to
+    // 32 hashes where (32,1) reaches 0.806
+    val docs = Seq(
+      (1L, "x y z a1 a2 a3 a4 a5 a6 a7"),
+      (2L, "x y z b1 b2 b3 b4 b5 b6 b7")
+    ).toDF("doc_id", "text")
+    val r = Dedup.bandReplanIfUndershot(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, minJaccardPct = 5,
+      targetDetectPct = 80).collect().head
+    assert(r.getLong(0) == 1L, "replan must fire")
+    assert(r.getLong(1) == 2L, "action must be LENGTHEN")
+    assert(r.getLong(2) == 1L && r.getLong(3) == 0L && r.getLong(4) == 1L)
+    assert((r.getLong(8), r.getLong(9), r.getLong(10)) == ((32L, 32L, 1L)))
+    // 1 - 0.95^32 ≈ 0.806289
+    assert(math.abs(r.getDouble(11) - 0.806289) < 1e-6)
+  }
+
+  test("bandReplanIfUndershot: missed mid-j buckets REBAND at the same signature") {
+    // three disjoint pairs each sharing a 9-token run: 15 shingles per
+    // doc, 7 shared → j = 7/23 ≈ 0.304, bucket 3 ≥ the 30% operating
+    // point. Under (16, 4) each pair is detected with probability
+    // ≈ 1-(1-0.304⁴)¹⁶ ≈ 0.13 — the bucket needs 80% and fails; at the
+    // same 16 hashes (16, 1) reaches 1-(1-0.3)¹⁶ ≈ 0.9967 ≥ 0.80, so
+    // the remedy is a REBAND, not a longer signature
+    def doc(tag: String, common: String) =
+      common + " " + (1 to 8).map(i => s"$tag$i").mkString(" ")
+    val c1 = "c1a c1b c1c c1d c1e c1f c1g c1h c1i"
+    val c2 = "c2a c2b c2c c2d c2e c2f c2g c2h c2i"
+    val c3 = "c3a c3b c3c c3d c3e c3f c3g c3h c3i"
+    val docs = Seq(
+      (1L, doc("p", c1)), (2L, doc("q", c1)),
+      (3L, doc("r", c2)), (4L, doc("s", c2)),
+      (5L, doc("t", c3)), (6L, doc("u", c3))
+    ).toDF("doc_id", "text")
+    val r = Dedup.bandReplanIfUndershot(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, minJaccardPct = 30,
+      targetDetectPct = 80).collect().head
+    assert(r.getLong(0) == 1L, "replan must fire")
+    assert(r.getLong(1) == 1L,
+      s"action must be REBAND, got ${r.getLong(1)} " +
+        s"(n_pairs=${r.getLong(2)}, n_detected=${r.getLong(3)})")
+    assert(r.getLong(2) == 3L)
+    assert((r.getLong(8), r.getLong(9), r.getLong(10)) == ((16L, 16L, 1L)))
+  }
+
+  test("bandReplanIfUndershot: input contract") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.bandReplanIfUndershot(docs, "doc_id", "text", 3,
+        numHashes = 16, bands = 5, minJaccardPct = 50,
+        targetDetectPct = 80) // 5 does not divide 16
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.bandReplanIfUndershot(docs, "doc_id", "text", 3,
+        numHashes = 16, bands = 4, minJaccardPct = 101,
+        targetDetectPct = 80)
+    }
+  }
+
   test("refitIfDrifted: benign incoming keeps the fit-time index") {
     // fit ids 0..9; md5 order of "0".."9" is 6,9,7,4,1,2,8,0,5,3 so with
     // targetCellSize=5 → nCells=2 the centroids are id 6's and id 9's
