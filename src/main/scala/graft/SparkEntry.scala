@@ -3239,8 +3239,9 @@ object SparkEntry {
     * props, mod 10) of the user's LAST click in the 24 h before it;
     * unattributed purchases (no qualifying click) report as campaign
     * −1. The classic marketing-analytics join: a per-user range join
-    * (bounded by per-user event counts), a deterministic rank-1 pick
-    * ordered by (click ts, click id) DESC, then the campaign rollup. */
+    * (bounded by per-user event counts), a deterministic last-click
+    * argmax by (click ts, click id) lowered to one sort-free
+    * `max(struct)` hash aggregate, then the campaign rollup. */
   private val t30Attribution: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
     val purchases = ev.where(col("event_type") === "purchase")
@@ -3262,12 +3263,17 @@ object SparkEntry {
       .select(col("p.pid").as("pid"), col("p.value").as("value"),
         col("c.cts").as("cts"), col("c.cid").as("cid"),
         col("c.campaign").as("campaign"))
-    val ranked = joined.withColumn("rn",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("pid"))
-        .orderBy(col("cts").desc_nulls_last, col("cid").desc_nulls_last)))
-    ranked.where(col("rn") === 1)
-      .select(coalesce(col("campaign"), lit(-1L)).as("campaign"),
+    // last-click pick as ONE sort-free hash aggregate (the d17/g10
+    // one-pass discipline, r12 A/B in PLANS.md): max(struct(cts, cid,
+    // campaign)) per purchase — struct ordering sorts null fields
+    // FIRST, so the unattributed left-join row loses to any real click
+    // and an all-null purchase surfaces campaign null → −1, exactly
+    // the old desc_nulls_last rank-1 pick without the window's
+    // per-partition sort; `value` is purchase-functional so it rides
+    // in the grouping key
+    joined.groupBy(col("pid"), col("value"))
+      .agg(max(struct(col("cts"), col("cid"), col("campaign"))).as("__t"))
+      .select(coalesce(col("__t.campaign"), lit(-1L)).as("campaign"),
         col("value"))
       .groupBy(col("campaign"))
       .agg(count(lit(1)).as("conversions"),

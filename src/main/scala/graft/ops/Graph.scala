@@ -143,12 +143,13 @@ object Graph {
     * only the label side shuffles. The r8 plan audit caught the
     * previous localCheckpoint form reporting `UnknownPartitioning` and
     * re-shuffling + re-sorting the full edge set every round — at the
-    * 100× corpus that was 3 × 240M rows of avoidable shuffle. Then one
-    * (node, label) frequency count + a top-1 per node lowered to a
-    * plain hash aggregate `max(struct(count, -label))` (max count, tie
-    * → smallest label) instead of a rank window: same shuffle, no sort
-    * on either side. Requires NUMERIC node ids (every id in this engine
-    * is a long). All partial-aggregated, nothing driver-side.
+    * 100× corpus that was 3 × 240M rows of avoidable shuffle. Then the
+    * majority vote: by default ONE exchange — `mode(label,
+    * deterministic = true)` per node (most-frequent, tie → smallest
+    * label) — never a rank window, never a second aggregate (see
+    * `fusedArgmax` below for the two-exchange alternative). Requires
+    * NUMERIC node ids (every id in this engine is a long). All
+    * partial-aggregated, nothing driver-side.
     *
     * Round boundaries are pure lineage — plan nesting is LINEAR in
     * rounds (each round references the previous labels exactly once),
@@ -165,9 +166,25 @@ object Graph {
     * guarantees distinct src<dst pairs (the usual case: a dedup'd pair
     * pipeline) to skip the symmetrize-side `.distinct()` — a pure
     * 2|E|-row shuffle otherwise (r8 A/B: −0.7 s on the bench query).
-    * Output (node, label) for every node with ≥ 1 edge. */
+    * Output (node, label) for every node with ≥ 1 edge.
+    *
+    * `fusedArgmax` picks the per-round majority plan: `true` (default,
+    * the r12 A/B winner — see PLANS.md "g10 fused-argmax A/B") fuses
+    * the frequency count and the argmax into ONE exchange via
+    * `mode(__lbl, deterministic = true)` (identical semantics:
+    * most-frequent label, tie → smallest — pinned ≡ by OpsSpec), an
+    * ObjectHashAggregate whose per-node partial is a label→count map,
+    * merged map-side, so the per-round shuffle carries ≤ one map per
+    * (node, partition) instead of the full (node, label) frequency
+    * frame; `false` runs the two-exchange count + `max(struct)` argmax
+    * (both plain codegen hash aggs over primitive rows) — the loser at
+    * bench scale (warm 6.4 s vs 4.2 s median on the g10 graph) kept
+    * for graphs whose per-node neighbor-label cardinality is so high
+    * that map-typed partials would spill where primitive rows
+    * would not. */
   def labelPropagation(edges: DataFrame, src: String, dst: String,
-      rounds: Int, edgesDistinct: Boolean = false): DataFrame = {
+      rounds: Int, edgesDistinct: Boolean = false,
+      fusedArgmax: Boolean = true): DataFrame = {
     // pin the symmetrized edges — reused every round (the upstream
     // pair generation is often the expensive part), plan stays a
     // constant-size leaf, and the pin's __m layout makes every round's
@@ -179,11 +196,13 @@ object Graph {
         struct(col(src).as("__n"), col(dst).as("__m")),
         struct(col(dst).as("__n"), col(src).as("__m")))).as("__e"))
       .select(col("__e.__n"), col("__e.__m"))
-    // labels are node ids and the per-round argmax negates them twice
-    // (max(struct(count, -label)) below); under non-ANSI mode a unary
-    // minus on a string id silently CASTS to double and returns
-    // corrupted (possibly null) labels instead of failing — assert the
-    // numeric requirement up front
+    // labels are node ids and the tie-break is SMALLEST-label: numeric
+    // order under mode(deterministic=true), and the two-phase variant
+    // negates labels twice (max(struct(count, -label))) — on a string
+    // id the latter silently CASTS to double under non-ANSI mode and
+    // returns corrupted labels, and the former would flip to
+    // lexicographic order, so the two variants would diverge. Assert
+    // the numeric requirement up front for both.
     val idType = symRaw.schema("__n").dataType
     require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"labelPropagation requires numeric node ids (the tie-break " +
@@ -195,12 +214,20 @@ object Graph {
       .select(col("__n"), col("__n").as("__lbl"))
     var cadence: Option[DataFrame] = None
     for (i <- 1 to rounds) {
-      val freq = sym
+      val joined = sym
         .join(labels.select(col("__n").as("__m"), col("__lbl")), "__m")
-        .groupBy(col("__n"), col("__lbl")).agg(count(lit(1)).as("__c"))
-      labels = freq.groupBy(col("__n"))
-        .agg(max(struct(col("__c"), negate(col("__lbl")))).as("__t"))
-        .select(col("__n"), negate(col("__t").getField("col2")).as("__lbl"))
+      labels =
+        if (fusedArgmax)
+          joined.groupBy(col("__n"))
+            .agg(mode(col("__lbl"), deterministic = true).as("__lbl"))
+        else {
+          val freq = joined
+            .groupBy(col("__n"), col("__lbl")).agg(count(lit(1)).as("__c"))
+          freq.groupBy(col("__n"))
+            .agg(max(struct(col("__c"), negate(col("__lbl")))).as("__t"))
+            .select(col("__n"),
+              negate(col("__t").getField("col2")).as("__lbl"))
+        }
       if (i % 8 == 0 && i < rounds) {
         val snap = Iterate.snapshot(labels)
         cadence.foreach(Iterate.release)

@@ -526,6 +526,25 @@ class OpsSpec extends AnyFunSuite {
       4L -> 3L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("labelPropagation: fused mode-aggregate plan ≡ two-phase argmax") {
+    // the fused plan (one exchange into mode(lbl, deterministic=true))
+    // must be label-for-label identical to the default count+argmax —
+    // same majority, same smallest-label tie-break. Checked on the
+    // hand-traced bridge fixture AND a denser synthetic graph whose
+    // rounds exercise real ties (ring + chords)
+    val bridge = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val ring = (0L until 40L).map(i => (i, (i + 1) % 40)) ++
+      (0L until 40L by 4).map(i => (i, (i + 13) % 40))
+    for (edges <- Seq(bridge, ring.toDF("a", "b"))) {
+      val base = ops.Graph.labelPropagation(edges, "a", "b", rounds = 3)
+        .as[(Long, Long)].collect().toMap
+      val fused = ops.Graph.labelPropagation(edges, "a", "b", rounds = 3,
+        fusedArgmax = true).as[(Long, Long)].collect().toMap
+      assert(fused == base)
+    }
+  }
+
   test("labelPropagation fails fast on string node ids (negate tie-break)") {
     val edges = Seq(("a", "b"), ("b", "c")).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {
