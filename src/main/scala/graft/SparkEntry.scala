@@ -4672,6 +4672,34 @@ object SparkEntry {
       "text", shingleN = 3, numHashes = 16, bands = 8,
       minJaccardPct = 50, targetDetectPct = 80)
 
+  /** LLM-D36: banding replan policy, REBAND branch — the third action,
+    * registered (d34 pins LENGTHEN, d35 pins KEEP; the fixture corpus
+    * is bimodal — exact dups plus j < 0.1 stragglers — so no operating
+    * point on it can fire a reband). The corpus is AUGMENTED with a
+    * deterministic mid-Jaccard sibling per document: its 35%-token
+    * prefix under a shifted id (prefix shingles ⊂ document shingles, so
+    * exact j ≈ 0.35 — bucket 3), a construction both engines replay
+    * byte-for-byte (same tokenizer, same integer-floor prefix length).
+    * At the (j ≥ 0.30, 80%) operating point the legacy (16, 4) layout
+    * detects ~13% of those pairs, the mid-j buckets fail, and the
+    * ladder's k = 0 rung already qualifies analytically with a
+    * DIFFERENT divisor — (16, 1) at 0.9967 — so the remedy is a REBAND
+    * at the same signature length, not a longer signature. */
+  private val d36BandReplanReband: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val sib = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("__tk"))
+      .where(size(col("__tk")) >= 9)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        concat_ws(" ", slice(col("__tk"), lit(1),
+          (lit(2) + floor((size(col("__tk")) - 2) * 35 / lit(100.0)))
+            .cast("int"))).as("text"))
+    Dedup.bandReplanIfUndershot(docs.unionAll(sib), "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, minJaccardPct = 30,
+      targetDetectPct = 80)
+  }
+
   /** L10: layout effectiveness — the l7 zone-map skip test run under
     * two physical layouts of the same fact table (key-clustered
     * ÷6000-row blocks vs ship-month partitions) for the same 1995
@@ -5353,6 +5381,7 @@ object SparkEntry {
     "d33_band_plan_audit" -> d33BandPlanAudit,
     "d34_band_replan" -> d34BandReplan,
     "d35_band_replan_keep" -> d35BandReplanKeep,
+    "d36_band_replan_reband" -> d36BandReplanReband,
     "sim23_refit_noop" -> sim23RefitNoop,
   )
 
@@ -10416,6 +10445,102 @@ object SparkEntry {
         |  CASE WHEN rp THEN nb ELSE 4 END AS new_bands,
         |  CASE WHEN rp THEN nr ELSE 4 END AS new_rows_per_band,
         |  round(1.0 - pow(1.0 - pow(5 / 100.0,
+        |    CAST(CASE WHEN rp THEN nr ELSE 4 END AS DOUBLE)),
+        |    CAST(CASE WHEN rp THEN nb ELSE 4 END AS DOUBLE)), 6)
+        |    AS new_detect_prob
+        |FROM fin""".stripMargin,
+    "d36_band_replan_reband" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |src AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, array_to_string(
+        |      toks[1:CAST(2 + floor((len(toks) - 2) * 35 / 100.0)
+        |        AS BIGINT)], ' ')
+        |  FROM t0 WHERE len(toks) >= 9),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM src),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |cappedx AS (SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS c
+        |    FROM inv) WHERE c <= 1000),
+        |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    count(*) AS i
+        |  FROM cappedx l JOIN cappedx r
+        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT doc_a, doc_b,
+        |    i * 1.0 / (na.n + nb.n - i) AS j
+        |  FROM inter
+        |  JOIN sizes na ON na.doc_id = doc_a
+        |  JOIN sizes nb ON nb.doc_id = doc_b
+        |  WHERE i * 1.0 / (na.n + nb.n - i) >= 30 / 100.0),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
+        |      seed -> list_min(list_transform(s, x ->
+        |      ((CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)
+        |        % 1073741824) * (2654435761 + 80906 * seed) + seed)
+        |      % 1073741824))) AS sg
+        |  FROM sh WHERE len(s) > 0),
+        |banded AS (SELECT doc_id, b,
+        |    md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) t),
+        |hot AS (SELECT b, key FROM banded GROUP BY b, key
+        |  HAVING count(*) > 1000),
+        |cappedb AS (SELECT banded.* FROM banded
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |    WHERE hot.b = banded.b AND hot.key = banded.key)),
+        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM cappedb l JOIN cappedb r
+        |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+        |det AS (SELECT CAST(least(floor(e.j * 10), 9) AS BIGINT) AS jb,
+        |    CASE WHEN c.doc_a IS NOT NULL THEN 1 END AS d
+        |  FROM exact e LEFT JOIN cand c
+        |    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b),
+        |buck AS (SELECT jb, count(*) AS n, count(d) AS dt
+        |  FROM det GROUP BY jb),
+        |dec AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_pairs,
+        |    CAST(coalesce(sum(dt), 0) AS BIGINT) AS n_detected,
+        |    CAST(coalesce(sum(CASE WHEN dt * 100 < 80 * n
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_below
+        |  FROM buck),
+        |ladder AS (SELECT nh, b, CAST(nh // b AS BIGINT) AS rpb,
+        |    1.0 - pow(1.0 - pow(30 / 100.0, CAST(nh // b AS DOUBLE)),
+        |      CAST(b AS DOUBLE)) AS dp
+        |  FROM (SELECT CAST(16 * (1 << k) AS BIGINT) AS nh
+        |      FROM (SELECT unnest(generate_series(0, 6)) AS k)) nn,
+        |    (SELECT unnest(generate_series(1, 1024)) AS b) bs
+        |  WHERE b <= nh AND nh % b = 0),
+        |pernh AS (SELECT nh, min(CASE WHEN dp >= 80 / 100.0 THEN b END)
+        |    AS pb FROM ladder GROUP BY nh),
+        |qual AS (SELECT l.nh, l.b, l.rpb FROM pernh p JOIN ladder l
+        |    ON l.nh = p.nh AND l.b = p.pb
+        |  WHERE p.pb IS NOT NULL AND NOT (p.nh = 16 AND p.pb = 4)
+        |  ORDER BY p.nh LIMIT 1),
+        |newp AS (SELECT
+        |    CAST(coalesce((SELECT nh FROM qual), 1024) AS BIGINT) AS nnh,
+        |    CAST(coalesce((SELECT b FROM qual), 1024) AS BIGINT) AS nb,
+        |    CAST(coalesce((SELECT rpb FROM qual), 1) AS BIGINT) AS nr),
+        |fin AS (SELECT d.n_pairs, d.n_detected, d.n_below,
+        |    (d.n_pairs > 0 AND d.n_below > 0) AS rp,
+        |    np.nnh, np.nb, np.nr FROM dec d, newp np)
+        |SELECT CAST(CASE WHEN rp THEN 1 ELSE 0 END AS BIGINT) AS replan,
+        |  CAST(CASE WHEN NOT rp THEN 0 WHEN nnh = 16 THEN 1 ELSE 2 END
+        |    AS BIGINT) AS action,
+        |  n_pairs, n_detected, n_below AS n_buckets_below,
+        |  CAST(16 AS BIGINT) AS num_hashes,
+        |  CAST(4 AS BIGINT) AS bands,
+        |  CAST(4 AS BIGINT) AS rows_per_band,
+        |  CASE WHEN rp THEN nnh ELSE 16 END AS new_num_hashes,
+        |  CASE WHEN rp THEN nb ELSE 4 END AS new_bands,
+        |  CASE WHEN rp THEN nr ELSE 4 END AS new_rows_per_band,
+        |  round(1.0 - pow(1.0 - pow(30 / 100.0,
         |    CAST(CASE WHEN rp THEN nr ELSE 4 END AS DOUBLE)),
         |    CAST(CASE WHEN rp THEN nb ELSE 4 END AS DOUBLE)), 6)
         |    AS new_detect_prob
