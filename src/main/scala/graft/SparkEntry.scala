@@ -4590,6 +4590,43 @@ object SparkEntry {
       skewFactor = 3, driftMilli = 100, minCellN = 5L)
   }
 
+  /** SIM24: PQ codebook refit policy, REFIT branch
+    * ([[SimSearch.pqRefitIfDistorted]]) — the ACT stage for the THIRD
+    * index family (IVF cells act via sim22/23, LSH bands via
+    * d34/35/36; PQ codebooks act here). The incoming slice is the
+    * corpus's %5 rows with every coordinate DOUBLED — a deterministic
+    * distribution shift both engines replay (`x · 2.0`) that moves
+    * vectors away from every fit-time centroid without touching cell
+    * balance: mean squared quantization error jumps ~4× (squared
+    * distances scale quadratically), the 150% ratio trigger fires, and
+    * the codebook source re-pulls over fit ∪ incoming. The oracle
+    * replays the v3 codebook derivation, both encode passes, the
+    * micro-integerized decision and the conditional re-pull. */
+  private val sim24PqRefit: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir).where(col("vec_id") >= 10)
+    SimSearch.pqRefitIfDistorted(
+      emb.where(col("vec_id") % 5 =!= 0),
+      emb.where(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), transform(
+          col("embedding").cast("array<double>"), x => x * lit(2.0))
+          .as("embedding")),
+      "vec_id", "embedding", dim = 64, m = 4, k = 4, ratioPct = 150)
+  }
+
+  /** SIM25: the PQ refit policy's KEEP branch — sim24's no-op twin
+    * (the sim23 discipline): the same exchangeable %5 split UNSCALED
+    * assigns with the same error distribution on both sides (ratio
+    * ≈ 1 < 1.5), so the policy keeps the fit-time codebooks and
+    * re-states their source rows. Both decision branches — and the
+    * fact that the deterministic coordinate scaling alone flips them —
+    * are pinned by the DuckDB replay. */
+  private val sim25PqKeep: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir).where(col("vec_id") >= 10)
+    SimSearch.pqRefitIfDistorted(
+      emb.where(col("vec_id") % 5 =!= 0), emb.where(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", dim = 64, m = 4, k = 4, ratioPct = 150)
+  }
+
   /** LLM-D31: the LSH banding planner as a query
     * ([[Dedup.bandPlanDf]]) — `1 − (1 − j^r)^b` over every divisor pair
     * of the signature length, fewest qualifying bands chosen, honest
@@ -5383,6 +5420,8 @@ object SparkEntry {
     "d35_band_replan_keep" -> d35BandReplanKeep,
     "d36_band_replan_reband" -> d36BandReplanReband,
     "sim23_refit_noop" -> sim23RefitNoop,
+    "sim24_pq_refit" -> sim24PqRefit,
+    "sim25_pq_keep" -> sim25PqKeep,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -10774,5 +10813,104 @@ object SparkEntry {
         |  CAST((SELECT c FROM sc) AS BIGINT) AS n_cells,
         |  CAST(rn - 1 AS BIGINT) AS cell, item_id AS centroid_id
         |FROM pulled WHERE rn <= (SELECT c FROM sc)""".stripMargin,
+    "sim24_pq_refit" ->
+      """WITH base AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |fit AS (SELECT item_id, v FROM base WHERE item_id % 5 <> 0),
+        |inc AS (SELECT item_id, list_transform(v, x -> x * 2.0) AS v
+        |  FROM base WHERE item_id % 5 = 0),
+        |cb AS (SELECT cidx, cv FROM (SELECT row_number() OVER (
+        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) - 1
+        |      AS cidx, v AS cv FROM fit) WHERE cidx < 4),
+        |allv AS (SELECT 'f' AS side, item_id, v FROM fit
+        |  UNION ALL SELECT 'n', item_id, v FROM inc),
+        |d AS (SELECT a.side, a.item_id, s.sub, cb.cidx,
+        |    round(list_sum(list_transform(range(1, 17), j ->
+        |      (a.v[s.sub * 16 + j] - cb.cv[s.sub * 16 + j])
+        |      * (a.v[s.sub * 16 + j] - cb.cv[s.sub * 16 + j]))), 6) AS dist
+        |  FROM allv a CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |  CROSS JOIN cb),
+        |pick AS (SELECT side, item_id, sub, dist, row_number() OVER (
+        |    PARTITION BY side, item_id, sub ORDER BY dist, cidx) AS rn
+        |  FROM d),
+        |err AS (SELECT side, item_id, round(sum(dist), 6) AS e
+        |  FROM pick WHERE rn = 1 GROUP BY side, item_id),
+        |st AS (SELECT side, count(*) AS n, round(sum(e), 6) AS s
+        |  FROM err GROUP BY side),
+        |dec AS (SELECT
+        |    CAST(coalesce((SELECT n FROM st WHERE side = 'f'), 0)
+        |      AS BIGINT) AS n_fit,
+        |    CAST(coalesce((SELECT n FROM st WHERE side = 'n'), 0)
+        |      AS BIGINT) AS n_new,
+        |    CAST(round(coalesce((SELECT s / n FROM st WHERE side = 'f'),
+        |      0.0) * 1000000) AS BIGINT) AS mf,
+        |    CAST(round(coalesce((SELECT s / n FROM st WHERE side = 'n'),
+        |      0.0) * 1000000) AS BIGINT) AS mn_),
+        |r AS (SELECT n_fit, n_new, mf, mn_,
+        |    CASE WHEN n_new > 0 AND mn_ > 0 AND 100 * mn_ >= 150 * mf
+        |      THEN 1 ELSE 0 END AS refit FROM dec),
+        |src AS (SELECT item_id FROM fit
+        |  UNION ALL SELECT item_id FROM inc
+        |    WHERE (SELECT refit FROM r) = 1),
+        |pulled AS (SELECT item_id, row_number() OVER (
+        |    ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |  FROM src)
+        |SELECT CAST((SELECT refit FROM r) AS BIGINT) AS refit,
+        |  (SELECT n_fit FROM r) AS n_fit,
+        |  (SELECT n_new FROM r) AS n_new,
+        |  (SELECT mf FROM r) / 1000000.0 AS mean_err_fit,
+        |  (SELECT mn_ FROM r) / 1000000.0 AS mean_err_new,
+        |  CAST(rn - 1 AS BIGINT) AS cb_rank, item_id AS cb_item_id
+        |FROM pulled WHERE rn <= 4""".stripMargin,
+    "sim25_pq_keep" ->
+      """WITH base AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |fit AS (SELECT item_id, v FROM base WHERE item_id % 5 <> 0),
+        |inc AS (SELECT item_id, v FROM base WHERE item_id % 5 = 0),
+        |cb AS (SELECT cidx, cv FROM (SELECT row_number() OVER (
+        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) - 1
+        |      AS cidx, v AS cv FROM fit) WHERE cidx < 4),
+        |allv AS (SELECT 'f' AS side, item_id, v FROM fit
+        |  UNION ALL SELECT 'n', item_id, v FROM inc),
+        |d AS (SELECT a.side, a.item_id, s.sub, cb.cidx,
+        |    round(list_sum(list_transform(range(1, 17), j ->
+        |      (a.v[s.sub * 16 + j] - cb.cv[s.sub * 16 + j])
+        |      * (a.v[s.sub * 16 + j] - cb.cv[s.sub * 16 + j]))), 6) AS dist
+        |  FROM allv a CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |  CROSS JOIN cb),
+        |pick AS (SELECT side, item_id, sub, dist, row_number() OVER (
+        |    PARTITION BY side, item_id, sub ORDER BY dist, cidx) AS rn
+        |  FROM d),
+        |err AS (SELECT side, item_id, round(sum(dist), 6) AS e
+        |  FROM pick WHERE rn = 1 GROUP BY side, item_id),
+        |st AS (SELECT side, count(*) AS n, round(sum(e), 6) AS s
+        |  FROM err GROUP BY side),
+        |dec AS (SELECT
+        |    CAST(coalesce((SELECT n FROM st WHERE side = 'f'), 0)
+        |      AS BIGINT) AS n_fit,
+        |    CAST(coalesce((SELECT n FROM st WHERE side = 'n'), 0)
+        |      AS BIGINT) AS n_new,
+        |    CAST(round(coalesce((SELECT s / n FROM st WHERE side = 'f'),
+        |      0.0) * 1000000) AS BIGINT) AS mf,
+        |    CAST(round(coalesce((SELECT s / n FROM st WHERE side = 'n'),
+        |      0.0) * 1000000) AS BIGINT) AS mn_),
+        |r AS (SELECT n_fit, n_new, mf, mn_,
+        |    CASE WHEN n_new > 0 AND mn_ > 0 AND 100 * mn_ >= 150 * mf
+        |      THEN 1 ELSE 0 END AS refit FROM dec),
+        |src AS (SELECT item_id FROM fit
+        |  UNION ALL SELECT item_id FROM inc
+        |    WHERE (SELECT refit FROM r) = 1),
+        |pulled AS (SELECT item_id, row_number() OVER (
+        |    ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |  FROM src)
+        |SELECT CAST((SELECT refit FROM r) AS BIGINT) AS refit,
+        |  (SELECT n_fit FROM r) AS n_fit,
+        |  (SELECT n_new FROM r) AS n_new,
+        |  (SELECT mf FROM r) / 1000000.0 AS mean_err_fit,
+        |  (SELECT mn_ FROM r) / 1000000.0 AS mean_err_new,
+        |  CAST(rn - 1 AS BIGINT) AS cb_rank, item_id AS cb_item_id
+        |FROM pulled WHERE rn <= 4""".stripMargin,
   )
 }

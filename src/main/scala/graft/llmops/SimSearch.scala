@@ -981,6 +981,96 @@ object SimSearch {
     }
   }
 
+  /** The PQ family's ACT stage — [[refitIfDrifted]]'s quantization
+    * twin, completing the maintenance loop for the THIRD index family
+    * (IVF cells act via refitIfDrifted, LSH bands via
+    * [[Dedup.bandReplanIfUndershot]]; PQ codebooks act here): encode
+    * both sides against the fit-time codebooks ([[VectorOps.pqAssign]]
+    * — the same md5-ordered literal derivation as v3/sim6), compare
+    * mean squared quantization error, and when the incoming side's
+    * distortion reaches `ratioPct`% of the fit side's, re-pull the
+    * codebook source rows over fit ∪ incoming (the post-shift corpus);
+    * otherwise keep the fit-time codebooks. A distribution shift that
+    * leaves cell assignment balanced (refitIfDrifted quiet) still
+    * degrades ADC distances when vectors move AWAY from every
+    * centroid — reconstruction error is the signal that catches it.
+    *
+    * Decision (integer-replayable, the sim22 discipline): per side,
+    * mean err = `round(sum(err), 6) / n` (terminal-rounded sum so
+    * accumulation-order ulps can't leak, then an IEEE-exact quotient —
+    * the r11 windowed-mean rule), integerized to micros via
+    * `round(mean · 10⁶)`; REFIT iff `n_new > 0` (the quiet-interval
+    * gate) AND `mean_new_micros > 0` (a zero-distortion incoming side
+    * cannot justify a refit — without this, a pristine corpus where
+    * BOTH means are 0 would fire `0 ≥ 0` vacuously, the same gate
+    * class the r11 ADVICE flagged on refitIfDrifted's skew trigger)
+    * AND `100 · mean_new_micros ≥ ratioPct · mean_fit_micros` — pure
+    * long arithmetic both engines replay. An EMPTY incoming side
+    * keeps, never divides.
+    *
+    * Scale shape: per side one zero-shuffle encode pass (pqAssign is a
+    * literal-codebook expression) + a 1-row aggregate; the act re-pulls
+    * k codebook-source ROWS (k ≤ 4096 in any sane PQ) — acting costs no
+    * more than the fit-time derivation did. Output: one row per
+    * codebook-source row — (refit, n_fit, n_new, mean_err_fit,
+    * mean_err_new, cb_rank, cb_item_id) — the decision ships with the
+    * codebook source it mandates (ids, never vectors at scale). */
+  def pqRefitIfDistorted(fit: DataFrame, incoming: DataFrame,
+      id: String, vec: String, dim: Int, m: Int, k: Int,
+      ratioPct: Int = 150): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m must divide dim, got ($dim, $m)")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(ratioPct >= 1, s"ratioPct is a percent, got $ratioPct")
+    val spark = fit.sparkSession
+    val f = fit.select(col(id).as("item_id"),
+      col(vec).cast("array<double>").as("__v"))
+    val inc = incoming.select(col(id).as("item_id"),
+      col(vec).cast("array<double>").as("__v"))
+    val subDim = dim / m
+    def pull(src: DataFrame): Array[org.apache.spark.sql.Row] =
+      src.orderBy(md5(col("item_id").cast("string")), col("item_id"))
+        .limit(k).collect()
+    def cbOf(rows: Array[org.apache.spark.sql.Row]): Seq[Seq[Seq[Double]]] = {
+      val full = rows.map(_.getSeq[Double](1).toSeq)
+      (0 until m).map(sub =>
+        full.map(_.slice(sub * subDim, sub * subDim + subDim)).toSeq).toSeq
+    }
+    val fitRows = pull(f)
+    require(fitRows.length == k,
+      s"fit must hold >= k=$k rows to derive codebooks, got ${fitRows.length}")
+    val cb = cbOf(fitRows)
+    // (n, mean-err micros) for one side — one encode pass, 1-row agg
+    def sideStats(df: DataFrame): (Long, Long) = {
+      val r = df
+        .select(VectorOps.pqSqError(VectorOps.pqAssign(col("__v"), cb))
+          .as("__e"))
+        .agg(count(lit(1)), coalesce(round(sum(col("__e")), 6), lit(0.0)))
+        .head()
+      val n = r.getLong(0)
+      val mean = if (n == 0L) 0.0 else r.getDouble(1) / n
+      (n, math.round(mean * 1e6))
+    }
+    val (nFit, mFit) = sideStats(f)
+    val (nNew, mNew) = sideStats(inc)
+    val refit = nNew > 0L && mNew > 0L &&
+      100L * mNew >= ratioPct.toLong * mFit
+    val srcRows = if (refit) pull(f.unionAll(inc)) else fitRows
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("refit", LongType, nullable = false),
+      StructField("n_fit", LongType, nullable = false),
+      StructField("n_new", LongType, nullable = false),
+      StructField("mean_err_fit", DoubleType, nullable = false),
+      StructField("mean_err_new", DoubleType, nullable = false),
+      StructField("cb_rank", LongType, nullable = false),
+      f.schema("item_id").copy(name = "cb_item_id")))
+    val rows = srcRows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(if (refit) 1L else 0L, nFit, nNew,
+        mFit / 1e6, mNew / 1e6, i.toLong, r.get(0))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** [[ivfTopKPortable]] with the cell count auto-sized from the corpus
     * count ([[autoCells]]) — the oracle-exact twin of [[ivfTopKAuto]]:
     * the DuckDB replay computes the same `least(4096, ceil(n/target))`

@@ -1291,6 +1291,71 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pqRefitIfDistorted: distorted incoming refits over fit ∪ incoming") {
+    // fit: 4-dim vectors near (1,0,0,1) with small deterministic jitter
+    // (nonzero quantization error against the 2-row codebooks);
+    // incoming: the same family scaled 3× — squared error grows ~9×,
+    // far past the 150% ratio → REFIT, codebook source re-pulled over
+    // the union (md5 order may pick incoming ids)
+    val fit = (0L to 9L).map(i =>
+      (i, Seq(1.0 + 0.01 * i, 0.01 * i, 0.0, 1.0))).toDF("id", "v")
+    val inc = (100L to 104L).map(i =>
+      (i, Seq(3.0 + 0.03 * i, 0.03 * i, 0.0, 3.0))).toDF("id", "v")
+    val out = SimSearch.pqRefitIfDistorted(fit, inc, "id", "v",
+      dim = 4, m = 2, k = 2).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getLong(0) == 1L), "refit must fire")
+    assert(out.forall(r => r.getLong(1) == 10L && r.getLong(2) == 5L))
+    assert(out.forall(r => r.getDouble(4) > 1.5 * r.getDouble(3)))
+  }
+
+  test("pqRefitIfDistorted: exchangeable incoming keeps the codebooks") {
+    val fit = (0L to 9L).map(i =>
+      (i, Seq(1.0 + 0.01 * i, 0.01 * i, 0.0, 1.0))).toDF("id", "v")
+    // incoming mirrors the fit jitter points one-for-one (i % 10 spans
+    // the full 0..9), so the per-row error MULTISET is identical on
+    // both sides → ratio exactly 1.0 < 1.5
+    val inc = (100L to 109L).map(i =>
+      (i, Seq(1.0 + 0.01 * (i % 10), 0.01 * (i % 10), 0.0, 1.0)))
+      .toDF("id", "v")
+    val keep = SimSearch.pqRefitIfDistorted(fit, inc, "id", "v",
+      dim = 4, m = 2, k = 2).collect()
+    assert(keep.forall(_.getLong(0) == 0L))
+    // KEEP serving set = the fit-time codebook source (ids ⊆ fit)
+    assert(keep.map(_.getLong(6)).forall(_ <= 9L))
+  }
+
+  test("pqRefitIfDistorted: pristine and quiet corpora are no-ops") {
+    // pristine: every vector IS a codebook row → both means are 0;
+    // without the mean_new > 0 gate the ratio trigger would fire
+    // 0 ≥ 0 vacuously (the refitIfDrifted skew-gate class of bug)
+    val fit = (0L to 5L).map(i =>
+      (i, Seq(if (i % 2 == 0) 1.0 else 0.0, 0.0, 0.0, 1.0)))
+      .toDF("id", "v")
+    val inc = Seq((100L, Seq(1.0, 0.0, 0.0, 1.0))).toDF("id", "v")
+    val pristine = SimSearch.pqRefitIfDistorted(fit, inc, "id", "v",
+      dim = 4, m = 2, k = 2).collect()
+    assert(pristine.forall(_.getLong(0) == 0L),
+      "zero-distortion incoming must not refit")
+    // quiet: no incoming rows at all → KEEP (never a vacuous fire)
+    val quiet = SimSearch.pqRefitIfDistorted(fit,
+      inc.where($"id" < 0), "id", "v", dim = 4, m = 2, k = 2).collect()
+    assert(quiet.forall(r => r.getLong(0) == 0L && r.getLong(2) == 0L))
+  }
+
+  test("pqRefitIfDistorted: input contract") {
+    val fit = (0L to 5L).map(i => (i, Seq(1.0, 0.0, 0.0, 1.0)))
+      .toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      SimSearch.pqRefitIfDistorted(fit, fit, "id", "v",
+        dim = 4, m = 3, k = 2) // 3 does not divide 4
+    }
+    intercept[IllegalArgumentException] {
+      SimSearch.pqRefitIfDistorted(fit.where($"id" < 1), fit, "id", "v",
+        dim = 4, m = 2, k = 2) // fit holds 1 row < k
+    }
+  }
+
   test("refitIfDrifted: benign incoming keeps the fit-time index") {
     // fit ids 0..9; md5 order of "0".."9" is 6,9,7,4,1,2,8,0,5,3 so with
     // targetCellSize=5 → nCells=2 the centroids are id 6's and id 9's
