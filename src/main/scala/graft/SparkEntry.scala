@@ -4590,6 +4590,25 @@ object SparkEntry {
       skewFactor = 3, driftMilli = 100, minCellN = 5L)
   }
 
+  /** SIM26: event-time-windowed PQ distortion monitor
+    * ([[SimSearch.pqDistortionWindowed]], the batch face of
+    * [[graft.streaming.IndexMonitor.pqDistortionStream]]) — sim21's
+    * twin for the PQ family: per 1-minute ingest window, the mean
+    * squared reconstruction error against the fit-time codebooks, with
+    * the fit-side baseline joined on so every row carries its
+    * distortion delta. Same corpus split and synthetic event times as
+    * sim21, so the oracle reuses its window arithmetic plus sim24's
+    * encode replay; window bounds ship as epoch-second longs. */
+  private val sim26PqDistortionWindowed: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir).where(col("vec_id") >= 10)
+    val inc = emb.where(col("vec_id") % 5 === 0)
+      .withColumn("__ts",
+        timestamp_seconds(lit(1704067200L) + col("vec_id") % 180))
+    SimSearch.pqDistortionWindowed(
+      emb.where(col("vec_id") % 5 =!= 0), inc,
+      "vec_id", "embedding", "__ts", dim = 64, m = 4, k = 4)
+  }
+
   /** SIM24: PQ codebook refit policy, REFIT branch
     * ([[SimSearch.pqRefitIfDistorted]]) — the ACT stage for the THIRD
     * index family (IVF cells act via sim22/23, LSH bands via
@@ -5422,6 +5441,7 @@ object SparkEntry {
     "sim23_refit_noop" -> sim23RefitNoop,
     "sim24_pq_refit" -> sim24PqRefit,
     "sim25_pq_keep" -> sim25PqKeep,
+    "sim26_pq_distortion_windowed" -> sim26PqDistortionWindowed,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -10912,5 +10932,42 @@ object SparkEntry {
         |  (SELECT mn_ FROM r) / 1000000.0 AS mean_err_new,
         |  CAST(rn - 1 AS BIGINT) AS cb_rank, item_id AS cb_item_id
         |FROM pulled WHERE rn <= 4""".stripMargin,
+    "sim26_pq_distortion_windowed" ->
+      """WITH base AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |fit AS (SELECT item_id, v FROM base WHERE item_id % 5 <> 0),
+        |inc AS (SELECT item_id, v, 1704067200 + item_id % 180 AS es
+        |  FROM base WHERE item_id % 5 = 0),
+        |cb AS (SELECT cidx, cv FROM (SELECT row_number() OVER (
+        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) - 1
+        |      AS cidx, v AS cv FROM fit) WHERE cidx < 4),
+        |allv AS (SELECT 'f' AS side, item_id, v,
+        |    CAST(NULL AS BIGINT) AS es FROM fit
+        |  UNION ALL SELECT 'n', item_id, v, es FROM inc),
+        |d AS (SELECT a.side, a.item_id, a.es, s.sub, cb.cidx,
+        |    round(list_sum(list_transform(range(1, 17), j ->
+        |      (a.v[s.sub * 16 + j] - cb.cv[s.sub * 16 + j])
+        |      * (a.v[s.sub * 16 + j] - cb.cv[s.sub * 16 + j]))), 6) AS dist
+        |  FROM allv a CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |  CROSS JOIN cb),
+        |pick AS (SELECT side, item_id, es, sub, dist, row_number() OVER (
+        |    PARTITION BY side, item_id, sub ORDER BY dist, cidx) AS rn
+        |  FROM d),
+        |err AS (SELECT side, item_id, es, round(sum(dist), 6) AS e
+        |  FROM pick WHERE rn = 1 GROUP BY side, item_id, es),
+        |fs AS (SELECT count(*) AS n_fit,
+        |    round(sum(e), 6) / count(*) AS mean_err_fit
+        |  FROM err WHERE side = 'f'),
+        |wn AS (SELECT es // 60 * 60 AS ws, count(*) AS n_new,
+        |    round(sum(e), 6) / count(*) AS mean_err_new
+        |  FROM err WHERE side = 'n' GROUP BY 1)
+        |SELECT CAST(ws AS BIGINT) AS window_start_s,
+        |  CAST(ws + 60 AS BIGINT) AS window_end_s,
+        |  n_new, mean_err_new,
+        |  CAST((SELECT n_fit FROM fs) AS BIGINT) AS n_fit,
+        |  (SELECT mean_err_fit FROM fs) AS mean_err_fit,
+        |  mean_err_new - (SELECT mean_err_fit FROM fs) AS err_drift
+        |FROM wn""".stripMargin,
   )
 }

@@ -981,6 +981,50 @@ object SimSearch {
     }
   }
 
+  /** Event-time-windowed PQ distortion monitor — the PQ twin of
+    * [[ivfDriftWindowed]] and the BATCH registry face of
+    * [[graft.streaming.IndexMonitor.pqDistortionStream]] (window() is a
+    * plain expression, so the same composition runs over a batch frame
+    * or a stream): codebooks are derived from `fit` exactly as
+    * [[pqRefitIfDistorted]] does (md5-ordered k-row pull), the fit-side
+    * mean squared reconstruction error is computed once, and `incoming`
+    * rows encode and aggregate per event-time window with the baseline
+    * joined on so every row carries its distortion delta.
+    *
+    * Output: (window_start_s, window_end_s — epoch SECONDS as longs, so
+    * the cross-engine compare never touches timezone rendering —,
+    * n_new, mean_err_new, n_fit, mean_err_fit, err_drift); means are
+    * round(sum, 6)/n exact quotients, the drift their raw difference
+    * (bit-identical operands in any engine, no terminal rounding). */
+  def pqDistortionWindowed(fit: DataFrame, incoming: DataFrame,
+      id: String, vec: String, ts: String, dim: Int, m: Int, k: Int,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "2 minutes"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m must divide dim, got ($dim, $m)")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val f = fit.select(col(id).as("item_id"),
+      col(vec).cast("array<double>").as("__v"))
+    val subDim = dim / m
+    val full = f
+      .orderBy(md5(col("item_id").cast("string")), col("item_id"))
+      .limit(k).collect().map(_.getSeq[Double](1).toSeq)
+    require(full.length == k,
+      s"fit must hold >= k=$k rows to derive codebooks, got ${full.length}")
+    val cb: Seq[Seq[Seq[Double]]] = (0 until m).map(sub =>
+      full.map(_.slice(sub * subDim, sub * subDim + subDim)).toSeq).toSeq
+    val fitStats = f
+      .select(VectorOps.pqSqError(VectorOps.pqAssign(col("__v"), cb))
+        .as("__e"))
+      .agg(count(lit(1)).as("n_fit"),
+        (round(sum(col("__e")), 6) / count(lit(1))).as("mean_err_fit"))
+    graft.streaming.IndexMonitor.pqDistortionStream(incoming, vec, ts,
+        cb, Some(fitStats), windowDur, watermarkDelay)
+      .select(col("window_start").cast("long").as("window_start_s"),
+        col("window_end").cast("long").as("window_end_s"),
+        col("n_new"), col("mean_err_new"),
+        col("n_fit"), col("mean_err_fit"), col("err_drift"))
+  }
+
   /** The PQ family's ACT stage — [[refitIfDrifted]]'s quantization
     * twin, completing the maintenance loop for the THIRD index family
     * (IVF cells act via refitIfDrifted, LSH bands via

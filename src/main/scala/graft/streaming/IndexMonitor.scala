@@ -86,4 +86,56 @@ object IndexMonitor {
             col("mean_cos_new") - col("mean_cos_fit"))
     }
   }
+
+  /** Per-window quantization-distortion statistics against fit-time PQ
+    * codebooks — [[cellDriftStream]]'s twin for the PQ family (the
+    * monitor face of [[graft.llmops.SimSearch.pqRefitIfDistorted]]):
+    * each ingested embedding is encoded against the LITERAL codebooks
+    * ([[graft.functions.VectorOps.pqAssign]] — a pure expression, zero
+    * shuffle, no join at all) and its squared reconstruction error
+    * aggregates per event-time window. Distortion rising while cell
+    * load stays balanced is the shift [[cellDriftStream]] cannot see —
+    * vectors moving away from EVERY centroid.
+    *
+    * State: one row per open window (no per-cell dimension — cheaper
+    * than the cell monitor by a factor of nCells). The optional
+    * 1-row `fitStats` (n_fit, mean_err_fit) broadcast-joins on a
+    * constant key (a stream-static CROSS join is not a supported
+    * streaming shape; the `__one` equi-join is) so each row carries
+    * its drift delta. Means are `round(sum, 6) / n` — the per-row
+    * errors are 6-dp multiples, so the rounded sum is pure float-error
+    * correction and the quotient is bit-identical in any engine (the
+    * cellDriftStream discipline). Works identically on a batch frame.
+    * Output: (window_start, window_end, n_new, mean_err_new
+    *          [, n_fit, mean_err_fit, err_drift]). */
+  def pqDistortionStream(incoming: DataFrame, vec: String, ts: String,
+      codebooks: Seq[Seq[Seq[Double]]], fitStats: Option[DataFrame] = None,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "2 minutes"): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "need at least one codebook with at least one centroid")
+    import graft.functions.VectorOps
+    val windowed = incoming
+      .select(col(ts).as("__ts"),
+        VectorOps.pqSqError(VectorOps.pqAssign(
+          col(vec).cast("array<double>"), codebooks)).as("__e"))
+      .withWatermark("__ts", watermarkDelay)
+      .groupBy(window(col("__ts"), windowDur))
+      .agg(count(lit(1)).as("n_new"),
+        (round(sum(col("__e")), 6) / count(lit(1))).as("mean_err_new"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_new"), col("mean_err_new"))
+    fitStats match {
+      case None => windowed
+      case Some(fit) =>
+        windowed.withColumn("__one", lit(1))
+          .join(broadcast(fit
+            .select(col("n_fit"), col("mean_err_fit"))
+            .withColumn("__one", lit(1))), Seq("__one"), "left")
+          .drop("__one")
+          .withColumn("err_drift",
+            col("mean_err_new") - col("mean_err_fit"))
+    }
+  }
 }

@@ -51,6 +51,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.forall(r => r(7) != null), "every cell has a fit baseline")
   }
 
+  test("IndexMonitor.pqDistortionStream: stream ≡ batch, drift joins the 1-row baseline") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.IndexMonitor
+    // 2 subspaces × 2 centroids over 4-dim vectors
+    val cb: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val fit = Seq((10L, 0.05)).toDF("n_fit", "mean_err_fit")
+    // rows split across two 1-minute windows; nonzero reconstruction
+    // error so the drift column is informative
+    val rows = Seq(
+      (1L, Seq(0.9f, 0.1f, 0.8f, 0.2f), 10L),
+      (2L, Seq(0.8f, 0.2f, 0.9f, 0.1f), 20L),
+      (3L, Seq(0.1f, 0.9f, 0.2f, 0.8f), 70L))
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("id", "emb", "sec")
+        .withColumn("ts", timestamp_seconds($"sec"))
+    val mem = MemoryStream[(Long, Seq[Float], Long)]
+    val q = IndexMonitor.pqDistortionStream(prep(mem.toDF()), "emb", "ts",
+        cb, Some(fit), "1 minute", "2 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("pq_distortion").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val cols = Seq("window_start", "window_end", "n_new", "mean_err_new",
+      "n_fit", "mean_err_fit", "err_drift")
+    val got = spark.table("pq_distortion")
+      .selectExpr(cols: _*).collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = IndexMonitor.pqDistortionStream(prep(rows.toDF()), "emb",
+        "ts", cb, Some(fit), "1 minute", "2 minutes")
+      .selectExpr(cols: _*).collect().map(_.toSeq).toSet
+    assert(got == batch, s"stream $got\nbatch $batch")
+    assert(batch.size == 2, "two event-time windows")
+    assert(batch.forall(r => r(6) != null), "every window carries drift")
+  }
+
   test("IndexMonitor.cellDriftStream: UPDATE mode with fitStats — the production shape") {
     // the drift-join path (stream-static join AFTER the windowed
     // aggregation) in the output mode a real monitor runs: update +
