@@ -20,14 +20,16 @@ object Bench {
     * with matching `pin_n` convicts the environment, not the plans.
     * MUST be refreshed (standalone `runMain graft.Bench`) whenever the
     * query set or a heavy plan changes. */
-  // 171.2 s: round-12 standalone pin at 275 queries (pinnable:true —
-  // the new quiet-start guard's own stamp; xcpu 0.0, GC 61.2 s,
-  // 0 suspects). Delta vs r11's 154.2/270: five new queries measured
-  // at ~10 s (d34 2.1 / d35 2.1 / d36 2.7 / sim24+25 ~2) plus the
-  // planner-wired banding layouts (flat-to-faster per query at sf0.1
-  // — d2 1.41, d5 1.47, t21 2.91 — the ×2–4 band rows buy 0.6→99%
-  // detection, PLANS "Band-planner wiring deltas"); same-day sibling
-  // run 182.8/275 was stamped pinnable:false by one mm7 GC suspect.
+  // 179.0 s: round-12 CLOSING standalone pin at 276 queries
+  // (pinnable:true — the new quiet-start guard's own stamp; 0
+  // suspects, 0 failed, GC 65.5 s). Same-day spread at the r12 code
+  // state: 171.2/275 → 179.0/276 (sim26 added, ~1 s) with one
+  // 182.8/275 run auto-stamped pinnable:false (one mm7 GC suspect) and
+  // NOT quoted. Delta vs r11's 154.2/270: six new queries measured at
+  // ~11 s (d34 2.1 / d35 2.1 / d36 2.7 / sim24+25 ~2 / sim26 ~1) plus
+  // the planner-wired banding layouts (flat-to-faster per query at
+  // sf0.1 — d2 1.41, d5 1.47, t21 2.91 — the ×2–4 band rows buy
+  // 0.6→99% detection, PLANS "Band-planner wiring deltas").
   // r11 lineage: 154.2/270 closing pin, same-day spread 143.3–166.1
   // (the last started at load1 5.1 after a 60 GB spill-cleanup
   // episode — see PLANS round-11 ops note; d17's fresh-JVM pin
@@ -41,8 +43,8 @@ object Bench {
   // kernels, mid-r8 152.5/246 (4096-entry codegen cache; 167.2 at the
   // old 100-entry), r6 99.6/182. Per-query constant ~0.55 s/q
   // throughout.
-  private val pinWarmS = 171.2
-  private val pinN = 275
+  private val pinWarmS = 179.0
+  private val pinN = 276
 
   /** PIDs of this JVM plus its ancestor chain (the sbt launcher that
     * forked us) — the only Java processes that are NOT contamination. */
