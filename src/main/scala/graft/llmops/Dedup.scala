@@ -744,6 +744,36 @@ object Dedup {
     * 6-dp) — the decision ships with the layout it mandates; on KEEP
     * the new_* columns re-state the current layout and its analytic
     * detection at the operating point. */
+  /** The remedy ladder behind [[bandReplanIfUndershot]], exposed as
+    * pure math (the [[bandPlan]] discipline — PropertiesSpec pins it
+    * over generated inputs, not just the registered points): the first
+    * `curNumHashes · 2^k` (k = 0..maxDoublings) whose [[bandPlan]]
+    * layout qualifies ANALYTICALLY at the operating point AND differs
+    * from the failing `(curNumHashes, curBands)` layout; ladder-max
+    * honest fallback `(nh_max, nh_max, 1)` when nothing qualifies.
+    * Returns (numHashes, bands, rowsPerBand). */
+  def bandReplanLadder(curNumHashes: Int, curBands: Int,
+      minJaccard: Double, targetDetectPct: Int,
+      maxDoublings: Int): (Int, Int, Int) = {
+    require(curNumHashes >= 1 && curBands >= 1, "layout must be positive")
+    require(maxDoublings >= 0 && (curNumHashes.toLong << maxDoublings)
+      <= Int.MaxValue, s"maxDoublings out of range: $maxDoublings")
+    (0 to maxDoublings).iterator
+      .map { k =>
+        val nh = curNumHashes << k
+        val (b, r) = bandPlan(nh, minJaccard, targetDetectPct)
+        (nh, b, r)
+      }
+      .find { case (nh, b, r) =>
+        detectionProb(minJaccard, b, r) >= targetDetectPct / 100.0 &&
+          (nh != curNumHashes || b != curBands)
+      }
+      .getOrElse {
+        val nh = curNumHashes << maxDoublings
+        (nh, nh, 1)
+      }
+  }
+
   def bandReplanIfUndershot(docs: DataFrame, id: String, text: String,
       shingleN: Int, numHashes: Int, bands: Int, minJaccardPct: Int,
       targetDetectPct: Int, maxBucket: Int = 1000,
@@ -784,20 +814,8 @@ object Dedup {
     val replan = nPairs > 0L && nBelow > 0L
     val (newNh, newBands, newRows) =
       if (!replan) (numHashes, bands, numHashes / bands)
-      else (0 to maxDoublings).iterator
-        .map { k =>
-          val nh = numHashes << k
-          val (b, r) = bandPlan(nh, j, targetDetectPct)
-          (nh, b, r)
-        }
-        .find { case (nh, b, r) =>
-          detectionProb(j, b, r) >= targetDetectPct / 100.0 &&
-            (nh != numHashes || b != bands)
-        }
-        .getOrElse {
-          val nh = numHashes << maxDoublings
-          (nh, nh, 1)
-        }
+      else bandReplanLadder(numHashes, bands, j, targetDetectPct,
+        maxDoublings)
     val action = if (!replan) 0L else if (newNh == numHashes) 1L else 2L
     spark.range(1).select(
       lit(if (replan) 1L else 0L).as("replan"),

@@ -59,6 +59,46 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: bandReplanLadder picks the minimal qualifying ≠-current rung") {
+    import graft.llmops.Dedup
+    // the remedy ladder behind d34/d36 — pin its contract over
+    // generated layouts, not just the registered operating points:
+    // the choice is the FIRST (nh = cur·2^k, bandPlan(nh)) in ladder
+    // order that analytically qualifies AND differs from the failing
+    // layout; when nothing on the ladder qualifies, the ladder-max
+    // honest fallback (nh_max, nh_max, 1) ships
+    forAll(Gen.oneOf(4, 8, 12, 16, 24, 32),
+        Gen.choose(1, 99)) { (n, jPct) =>
+      val j = jPct / 100.0
+      val divs = (1 to n).filter(n % _ == 0)
+      for (curB <- Seq(divs.head, divs(divs.length / 2), divs.last);
+           t <- Seq(10, 50, 80, 95); md <- Seq(0, 3, 6)) {
+        val got = Dedup.bandReplanLadder(n, curB, j, t, md)
+        val brute = (0 to md).iterator.map { k =>
+          val nh = n << k
+          val (b, r) = Dedup.bandPlan(nh, j, t)
+          (nh, b, r)
+        }.find { case (nh, b, r) =>
+          Dedup.detectionProb(j, b, r) >= t / 100.0 &&
+            (nh != n || b != curB)
+        }.getOrElse((n << md, n << md, 1))
+        assert(got == brute, s"n=$n curB=$curB j=$j t=$t md=$md")
+        // contract: the choice either analytically qualifies or is the
+        // honest ladder-max fallback, and bands divide hashes
+        assert(got._1 % got._2 == 0 && got._3 == got._1 / got._2)
+        assert(Dedup.detectionProb(j, got._2, got._3) >= t / 100.0
+          || (got._1 == (n << md) && got._2 == got._1),
+          s"neither qualifying nor honest fallback: $got")
+        // the failing layout only comes back as the DEGENERATE honest
+        // fallback (maxDoublings=0 with curB already = numHashes) —
+        // any qualifying return differs from it
+        if (got._1 == n && got._2 == curB)
+          assert(md == 0 && curB == n,
+            s"returned the failing layout outside the degenerate case")
+      }
+    }
+  }
+
   test("property: bandPlanDf (the relational d31 plan) ≡ bandPlan on generated grids") {
     import graft.llmops.Dedup
     // the registered d31 grid is fixed; pin the RELATIONAL planner
