@@ -487,6 +487,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("bandReplanIfUndershot as a foreachBatch maintenance caller: the decision flips mid-stream") {
+    implicit val sql = spark.sqlContext
+    import graft.llmops.Dedup
+    // the policy's operational form — a periodic maintenance job over
+    // the ingested-so-far corpus, run per micro-batch via foreachBatch
+    // (exactly the caller the scaladoc's quiet-interval gate exists
+    // for). Batch 1 ships only an exact-dup pair: the (16, 8) planned
+    // layout detects it → KEEP. Batch 2 ships low-overlap docs whose
+    // pairs qualify at the j ≥ 0.05 operating point but the banding
+    // can't see → the SAME caller now decides REPLAN. Pins that the
+    // decision is a pure function of corpus-so-far (no hidden state)
+    // and flips exactly when the evidence does.
+    val seen = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val corpus = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        corpus ++= batch.as[(Long, String)].collect()
+        seen += Dedup.bandReplanIfUndershot(
+          corpus.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 8, minJaccardPct = 5,
+          targetDetectPct = 80).collect().head
+        ()
+      }.start()
+    mem.addData(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda"))
+    q.processAllAvailable()
+    mem.addData(
+      (3L, "x y z a1 a2 a3 a4 a5 a6 a7"),
+      (4L, "x y z b1 b2 b3 b4 b5 b6 b7"))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.size == 2)
+    assert(seen(0).getLong(0) == 0L, "exact-dup-only corpus must KEEP")
+    assert(seen(1).getLong(0) == 1L,
+      "the undetected low-j bucket must flip the decision to REPLAN")
+    assert(seen(1).getLong(1) == 2L, "remedy is LENGTHEN at 16 hashes")
+  }
+
   test("streaming near-dup (state-v2) matches the batch incremental dedup") {
     implicit val sql = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
