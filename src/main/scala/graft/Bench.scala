@@ -23,9 +23,9 @@ object Bench {
   // 179.0 s: round-12 CLOSING standalone pin at 276 queries
   // (pinnable:true — the new quiet-start guard's own stamp; 0
   // suspects, 0 failed, GC 65.5 s). Same-day spread at the r12 code
-  // state: 171.2/275 → 179.0/276 (sim26 added, ~1 s) with one
-  // 182.8/275 run auto-stamped pinnable:false (one mm7 GC suspect) and
-  // NOT quoted. Delta vs r11's 154.2/270: six new queries measured at
+  // state: 171.2/275 → 179.0/276 → 184.0/276 (all pinnable:true;
+  // sim26 adds ~1 s after the first), with one 182.8/275 run
+  // auto-stamped pinnable:false (one mm7 GC suspect) and NOT quoted. Delta vs r11's 154.2/270: six new queries measured at
   // ~11 s (d34 2.1 / d35 2.1 / d36 2.7 / sim24+25 ~2 / sim26 ~1) plus
   // the planner-wired banding layouts (flat-to-faster per query at
   // sf0.1 — d2 1.41, d5 1.47, t21 2.91 — the ×2–4 band rows buy
