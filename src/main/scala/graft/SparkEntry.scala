@@ -4609,6 +4609,21 @@ object SparkEntry {
       "vec_id", "embedding", "__ts", dim = 64, m = 4, k = 4)
   }
 
+  /** LLM-D37: empirical sign-LSH S-curve audit
+    * ([[SimSearch.signBandPlanAudit]]) — d33's discipline for the
+    * embedding family, which had only the d23 capacity audit: exact
+    * pairwise cosines (6-dp, floor 0.1) bucketed 0.1-wide and checked
+    * against the banding candidate set under the planned (8, 2) layout
+    * at the d6 (c = 0.40, 80%) operating point; each bucket ships
+    * measured detection beside the `1 − (1 − p^width)^bands` curve at
+    * its midpoint (p = 1 − acos·/π). The brute exact side is the
+    * audit-sample contract documented in the scaladoc — quadratic by
+    * design, never a scale path. */
+  private val d37SignPlanAudit: Q = (s, dir) =>
+    SimSearch.signBandPlanAudit(Tables.embeddings(s, dir), "vec_id",
+      "embedding", dim = 64, nBits = 16, minCosinePct = 40,
+      targetDetectPct = 80)
+
   /** SIM24: PQ codebook refit policy, REFIT branch
     * ([[SimSearch.pqRefitIfDistorted]]) — the ACT stage for the THIRD
     * index family (IVF cells act via sim22/23, LSH bands via
@@ -5438,6 +5453,7 @@ object SparkEntry {
     "d34_band_replan" -> d34BandReplan,
     "d35_band_replan_keep" -> d35BandReplanKeep,
     "d36_band_replan_reband" -> d36BandReplanReband,
+    "d37_sign_plan_audit" -> d37SignPlanAudit,
     "sim23_refit_noop" -> sim23RefitNoop,
     "sim24_pq_refit" -> sim24PqRefit,
     "sim25_pq_keep" -> sim25PqKeep,
@@ -10833,6 +10849,52 @@ object SparkEntry {
         |  CAST((SELECT c FROM sc) AS BIGINT) AS n_cells,
         |  CAST(rn - 1 AS BIGINT) AS cell, item_id AS centroid_id
         |FROM pulled WHERE rn <= (SELECT c FROM sc)""".stripMargin,
+    "d37_sign_plan_audit" ->
+      """WITH spl AS (SELECT CAST(coalesce(min(CASE WHEN
+        |      1.0 - pow(1.0 - pow(1.0 - acos(40 / 100.0) / pi(), 16 // b), b)
+        |      >= 80 / 100.0 THEN b END), 16) AS BIGINT) AS bands
+        |  FROM (SELECT unnest(generate_series(1, 16)) AS b)
+        |  WHERE 16 % b = 0),
+        |pw AS (SELECT bands, CAST(16 // bands AS BIGINT) AS w FROM spl),
+        |hyper AS (
+        |  SELECT b, list_transform(generate_series(0, 63), d ->
+        |    CASE WHEN substring(md5(d::VARCHAR || '§' || b::VARCHAR), 1, 1)
+        |      >= '8' THEN 1.0 ELSE -1.0 END) AS h
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |bits AS (SELECT vec_id, b // pw.w AS band,
+        |    CASE WHEN list_dot_product(v, h) >= 0
+        |      THEN (1::BIGINT << CAST(b % pw.w AS INT)) ELSE 0 END AS bit
+        |  FROM e CROSS JOIN hyper CROSS JOIN pw),
+        |bk AS (SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS key
+        |  FROM bits GROUP BY vec_id, band),
+        |capped AS (SELECT vec_id, band, key FROM (
+        |    SELECT vec_id, band, key,
+        |      count(*) OVER (PARTITION BY band, key) AS c FROM bk)
+        |  WHERE c <= 2000),
+        |cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        |  FROM capped l JOIN capped r
+        |    ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id),
+        |exact AS (SELECT id_a, id_b, c FROM (
+        |    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+        |      round(list_cosine_similarity(l.v, r.v), 6) AS c
+        |    FROM e l JOIN e r ON l.vec_id < r.vec_id)
+        |  WHERE c >= 10 / 100.0),
+        |det AS (SELECT CAST(least(floor(x.c * 10), 9) AS BIGINT) AS cb,
+        |    CASE WHEN cd.id_a IS NOT NULL THEN 1 END AS d
+        |  FROM exact x LEFT JOIN cand cd
+        |    ON x.id_a = cd.id_a AND x.id_b = cd.id_b),
+        |agg AS (SELECT cb, count(*) AS n_pairs, count(d) AS n_detected
+        |  FROM det GROUP BY cb)
+        |SELECT cb AS c_bucket, n_pairs, n_detected,
+        |  n_detected * 1.0 / n_pairs AS detect_rate,
+        |  round(1.0 - pow(1.0 - pow(1.0 - acos((cb + 0.5) / 10.0) / pi(),
+        |    (SELECT w FROM pw)), (SELECT bands FROM pw)), 6)
+        |    AS predicted_prob,
+        |  (SELECT bands FROM pw) AS bands,
+        |  (SELECT w FROM pw) AS width
+        |FROM agg""".stripMargin,
     "sim24_pq_refit" ->
       """WITH base AS (SELECT vec_id AS item_id,
         |    CAST(embedding AS DOUBLE[]) AS v

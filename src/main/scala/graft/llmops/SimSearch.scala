@@ -269,6 +269,64 @@ object SimSearch {
       .getOrElse((nBits, 1))
   }
 
+  /** Empirical audit of the [[signBandPlan]] S-curve — theory vs
+    * practice on the actual embedding corpus, the
+    * [[graft.llmops.Dedup.bandPlanAudit]] discipline applied to the
+    * sign-LSH family (which until now had only the d23 CAPACITY audit;
+    * recall went unmeasured, and [[signBandsFor]]'s honest maxBands
+    * fallback means an under-target layout can legitimately ship):
+    * ground truth is the exact pairwise cosine of every pair at/above
+    * `cosineFloorPct` ([[cosinePairs]], 6-dp rounded so both engines
+    * bucket identically); the banding stage under the PLANNED
+    * (bands, width) layout emits its candidate set (threshold −1 —
+    * detection is sharing ≥ 1 band, before any cosine filter); per
+    * 0.1-wide cosine bucket the audit reports measured detection
+    * against the S-curve prediction `1 − (1 − p^width)^bands` with
+    * `p = 1 − acos(mid)/π` at the bucket midpoint.
+    *
+    * Scale contract: the exact side is brute O(n²/2) BY DESIGN — a
+    * recall audit is a per-pair property, so at 100 TB the caller
+    * audits a deterministic SAMPLE (md5-pick ~10³ vectors) and the
+    * estimate is unbiased; this is the documented quadratic-by-
+    * construction class (d7/d17), not a scale path. The banded side
+    * is the capped bucket join its own queries defend. Output:
+    * (c_bucket, n_pairs, n_detected, detect_rate, predicted_prob,
+    * bands, width). */
+  def signBandPlanAudit(embs: DataFrame, id: String, vec: String,
+      dim: Int, nBits: Int, minCosinePct: Int, targetDetectPct: Int,
+      cosineFloorPct: Int = 10, maxBucket: Int = 2000): DataFrame = {
+    require(cosineFloorPct >= -100 && cosineFloorPct <= 100,
+      s"cosineFloorPct is a percent, got $cosineFloorPct")
+    val (bands, width) = signBandPlan(nBits, minCosinePct,
+      targetDetectPct)
+    val exact = cosinePairs(embs, id, vec, minCosine = -1.0)
+      .select(col("id_a"), col("id_b"),
+        round(col("cosine"), 6).as("__c"))
+      .where(col("__c") >= lit(cosineFloorPct / 100.0))
+    val cand = lshPairs(embs, id, vec, dim, minCosine = -1.0, nBits,
+        bands, maxBucket)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__det"))
+    val mid = (col("c_bucket").cast("double") + 0.5) / 10.0
+    exact.join(cand, Seq("id_a", "id_b"), "left")
+      // closed-top bucket 9 (cosine 1.0 must not mint a bucket 10
+      // whose midpoint is outside the curve's domain) — the d33 rule
+      .select(least(floor(col("__c") * 10), lit(9L)).cast("long")
+          .as("c_bucket"),
+        col("__det"))
+      .groupBy(col("c_bucket"))
+      .agg(count(lit(1)).as("n_pairs"), count(col("__det")).as("n_detected"))
+      .select(col("c_bucket"), col("n_pairs"), col("n_detected"),
+        (col("n_detected").cast("double") / col("n_pairs"))
+          .as("detect_rate"),
+        // rounded: acos and pow are not correctly-rounded; the 6-dp
+        // round absorbs the last ulp (midpoint margins audited in the
+        // spec, the d33 discipline)
+        round(lit(1.0) - pow(lit(1.0) -
+          pow(lit(1.0) - acos(mid) / lit(math.Pi), lit(width.toDouble)),
+          lit(bands.toDouble)), 6).as("predicted_prob"),
+        lit(bands.toLong).as("bands"), lit(width.toLong).as("width"))
+  }
+
   /** Minimum band count at a GIVEN per-band width — the auto-width
     * family's planner: [[autoWidth]] fixes the width from the corpus
     * count (bucket CAPACITY math), leaving bands as the free recall

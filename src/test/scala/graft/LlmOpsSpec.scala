@@ -1195,6 +1195,37 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("signBandPlanAudit: structural detection, plan ships, curve margins") {
+    // identical vectors → cosine 1.0 → closed-top bucket 9, detected
+    // STRUCTURALLY (every hyperplane sign agrees, so all bands match);
+    // the alternating vector is orthogonal to them (cosine 0 < floor)
+    // and must not contribute a bucket row
+    val embs = Seq(
+      (1L, Seq.fill(64)(0.1)), (2L, Seq.fill(64)(0.1)),
+      (3L, (0 until 64).map(i => if (i % 2 == 0) 0.1 else -0.1).toSeq)
+    ).toDF("vec_id", "embedding")
+    val out = SimSearch.signBandPlanAudit(embs, "vec_id", "embedding",
+      dim = 64, nBits = 16, minCosinePct = 40, targetDetectPct = 80)
+      .collect()
+    assert(out.length == 1, out.mkString("; "))
+    val r = out.head
+    assert(r.getLong(0) == 9L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert((r.getLong(5), r.getLong(6)) == ((8L, 2L)),
+      "the planned (8, 2) layout ships on the bucket row")
+    // 6-dp rounding margins of the predicted curve at every midpoint
+    // the audit can emit — acos/pow are not correctly-rounded, so the
+    // round must sit far from a half boundary for the oracle to agree
+    // (the d33 discipline)
+    for (b <- 0 to 9) {
+      val mid = (b + 0.5) / 10.0
+      val p = 1.0 - math.acos(mid) / math.Pi
+      val pred = 1.0 - math.pow(1.0 - math.pow(p, 2), 8)
+      val frac = (pred * 1e6) % 1.0
+      assert(math.abs(frac - 0.5) > 1e-6,
+        f"bucket $b: predicted $pred%.9f rounds on a knife edge")
+    }
+  }
+
   test("bandReplanIfUndershot: detected corpus keeps the serving layout") {
     // one identical pair (bucket 9, detected structurally) under the
     // planned (16, 8) layout at its own operating point → KEEP, and the
