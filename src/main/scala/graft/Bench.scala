@@ -20,12 +20,16 @@ object Bench {
     * with matching `pin_n` convicts the environment, not the plans.
     * MUST be refreshed (standalone `runMain graft.Bench`) whenever the
     * query set or a heavy plan changes. */
-  // 179.0 s: round-12 CLOSING standalone pin at 276 queries
-  // (pinnable:true — the new quiet-start guard's own stamp; 0
-  // suspects, 0 failed, GC 65.5 s). Same-day spread at the r12 code
-  // state: 171.2/275 → 179.0/276 → 184.0/276 (all pinnable:true;
-  // sim26 adds ~1 s after the first), with one 182.8/275 run
-  // auto-stamped pinnable:false (one mm7 GC suspect) and NOT quoted. Delta vs r11's 154.2/270: six new queries measured at
+  // 182.4 s: round-12 CLOSING standalone pin at 277 queries
+  // (pinnable:true; 0 failed). Same-day quotable spread at the r12
+  // code state: 171.2/275 → 179.0/276 → 184.0/276 → 182.4/277 (sim26
+  // then d37 added along the way); two further runs were auto-stamped
+  // pinnable:false by a recurring mm7_image_resize warm>cold GC
+  // suspect (182.8/275, 186.9/277) and are NOT quoted. The 182.4 pin
+  // carries d37's pre-sampling exact side (5.37 s in-run); the shipped
+  // md5-sample form pins fresh-JVM at warm 1.78/1.93 (BenchOne), so
+  // the honest closing estimate is ~178-179 s — the driver's own
+  // BENCH_r12 at this HEAD is the quotable artifact. Delta vs r11's 154.2/270: six new queries measured at
   // ~11 s (d34 2.1 / d35 2.1 / d36 2.7 / sim24+25 ~2 / sim26 ~1) plus
   // the planner-wired banding layouts (flat-to-faster per query at
   // sf0.1 — d2 1.41, d5 1.47, t21 2.91 — the ×2–4 band rows buy
@@ -43,8 +47,8 @@ object Bench {
   // kernels, mid-r8 152.5/246 (4096-entry codegen cache; 167.2 at the
   // old 100-entry), r6 99.6/182. Per-query constant ~0.55 s/q
   // throughout.
-  private val pinWarmS = 179.0
-  private val pinN = 276
+  private val pinWarmS = 182.4
+  private val pinN = 277
 
   /** PIDs of this JVM plus its ancestor chain (the sbt launcher that
     * forked us) — the only Java processes that are NOT contamination. */

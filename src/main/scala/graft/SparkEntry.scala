@@ -4616,12 +4616,17 @@ object SparkEntry {
     * against the banding candidate set under the planned (8, 2) layout
     * at the d6 (c = 0.40, 80%) operating point; each bucket ships
     * measured detection beside the `1 − (1 − p^width)^bands` curve at
-    * its midpoint (p = 1 − acos·/π). The brute exact side is the
-    * audit-sample contract documented in the scaladoc — quadratic by
-    * design, never a scale path. */
+    * its midpoint (p = 1 − acos·/π). The registered query runs the
+    * scaladoc's audit-sample contract AS WRITTEN: a deterministic
+    * md5-picked ~50% of the corpus (recall is a per-pair property, so
+    * the sampled estimate is unbiased and the quadratic exact side
+    * costs a quarter) — the sample predicate is replayed by the
+    * oracle, so the contract itself is cross-engine-pinned. */
   private val d37SignPlanAudit: Q = (s, dir) =>
-    SimSearch.signBandPlanAudit(Tables.embeddings(s, dir), "vec_id",
-      "embedding", dim = 64, nBits = 16, minCosinePct = 40,
+    SimSearch.signBandPlanAudit(
+      Tables.embeddings(s, dir)
+        .where(substring(md5(col("vec_id").cast("string")), 1, 1) < "8"),
+      "vec_id", "embedding", dim = 64, nBits = 16, minCosinePct = 40,
       targetDetectPct = 80)
 
   /** SIM24: PQ codebook refit policy, REFIT branch
@@ -10862,7 +10867,8 @@ object SparkEntry {
         |      >= '8' THEN 1.0 ELSE -1.0 END) AS h
         |  FROM (SELECT unnest(generate_series(0, 15)) AS b)),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings),
+        |  FROM embeddings
+        |  WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'),
         |bits AS (SELECT vec_id, b // pw.w AS band,
         |    CASE WHEN list_dot_product(v, h) >= 0
         |      THEN (1::BIGINT << CAST(b % pw.w AS INT)) ELSE 0 END AS bit
