@@ -29,7 +29,11 @@ object Bench {
   // carries d37's pre-sampling exact side (5.37 s in-run); the shipped
   // md5-sample form pins fresh-JVM at warm 1.78/1.93 (BenchOne), so
   // the honest closing estimate is ~178-179 s — the driver's own
-  // BENCH_r12 at this HEAD is the quotable artifact. Delta vs r11's 154.2/270: six new queries measured at
+  // BENCH_r12 at this HEAD is the quotable artifact. One final-HEAD
+  // run closed at 211.0 pinnable:true with GC 83.3 s (vs 61-65 in the
+  // other quotable runs) and zero suspects — globally-elevated GC is
+  // a guard blind spot (next-round refinement: stamp gc_ms > ~1.3×
+  // the committed norm); quote the SPREAD, never that run alone. Delta vs r11's 154.2/270: six new queries measured at
   // ~11 s (d34 2.1 / d35 2.1 / d36 2.7 / sim24+25 ~2 / sim26 ~1) plus
   // the planner-wired banding layouts (flat-to-faster per query at
   // sf0.1 — d2 1.41, d5 1.47, t21 2.91 — the ×2–4 band rows buy
