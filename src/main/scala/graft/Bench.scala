@@ -53,6 +53,10 @@ object Bench {
   // throughout.
   private val pinWarmS = 182.4
   private val pinN = 277
+  // committed GC norm (ms) of the quotable runs at the current pin —
+  // the r12 quotable runs sat at 61.2–65.5 s while the 211 s outlier
+  // burned 83.3 s; 1.3× this norm is the gc_outlier stamp threshold
+  private val gcNormMs = 65000L
 
   /** PIDs of this JVM plus its ancestor chain (the sbt launcher that
     * forked us) — the only Java processes that are NOT contamination. */
@@ -350,11 +354,20 @@ object Bench {
          else "")
     // a run is PINNABLE (quotable as the standalone reference number)
     // only when nothing contaminated it end to end: quiet start, no
-    // foreign JVM, no external CPU, no per-query suspects, no failures
+    // foreign JVM, no external CPU, no per-query suspects, no failures,
+    // and no globally-elevated GC. The GC gate closes the blind spot a
+    // round-12 final-HEAD run exposed: 211.0 s with quiet start, zero
+    // suspects, xcpu 1.2% — but GC 83.3 s vs the 61–65 s of every
+    // other quotable run; global GC elevation inflates the total
+    // without tripping any per-query warm>cold flag. The norm is
+    // committed beside the pin and MUST be refreshed with it.
+    val gcOutlier = gcMs > (gcNormMs * 1.3).toLong
     val pinnable = quietAtStart && contendedBy.isEmpty &&
-      runNonSelfPct <= 5.0 && suspects.isEmpty && nFailed == 0
+      runNonSelfPct <= 5.0 && suspects.isEmpty && nFailed == 0 &&
+      !gcOutlier
     val header = s""""metric":"total_warm","value":${r3(total)},"unit":"sec"""" +
-      s""","pinnable":$pinnable,"start_wait_s":$startWaitS""" +
+      s""","pinnable":$pinnable,"gc_outlier":$gcOutlier""" +
+      s""","start_wait_s":$startWaitS""" +
       s""","cold_s":${r3(coldTotal)},"failed":$nFailed$contention""" +
       s""","xcpu_pct":${r3(runNonSelfPct)},"xcpu_contended":$cpuContended""" +
       s""","load1":[${r3(loadStart)},${r3(loadEnd)}]""" +
