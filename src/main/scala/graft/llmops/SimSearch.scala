@@ -1156,7 +1156,21 @@ object SimSearch {
     val (nNew, mNew) = sideStats(inc)
     val refit = nNew > 0L && mNew > 0L &&
       100L * mNew >= ratioPct.toLong * mFit
-    val srcRows = if (refit) pull(f.unionAll(inc)) else fitRows
+    // An id present on BOTH sides (a re-ingested vector with updated
+    // coordinates) ties under the (md5, id) pull ordering, leaving the
+    // selected codebook vector partition-order-dependent (r12 ADVICE).
+    // Resolve deterministically BEFORE the pull: one row per id,
+    // preferring the incoming row (the fresher vector — the shift this
+    // refit reacts to), with the vector itself as the final within-side
+    // tiebreak so even duplicate-id inputs stay reproducible.
+    val srcRows = if (refit) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("item_id")).orderBy(col("__side"), col("__v"))
+      pull(f.withColumn("__side", lit(1))
+        .unionAll(inc.withColumn("__side", lit(0)))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn", "__side"))
+    } else fitRows
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val schema = StructType(Seq(
       StructField("refit", LongType, nullable = false),

@@ -1340,6 +1340,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getDouble(4) > 1.5 * r.getDouble(3)))
   }
 
+  test("pqRefitIfDistorted: refit pull is one-row-per-id under overlap") {
+    // ids 5..9 re-ingested with updated (3×) coordinates — the same id
+    // on BOTH sides of fit ∪ incoming used to tie under the (md5, id)
+    // pull ordering (r12 ADVICE): limit-k could return the same id
+    // twice or pick the stale fit row partition-order-dependently. The
+    // fix dedups per id, preferring the incoming row, BEFORE the pull.
+    val fit = (0L to 9L).map(i =>
+      (i, Seq(1.0 + 0.01 * i, 0.01 * i, 0.0, 1.0))).toDF("id", "v")
+    val inc = (5L to 9L).map(i =>
+      (i, Seq(3.0 + 0.03 * i, 0.03 * i, 0.0, 3.0))).toDF("id", "v")
+    val out = SimSearch.pqRefitIfDistorted(fit, inc, "id", "v",
+      dim = 4, m = 2, k = 4).collect()
+    assert(out.forall(_.getLong(0) == 1L), "refit must fire")
+    val ids = out.map(_.getLong(6))
+    assert(ids.length == 4 && ids.distinct.length == 4,
+      s"codebook source must hold k distinct ids, got ${ids.toSeq}")
+  }
+
   test("pqRefitIfDistorted: exchangeable incoming keeps the codebooks") {
     val fit = (0L to 9L).map(i =>
       (i, Seq(1.0 + 0.01 * i, 0.01 * i, 0.0, 1.0))).toDF("id", "v")

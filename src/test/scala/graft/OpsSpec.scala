@@ -537,8 +537,11 @@ class OpsSpec extends AnyFunSuite {
     val ring = (0L until 40L).map(i => (i, (i + 1) % 40)) ++
       (0L until 40L by 4).map(i => (i, (i + 13) % 40))
     for (edges <- Seq(bridge, ring.toDF("a", "b"))) {
-      val base = ops.Graph.labelPropagation(edges, "a", "b", rounds = 3)
-        .as[(Long, Long)].collect().toMap
+      // fusedArgmax defaults to TRUE, so the two-phase side must be
+      // requested explicitly — with both sides on the default this
+      // test compared the fused plan to itself (r12 ADVICE)
+      val base = ops.Graph.labelPropagation(edges, "a", "b", rounds = 3,
+        fusedArgmax = false).as[(Long, Long)].collect().toMap
       val fused = ops.Graph.labelPropagation(edges, "a", "b", rounds = 3,
         fusedArgmax = true).as[(Long, Long)].collect().toMap
       assert(fused == base)
