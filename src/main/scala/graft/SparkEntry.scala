@@ -4629,6 +4629,87 @@ object SparkEntry {
       "vec_id", "embedding", dim = 64, nBits = 16, minCosinePct = 40,
       targetDetectPct = 80)
 
+  /** LLM-D38: empirical SimHash recall audit
+    * ([[Dedup.simHashPlanAudit]]) — the d33/d37 discipline for the
+    * THIRD banded family, which until now had only capacity audits
+    * (d25/d30): exact pairwise 64-bit Hamming ground truth (brute,
+    * over the d37 md5 half-sample — recall is a per-pair property so
+    * the estimate is unbiased) through Hamming 12, checked against
+    * the candidate set of [[Dedup.simHashPairsAuto]]'s serving layout
+    * (4 disjoint auto-width lanes, hot-bucket cap 1000); per Hamming
+    * distance the measured detection ships beside the analytic
+    * inclusion–exclusion pigeonhole curve
+    * `Σ (−1)^{m+1} C(4,m)·C(64−m·w, h) / C(64, h)` — exact-BigInt
+    * quotients the oracle rebuilds via `round(exp(lgamma(·)))`.
+    * Buckets h < 4 must read 1.0 unless the cap dropped rows — the
+    * silent-loss state this audit exists to surface. */
+  private val d38SimhashPlanAudit: Q = (s, dir) =>
+    Dedup.simHashPlanAudit(
+      Tables.documents(s, dir)
+        .where(substring(md5(col("doc_id").cast("string")), 1, 1) < "8"),
+      "doc_id", "text", maxHamming = 12)
+
+  /** LLM-D39: sign-LSH banding replan policy, REBAND branch
+    * ([[SimSearch.signReplanIfUndershot]]) — the d34/d35 ACT
+    * discipline for the family d37 taught to measure: a legacy
+    * (16 bits, 2 bands × 8) layout at the d37 (c = 0.40, 80%)
+    * operating point detects ~5% analytically; the qualifying cosine
+    * buckets go undetected, the ANY-BUCKET integer trigger fires, and
+    * the doubling ladder's k = 0 rung already qualifies with a
+    * DIFFERENT divisor — (8 bands × 2) at 0.983 — so the remedy is a
+    * REBAND at the same signature length. The oracle replays the
+    * exact-cosine join, the banded candidate set, the per-bucket
+    * trigger AND the doubling-ladder divisor scan. */
+  private val d39SignReplan: Q = (s, dir) =>
+    SimSearch.signReplanIfUndershot(
+      Tables.embeddings(s, dir)
+        .where(substring(md5(col("vec_id").cast("string")), 1, 1) < "8"),
+      "vec_id", "embedding", dim = 64, nBits = 16, bands = 2,
+      minCosinePct = 40, targetDetectPct = 80)
+
+  /** LLM-D40: sign-LSH replan policy, KEEP branch — d39's no-op twin
+    * (the d35 discipline): the PLANNED (16, 8 × 2) layout at its own
+    * (c ≥ 0.40, 80%) operating point detects every qualifying bucket
+    * (d37 measured 94–100% per bucket), so the policy keeps the
+    * serving layout and re-states it with its analytic detection. The
+    * threshold math that does NOT fire is pinned cross-engine
+    * alongside d39's firing branch. */
+  private val d40SignReplanKeep: Q = (s, dir) =>
+    SimSearch.signReplanIfUndershot(
+      Tables.embeddings(s, dir)
+        .where(substring(md5(col("vec_id").cast("string")), 1, 1) < "8"),
+      "vec_id", "embedding", dim = 64, nBits = 16, bands = 8,
+      minCosinePct = 40, targetDetectPct = 80)
+
+  /** LLM-D41: SimHash fingerprint-width policy, WIDEN branch
+    * ([[Dedup.simHashWidenIfUndershot]]) — the ACT stage completing
+    * the plan → audit (d38) → act matrix for the SimHash family,
+    * whose only remedy dimension is fingerprint width (the 4 disjoint
+    * lanes are fixed by construction; 64 → 128 is the d29 mechanism).
+    * A hot-bucket cap of 1 starves EVERY bucket (any bucket with ≥ 2
+    * members — i.e. any bucket that could emit a pair — is dropped),
+    * so the pigeonhole-qualifying pairs at h ≤ 3 go undetected, the
+    * integer trigger fires, and the policy mandates the 128-bit
+    * family at the un-16-clamped auto width — the capacity-starvation
+    * state the d24 residual wall describes, reproduced
+    * deterministically. */
+  private val d41SimhashWiden: Q = (s, dir) =>
+    Dedup.simHashWidenIfUndershot(
+      Tables.documents(s, dir)
+        .where(substring(md5(col("doc_id").cast("string")), 1, 1) < "8"),
+      "doc_id", "text", maxHamming = 3, targetDetectPct = 99,
+      maxBucket = 1)
+
+  /** LLM-D42: the SimHash width policy's KEEP branch — d41's no-op
+    * twin: at the serving cap (1000) no bucket is starved, the
+    * pigeonhole bound holds empirically (detection 1.0 through
+    * h ≤ 3), and the policy re-states the 64-bit layout. */
+  private val d42SimhashWidenKeep: Q = (s, dir) =>
+    Dedup.simHashWidenIfUndershot(
+      Tables.documents(s, dir)
+        .where(substring(md5(col("doc_id").cast("string")), 1, 1) < "8"),
+      "doc_id", "text", maxHamming = 3, targetDetectPct = 99)
+
   /** SIM24: PQ codebook refit policy, REFIT branch
     * ([[SimSearch.pqRefitIfDistorted]]) — the ACT stage for the THIRD
     * index family (IVF cells act via sim22/23, LSH bands via
@@ -5459,6 +5540,11 @@ object SparkEntry {
     "d35_band_replan_keep" -> d35BandReplanKeep,
     "d36_band_replan_reband" -> d36BandReplanReband,
     "d37_sign_plan_audit" -> d37SignPlanAudit,
+    "d38_simhash_plan_audit" -> d38SimhashPlanAudit,
+    "d39_sign_replan" -> d39SignReplan,
+    "d40_sign_replan_keep" -> d40SignReplanKeep,
+    "d41_simhash_widen" -> d41SimhashWiden,
+    "d42_simhash_widen_keep" -> d42SimhashWidenKeep,
     "sim23_refit_noop" -> sim23RefitNoop,
     "sim24_pq_refit" -> sim24PqRefit,
     "sim25_pq_keep" -> sim25PqKeep,
@@ -10901,6 +10987,352 @@ object SparkEntry {
         |  (SELECT bands FROM pw) AS bands,
         |  (SELECT w FROM pw) AS width
         |FROM agg""".stripMargin,
+    "d38_simhash_plan_audit" ->
+      """WITH doc AS (SELECT doc_id, text FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+        |n AS (SELECT count(*) AS n FROM doc),
+        |w AS (SELECT least(16, length(bin(((n.n + 49) // 50) - 1))) AS w
+        |  FROM n),
+        |toks AS (
+        |  SELECT doc_id, list(md5(t)) AS hs FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0)) AS t
+        |    FROM doc)
+        |  GROUP BY doc_id),
+        |sig AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) IN
+        |          ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM toks),
+        |banded AS (SELECT doc_id, b,
+        |    (CASE b WHEN 0 THEN lo WHEN 1 THEN lo >> 16
+        |            WHEN 2 THEN hi ELSE hi >> 16 END)
+        |      & ((1::BIGINT << w.w) - 1) AS key
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t, w),
+        |hot AS (SELECT b, key FROM banded GROUP BY b, key
+        |  HAVING count(*) > 1000),
+        |capped AS (SELECT banded.* FROM banded
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |    WHERE hot.b = banded.b AND hot.key = banded.key)),
+        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM capped l JOIN capped r
+        |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+        |exact AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    CAST(bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi))
+        |      AS BIGINT) AS h
+        |  FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+        |  WHERE bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi))
+        |    <= 12),
+        |det AS (SELECT e.h, CASE WHEN c.doc_a IS NOT NULL THEN 1 END AS d
+        |  FROM exact e LEFT JOIN cand c
+        |    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b),
+        |agg AS (SELECT h, count(*) AS n_pairs, count(d) AS n_detected
+        |  FROM det GROUP BY h),
+        |bn AS (SELECT nn, kk, CASE WHEN kk > nn THEN 0 ELSE
+        |    CAST(round(exp(lgamma(nn + 1.0) - lgamma(kk + 1.0)
+        |      - lgamma(abs(nn - kk) + 1.0))) AS BIGINT) END AS v
+        |  FROM (SELECT unnest(generate_series(0, 64)) AS nn),
+        |    (SELECT unnest(generate_series(0, 12)) AS kk)),
+        |pred AS (SELECT hh.h, round((
+        |      (SELECT v FROM bn WHERE nn = 64 - w.w AND kk = hh.h) * 4
+        |    - (SELECT v FROM bn WHERE nn = 64 - 2 * w.w AND kk = hh.h) * 6
+        |    + (SELECT v FROM bn WHERE nn = 64 - 3 * w.w AND kk = hh.h) * 4
+        |    - (SELECT v FROM bn WHERE nn = 64 - 4 * w.w AND kk = hh.h))
+        |    * 1.0 / (SELECT v FROM bn WHERE nn = 64 AND kk = hh.h), 6)
+        |    AS p
+        |  FROM (SELECT unnest(generate_series(0, 12)) AS h) hh, w)
+        |SELECT agg.h AS h_bucket, agg.n_pairs, agg.n_detected,
+        |  agg.n_detected * 1.0 / agg.n_pairs AS detect_rate,
+        |  pred.p AS predicted_prob,
+        |  CAST(4 AS BIGINT) AS bands, CAST(w.w AS BIGINT) AS width
+        |FROM agg JOIN pred ON pred.h = agg.h, w""".stripMargin,
+    "d39_sign_replan" ->
+      """WITH hyper AS (
+        |  SELECT b, list_transform(generate_series(0, 63), d ->
+        |    CASE WHEN substring(md5(d::VARCHAR || '§' || b::VARCHAR), 1, 1)
+        |      >= '8' THEN 1.0 ELSE -1.0 END) AS h
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'),
+        |bits AS (SELECT vec_id, b // 8 AS band,
+        |    CASE WHEN list_dot_product(v, h) >= 0
+        |      THEN (1::BIGINT << CAST(b % 8 AS INT)) ELSE 0 END AS bit
+        |  FROM e CROSS JOIN hyper),
+        |bk AS (SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS key
+        |  FROM bits GROUP BY vec_id, band),
+        |capped AS (SELECT vec_id, band, key FROM (
+        |    SELECT vec_id, band, key,
+        |      count(*) OVER (PARTITION BY band, key) AS c FROM bk)
+        |  WHERE c <= 2000),
+        |cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        |  FROM capped l JOIN capped r
+        |    ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id),
+        |exact AS (SELECT id_a, id_b, c FROM (
+        |    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+        |      round(list_cosine_similarity(l.v, r.v), 6) AS c
+        |    FROM e l JOIN e r ON l.vec_id < r.vec_id)
+        |  WHERE c >= 40 / 100.0),
+        |det AS (SELECT CAST(least(floor(x.c * 10), 9) AS BIGINT) AS cb,
+        |    CASE WHEN cd.id_a IS NOT NULL THEN 1 END AS d
+        |  FROM exact x LEFT JOIN cand cd
+        |    ON x.id_a = cd.id_a AND x.id_b = cd.id_b),
+        |buck AS (SELECT cb, count(*) AS n, count(d) AS dt
+        |  FROM det GROUP BY cb),
+        |dec AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_pairs,
+        |    CAST(coalesce(sum(dt), 0) AS BIGINT) AS n_detected,
+        |    CAST(coalesce(sum(CASE WHEN dt * 100 < 80 * n
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_below
+        |  FROM buck),
+        |ladder AS (SELECT nb, b, CAST(nb // b AS BIGINT) AS w,
+        |    1.0 - pow(1.0 - pow(1.0 - acos(40 / 100.0) / pi(),
+        |      CAST(nb // b AS DOUBLE)), CAST(b AS DOUBLE)) AS dp
+        |  FROM (SELECT CAST(16 * (1 << k) AS BIGINT) AS nb
+        |      FROM (SELECT unnest(generate_series(0, 6)) AS k)) nn,
+        |    (SELECT unnest(generate_series(1, 1024)) AS b) bs
+        |  WHERE b <= nb AND nb % b = 0),
+        |pernb AS (SELECT nb, min(CASE WHEN dp >= 80 / 100.0 THEN b END)
+        |    AS pb FROM ladder GROUP BY nb),
+        |qual AS (SELECT l.nb, l.b, l.w FROM pernb p JOIN ladder l
+        |    ON l.nb = p.nb AND l.b = p.pb
+        |  WHERE p.pb IS NOT NULL AND NOT (p.nb = 16 AND p.pb = 2)
+        |  ORDER BY p.nb LIMIT 1),
+        |newp AS (SELECT
+        |    CAST(coalesce((SELECT nb FROM qual), 1024) AS BIGINT) AS nnb,
+        |    CAST(coalesce((SELECT b FROM qual), 1024) AS BIGINT) AS nbb,
+        |    CAST(coalesce((SELECT w FROM qual), 1) AS BIGINT) AS nw),
+        |fin AS (SELECT d.n_pairs, d.n_detected, d.n_below,
+        |    (d.n_pairs > 0 AND d.n_below > 0) AS rp,
+        |    np.nnb, np.nbb, np.nw FROM dec d, newp np)
+        |SELECT CAST(CASE WHEN rp THEN 1 ELSE 0 END AS BIGINT) AS replan,
+        |  CAST(CASE WHEN NOT rp THEN 0 WHEN nnb = 16 THEN 1 ELSE 2 END
+        |    AS BIGINT) AS action,
+        |  n_pairs, n_detected, n_below AS n_buckets_below,
+        |  CAST(16 AS BIGINT) AS n_bits,
+        |  CAST(2 AS BIGINT) AS bands,
+        |  CAST(8 AS BIGINT) AS width,
+        |  CASE WHEN rp THEN nnb ELSE 16 END AS new_n_bits,
+        |  CASE WHEN rp THEN nbb ELSE 2 END AS new_bands,
+        |  CASE WHEN rp THEN nw ELSE 8 END AS new_width,
+        |  round(1.0 - pow(1.0 - pow(1.0 - acos(40 / 100.0) / pi(),
+        |    CAST(CASE WHEN rp THEN nw ELSE 8 END AS DOUBLE)),
+        |    CAST(CASE WHEN rp THEN nbb ELSE 2 END AS DOUBLE)), 6)
+        |    AS new_detect_prob
+        |FROM fin""".stripMargin,
+    "d40_sign_replan_keep" ->
+      """WITH hyper AS (
+        |  SELECT b, list_transform(generate_series(0, 63), d ->
+        |    CASE WHEN substring(md5(d::VARCHAR || '§' || b::VARCHAR), 1, 1)
+        |      >= '8' THEN 1.0 ELSE -1.0 END) AS h
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'),
+        |bits AS (SELECT vec_id, b // 2 AS band,
+        |    CASE WHEN list_dot_product(v, h) >= 0
+        |      THEN (1::BIGINT << CAST(b % 2 AS INT)) ELSE 0 END AS bit
+        |  FROM e CROSS JOIN hyper),
+        |bk AS (SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS key
+        |  FROM bits GROUP BY vec_id, band),
+        |capped AS (SELECT vec_id, band, key FROM (
+        |    SELECT vec_id, band, key,
+        |      count(*) OVER (PARTITION BY band, key) AS c FROM bk)
+        |  WHERE c <= 2000),
+        |cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        |  FROM capped l JOIN capped r
+        |    ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id),
+        |exact AS (SELECT id_a, id_b, c FROM (
+        |    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+        |      round(list_cosine_similarity(l.v, r.v), 6) AS c
+        |    FROM e l JOIN e r ON l.vec_id < r.vec_id)
+        |  WHERE c >= 40 / 100.0),
+        |det AS (SELECT CAST(least(floor(x.c * 10), 9) AS BIGINT) AS cb,
+        |    CASE WHEN cd.id_a IS NOT NULL THEN 1 END AS d
+        |  FROM exact x LEFT JOIN cand cd
+        |    ON x.id_a = cd.id_a AND x.id_b = cd.id_b),
+        |buck AS (SELECT cb, count(*) AS n, count(d) AS dt
+        |  FROM det GROUP BY cb),
+        |dec AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_pairs,
+        |    CAST(coalesce(sum(dt), 0) AS BIGINT) AS n_detected,
+        |    CAST(coalesce(sum(CASE WHEN dt * 100 < 80 * n
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_below
+        |  FROM buck),
+        |ladder AS (SELECT nb, b, CAST(nb // b AS BIGINT) AS w,
+        |    1.0 - pow(1.0 - pow(1.0 - acos(40 / 100.0) / pi(),
+        |      CAST(nb // b AS DOUBLE)), CAST(b AS DOUBLE)) AS dp
+        |  FROM (SELECT CAST(16 * (1 << k) AS BIGINT) AS nb
+        |      FROM (SELECT unnest(generate_series(0, 6)) AS k)) nn,
+        |    (SELECT unnest(generate_series(1, 1024)) AS b) bs
+        |  WHERE b <= nb AND nb % b = 0),
+        |pernb AS (SELECT nb, min(CASE WHEN dp >= 80 / 100.0 THEN b END)
+        |    AS pb FROM ladder GROUP BY nb),
+        |qual AS (SELECT l.nb, l.b, l.w FROM pernb p JOIN ladder l
+        |    ON l.nb = p.nb AND l.b = p.pb
+        |  WHERE p.pb IS NOT NULL AND NOT (p.nb = 16 AND p.pb = 8)
+        |  ORDER BY p.nb LIMIT 1),
+        |newp AS (SELECT
+        |    CAST(coalesce((SELECT nb FROM qual), 1024) AS BIGINT) AS nnb,
+        |    CAST(coalesce((SELECT b FROM qual), 1024) AS BIGINT) AS nbb,
+        |    CAST(coalesce((SELECT w FROM qual), 1) AS BIGINT) AS nw),
+        |fin AS (SELECT d.n_pairs, d.n_detected, d.n_below,
+        |    (d.n_pairs > 0 AND d.n_below > 0) AS rp,
+        |    np.nnb, np.nbb, np.nw FROM dec d, newp np)
+        |SELECT CAST(CASE WHEN rp THEN 1 ELSE 0 END AS BIGINT) AS replan,
+        |  CAST(CASE WHEN NOT rp THEN 0 WHEN nnb = 16 THEN 1 ELSE 2 END
+        |    AS BIGINT) AS action,
+        |  n_pairs, n_detected, n_below AS n_buckets_below,
+        |  CAST(16 AS BIGINT) AS n_bits,
+        |  CAST(8 AS BIGINT) AS bands,
+        |  CAST(2 AS BIGINT) AS width,
+        |  CASE WHEN rp THEN nnb ELSE 16 END AS new_n_bits,
+        |  CASE WHEN rp THEN nbb ELSE 8 END AS new_bands,
+        |  CASE WHEN rp THEN nw ELSE 2 END AS new_width,
+        |  round(1.0 - pow(1.0 - pow(1.0 - acos(40 / 100.0) / pi(),
+        |    CAST(CASE WHEN rp THEN nw ELSE 2 END AS DOUBLE)),
+        |    CAST(CASE WHEN rp THEN nbb ELSE 8 END AS DOUBLE)), 6)
+        |    AS new_detect_prob
+        |FROM fin""".stripMargin,
+    "d41_simhash_widen" ->
+      """WITH doc AS (SELECT doc_id, text FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+        |n AS (SELECT count(*) AS n FROM doc),
+        |w AS (SELECT least(16, length(bin(((n.n + 49) // 50) - 1))) AS w
+        |  FROM n),
+        |nw AS (SELECT least(24, length(bin(((n.n + 49) // 50) - 1))) AS w2
+        |  FROM n),
+        |toks AS (
+        |  SELECT doc_id, list(md5(t)) AS hs FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0)) AS t
+        |    FROM doc)
+        |  GROUP BY doc_id),
+        |sig AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) IN
+        |          ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM toks),
+        |banded AS (SELECT doc_id, b,
+        |    (CASE b WHEN 0 THEN lo WHEN 1 THEN lo >> 16
+        |            WHEN 2 THEN hi ELSE hi >> 16 END)
+        |      & ((1::BIGINT << w.w) - 1) AS key
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t, w),
+        |hot AS (SELECT b, key FROM banded GROUP BY b, key
+        |  HAVING count(*) > 1),
+        |capped AS (SELECT banded.* FROM banded
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |    WHERE hot.b = banded.b AND hot.key = banded.key)),
+        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM capped l JOIN capped r
+        |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+        |exact AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    CAST(bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi))
+        |      AS BIGINT) AS h
+        |  FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+        |  WHERE bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi))
+        |    <= 3),
+        |det AS (SELECT e.h, CASE WHEN c.doc_a IS NOT NULL THEN 1 END AS d
+        |  FROM exact e LEFT JOIN cand c
+        |    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b),
+        |buck AS (SELECT h, count(*) AS n2, count(d) AS dt
+        |  FROM det GROUP BY h),
+        |dec AS (SELECT CAST(coalesce(sum(n2), 0) AS BIGINT) AS n_pairs,
+        |    CAST(coalesce(sum(dt), 0) AS BIGINT) AS n_detected,
+        |    CAST(coalesce(sum(CASE WHEN dt * 100 < 99 * n2
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_below
+        |  FROM buck)
+        |SELECT CAST(CASE WHEN d.n_pairs > 0 AND d.n_below > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS widen,
+        |  d.n_pairs, d.n_detected, d.n_below AS n_buckets_below,
+        |  CAST(64 AS BIGINT) AS sig_bits,
+        |  CAST(4 AS BIGINT) AS bands,
+        |  CAST(w.w AS BIGINT) AS band_width,
+        |  CAST(CASE WHEN d.n_pairs > 0 AND d.n_below > 0
+        |    THEN 128 ELSE 64 END AS BIGINT) AS new_sig_bits,
+        |  CAST(4 AS BIGINT) AS new_bands,
+        |  CAST(CASE WHEN d.n_pairs > 0 AND d.n_below > 0
+        |    THEN nw.w2 ELSE w.w END AS BIGINT) AS new_band_width
+        |FROM dec d, w, nw""".stripMargin,
+    "d42_simhash_widen_keep" ->
+      """WITH doc AS (SELECT doc_id, text FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+        |n AS (SELECT count(*) AS n FROM doc),
+        |w AS (SELECT least(16, length(bin(((n.n + 49) // 50) - 1))) AS w
+        |  FROM n),
+        |nw AS (SELECT least(24, length(bin(((n.n + 49) // 50) - 1))) AS w2
+        |  FROM n),
+        |toks AS (
+        |  SELECT doc_id, list(md5(t)) AS hs FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0)) AS t
+        |    FROM doc)
+        |  GROUP BY doc_id),
+        |sig AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN substring(h, b+1, 1) IN
+        |          ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM toks),
+        |banded AS (SELECT doc_id, b,
+        |    (CASE b WHEN 0 THEN lo WHEN 1 THEN lo >> 16
+        |            WHEN 2 THEN hi ELSE hi >> 16 END)
+        |      & ((1::BIGINT << w.w) - 1) AS key
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t, w),
+        |hot AS (SELECT b, key FROM banded GROUP BY b, key
+        |  HAVING count(*) > 1000),
+        |capped AS (SELECT banded.* FROM banded
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot
+        |    WHERE hot.b = banded.b AND hot.key = banded.key)),
+        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM capped l JOIN capped r
+        |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+        |exact AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    CAST(bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi))
+        |      AS BIGINT) AS h
+        |  FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+        |  WHERE bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi))
+        |    <= 3),
+        |det AS (SELECT e.h, CASE WHEN c.doc_a IS NOT NULL THEN 1 END AS d
+        |  FROM exact e LEFT JOIN cand c
+        |    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b),
+        |buck AS (SELECT h, count(*) AS n2, count(d) AS dt
+        |  FROM det GROUP BY h),
+        |dec AS (SELECT CAST(coalesce(sum(n2), 0) AS BIGINT) AS n_pairs,
+        |    CAST(coalesce(sum(dt), 0) AS BIGINT) AS n_detected,
+        |    CAST(coalesce(sum(CASE WHEN dt * 100 < 99 * n2
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_below
+        |  FROM buck)
+        |SELECT CAST(CASE WHEN d.n_pairs > 0 AND d.n_below > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS widen,
+        |  d.n_pairs, d.n_detected, d.n_below AS n_buckets_below,
+        |  CAST(64 AS BIGINT) AS sig_bits,
+        |  CAST(4 AS BIGINT) AS bands,
+        |  CAST(w.w AS BIGINT) AS band_width,
+        |  CAST(CASE WHEN d.n_pairs > 0 AND d.n_below > 0
+        |    THEN 128 ELSE 64 END AS BIGINT) AS new_sig_bits,
+        |  CAST(4 AS BIGINT) AS new_bands,
+        |  CAST(CASE WHEN d.n_pairs > 0 AND d.n_below > 0
+        |    THEN nw.w2 ELSE w.w END AS BIGINT) AS new_band_width
+        |FROM dec d, w, nw""".stripMargin,
     "sim24_pq_refit" ->
       """WITH base AS (SELECT vec_id AS item_id,
         |    CAST(embedding AS DOUBLE[]) AS v

@@ -536,6 +536,208 @@ object Dedup {
       )).as("bk"))
   }
 
+  /** Analytic detection probability of a pair at Hamming distance `h`
+    * under `bands` DISJOINT `keyWidth`-bit band-key regions of a
+    * `totalBits` signature — the SimHash family's reference curve,
+    * playing the role MinHash's S-curve plays in [[bandPlanAudit]]:
+    * with the h differing bits uniformly placed over the signature,
+    * the pair is caught iff at least one band's key region holds none
+    * of them, so by inclusion–exclusion over clean bands
+    *
+    * {{{
+    *   P(h) = Σ_{m=1..bands} (−1)^{m+1} C(bands,m)
+    *          · C(totalBits − m·keyWidth, h) / C(totalBits, h)
+    * }}}
+    *
+    * `keyWidth` may be smaller than `totalBits / bands` — the auto
+    * family keys only the low `autoWidth` bits of each 16-bit lane,
+    * and un-keyed bits still count toward verification Hamming. P(h)
+    * = 1 exactly for h < bands (the pigeonhole guarantee), decaying
+    * hypergeometrically above. All binomials are EXACT BigInt
+    * integers; in the audited near-dup range (h ≤ ~14 at 64 bits)
+    * every one is < 2^53, so the terminal IEEE quotient is
+    * reproducible in any engine — a DuckDB oracle recovers the same
+    * integers via `round(exp(lgamma(·)))` and replays the same
+    * division. */
+  def simHashDetectionProb(totalBits: Int, bands: Int, keyWidth: Int,
+      h: Int): Double = {
+    require(totalBits >= 1 && bands >= 1 && keyWidth >= 1 &&
+      bands * keyWidth <= totalBits,
+      s"need bands·keyWidth ≤ totalBits, got ($totalBits, $bands, $keyWidth)")
+    require(h >= 0 && h <= totalBits,
+      s"h must be in [0, $totalBits], got $h")
+    def c(n: Int, k: Int): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      // exact at every step: the running product after i factors IS
+      // C(n-k+i, i) (an integer), so the division never truncates
+      else (1 to k).foldLeft(BigInt(1))((a, i) => a * (n - k + i) / i)
+    val num = (1 to bands).map { m =>
+      val t = c(bands, m) * c(totalBits - m * keyWidth, h)
+      if (m % 2 == 1) t else -t
+    }.sum
+    // both operands are < 2^53 (exact doubles), so this single IEEE
+    // division is the same one the oracle's `num * 1.0 / den` performs
+    num.toDouble / c(totalBits, h).toDouble
+  }
+
+  /** Empirical recall audit of the SimHash banding — the [[bandPlanAudit]]
+    * / [[SimSearch.signBandPlanAudit]] discipline applied to the THIRD
+    * banded family (which until now had only the d25/d30 CAPACITY
+    * audits; detection itself went unmeasured, and the hot-bucket cap
+    * means a boilerplate-heavy corpus can legitimately miss pairs the
+    * pigeonhole bound promises): ground truth is the exact pairwise
+    * 64-bit Hamming distance over [[simHash64Portable]] fingerprints,
+    * audited through `maxHamming` (the near-dup region the layout
+    * exists for); the banding stage under [[simHashPairsAuto]]'s
+    * serving layout — 4 disjoint auto-width lanes
+    * ([[simHashBandedAuto]], the SAME buckets the pair stage and the
+    * d25 capacity audit see) — emits its candidate set (sharing ≥ 1
+    * full band key, post hot-bucket cap); per exact Hamming distance
+    * the audit reports measured detection beside
+    * [[simHashDetectionProb]]'s analytic curve at (64, 4, width).
+    * Buckets below 4 must read 1.0 unless the cap dropped rows —
+    * exactly the silent-loss state this audit exists to surface.
+    *
+    * Scale contract: the exact side is brute O(n²/2) BY DESIGN — recall
+    * is a per-pair property, so at 100 TB the caller audits a
+    * deterministic md5 SAMPLE (the d37 contract, as the registered
+    * query does) and the estimate is unbiased. The banded side is the
+    * capped bucket join its own queries defend. Width basis n = count
+    * over ALL docs (the oracle's `count(*)` basis); `precountedN`
+    * skips the count job. Output: (h_bucket, n_pairs, n_detected,
+    * detect_rate, predicted_prob, bands, width). */
+  def simHashPlanAudit(docs: DataFrame, id: String, text: String,
+      maxHamming: Int = 12, targetBucketSize: Long = 50L,
+      maxBucket: Int = 1000, precountedN: Option[Long] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"maxHamming must be in [0, 64], got $maxHamming")
+    require(precountedN.forall(_ > 0),
+      s"precountedN must be positive when supplied, got $precountedN")
+    val n = math.max(1L, precountedN.getOrElse(docs.count()))
+    val width = math.min(16, SimSearch.autoWidth(n, targetBucketSize))
+    val sig = docs
+      .where(size(TextFunctions.tokens(col(text))) > 0)
+      .select(col(id).as("doc"), simHash64Portable(col(text)).as("sig"))
+    val exact = sig.select(col("doc").as("doc_a"), col("sig").as("__sa"))
+      .join(sig.select(col("doc").as("doc_b"), col("sig").as("__sb")),
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(element_at(col("__sa"), 1)
+            .bitwiseXOR(element_at(col("__sb"), 1)))
+          + bit_count(element_at(col("__sa"), 2)
+            .bitwiseXOR(element_at(col("__sb"), 2))))
+          .cast("long").as("__h"))
+      .where(col("__h") <= maxHamming)
+    val cand = bucketLocalPairStructs(
+        simHashBandedAuto(docs, id, text, targetBucketSize, Some(n)),
+        maxBucket)
+      .select(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"))
+      .distinct()
+      .withColumn("__det", lit(1L))
+    // analytic curve per Hamming value as a literal lookup: the layout
+    // is a plan-time constant, so the BigInt combinatorics run on the
+    // driver and only the final quotients enter the plan
+    val pred = array((0 to maxHamming).map(h =>
+      lit(simHashDetectionProb(64, 4, width, h))): _*)
+    exact.join(cand, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("n_pairs"), count(col("__det")).as("n_detected"))
+      .select(col("__h").as("h_bucket"), col("n_pairs"), col("n_detected"),
+        (col("n_detected").cast("double") / col("n_pairs"))
+          .as("detect_rate"),
+        // 6-dp round: the oracle rebuilds the binomials via lgamma and
+        // its quotient may differ in the last ulp (the d33 rule)
+        round(element_at(pred, col("__h").cast("int") + 1), 6)
+          .as("predicted_prob"),
+        lit(4L).as("bands"), lit(width.toLong).as("width"))
+  }
+
+  /** The SimHash family's ACT stage — [[bandReplanIfUndershot]]'s
+    * fingerprint-width twin, completing the plan → audit → act matrix
+    * for the third banded family (MinHash bands act via the d34/35/36
+    * ladder, sign-LSH via [[SimSearch.signReplanIfUndershot]]; SimHash
+    * acts HERE, and its only remedy dimension is fingerprint width —
+    * the 4 disjoint lanes are fixed by construction, so the ladder is
+    * the single 64 → 128 rung [[simHashPairsAuto128]] provides):
+    * measure the CURRENT 64-bit auto-width layout's detection per
+    * exact Hamming distance ≤ `maxHamming` (where the pigeonhole bound
+    * promises 1.0 — any loss is the hot-bucket cap silently eating
+    * near-dup mass, the d24 residual wall), trigger on the ANY-BUCKET
+    * integer undershoot test (`n_detected·100 < targetDetectPct·n`,
+    * exact counts), and on undershoot mandate the 128-bit family at
+    * [[SimSearch.autoWidth]]'s un-16-clamped width. A corpus with no
+    * qualifying pairs is a KEEP (no evidence — the quiet-interval
+    * gate). Width basis n = count over ALL docs (the oracle's
+    * `count(*)` basis, [[simHashBandedAuto]]'s contract);
+    * `precountedN` skips the count job.
+    *
+    * Scale shape: brute exact side BY DESIGN (the d37 sample
+    * contract); capped banded side; one ≤-(maxHamming+1)-row bucket
+    * aggregate + a 1-row decision collect. Output: ONE all-integer row
+    * — (widen, n_pairs, n_detected, n_buckets_below, sig_bits, bands,
+    * band_width, new_sig_bits, new_bands, new_band_width) — pure
+    * count/divide math a SQL oracle replays end to end; on KEEP the
+    * new_* columns re-state the current layout. */
+  def simHashWidenIfUndershot(docs: DataFrame, id: String, text: String,
+      maxHamming: Int = 3, targetDetectPct: Int = 99,
+      targetBucketSize: Long = 50L, maxBucket: Int = 1000,
+      precountedN: Option[Long] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"maxHamming must be in [0, 64], got $maxHamming")
+    require(targetDetectPct >= 0 && targetDetectPct <= 100,
+      s"targetDetectPct is a percent, got $targetDetectPct")
+    require(precountedN.forall(_ > 0),
+      s"precountedN must be positive when supplied, got $precountedN")
+    val spark = docs.sparkSession
+    val n = math.max(1L, precountedN.getOrElse(docs.count()))
+    val width = math.min(16, SimSearch.autoWidth(n, targetBucketSize))
+    val sig = docs
+      .where(size(TextFunctions.tokens(col(text))) > 0)
+      .select(col(id).as("doc"), simHash64Portable(col(text)).as("sig"))
+    val exact = sig.select(col("doc").as("doc_a"), col("sig").as("__sa"))
+      .join(sig.select(col("doc").as("doc_b"), col("sig").as("__sb")),
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(element_at(col("__sa"), 1)
+            .bitwiseXOR(element_at(col("__sb"), 1)))
+          + bit_count(element_at(col("__sa"), 2)
+            .bitwiseXOR(element_at(col("__sb"), 2))))
+          .cast("long").as("__h"))
+      .where(col("__h") <= maxHamming)
+    val cand = bucketLocalPairStructs(
+        simHashBandedAuto(docs, id, text, targetBucketSize, Some(n)),
+        maxBucket)
+      .select(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"))
+      .distinct()
+      .withColumn("__det", lit(1L))
+    val d = exact.join(cand, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"), count(col("__det")).as("__d"))
+      .agg(coalesce(sum(col("__n")), lit(0L)),
+        coalesce(sum(col("__d")), lit(0L)),
+        coalesce(sum(when(col("__d") * 100L
+          < lit(targetDetectPct.toLong) * col("__n"), 1L)
+          .otherwise(0L)), lit(0L)))
+      .head()
+    val nPairs = d.getLong(0)
+    val nDet = d.getLong(1)
+    val nBelow = d.getLong(2)
+    val widen = nPairs > 0L && nBelow > 0L
+    val newWidth =
+      if (widen) SimSearch.autoWidth(n, targetBucketSize) else width
+    spark.range(1).select(
+      lit(if (widen) 1L else 0L).as("widen"),
+      lit(nPairs).as("n_pairs"),
+      lit(nDet).as("n_detected"),
+      lit(nBelow).as("n_buckets_below"),
+      lit(64L).as("sig_bits"),
+      lit(4L).as("bands"),
+      lit(width.toLong).as("band_width"),
+      lit(if (widen) 128L else 64L).as("new_sig_bits"),
+      lit(4L).as("new_bands"),
+      lit(newWidth.toLong).as("new_band_width"))
+  }
+
   /** Detection probability of a pair with true Jaccard `j` under
     * (bands, rows) MinHash banding: `1 − (1 − j^rows)^bands` — the
     * standard LSH S-curve (a pair is caught iff at least one band's

@@ -327,6 +327,122 @@ object SimSearch {
         lit(bands.toLong).as("bands"), lit(width.toLong).as("width"))
   }
 
+  /** The remedy ladder behind [[signReplanIfUndershot]] — the
+    * [[graft.llmops.Dedup.bandReplanLadder]] discipline applied to
+    * fixed-width sign-LSH signatures: the first `curNBits · 2^k`
+    * (k = 0..maxDoublings) whose [[signBandPlan]] layout qualifies
+    * ANALYTICALLY at the `minCosinePct/100` operating point AND differs
+    * from the failing `(curNBits, curBands)` layout; ladder-max honest
+    * fallback `(nb_max, nb_max, 1)` when nothing qualifies. Pure math
+    * (PropertiesSpec pins it over generated inputs, like the MinHash
+    * ladder). Returns (nBits, bands, width). */
+  def signReplanLadder(curNBits: Int, curBands: Int, minCosinePct: Int,
+      targetDetectPct: Int, maxDoublings: Int): (Int, Int, Int) = {
+    require(curNBits >= 1 && curBands >= 1, "layout must be positive")
+    require(maxDoublings >= 0 && (curNBits.toLong << maxDoublings)
+      <= Int.MaxValue, s"maxDoublings out of range: $maxDoublings")
+    (0 to maxDoublings).iterator
+      .map { k =>
+        val nb = curNBits << k
+        val (b, w) = signBandPlan(nb, minCosinePct, targetDetectPct)
+        (nb, b, w)
+      }
+      .find { case (nb, b, w) =>
+        signDetectionProb(minCosinePct / 100.0, b, w) >=
+          targetDetectPct / 100.0 &&
+          (nb != curNBits || b != curBands)
+      }
+      .getOrElse {
+        val nb = curNBits << maxDoublings
+        (nb, nb, 1)
+      }
+  }
+
+  /** The sign-LSH banding lifecycle's ACT stage —
+    * [[graft.llmops.Dedup.bandReplanIfUndershot]]'s embedding-family
+    * twin, closing the plan ([[signBandPlan]]) → audit
+    * ([[signBandPlanAudit]]) → act loop for the family d37 taught to
+    * measure: detection of the CURRENT (nBits, bands) layout per
+    * 0.1-wide cosine bucket of QUALIFYING pairs (exact 6-dp cosine ≥
+    * `minCosinePct/100`), the ANY-BUCKET integer trigger
+    * (`n_detected·100 < targetDetectPct·n_pairs` on exact counts — no
+    * float knife edge; per-bucket, not aggregate, because near-
+    * duplicate mass at cosine ≈ 1 would otherwise mask a dead
+    * mid-cosine band), and on undershoot the [[signReplanLadder]]
+    * remedy — REBAND (action 1) when a different divisor layout at the
+    * same signature length qualifies analytically, WIDEN (action 2,
+    * the signature-doubling rung) otherwise; honest ladder-max when
+    * nothing qualifies. A corpus with no qualifying pairs is a KEEP
+    * (no evidence — the quiet-interval gate).
+    *
+    * Scale shape: the exact side is the documented quadratic-by-
+    * construction audit class (d7/d17) — at 100 TB the caller audits a
+    * deterministic md5 SAMPLE, as the registered query does; the
+    * banded side is the capped bucket join its own queries defend. One
+    * ≤-10-row bucket aggregate + a 1-row decision collect; the ladder
+    * is pure driver math. Output: ONE row — (replan, action 0 keep /
+    * 1 reband / 2 widen, n_pairs, n_detected, n_buckets_below, n_bits,
+    * bands, width, new_n_bits, new_bands, new_width, new_detect_prob
+    * 6-dp) — the decision ships with the layout it mandates; on KEEP
+    * the new_* columns re-state the current layout. */
+  def signReplanIfUndershot(embs: DataFrame, id: String, vec: String,
+      dim: Int, nBits: Int, bands: Int, minCosinePct: Int,
+      targetDetectPct: Int, maxBucket: Int = 2000,
+      maxDoublings: Int = 6): DataFrame = {
+    require(nBits >= 1 && bands >= 1 && nBits % bands == 0,
+      s"bands must divide nBits, got ($nBits, $bands)")
+    require(minCosinePct >= -100 && minCosinePct <= 100,
+      s"minCosinePct is a percent, got $minCosinePct")
+    require(targetDetectPct >= 0 && targetDetectPct <= 100,
+      s"targetDetectPct is a percent, got $targetDetectPct")
+    require(maxDoublings >= 0 && (nBits.toLong << maxDoublings)
+      <= Int.MaxValue, s"maxDoublings out of range: $maxDoublings")
+    val spark = embs.sparkSession
+    // the operating-point filter IS the exact-pair floor (the d34
+    // rule): pairs below the declared threshold carry no evidence
+    val exact = cosinePairs(embs, id, vec, minCosine = -1.0)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("__c"))
+      .where(col("__c") >= lit(minCosinePct / 100.0))
+    val cand = lshPairs(embs, id, vec, dim, minCosine = -1.0, nBits,
+        bands, maxBucket)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__det"))
+    val d = exact.join(cand, Seq("id_a", "id_b"), "left")
+      .select(least(floor(col("__c") * 10), lit(9L)).cast("long")
+          .as("__cb"),
+        col("__det"))
+      .groupBy(col("__cb"))
+      .agg(count(lit(1)).as("__n"), count(col("__det")).as("__d"))
+      .agg(coalesce(sum(col("__n")), lit(0L)),
+        coalesce(sum(col("__d")), lit(0L)),
+        coalesce(sum(when(col("__d") * 100L
+          < lit(targetDetectPct.toLong) * col("__n"), 1L)
+          .otherwise(0L)), lit(0L)))
+      .head()
+    val nPairs = d.getLong(0)
+    val nDet = d.getLong(1)
+    val nBelow = d.getLong(2)
+    val replan = nPairs > 0L && nBelow > 0L
+    val (newNb, newBands, newWidth) =
+      if (!replan) (nBits, bands, nBits / bands)
+      else signReplanLadder(nBits, bands, minCosinePct, targetDetectPct,
+        maxDoublings)
+    val action = if (!replan) 0L else if (newNb == nBits) 1L else 2L
+    spark.range(1).select(
+      lit(if (replan) 1L else 0L).as("replan"),
+      lit(action).as("action"),
+      lit(nPairs).as("n_pairs"),
+      lit(nDet).as("n_detected"),
+      lit(nBelow).as("n_buckets_below"),
+      lit(nBits.toLong).as("n_bits"),
+      lit(bands.toLong).as("bands"),
+      lit((nBits / bands).toLong).as("width"),
+      lit(newNb.toLong).as("new_n_bits"),
+      lit(newBands.toLong).as("new_bands"),
+      lit(newWidth.toLong).as("new_width"),
+      round(lit(signDetectionProb(minCosinePct / 100.0, newBands,
+        newWidth)), 6).as("new_detect_prob"))
+  }
+
   /** Minimum band count at a GIVEN per-band width — the auto-width
     * family's planner: [[autoWidth]] fixes the width from the corpus
     * count (bucket CAPACITY math), leaving bands as the free recall

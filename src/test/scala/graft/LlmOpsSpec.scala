@@ -1322,6 +1322,88 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("signReplanIfUndershot: starved single-band layout rebands; planned layout keeps") {
+    // 5 near-collinear vectors (pairwise cosine ≥ 0.97 — ten qualifying
+    // pairs at the 40% operating point) + 3 spread vectors below it.
+    // Under (16 bits, 1 band) a c ≈ 0.97 pair is caught only when ALL
+    // 16 sign bits agree (p^16 ≈ 0.27) — the fixed portable planes miss
+    // enough of the ten for the 80% bucket target to fail → REPLAN, and
+    // the ladder's k = 0 rung (16, 8 × 2) qualifies with a different
+    // divisor → action 1 (REBAND). The SAME corpus under the planned
+    // (16, 8 × 2) detects every pair (per-pair miss ≈ 2.5e-7) → KEEP.
+    val emb = (0 to 4).map(i =>
+        (i.toLong, Seq(1.0, 0.05 * i, 0.03 * i, 1.0))) ++
+      Seq((10L, Seq(1.0, 0.0, 0.0, -1.0)), (11L, Seq(0.0, 1.0, -1.0, 0.0)),
+        (12L, Seq(-1.0, 0.0, 0.0, -1.0)))
+    val df = emb.toDF("id", "v")
+    val fire = SimSearch.signReplanIfUndershot(df, "id", "v", dim = 4,
+      nBits = 16, bands = 1, minCosinePct = 40, targetDetectPct = 80)
+      .collect().head
+    assert(fire.getLong(0) == 1L && fire.getLong(1) == 1L,
+      s"expected replan/reband, got $fire")
+    assert((fire.getLong(8), fire.getLong(9), fire.getLong(10))
+      == ((16L, 8L, 2L)), s"ladder must pick (16, 8, 2): $fire")
+    val keep = SimSearch.signReplanIfUndershot(df, "id", "v", dim = 4,
+      nBits = 16, bands = 8, minCosinePct = 40, targetDetectPct = 80)
+      .collect().head
+    assert(keep.getLong(0) == 0L && keep.getLong(1) == 0L,
+      s"expected keep, got $keep")
+    assert(keep.getLong(3) == keep.getLong(2),
+      s"planned layout must detect every qualifying pair: $keep")
+    // quiet corpus (no qualifying pairs) is a KEEP, never a vacuous fire
+    val quiet = SimSearch.signReplanIfUndershot(
+      df.where($"id" >= 10), "id", "v", dim = 4,
+      nBits = 16, bands = 1, minCosinePct = 40, targetDetectPct = 80)
+      .collect().head
+    assert(quiet.getLong(0) == 0L && quiet.getLong(2) == 0L)
+    intercept[IllegalArgumentException] {
+      SimSearch.signReplanIfUndershot(df, "id", "v", dim = 4,
+        nBits = 16, bands = 3, minCosinePct = 40, targetDetectPct = 80)
+    } // 3 does not divide 16
+  }
+
+  test("simHashWidenIfUndershot: cap starvation widens 64 → 128; serving cap keeps") {
+    // two exact-dup triples: every h = 0 pair shares all four band
+    // buckets, but a cap of 1 drops ANY bucket that could emit a pair,
+    // so detection is 0 and the policy mandates the 128-bit family; at
+    // the serving cap the pigeonhole bound holds and the layout keeps
+    val docs = ((0 to 2).map(i => (i.toLong, "alpha beta gamma delta")) ++
+      (10 to 12).map(i => (i.toLong, "epsilon zeta eta theta iota")))
+      .toDF("doc_id", "text")
+    val widen = Dedup.simHashWidenIfUndershot(docs, "doc_id", "text",
+      maxHamming = 3, targetDetectPct = 99, maxBucket = 1)
+      .collect().head
+    assert(widen.getLong(0) == 1L && widen.getLong(2) == 0L,
+      s"expected widen with zero detection, got $widen")
+    assert(widen.getLong(7) == 128L && widen.getLong(8) == 4L,
+      s"remedy must be the 128-bit 4-lane family: $widen")
+    val keep = Dedup.simHashWidenIfUndershot(docs, "doc_id", "text",
+      maxHamming = 3, targetDetectPct = 99).collect().head
+    assert(keep.getLong(0) == 0L && keep.getLong(2) == keep.getLong(1),
+      s"expected keep with full detection, got $keep")
+    assert(keep.getLong(7) == 64L && keep.getLong(9) == keep.getLong(6),
+      s"keep must re-state the current layout: $keep")
+    intercept[IllegalArgumentException] {
+      Dedup.simHashWidenIfUndershot(docs, "doc_id", "text",
+        precountedN = Some(0L))
+    }
+  }
+
+  test("simHashPlanAudit: pigeonhole buckets read 1.0 at the serving cap") {
+    val docs = ((0 to 2).map(i => (i.toLong, "alpha beta gamma delta")) ++
+      (10 to 12).map(i => (i.toLong, "epsilon zeta eta theta iota")))
+      .toDF("doc_id", "text")
+    val rows = Dedup.simHashPlanAudit(docs, "doc_id", "text",
+      maxHamming = 12).collect()
+    val h0 = rows.find(_.getLong(0) == 0L).get
+    // the two dup triples contribute 6 h = 0 pairs, all detected, and
+    // the analytic pigeonhole curve is exactly 1.0 below 4 bands
+    assert(h0.getLong(1) == 6L && h0.getLong(2) == 6L)
+    assert(h0.getDouble(3) == 1.0 && h0.getDouble(4) == 1.0)
+    rows.filter(_.getLong(0) < 4L).foreach(r =>
+      assert(r.getDouble(4) == 1.0, s"pigeonhole bucket not 1.0: $r"))
+  }
+
   test("pqRefitIfDistorted: distorted incoming refits over fit ∪ incoming") {
     // fit: 4-dim vectors near (1,0,0,1) with small deterministic jitter
     // (nonzero quantization error against the 2-row codebooks);

@@ -99,6 +99,61 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: signReplanLadder picks the minimal qualifying ≠-current rung") {
+    import graft.llmops.SimSearch
+    // the sign-LSH remedy ladder behind d39/d40 — the bandReplanLadder
+    // contract with the hyperplane S-curve: FIRST (nb = cur·2^k,
+    // signBandPlan(nb)) in ladder order that analytically qualifies AND
+    // differs from the failing layout; ladder-max honest fallback
+    // (nb_max, nb_max, 1) when nothing qualifies
+    forAll(Gen.oneOf(4, 8, 16, 32), Gen.choose(5, 95)) { (n, cPct) =>
+      val divs = (1 to n).filter(n % _ == 0)
+      for (curB <- Seq(divs.head, divs(divs.length / 2), divs.last);
+           t <- Seq(10, 50, 80, 95); md <- Seq(0, 3, 6)) {
+        val got = SimSearch.signReplanLadder(n, curB, cPct, t, md)
+        val brute = (0 to md).iterator.map { k =>
+          val nb = n << k
+          val (b, w) = SimSearch.signBandPlan(nb, cPct, t)
+          (nb, b, w)
+        }.find { case (nb, b, w) =>
+          SimSearch.signDetectionProb(cPct / 100.0, b, w) >= t / 100.0 &&
+            (nb != n || b != curB)
+        }.getOrElse((n << md, n << md, 1))
+        assert(got == brute, s"n=$n curB=$curB c=$cPct t=$t md=$md")
+        assert(got._1 % got._2 == 0 && got._3 == got._1 / got._2)
+        assert(SimSearch.signDetectionProb(cPct / 100.0, got._2, got._3)
+          >= t / 100.0 || (got._1 == (n << md) && got._2 == got._1),
+          s"neither qualifying nor honest fallback: $got")
+        if (got._1 == n && got._2 == curB)
+          assert(md == 0 && curB == n,
+            s"returned the failing layout outside the degenerate case")
+      }
+    }
+  }
+
+  test("property: simHashDetectionProb ≡ brute-force placement enumeration") {
+    import graft.llmops.Dedup
+    // the d38 curve's inclusion–exclusion must equal the exact
+    // fraction of h-subsets of [0, totalBits) leaving at least one
+    // band's keyWidth-bit region untouched — enumerate ALL placements
+    // on small signatures and compare the BigInt counts bit-for-bit
+    for (totalBits <- Seq(6, 8, 10); bands <- Seq(1, 2, 3);
+         keyWidth <- Seq(1, 2); if bands * keyWidth <= totalBits;
+         h <- 0 to totalBits) {
+      val regions = (0 until bands).map(b =>
+        (b * keyWidth until (b + 1) * keyWidth).toSet)
+      val hits = (0 until totalBits).combinations(h).count(s =>
+        regions.exists(r => r.intersect(s.toSet).isEmpty))
+      val all = (0 until totalBits).combinations(h).size
+      val want = hits.toDouble / all.toDouble
+      val got = Dedup.simHashDetectionProb(totalBits, bands, keyWidth, h)
+      assert(got == want,
+        s"($totalBits, $bands, $keyWidth, $h): got $got want $want")
+      // pigeonhole: certain detection strictly below `bands` flips
+      if (h < bands) assert(got == 1.0)
+    }
+  }
+
   test("property: bandPlanDf (the relational d31 plan) ≡ bandPlan on generated grids") {
     import graft.llmops.Dedup
     // the registered d31 grid is fixed; pin the RELATIONAL planner

@@ -527,6 +527,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen(1).getLong(1) == 2L, "remedy is LENGTHEN at 16 hashes")
   }
 
+  test("signReplanIfUndershot as a foreachBatch maintenance caller: the decision flips mid-stream") {
+    implicit val sql = spark.sqlContext
+    import graft.llmops.SimSearch
+    // the sign-LSH twin of the bandReplanIfUndershot caller test:
+    // batch 1 ships only spread vectors with no qualifying pair — the
+    // quiet-interval gate KEEPs (no evidence, never a vacuous fire).
+    // Batch 2 ships a near-collinear family whose c ≈ 0.97 pairs the
+    // single-band (16, 1) layout misses → the SAME caller decides
+    // REPLAN with the ladder's k = 0 REBAND (16, 8 × 2). Pins that the
+    // decision is a pure function of corpus-so-far.
+    val seen = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val corpus = scala.collection.mutable.ArrayBuffer[(Long, Seq[Double])]()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = mem.toDF().toDF("id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        corpus ++= batch.as[(Long, Seq[Double])].collect()
+        seen += SimSearch.signReplanIfUndershot(
+          corpus.toSeq.toDF("id", "v"), "id", "v", dim = 4,
+          nBits = 16, bands = 1, minCosinePct = 40,
+          targetDetectPct = 80).collect().head
+        ()
+      }.start()
+    mem.addData((10L, Seq(1.0, 0.0, 0.0, -1.0)),
+      (11L, Seq(0.0, 1.0, -1.0, 0.0)), (12L, Seq(-1.0, 0.0, 0.0, -1.0)))
+    q.processAllAvailable()
+    mem.addData((0 to 4).map(i =>
+      (i.toLong, Seq(1.0, 0.05 * i, 0.03 * i, 1.0))): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.size == 2)
+    assert(seen(0).getLong(0) == 0L && seen(0).getLong(2) == 0L,
+      "no qualifying pairs must KEEP via the quiet gate")
+    assert(seen(1).getLong(0) == 1L && seen(1).getLong(1) == 1L,
+      "the undetected collinear bucket must flip the decision to REBAND")
+    assert(seen(1).getLong(9) == 8L, "remedy is 8 bands at 16 bits")
+  }
+
+  test("simHashWidenIfUndershot as a foreachBatch maintenance caller: the decision flips mid-stream") {
+    implicit val sql = spark.sqlContext
+    import graft.llmops.Dedup
+    // batch 1: unique docs, no h ≤ 3 pair → quiet KEEP; batch 2: two
+    // exact-dup triples under a cap of 1 — every pair's buckets are
+    // starved, the SAME caller decides WIDEN (64 → 128)
+    val seen = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val corpus = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        corpus ++= batch.as[(Long, String)].collect()
+        seen += Dedup.simHashWidenIfUndershot(
+          corpus.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+          maxHamming = 3, targetDetectPct = 99, maxBucket = 1)
+          .collect().head
+        ()
+      }.start()
+    mem.addData(
+      (100L, "completely different words about seven red foxes jumping"),
+      (101L, "unrelated prose concerning twelve blue whales swimming deep"))
+    q.processAllAvailable()
+    mem.addData(((0 to 2).map(i => (i.toLong, "alpha beta gamma delta")) ++
+      (10 to 12).map(i => (i.toLong, "epsilon zeta eta theta iota"))): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.size == 2)
+    assert(seen(0).getLong(0) == 0L && seen(0).getLong(1) == 0L,
+      "no qualifying pairs must KEEP via the quiet gate")
+    assert(seen(1).getLong(0) == 1L && seen(1).getLong(7) == 128L,
+      "starved dup pairs must flip the decision to WIDEN")
+  }
+
   test("streaming near-dup (state-v2) matches the batch incremental dedup") {
     implicit val sql = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
