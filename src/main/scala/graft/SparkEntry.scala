@@ -4710,6 +4710,215 @@ object SparkEntry {
         .where(substring(md5(col("doc_id").cast("string")), 1, 1) < "8"),
       "doc_id", "text", maxHamming = 3, targetDetectPct = 99)
 
+  // ── error-bound twins for the approximate (rows-only) queries ──────
+  // Each `no_oracle` approximation gets the COMPARISON against its
+  // exact twin registered as an oracle-checked query. Two replay
+  // grades, stated per query: DUAL — both engines run their own
+  // approximation and replay the identical bound check against the
+  // identical exact base (a sketch regression in either engine flips
+  // its flag and the hash compare catches it); ONE-SIDED — the kernel
+  // is engine-specific by construction (xxhash64 signatures, MLlib
+  // k-means), so the oracle replays the exact base and pins the flag's
+  // expected value as a literal: an engine-side recall/error collapse
+  // still flips the row and fails the gate, but the oracle does not
+  // independently re-derive the approximation.
+
+  /** One-row recall floor of an approximate result against an
+    * oracle-replayable truth set: `(n_truth, above_floor)` with
+    * above_floor = 1 iff `|approx ∩ truth| · 100 ≥ floorPct ·
+    * |truth|`. Integer comparison on exact counts — no float knife
+    * edge; the floor sits well below the measured recall so only a
+    * real regression flips it. */
+  private def recallFloor(approx: DataFrame, truth: DataFrame,
+      keys: Seq[String], floorPct: Int): DataFrame =
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(truth.join(approx.select(keys.map(col): _*).distinct(),
+          keys, "left_semi")
+        .agg(count(lit(1)).as("__h")))
+      .select(col("n_truth"),
+        when(col("__h") * 100 >= lit(floorPct.toLong) * col("n_truth"),
+          1L).otherwise(0L).as("above_floor"))
+
+  /** A37: HLL error bound (a14's oracle-checked comparison, DUAL
+    * replay) — per source: exact distinct-digest count beside a 20%
+    * relative bound on the engine's own HLL estimate (rsd 0.02 → the
+    * bound sits ~10σ out; DuckDB replays with its own
+    * approx_count_distinct). */
+  private val a37HllErrorBound: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(countDistinct(md5(col("text"))).as("n_exact"),
+        approx_count_distinct(md5(col("text")), 0.02).as("__est"))
+      .select(col("source"), col("n_exact"),
+        when(abs(col("__est") - col("n_exact")) * 100
+          <= col("n_exact") * 20, 1L).otherwise(0L).as("within_bound"))
+
+  /** A43: Greenwald–Khanna rank bound (a16's comparison, DUAL replay)
+    * — the honest bound for a quantile sketch is on RANK, not value:
+    * per priority group, the rank of the engine's own median estimate
+    * (count of rows ≤ it) must sit within 5% · n of n/2. Spark's GK at
+    * accuracy 1000 guarantees 0.1% · n; DuckDB replays the same check
+    * against its own t-digest approx_quantile. */
+  private val a43GkRankBound: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val est = o.groupBy(col("o_orderpriority"))
+      .agg(approx_percentile(col("o_totalprice"), lit(0.5), lit(1000))
+          .as("__m"),
+        count(lit(1)).as("__n"))
+    o.join(est, "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(first(col("__n")).as("n"),
+        sum(when(col("o_totalprice") <= col("__m"), 1L).otherwise(0L))
+          .as("__r"))
+      .select(col("o_orderpriority"), col("n"),
+        when(abs(col("__r") * 2 - col("n")) * 10 <= col("n"), 1L)
+          .otherwise(0L).as("within_bound"))
+  }
+
+  /** A44: KMV error bound (a27's comparison, DUAL replay) — the exact
+    * overlap base (a28's plan) beside a 10% bound on all three KMV
+    * estimates; at k = 256 and this corpus the sketches are
+    * unsaturated (estimate = exact). DuckDB replays the overlap bound
+    * via inclusion–exclusion over its own approx_count_distinct. */
+  private val a44KmvErrorBound: Q = (s, dir) => {
+    val k = 256
+    val ev = Tables.events(s, dir)
+      .where(col("event_type").isin("click", "purchase"))
+    val exact = ev.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+      .agg(sum(col("c")).cast("long").as("n_click"),
+        sum(col("p")).cast("long").as("n_purchase"),
+        sum(col("c") * col("p")).cast("long").as("n_overlap"))
+    val evh = ev.select(col("event_type"),
+      KmvAgg.hash64(col("user_id")).as("h"))
+    val sk = evh.agg(
+      KmvAgg.kmv(when(col("event_type") === "click", col("h")), k).as("sa"),
+      KmvAgg.kmv(when(col("event_type") === "purchase", col("h")), k).as("sb"))
+    val (ea, eb, eo) = KmvAgg.overlap(col("sa"), col("sb"), k)
+    exact.crossJoin(sk)
+      .select(col("n_click"), col("n_purchase"), col("n_overlap"),
+        when(abs(round(ea) - col("n_click")) * 10 <= col("n_click") &&
+          abs(round(eb) - col("n_purchase")) * 10 <= col("n_purchase") &&
+          abs(round(eo) - col("n_overlap")) * 10 <= col("n_overlap"), 1L)
+          .otherwise(0L).as("within_bound"))
+  }
+
+  /** T39: CMS error bound (t14's comparison, ONE-SIDED) — per exact
+    * top-30 token: the sketch estimate must never undercount and must
+    * overcount by ≤ eps · N (eps = 0.001, N = total tokens — the CMS
+    * guarantee, measured overcount 0 at the fixture). The exact
+    * (token, n_exact) base is the t15 replay; DuckDB has no CMS, so
+    * the flag's expected value is pinned as a literal. */
+  private val t39CmsErrorBound: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val n = toks.agg(count(lit(1)).as("__N"))
+    val sketch = toks.agg(count_min_sketch(col("token"),
+      lit(0.001), lit(0.99), lit(42)).as("__sk"))
+    val est = SketchFunctions.cmsEstimate(col("__sk"), col("token"))
+    t15HeavyHittersExact(s, dir)
+      .crossJoin(broadcast(sketch)).crossJoin(broadcast(n))
+      .select(col("token"), col("n_exact"),
+        when(est >= col("n_exact") &&
+          (est - col("n_exact")) * 1000 <= col("__N"), 1L)
+          .otherwise(0L).as("within_bound"))
+  }
+
+  /** SIM27: LSH top-k recall floor (sim2's comparison, ONE-SIDED) —
+    * sim2 against the brute-force top-5 truth (m1's plan, fully
+    * replayable). The 8-bit single-probe layout is candidate-starved
+    * BY DESIGN (measured 12% — the trade sim4/sim6 document), so the
+    * floor pins it above collapse (10%), not at ANN-grade recall. */
+  private val sim27LshRecallFloor: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val truth = SimSearch.bruteForceTopK(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("item_id"))
+    recallFloor(sim2LshTopk(s, dir), truth,
+      Seq("query_id", "item_id"), 10)
+  }
+
+  /** SIM28: IVF top-k recall floor (sim3's comparison, ONE-SIDED) —
+    * measured 74% at (8 cells, 4 probes); floor 60. */
+  private val sim28IvfRecallFloor: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val truth = SimSearch.bruteForceTopK(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("item_id"))
+    recallFloor(sim3IvfTopk(s, dir), truth,
+      Seq("query_id", "item_id"), 60)
+  }
+
+  /** SIM29: k-means auto-probe recall floor (sim20's comparison,
+    * ONE-SIDED) — the recall-targeted policy on the PRODUCTION index
+    * against brute truth; measured 100% at the 80%-recall-target
+    * depth; floor 80 (the policy's own declared target). */
+  private val sim29KmeansRecallFloor: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val truth = SimSearch.bruteForceTopK(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("item_id"))
+    recallFloor(sim20KmeansAutoProbe(s, dir), truth,
+      Seq("query_id", "item_id"), 80)
+  }
+
+  /** LLM-D43: fast-MinHash recall floor (d26's comparison, ONE-SIDED)
+    * — the xxhash64 production kernel's pair set against the exact
+    * n-gram Jaccard ≥ 0.30 truth (the d4 inverted-index replay);
+    * measured 25/25; floor 80. */
+  private val d43MinhashFastFloor: Q = (s, dir) =>
+    recallFloor(d26MinhashFast(s, dir),
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
+          "text", shingleN = 3, minJaccard = 0.30)
+        .select(col("doc_a"), col("doc_b")),
+      Seq("doc_a", "doc_b"), 80)
+
+  /** LLM-D44: fast-SimHash recall floor (d27's comparison, ONE-SIDED)
+    * — the xxhash64 64-bit kernel at Hamming ≤ 3 against the same
+    * exact j ≥ 0.30 truth; a j ≈ 0.9 pair can legitimately sit past
+    * Hamming 3 (measured 15/25 = 60%), so the floor is 40 — it pins
+    * the kernel above collapse, the d26/d27 twins pin bit-exactness. */
+  private val d44SimhashFastFloor: Q = (s, dir) =>
+    recallFloor(d27SimhashFast(s, dir),
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
+          "text", shingleN = 3, minJaccard = 0.30)
+        .select(col("doc_a"), col("doc_b")),
+      Seq("doc_a", "doc_b"), 40)
+
+  /** V9: trained-PQ distortion bound (v4's comparison, ONE-SIDED) —
+    * the k-means codebooks must not quantize WORSE than the untrained
+    * md5-pulled v3 codebooks they replace (measured 0.89 vs 1.39 mean
+    * squared error). The untrained side is the full v3 replay
+    * (per-sub 6-dp distances, terminal-rounded sum, micro-integerized
+    * mean — the sim24 discipline); the trained side enters only the
+    * flag, since MLlib k-means is not oracle-replayable. */
+  private val v9PqTrainedBound: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val full: Seq[Seq[Double]] = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(4).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val cbU: Seq[Seq[Seq[Double]]] =
+      (0 until 4).map(sub => full.map(_.slice(sub * 16, sub * 16 + 16)))
+    val cbT = VectorOps.pqTrain(emb, "embedding", dim = 64, m = 4, k = 4)
+    def micros(cb: Seq[Seq[Seq[Double]]]): DataFrame = emb
+      .select(VectorOps.pqSqError(
+        VectorOps.pqAssign(col("embedding"), cb)).as("__e"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__e")), 6).as("__s"))
+      .select(col("n"),
+        round(col("__s") / col("n") * 1e6).cast("long").as("mu"))
+    micros(cbU).select(col("n"), col("mu").as("__u"))
+      .crossJoin(micros(cbT).select(col("mu").as("__t")))
+      .select(col("n"), (col("__u") / lit(1e6)).as("mean_err_untrained"),
+        when(col("__t") <= col("__u"), 1L).otherwise(0L)
+          .as("trained_not_worse"))
+  }
+
   /** SIM24: PQ codebook refit policy, REFIT branch
     * ([[SimSearch.pqRefitIfDistorted]]) — the ACT stage for the THIRD
     * index family (IVF cells act via sim22/23, LSH bands via
@@ -5545,6 +5754,16 @@ object SparkEntry {
     "d40_sign_replan_keep" -> d40SignReplanKeep,
     "d41_simhash_widen" -> d41SimhashWiden,
     "d42_simhash_widen_keep" -> d42SimhashWidenKeep,
+    "a37_hll_error_bound" -> a37HllErrorBound,
+    "a43_gk_rank_bound" -> a43GkRankBound,
+    "a44_kmv_error_bound" -> a44KmvErrorBound,
+    "t39_cms_error_bound" -> t39CmsErrorBound,
+    "sim27_lsh_recall_floor" -> sim27LshRecallFloor,
+    "sim28_ivf_recall_floor" -> sim28IvfRecallFloor,
+    "sim29_kmeans_recall_floor" -> sim29KmeansRecallFloor,
+    "d43_minhash_fast_floor" -> d43MinhashFastFloor,
+    "d44_simhash_fast_floor" -> d44SimhashFastFloor,
+    "v9_pq_trained_bound" -> v9PqTrainedBound,
     "sim23_refit_noop" -> sim23RefitNoop,
     "sim24_pq_refit" -> sim24PqRefit,
     "sim25_pq_keep" -> sim25PqKeep,
@@ -11333,6 +11552,164 @@ object SparkEntry {
         |  CAST(CASE WHEN d.n_pairs > 0 AND d.n_below > 0
         |    THEN nw.w2 ELSE w.w END AS BIGINT) AS new_band_width
         |FROM dec d, w, nw""".stripMargin,
+    "a37_hll_error_bound" ->
+      """SELECT source, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact,
+        |  CAST(CASE WHEN abs(approx_count_distinct(md5(text))
+        |      - count(DISTINCT md5(text))) * 100
+        |    <= count(DISTINCT md5(text)) * 20 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS within_bound
+        |FROM documents GROUP BY source""".stripMargin,
+    "a43_gk_rank_bound" ->
+      """WITH est AS (SELECT o_orderpriority,
+        |    approx_quantile(o_totalprice, 0.5) AS m, count(*) AS n
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT e.o_orderpriority, CAST(e.n AS BIGINT) AS n,
+        |  CAST(CASE WHEN abs(2 * (SELECT count(*) FROM orders o
+        |      WHERE o.o_orderpriority = e.o_orderpriority
+        |        AND o.o_totalprice <= e.m) - e.n) * 10 <= e.n
+        |    THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+        |FROM est e""".stripMargin,
+    "a44_kmv_error_bound" ->
+      """WITH ev AS (SELECT user_id, event_type FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |ex AS (SELECT CAST(sum(c) AS BIGINT) AS n_click,
+        |    CAST(sum(p) AS BIGINT) AS n_purchase,
+        |    CAST(sum(c * p) AS BIGINT) AS n_overlap FROM (
+        |    SELECT user_id,
+        |      max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |    FROM ev GROUP BY user_id)),
+        |ap AS (SELECT
+        |    approx_count_distinct(CASE WHEN event_type = 'click'
+        |      THEN user_id END) AS ac,
+        |    approx_count_distinct(CASE WHEN event_type = 'purchase'
+        |      THEN user_id END) AS apu,
+        |    approx_count_distinct(user_id) AS au FROM ev)
+        |SELECT ex.n_click, ex.n_purchase, ex.n_overlap,
+        |  CAST(CASE WHEN abs(ap.ac - ex.n_click) * 10 <= ex.n_click
+        |    AND abs(ap.apu - ex.n_purchase) * 10 <= ex.n_purchase
+        |    AND abs((ap.ac + ap.apu - ap.au) - ex.n_overlap) * 10
+        |      <= ex.n_overlap
+        |    THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+        |FROM ex, ap""".stripMargin,
+    "t39_cms_error_bound" ->
+      """WITH tk AS (SELECT list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t FROM documents),
+        |c AS (SELECT token, count(*) AS n_exact
+        |  FROM (SELECT unnest(t) AS token FROM tk) GROUP BY token)
+        |SELECT token, n_exact, CAST(1 AS BIGINT) AS within_bound
+        |FROM c ORDER BY n_exact DESC, token LIMIT 30""".stripMargin,
+    "sim27_lsh_recall_floor" ->
+      """WITH brute AS (SELECT query_id, item_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |  WHERE rank <= 5)
+        |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+        |  CAST(1 AS BIGINT) AS above_floor
+        |FROM brute""".stripMargin,
+    "sim28_ivf_recall_floor" ->
+      """WITH brute AS (SELECT query_id, item_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |  WHERE rank <= 5)
+        |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+        |  CAST(1 AS BIGINT) AS above_floor
+        |FROM brute""".stripMargin,
+    "sim29_kmeans_recall_floor" ->
+      """WITH brute AS (SELECT query_id, item_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |  WHERE rank <= 5)
+        |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+        |  CAST(1 AS BIGINT) AS above_floor
+        |FROM brute""".stripMargin,
+    "d43_minhash_fast_floor" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |capped AS (SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS c
+        |    FROM inv) WHERE c <= 1000),
+        |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    count(*) AS i
+        |  FROM capped l JOIN capped r
+        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT doc_a, doc_b
+        |  FROM inter
+        |  JOIN sizes na ON na.doc_id = doc_a
+        |  JOIN sizes nb ON nb.doc_id = doc_b
+        |  WHERE i * 1.0 / (na.n + nb.n - i) >= 30 / 100.0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+        |  CAST(1 AS BIGINT) AS above_floor
+        |FROM exact""".stripMargin,
+    "d44_simhash_fast_floor" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s FROM tk),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |capped AS (SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS c
+        |    FROM inv) WHERE c <= 1000),
+        |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    count(*) AS i
+        |  FROM capped l JOIN capped r
+        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT doc_a, doc_b
+        |  FROM inter
+        |  JOIN sizes na ON na.doc_id = doc_a
+        |  JOIN sizes nb ON nb.doc_id = doc_b
+        |  WHERE i * 1.0 / (na.n + nb.n - i) >= 30 / 100.0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+        |  CAST(1 AS BIGINT) AS above_floor
+        |FROM exact""".stripMargin,
+    "v9_pq_trained_bound" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cb AS (SELECT cidx, cv FROM (SELECT
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |      vec_id) - 1 AS cidx, v AS cv FROM e) WHERE cidx < 4),
+        |d AS (SELECT e.vec_id, s.sub, cb.cidx,
+        |    round(list_sum(list_transform(range(1, 17), j ->
+        |      (v[s.sub * 16 + j] - cv[s.sub * 16 + j])
+        |      * (v[s.sub * 16 + j] - cv[s.sub * 16 + j]))), 6) AS dist
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |  CROSS JOIN cb),
+        |pick AS (SELECT vec_id, sub, dist, row_number() OVER (
+        |    PARTITION BY vec_id, sub ORDER BY dist, cidx) AS rn FROM d),
+        |err AS (SELECT vec_id, sum(dist) AS e2
+        |  FROM pick WHERE rn = 1 GROUP BY vec_id),
+        |st AS (SELECT count(*) AS n, round(sum(e2), 6) AS s FROM err)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(round(s / n * 1000000) AS BIGINT) / 1000000.0
+        |    AS mean_err_untrained,
+        |  CAST(1 AS BIGINT) AS trained_not_worse
+        |FROM st""".stripMargin,
     "sim24_pq_refit" ->
       """WITH base AS (SELECT vec_id AS item_id,
         |    CAST(embedding AS DOUBLE[]) AS v
