@@ -3180,7 +3180,16 @@ object SparkEntry {
     val e = Tables.lineitem(s, dir)
       .select(col("l_suppkey").cast("long").as("src"),
         col("l_partkey").cast("long").as("dst"))
-    Graph.hits(e, "src", "dst", rounds = 2)
+    // broadcast-scores mode (zero |E| exchanges per round — the r13
+    // A/B: warm 3.0-3.3 s vs 3.5-5.1 s at sf0.1, oracle-exact, both
+    // core counts) is only safe while the node-score frames fit the
+    // broadcast budget: gate on the edge count (nodes ≤ edges, one
+    // cheap count job) so the SAME query degrades to the shuffling
+    // plan at cluster scale instead of broadcasting a 10⁹-node frame.
+    // SPARK_GRAFT_HITS_BROADCAST=0 forces the shuffling plan for A/Bs.
+    Graph.hits(e, "src", "dst", rounds = 2,
+      broadcastScores = e.count() <= 8000000L &&
+        !sys.env.get("SPARK_GRAFT_HITS_BROADCAST").contains("0"))
       .select(col("dst").as("part"),
         round(col("authority"), 6).as("authority"))
   }

@@ -367,7 +367,7 @@ object Graph {
     * below). Output: (dst, authority) for every dst, the `rounds`-round
     * authority score. */
   def hits(edges: DataFrame, src: String, dst: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, broadcastScores: Boolean = false): DataFrame = {
     require(rounds >= 1, s"hits needs >= 1 round, got $rounds")
     // the edge table is probed on __s in the authority half-step and on
     // __t in the hub half-step — one layout cannot serve both, so pin
@@ -388,14 +388,40 @@ object Graph {
     var h = eByS.select(col("__s")).distinct()
       .select(col("__s"), lit(1.0).as("__x"))
     var a = h // placeholder; rounds >= 1 expected by callers
+    // Two physical strategies per half-step, both reading the pinned
+    // edge frames:
+    //  - shuffling (default): join the score frame into the edge
+    //    layout KEYED ON THE JOIN SIDE (eByS for the authority step),
+    //    then exchange the |E|-sized joined frame to the RECEIVING key
+    //    for the aggregate — two |E| exchanges per round. Safe at any
+    //    node count.
+    //  - broadcastScores: join the (node-sized) score frame as a
+    //    BROADCAST into the edge frame already laid out on the
+    //    RECEIVING key (eByT for the authority step) — the broadcast
+    //    hash join preserves the pin's partitioning, so the groupBy
+    //    needs NO exchange: zero |E| shuffles per round, two
+    //    node-sized broadcasts. The r13 A/B measured it (see PLANS.md)
+    //    at sf0.1; it is a per-round win exactly while the score
+    //    frames fit the broadcast budget — at 10⁹ nodes they don't,
+    //    which is why the SHUFFLING plan stays the default and callers
+    //    opt in below a node-count threshold (g14 gates on the pinned
+    //    source count).
     for (i <- 1 to rounds) {
       val aPrev = a
       a = Iterate.snapshot(maxNorm(
-        eByS.join(h.select(col("__s"), col("__x").as("__h")), "__s")
+        (if (broadcastScores)
+          eByT.join(broadcast(h.select(col("__s"), col("__x").as("__h"))),
+            "__s")
+        else
+          eByS.join(h.select(col("__s"), col("__x").as("__h")), "__s"))
           .groupBy(col("__t")).agg(sum(col("__h")).as("__x")), "__t"))
       val hPrev = h
       h = Iterate.snapshot(maxNorm(
-        eByT.join(a.select(col("__t"), col("__x").as("__a")), "__t")
+        (if (broadcastScores)
+          eByS.join(broadcast(a.select(col("__t"), col("__x").as("__a"))),
+            "__t")
+        else
+          eByT.join(a.select(col("__t"), col("__x").as("__a")), "__t"))
           .groupBy(col("__s")).agg(sum(col("__a")).as("__x")), "__s"))
       if (i > 1) { Iterate.release(aPrev); Iterate.release(hPrev) }
     }

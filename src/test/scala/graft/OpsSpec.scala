@@ -647,6 +647,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got(103L) == got(102L))
   }
 
+  test("hits: broadcast-scores plan ≡ shuffling plan, value for value") {
+    // the zero-|E|-exchange variant (scores broadcast into the
+    // receiving-key edge pin) must reproduce the default plan's
+    // authorities exactly at 6 dp — checked on the hand-traced star
+    // AND a denser two-hub graph where round-2 mass actually mixes
+    val star = Seq((1L, 101L), (1L, 102L), (1L, 103L), (2L, 101L))
+    val dense = (0L until 12L).flatMap(s =>
+      (0L until 4L).map(j => (s, 100L + (s * 3 + j * 5) % 9)))
+    for (edges <- Seq(star, dense)) {
+      val e = edges.toDF("src", "dst")
+      def run(b: Boolean) = graft.ops.Graph
+        .hits(e, "src", "dst", rounds = 2, broadcastScores = b)
+        .select($"dst", round($"authority", 6)).as[(Long, Double)]
+        .collect().toMap
+      assert(run(true) == run(false))
+    }
+  }
+
   test("Iterate.snapshot truncates the plan and release frees the blocks") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
