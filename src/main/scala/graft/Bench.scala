@@ -310,6 +310,7 @@ object Bench {
     // the signature of mid-run interference the jiffy counter can't
     // see (cgroup throttling, memory pressure).
     val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
+    val slower = scala.collection.mutable.ArrayBuffer.empty[String]
     // committed quotable-run history → per-query norms + gate thresholds
     val norms = loadNorms()
     def qNorm(name: String): Option[Double] =
@@ -376,6 +377,13 @@ object Bench {
       if (warm >= 0 &&
           ((warm > 1.5 * effCold && warm > 2.0) || qNonSelf > 10.0))
         suspects += f"$name:w=$warm%.2f,c=$cold%.2f,xcpu=$qNonSelf%.0f%%"
+      // separate diagnostic (does NOT gate pinnable): a warm well above
+      // the query's quotable-run norm where THIS invocation's cold is
+      // also high and no external CPU showed — the signature of a real
+      // plan regression, not contamination. Informational so a future
+      // round's slowdown is named in the artifact the day it ships.
+      else if (warm > 2.0 && qNorm(name).exists(n => warm > 1.5 * n))
+        slower += f"$name:w=$warm%.2f,norm=${qNorm(name).get}%.2f"
       name -> (cold, warm)
     }
     val runEndHost = hostJiffies()
@@ -443,11 +451,16 @@ object Bench {
     // outside this JVM over the whole run is not scheduler noise
     val cpuContended = runNonSelfPct > 5.0
     val suspectJson =
-      if (suspects.isEmpty) ""
-      else s""","suspect":[${suspects.take(4).map(s => "\"" + s + "\"")
-        .mkString(",")}]""" +
-        (if (suspects.size > 4) s""","suspect_more":${suspects.size - 4}"""
-         else "")
+      (if (suspects.isEmpty) ""
+       else s""","suspect":[${suspects.take(4).map(s => "\"" + s + "\"")
+         .mkString(",")}]""" +
+         (if (suspects.size > 4) s""","suspect_more":${suspects.size - 4}"""
+          else "")) +
+      (if (slower.isEmpty) ""
+       else s""","slower":[${slower.take(4).map(s => "\"" + s + "\"")
+         .mkString(",")}]""" +
+         (if (slower.size > 4) s""","slower_more":${slower.size - 4}"""
+          else ""))
     // a run is PINNABLE (quotable as the standalone reference number)
     // only when nothing contaminated it end to end: quiet start, no
     // foreign JVM, no external CPU, no per-query suspects, no failures,

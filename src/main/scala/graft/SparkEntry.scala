@@ -4740,10 +4740,12 @@ object SparkEntry {
     * real regression flips it. */
   private def recallFloor(approx: DataFrame, truth: DataFrame,
       keys: Seq[String], floorPct: Int): DataFrame =
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(truth.join(approx.select(keys.map(col): _*).distinct(),
-          keys, "left_semi")
-        .agg(count(lit(1)).as("__h")))
+    // one left join, one aggregate — the truth subplan (often a brute
+    // top-k or inverted-index join) is evaluated ONCE; a count+semi
+    // pair would run it twice (Catalyst does not CSE across joins)
+    truth.join(approx.select(keys.map(col): _*).distinct()
+        .withColumn("__hit", lit(1)), keys, "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("__h"))
       .select(col("n_truth"),
         when(col("__h") * 100 >= lit(floorPct.toLong) * col("n_truth"),
           1L).otherwise(0L).as("above_floor"))
