@@ -73,21 +73,41 @@ object Bench {
     * {"runs":[{"ts":"…","total_warm_s":182.4,"n":277,"gc_ms":65500}],
     *  "queries":{"a1_distinct":[0.21,0.22]}}   // most recent first
     * }}} */
-  private case class Norms(path: String,
+  private case class Norms(path: String, sf: String,
       runs: Seq[(String, Double, Int, Long)], // ts, total, n, gcMs
       queries: Map[String, Seq[Double]])
 
-  private def normsPath(): Option[String] =
-    sys.env.get("SPARK_GRAFT_NORMS")
-      .orElse(Seq("bench_norms.json", "/root/repo/bench_norms.json")
-        .find(p => new java.io.File(p).isFile))
+  /** Norms file lives at the repo root (discovered by walking up from
+    * CWD to the first dir holding build.sbt or .git), overridable via
+    * SPARK_GRAFT_NORMS — no machine-specific absolute path in source,
+    * so a run from another checkout calibrates against ITS history
+    * (r13 ADVICE). */
+  private def repoRoot(): java.io.File = {
+    var d = new java.io.File(".").getCanonicalFile
+    while (d != null &&
+        !new java.io.File(d, "build.sbt").isFile &&
+        !new java.io.File(d, ".git").exists()) d = d.getParentFile
+    if (d == null) new java.io.File(".").getCanonicalFile else d
+  }
 
-  private def loadNorms(): Option[Norms] = normsPath().flatMap { p =>
+  private def normsFile(): String =
+    sys.env.getOrElse("SPARK_GRAFT_NORMS",
+      new java.io.File(repoRoot(), "bench_norms.json").getPath)
+
+  private def loadNorms(): Option[Norms] = {
+    val p = normsFile()
+    if (!new java.io.File(p).isFile) return None
     try {
       import org.json4s._
       val j = jackson.JsonMethods.parse(new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
       def d(v: JValue): Double = v.values.toString.toDouble
+      // sf stamp of the runs that wrote the file; legacy files (pre-r14)
+      // lack it and were all written at sf0.1
+      val sf = (j \ "sf") match {
+        case JString(s) => s
+        case _ => "sf0.1"
+      }
       val runs = (j \ "runs").children.map { r =>
         ((r \ "ts").values.toString, d(r \ "total_warm_s"),
           d(r \ "n").toInt, d(r \ "gc_ms").toLong)
@@ -97,7 +117,7 @@ object Bench {
           k -> v.children.map(d) }.toMap
         case _ => Map.empty[String, Seq[Double]]
       }
-      Some(Norms(p, runs, qs))
+      Some(Norms(p, sf, runs, qs))
     } catch { case e: Throwable =>
       println(s"[bench] WARN unreadable norms at $p: ${e.getMessage}")
       None
@@ -114,19 +134,25 @@ object Bench {
     * (last 8 kept), prepend each query's warm to its history (last 3
     * kept), prune queries no longer registered. Only quotable runs
     * calibrate — a contaminated run must not teach the gates its
-    * contamination. */
-  private def writeNorms(prior: Option[Norms], total: Double,
-      warms: Seq[(String, Double)], gcMs: Long): Unit = {
-    val path = prior.map(_.path)
-      .orElse(sys.env.get("SPARK_GRAFT_NORMS"))
-      .getOrElse("bench_norms.json")
+    * contamination. Queries the run flagged `slower` (plan-regression
+    * signature) keep their PRIOR history unchanged (r13 ADVICE): a
+    * genuine regression must not be absorbed into the norm it is
+    * measured against within 1-3 rounds — the flag keeps firing until
+    * the plan is fixed or the query's history entry is deliberately
+    * reset. The file is stamped with the sf that wrote it. */
+  private def writeNorms(prior: Option[Norms], sf: String, total: Double,
+      warms: Seq[(String, Double)], gcMs: Long,
+      frozen: Set[String]): Unit = {
+    val path = prior.map(_.path).getOrElse(normsFile())
     val ts = java.time.Instant.now().toString
     val runs = (prior.map(_.runs).getOrElse(Nil) :+
       ((ts, total, warms.length, gcMs))).takeRight(8)
     val old = prior.map(_.queries).getOrElse(Map.empty)
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val qJson = warms.sortBy(_._1).map { case (k, w) =>
-      val hist = (r3(w) +: old.getOrElse(k, Nil).map(r3)).take(3)
+      val hist =
+        if (frozen.contains(k) && old.contains(k)) old(k).map(r3).take(3)
+        else (r3(w) +: old.getOrElse(k, Nil).map(r3)).take(3)
       s""""$k":[${hist.mkString(",")}]"""
     }.mkString(",")
     val rJson = runs.map { case (t, tw, n, g) =>
@@ -134,8 +160,11 @@ object Bench {
     }.mkString(",")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
-        s"""{"runs":[$rJson],\n "queries":{$qJson}}\n""".getBytes)
-      println(s"[bench] norms updated at $path")
+        s"""{"sf":"$sf","runs":[$rJson],\n "queries":{$qJson}}\n""".getBytes)
+      println(s"[bench] norms updated at $path" +
+        (if (frozen.nonEmpty)
+           s" (histories frozen for slower-flagged: ${frozen.mkString(",")})"
+         else ""))
     } catch { case e: Throwable =>
       println(s"[bench] WARN cannot write norms at $path: ${e.getMessage}")
     }
@@ -311,8 +340,22 @@ object Bench {
     // see (cgroup throttling, memory pressure).
     val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
     val slower = scala.collection.mutable.ArrayBuffer.empty[String]
-    // committed quotable-run history → per-query norms + gate thresholds
-    val norms = loadNorms()
+    val slowerNames = scala.collection.mutable.Set.empty[String]
+    // committed quotable-run history → per-query norms + gate thresholds.
+    // Norms only bind when THIS run's sf matches the sf that wrote them
+    // (r13 ADVICE): sf0.1 per-query norms floored into a sf0.01 run's
+    // effCold would disable the warm>1.5×cold contamination check, and
+    // the sf0.1 gc norm would mislabel a larger sf's every run as
+    // gc_outlier. Mismatched sf falls back to raw warm-vs-cold + the
+    // source-constant fallbacks.
+    val sfBase = new java.io.File(sfDir).getName
+    val norms = loadNorms() match {
+      case Some(n) if n.sf != sfBase =>
+        println(s"[bench] norms at ${n.path} were written at ${n.sf}; " +
+          s"this run is $sfBase — ignoring them (raw gates apply)")
+        None
+      case other => other
+    }
     def qNorm(name: String): Option[Double] =
       norms.flatMap(_.queries.get(name)).filter(_.nonEmpty).map(median)
     // optional slice "lo:hi" (indices into the registry's iteration
@@ -382,8 +425,10 @@ object Bench {
       // also high and no external CPU showed — the signature of a real
       // plan regression, not contamination. Informational so a future
       // round's slowdown is named in the artifact the day it ships.
-      else if (warm > 2.0 && qNorm(name).exists(n => warm > 1.5 * n))
+      else if (warm > 2.0 && qNorm(name).exists(n => warm > 1.5 * n)) {
         slower += f"$name:w=$warm%.2f,norm=${qNorm(name).get}%.2f"
+        slowerNames += name
+      }
       name -> (cold, warm)
     }
     val runEndHost = hostJiffies()
@@ -491,8 +536,9 @@ object Bench {
       !gcOutlier
     if (pinnable && sfDir.endsWith("sf0.1") &&
         sys.env.get("SPARK_GRAFT_QUERY_RANGE").isEmpty)
-      writeNorms(norms, total, results.map { case (k, (_, w)) => (k, w) },
-        gcMs)
+      writeNorms(norms, sfBase, total,
+        results.map { case (k, (_, w)) => (k, w) }, gcMs,
+        slowerNames.toSet)
     val header = s""""metric":"total_warm","value":${r3(total)},"unit":"sec"""" +
       s""","pinnable":$pinnable,"gc_outlier":$gcOutlier""" +
       s""","gc_norm_ms":$gcNormEff""" +

@@ -3183,13 +3183,18 @@ object SparkEntry {
     // broadcast-scores mode (zero |E| exchanges per round — the r13
     // A/B: warm 3.0-3.3 s vs 3.5-5.1 s at sf0.1, oracle-exact, both
     // core counts) is only safe while the node-score frames fit the
-    // broadcast budget: gate on the edge count (nodes ≤ edges, one
-    // cheap count job) so the SAME query degrades to the shuffling
-    // plan at cluster scale instead of broadcasting a 10⁹-node frame.
+    // broadcast budget. The gate lives INSIDE Graph.hits now (r13
+    // ADVICE + verdict item 5): auto mode counts the pinned frame's
+    // distinct nodes — the quantity the broadcast actually ships, not
+    // an edge-count proxy that permits multi-100MB score frames — in
+    // ONE agg job that doubles as the pin's materialization, and
+    // degrades the SAME query to the shuffling plan at cluster scale.
     // SPARK_GRAFT_HITS_BROADCAST=0 forces the shuffling plan for A/Bs.
     Graph.hits(e, "src", "dst", rounds = 2,
-      broadcastScores = e.count() <= 8000000L &&
-        !sys.env.get("SPARK_GRAFT_HITS_BROADCAST").contains("0"))
+      broadcastScores =
+        if (sys.env.get("SPARK_GRAFT_HITS_BROADCAST").contains("0"))
+          Some(false)
+        else None)
       .select(col("dst").as("part"),
         round(col("authority"), 6).as("authority"))
   }
@@ -4733,22 +4738,16 @@ object SparkEntry {
   // independently re-derive the approximation.
 
   /** One-row recall floor of an approximate result against an
-    * oracle-replayable truth set: `(n_truth, above_floor)` with
-    * above_floor = 1 iff `|approx ∩ truth| · 100 ≥ floorPct ·
-    * |truth|`. Integer comparison on exact counts — no float knife
-    * edge; the floor sits well below the measured recall so only a
-    * real regression flips it. */
+    * oracle-replayable truth set — the ENFORCE stage of the index
+    * lifecycle, now shared via [[graft.llmops.IndexMaintenance
+    * .recallFloor]] (which also backs the streaming face,
+    * [[graft.streaming.IndexMonitor.recallFloorEachBatch]]): the floor
+    * sits well below the measured recall so only a real regression
+    * flips it. */
   private def recallFloor(approx: DataFrame, truth: DataFrame,
       keys: Seq[String], floorPct: Int): DataFrame =
-    // one left join, one aggregate — the truth subplan (often a brute
-    // top-k or inverted-index join) is evaluated ONCE; a count+semi
-    // pair would run it twice (Catalyst does not CSE across joins)
-    truth.join(approx.select(keys.map(col): _*).distinct()
-        .withColumn("__hit", lit(1)), keys, "left")
-      .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("__h"))
-      .select(col("n_truth"),
-        when(col("__h") * 100 >= lit(floorPct.toLong) * col("n_truth"),
-          1L).otherwise(0L).as("above_floor"))
+    graft.llmops.IndexMaintenance.recallFloor(approx, truth, keys,
+      floorPct)
 
   /** A37: HLL error bound (a14's oracle-checked comparison, DUAL
     * replay) — per source: exact distinct-digest count beside a 20%
@@ -11713,7 +11712,7 @@ object SparkEntry {
         |  CROSS JOIN cb),
         |pick AS (SELECT vec_id, sub, dist, row_number() OVER (
         |    PARTITION BY vec_id, sub ORDER BY dist, cidx) AS rn FROM d),
-        |err AS (SELECT vec_id, sum(dist) AS e2
+        |err AS (SELECT vec_id, round(sum(dist), 6) AS e2
         |  FROM pick WHERE rn = 1 GROUP BY vec_id),
         |st AS (SELECT count(*) AS n, round(sum(e2), 6) AS s FROM err)
         |SELECT CAST(n AS BIGINT) AS n,

@@ -365,9 +365,23 @@ object Graph {
     *
     * Input: directed edge list src→dst (duplicates tolerated — distinct
     * below). Output: (dst, authority) for every dst, the `rounds`-round
-    * authority score. */
+    * authority score.
+    *
+    * `broadcastScores`: `Some(b)` forces the plan (A/B harnesses);
+    * `None` (default) auto-gates on the DISTINCT NODE COUNT of the
+    * pinned frame — the quantity the broadcast actually ships (the
+    * score frames are node-sized, never edge-sized). One
+    * `countDistinct` agg job over the already-pinned edge frame decides
+    * it; the job doubles as the pin's materialization, so auto mode
+    * costs no extra full pass. `maxBroadcastNodes` sizes the gate to
+    * the broadcast budget: a score row is (long, double) ≈ 16 B + row
+    * overhead, so 1M nodes ≈ 20-30 MB serialized per broadcast, 4
+    * live broadcasts per 2 rounds ≈ ≤ 120 MB peak on the driver —
+    * safe at default driver sizing, and at cluster scale (10⁹ nodes)
+    * the gate degrades the SAME call to the shuffling plan. */
   def hits(edges: DataFrame, src: String, dst: String,
-      rounds: Int, broadcastScores: Boolean = false): DataFrame = {
+      rounds: Int, broadcastScores: Option[Boolean] = None,
+      maxBroadcastNodes: Long = 1000000L): DataFrame = {
     require(rounds >= 1, s"hits needs >= 1 round, got $rounds")
     // the edge table is probed on __s in the authority half-step and on
     // __t in the hub half-step — one layout cannot serve both, so pin
@@ -379,6 +393,15 @@ object Graph {
       edges.select(col(src).as("__s"), col(dst).as("__t")).distinct(),
       col("__s"))
     val eByT = Iterate.pin(eByS, col("__t"))
+    // auto gate: ship the score frames as broadcasts only when BOTH
+    // node sets fit the budget. The agg runs over the pinned frame —
+    // the single count job per invocation that every scale-gated
+    // query should copy (it also materializes the pin the loop needs).
+    val useBroadcast = broadcastScores.getOrElse {
+      val c = eByS.agg(countDistinct(col("__s")).as("__ns"),
+        countDistinct(col("__t")).as("__nt")).head()
+      math.max(c.getLong(0), c.getLong(1)) <= maxBroadcastNodes
+    }
     def maxNorm(df: DataFrame, key: String): DataFrame = {
       val m = df.agg(max(col("__x")).as("__m"))
       df.crossJoin(broadcast(m))
@@ -403,13 +426,13 @@ object Graph {
     //    node-sized broadcasts. The r13 A/B measured it (see PLANS.md)
     //    at sf0.1; it is a per-round win exactly while the score
     //    frames fit the broadcast budget — at 10⁹ nodes they don't,
-    //    which is why the SHUFFLING plan stays the default and callers
-    //    opt in below a node-count threshold (g14 gates on the pinned
-    //    source count).
+    //    which is why auto mode gates on the pinned frame's distinct
+    //    node count (both sides ≤ maxBroadcastNodes) and degrades to
+    //    the shuffling plan past it.
     for (i <- 1 to rounds) {
       val aPrev = a
       a = Iterate.snapshot(maxNorm(
-        (if (broadcastScores)
+        (if (useBroadcast)
           eByT.join(broadcast(h.select(col("__s"), col("__x").as("__h"))),
             "__s")
         else
@@ -417,7 +440,7 @@ object Graph {
           .groupBy(col("__t")).agg(sum(col("__h")).as("__x")), "__t"))
       val hPrev = h
       h = Iterate.snapshot(maxNorm(
-        (if (broadcastScores)
+        (if (useBroadcast)
           eByS.join(broadcast(a.select(col("__t"), col("__x").as("__a"))),
             "__t")
         else

@@ -138,4 +138,48 @@ object IndexMonitor {
             col("mean_err_new") - col("mean_err_fit"))
     }
   }
+
+  /** Continuous recall-floor enforcement for a serving ANN index — the
+    * streaming face of [[graft.llmops.IndexMaintenance.recallFloor]]
+    * (the ENFORCE stage backing sim27/sim28/sim29/d43/d44): per
+    * micro-batch of incoming QUERIES, the index's approximate answer
+    * and the oracle-replayable truth are computed over exactly that
+    * batch's queries against the (static) corpus both closures capture,
+    * and the 1-row integer decision `(n_truth, above_floor)` is handed
+    * to `onDecision` with its batch id — the same foreachBatch
+    * maintenance-caller shape as the three replan policies
+    * (StreamingSpec pins their mid-stream KEEP→ACT parity), because a
+    * recall audit is NOT a native streaming plan: truth is a brute
+    * top-k (per-query ranking — window functions and post-aggregation
+    * joins are unsupported on streams), so the honest wiring is a
+    * bounded batch computation per trigger, not a watermarked
+    * aggregate.
+    *
+    * Stream ≡ batch by construction: each batch's decision row is
+    * IDENTICAL to calling `IndexMaintenance.recallFloor(approxOf(q),
+    * truthOf(q), keys, floorPct)` on that batch's query frame — no
+    * hidden state, no accumulation (an index whose recall floor
+    * depends on which queries arrived earlier would be unauditable).
+    * Empty batches are skipped — the quiet-interval gate: no queries
+    * is no evidence, never a vacuous `0 ≥ 0` pass being alerted on.
+    *
+    * Scale posture: the per-trigger cost is the batch audit's cost on
+    * the trigger's query slice; at 100 TB the caller samples the query
+    * stream (the d37/d41 md5-sample contract) rather than brute-forcing
+    * truth for every query. Returns the configured writer — the caller
+    * `.start()`s it (and owns checkpointing/trigger policy). */
+  def recallFloorEachBatch(queries: DataFrame,
+      approxOf: DataFrame => DataFrame, truthOf: DataFrame => DataFrame,
+      keys: Seq[String], floorPct: Int)(
+      onDecision: (Long, org.apache.spark.sql.Row) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val d = graft.llmops.IndexMaintenance.recallFloor(
+          approxOf(batch), truthOf(batch), keys, floorPct).head()
+        onDecision(batchId, d)
+      }
+      ()
+    }
 }

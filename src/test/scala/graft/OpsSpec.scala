@@ -658,7 +658,7 @@ class OpsSpec extends AnyFunSuite {
     for (edges <- Seq(star, dense)) {
       val e = edges.toDF("src", "dst")
       def run(b: Boolean) = graft.ops.Graph
-        .hits(e, "src", "dst", rounds = 2, broadcastScores = b)
+        .hits(e, "src", "dst", rounds = 2, broadcastScores = Some(b))
         .select($"dst", round($"authority", 6)).as[(Long, Double)]
         .collect().toMap
       assert(run(true) == run(false))

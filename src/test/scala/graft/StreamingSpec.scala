@@ -597,6 +597,64 @@ class StreamingSpec extends AnyFunSuite {
       "starved dup pairs must flip the decision to WIDEN")
   }
 
+  test("IndexMonitor.recallFloorEachBatch: stream ≡ batch per micro-batch, the floor flips when the index goes stale") {
+    implicit val sql = spark.sqlContext
+    import graft.llmops.{IndexMaintenance, SimSearch}
+    import graft.streaming.IndexMonitor
+    // a serving-index snapshot that covers only HALF the corpus — the
+    // staleness a continuously-enforced recall floor exists to catch.
+    // Batch 1's queries hit the covered half (recall 100% ≥ floor 80
+    // → above_floor 1); batch 2's queries' true neighbors live only in
+    // the uncovered half (recall 0% → above_floor 0): the SAME caller
+    // flips mid-stream, the replan-policy KEEP→ACT discipline applied
+    // to the ENFORCE stage. Orthogonal basis vectors make every truth
+    // assignment exact — no cosine knife edges.
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)), (4L, Seq(0.0, 0.0, 0.0, 1.0)))
+      .toDF("item_id", "vec")
+    val serving = corpus.where($"item_id" <= 2L)
+    def approxOf(q: org.apache.spark.sql.DataFrame) =
+      SimSearch.bruteForceTopK(q, serving, "qid", "qv",
+        "item_id", "vec", k = 1)
+    def truthOf(q: org.apache.spark.sql.DataFrame) =
+      SimSearch.bruteForceTopK(q, corpus, "qid", "qv",
+        "item_id", "vec", k = 1)
+        .select($"query_id", $"item_id")
+    val keys = Seq("query_id", "item_id")
+    val seen = scala.collection.mutable
+      .ArrayBuffer[(Long, org.apache.spark.sql.Row)]()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = IndexMonitor.recallFloorEachBatch(
+        mem.toDF().toDF("qid", "qv"), approxOf, truthOf, keys, 80) {
+      (bid, row) => seen += ((bid, row)); ()
+    }.start()
+    val b1 = Seq((10L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (11L, Seq(0.1, 0.9, 0.0, 0.0)))
+    val b2 = Seq((20L, Seq(0.0, 0.0, 0.9, 0.1)),
+      (21L, Seq(0.0, 0.0, 0.1, 0.9)))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.size == 2)
+    assert(seen(0)._2.getLong(0) == 2L && seen(0)._2.getLong(1) == 1L,
+      s"covered-half queries must sit above the floor: ${seen(0)}")
+    assert(seen(1)._2.getLong(0) == 2L && seen(1)._2.getLong(1) == 0L,
+      s"uncovered-half queries must trip the floor: ${seen(1)}")
+    // stream ≡ batch: each micro-batch's decision row IS the batch
+    // recallFloor over exactly that batch's query slice — no hidden
+    // state, no accumulation
+    Seq(b1, b2).zipWithIndex.foreach { case (slice, i) =>
+      val qs = slice.toDF("qid", "qv")
+      val batchRow = IndexMaintenance.recallFloor(
+        approxOf(qs), truthOf(qs), keys, 80).head()
+      assert(batchRow == seen(i)._2,
+        s"batch $i: stream ${seen(i)._2} vs batch $batchRow")
+    }
+  }
+
   test("streaming near-dup (state-v2) matches the batch incremental dedup") {
     implicit val sql = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
