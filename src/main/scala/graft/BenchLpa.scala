@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
 object BenchLpa {
   def main(args: Array[String]): Unit = {
     val variant = args.headOption.getOrElse("twophase")
-    require(variant == "fused" || variant == "twophase",
-      s"variant must be fused|twophase, got $variant")
+    // round-14 variance drill-down variants: "pairs" times ONLY the
+    // pair-generation prefix (common to both LPA plans), "pin" times
+    // pairs + the symmetrize/Iterate.pin materialization — together
+    // they localize which stage carries g10's run-to-run spread
+    require(Seq("fused", "twophase", "pairs", "pin").contains(variant),
+      s"variant must be fused|twophase|pairs|pin, got $variant")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -53,12 +57,39 @@ object BenchLpa {
       (System.nanoTime() - t0) / 1e9
     }
     val fused = variant == "fused"
-    def run(): Unit =
-      Graph.labelPropagation(pairs(), "pa", "pb", rounds = 3,
-        edgesDistinct = true, fusedArgmax = fused).count(): Unit
-    val cold = time(run()); quiesce()
-    val w1 = time(run()); quiesce()
-    val w2 = time(run()); quiesce()
-    println(f"[benchlpa] $variant cold=$cold%.2f warm=$w1%.2f/$w2%.2f")
+    def run(): Unit = variant match {
+      case "pairs" => pairs().count(): Unit
+      case "pin" =>
+        // the symmetrize + pin labelPropagation builds internally
+        val e = pairs()
+        val sym = graft.ops.Iterate.pin(
+          e.select(explode(array(
+              struct(col("pa").as("__n"), col("pb").as("__m")),
+              struct(col("pb").as("__n"), col("pa").as("__m")))).as("__e"))
+            .select(col("__e.__n"), col("__e.__m")), col("__m"))
+        sym.count()
+        graft.ops.Iterate.unpin(sym)
+      case _ =>
+        Graph.labelPropagation(pairs(), "pa", "pb", rounds = 3,
+          edgesDistinct = true, fusedArgmax = fused).count(): Unit
+    }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // per-run GC and Janino-compile deltas: a slow run self-reports
+    // whether it was a GC episode, a codegen-recompile storm, or
+    // neither (pure stage-execution jitter)
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def janino(): Long = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+    def timed(): String = {
+      val g0 = gcMs(); val j0 = janino()
+      val w = time(run()); quiesce()
+      f"$w%.2f(gc=${gcMs() - g0}ms,jan=${janino() - j0})"
+    }
+    val cold = timed()
+    val warms = (1 to reps).map(_ => timed())
+    println(s"[benchlpa] $variant cold=$cold warm=" +
+      warms.mkString("/"))
   }
 }

@@ -23,6 +23,15 @@ object BenchOne {
       // match Bench's codegen-cache sizing so pins are comparable
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // match Bench's AQE coalesce floor so BenchOne pins are comparable
+      // to in-suite numbers; SPARK_GRAFT_AQE=0 disables AQE entirely
+      // (variance-diagnosis knob — AQE's runtime coalesce decisions are
+      // the usual nondeterminism suspect on small iterative shuffles)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "1m"))
+      .config("spark.sql.adaptive.enabled",
+        if (sys.env.get("SPARK_GRAFT_AQE").contains("0")) "false"
+        else "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLVL", "WARN"))
     def time(f: => Unit): Double = {
@@ -30,12 +39,38 @@ object BenchOne {
       f
       (System.nanoTime() - t0) / 1e9
     }
+    // per-run GC attribution (the g10-variance drill-down, round 14):
+    // each timing prints the collection time spent INSIDE it, so a slow
+    // run self-reports whether it was a GC episode or a plan/stage cost
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // SPARK_GRAFT_REPS: warm repetitions per query (default 2).
+    // SPARK_GRAFT_QUIESCE=1: Bench's between-query quiesce AFTER EVERY
+    // RUN (drop caches + persistent RDDs + System.gc) — isolates each
+    // timing from accumulated snapshot blocks of the previous one.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val quiesce = sys.env.get("SPARK_GRAFT_QUIESCE").contains("1")
+    def quiesceNow(): Unit = if (quiesce) {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val cold = time { fn(spark, sfDir).count(): Unit }
-      val w1 = time { fn(spark, sfDir).count(): Unit }
-      val w2 = time { fn(spark, sfDir).count(): Unit }
-      println(f"[benchone] $name cold=$cold%.2f warm=$w1%.2f/$w2%.2f")
+      def run(): (Double, Long) = {
+        val g0 = gcMs()
+        val t = time { fn(spark, sfDir).count(): Unit }
+        val g = gcMs() - g0
+        quiesceNow()
+        (t, g)
+      }
+      val (cold, gCold) = run()
+      val warms = (1 to reps).map(_ => run())
+      val wStr = warms.map { case (t, g) => f"$t%.2f(gc=${g}ms)" }
+        .mkString("/")
+      println(f"[benchone] $name cold=$cold%.2f(gc=${gCold}ms) warm=$wStr")
       // SPARK_GRAFT_SHOW=1: also print the result rows (evidence runs —
       // e.g. the sim14 recall curve at a ScaleSmoke corpus)
       if (sys.env.get("SPARK_GRAFT_SHOW").contains("1"))
