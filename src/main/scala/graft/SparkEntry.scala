@@ -3189,12 +3189,15 @@ object SparkEntry {
     // an edge-count proxy that permits multi-100MB score frames — in
     // ONE agg job that doubles as the pin's materialization, and
     // degrades the SAME query to the shuffling plan at cluster scale.
-    // SPARK_GRAFT_HITS_BROADCAST=0 forces the shuffling plan for A/Bs.
+    // SPARK_GRAFT_HITS_BROADCAST=0 forces the shuffling plan, =1 the
+    // broadcast plan WITHOUT the gate's count job — the two A/B arms
+    // around the default auto gate.
     Graph.hits(e, "src", "dst", rounds = 2,
-      broadcastScores =
-        if (sys.env.get("SPARK_GRAFT_HITS_BROADCAST").contains("0"))
-          Some(false)
-        else None)
+      broadcastScores = sys.env.get("SPARK_GRAFT_HITS_BROADCAST") match {
+        case Some("0") => Some(false)
+        case Some("1") => Some(true)
+        case _ => None
+      })
       .select(col("dst").as("part"),
         round(col("authority"), 6).as("authority"))
   }

@@ -397,9 +397,15 @@ object Graph {
     // node sets fit the budget. The agg runs over the pinned frame —
     // the single count job per invocation that every scale-gated
     // query should copy (it also materializes the pin the loop needs).
+    // HLL estimates, not exact countDistinct: the gate is a broadcast-
+    // budget heuristic, so ±5% at the 1M threshold is immaterial and
+    // the approx agg is one partial-merged pass with no shuffle of the
+    // distinct sets (the A/B in PLANS.md measured the exact form at
+    // +0.3-0.4 s per invocation, the approx form within noise of the
+    // ungated plan).
     val useBroadcast = broadcastScores.getOrElse {
-      val c = eByS.agg(countDistinct(col("__s")).as("__ns"),
-        countDistinct(col("__t")).as("__nt")).head()
+      val c = eByS.agg(approx_count_distinct(col("__s")).as("__ns"),
+        approx_count_distinct(col("__t")).as("__nt")).head()
       math.max(c.getLong(0), c.getLong(1)) <= maxBroadcastNodes
     }
     def maxNorm(df: DataFrame, key: String): DataFrame = {

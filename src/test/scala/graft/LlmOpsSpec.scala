@@ -1556,4 +1556,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(0) == 1L && r.getLong(2) == 1L),
       "drift trigger must fire and force the refit")
   }
+
+  test("IndexMaintenance.recallFloor: integer floor math on hand-computed overlap") {
+    import graft.llmops.IndexMaintenance
+    // truth = 3 pairs, approx covers 2 of them (plus a non-truth extra
+    // and a duplicate, both of which must not inflate the hit count):
+    // recall = 2/3 → floor 66 passes (2·100 ≥ 66·3 = 198), floor 67
+    // fails (200 < 201) — the exact integer knife-edge, no floats
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val approx = Seq((1L, 2L), (3L, 4L), (3L, 4L), (9L, 9L))
+      .toDF("a", "b")
+    def flag(floor: Int): (Long, Long) = {
+      val r = IndexMaintenance.recallFloor(approx, truth,
+        Seq("a", "b"), floor).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(flag(66) == ((3L, 1L)))
+    assert(flag(67) == ((3L, 0L)))
+    // empty truth: above_floor holds vacuously (0 ≥ floor·0) and the
+    // row still ships n_truth=0 so a caller can see there was no
+    // evidence — the quiet-interval discipline
+    val noTruth = truth.where($"a" > 100L)
+    assert(IndexMaintenance.recallFloor(approx, noTruth,
+      Seq("a", "b"), 80).head().getLong(0) == 0L)
+  }
 }
