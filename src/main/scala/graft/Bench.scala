@@ -199,19 +199,46 @@ object Bench {
       (f.sum - idle, f.sum)
     } catch { case _: Throwable => (0L, 0L) }
 
-  /** This process's own jiffies (utime+stime over all threads) from
-    * `/proc/self/stat` — subtracting it from the host delta isolates
-    * CPU burned by ANYONE ELSE: another JVM, a DuckDB/python oracle,
-    * a stray build. The round-5 gate published a 3× inflated total
-    * with `contended:false` because the old sentinel only saw other
-    * /java argv[0]s; jiffy accounting is process-agnostic. */
-  private def selfJiffies(): Long =
+  /** Hypervisor steal jiffies (`/proc/stat` field 8) — time the host
+    * VM was runnable but a CO-TENANT held the physical CPU. Steal
+    * lands in the busy-minus-self residue exactly like a local
+    * foreign process would (it is busy capacity no local PID owns),
+    * so it correctly de-pins a run — but it must be NAMED in the
+    * artifact, or a stolen afternoon reads as a phantom local
+    * contaminator (round-14 postmortem: 14-16% "external CPU" bursts
+    * with zero other processes on the box, `vmstat` showing st>0). */
+  private def stealJiffies(): Long =
+    try {
+      val f = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      if (f.length > 7) f(7) else 0L
+    } catch { case _: Throwable => 0L }
+
+  /** This process's own jiffies (utime+stime over all threads) PLUS
+    * its ancestor chain's — subtracting the sum from the host delta
+    * isolates CPU burned by anyone who is neither this JVM nor the
+    * sbt launcher that forked it. The round-5 gate published a 3×
+    * inflated total with `contended:false` because the old sentinel
+    * only saw other /java argv[0]s; jiffy accounting is
+    * process-agnostic. Ancestors joined the self side in round 14:
+    * the sbt launcher pumps every stdout/log line the forked bench
+    * emits, and its pump threads were being billed as EXTERNAL CPU —
+    * two sub-second queries tripped the >10% window rule on a host
+    * with 0.04% run-level external CPU, de-pinning an otherwise clean
+    * run. The launcher is already exempt from the foreign-JVM
+    * sentinel via [[selfAndAncestors]]; the jiffy side now agrees. */
+  private def procJiffies(pid: Long): Long =
     try {
       val stat = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/self/stat")))
+        java.nio.file.Paths.get(s"/proc/$pid/stat")))
       val f = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
       f(11).toLong + f(12).toLong // utime, stime
     } catch { case _: Throwable => 0L }
+
+  private lazy val selfPids: Set[Long] = selfAndAncestors()
+
+  private def selfJiffies(): Long = selfPids.iterator.map(procJiffies).sum
 
   private def load1(): Double =
     try {
@@ -313,6 +340,7 @@ object Bench {
     // host-load accounting: jiffy deltas per query window + whole-run
     val runStartHost = hostJiffies()
     val runStartSelf = selfJiffies()
+    val runStartSteal = stealJiffies()
     val loadStart = load1()
     var winHost = runStartHost
     var winSelf = runStartSelf
@@ -433,8 +461,12 @@ object Bench {
     }
     val runEndHost = hostJiffies()
     val runEndSelf = selfJiffies()
+    val runEndSteal = stealJiffies()
     val loadEnd = load1()
     val runTotD = runEndHost._2 - runStartHost._2
+    val runStealPct =
+      if (runTotD <= 0) 0.0
+      else (runEndSteal - runStartSteal).toDouble / runTotD * 100.0
     val runNonSelfPct =
       if (runTotD <= 0) 0.0
       else math.max(0.0, ((runEndHost._1 - runStartHost._1) -
@@ -545,6 +577,7 @@ object Bench {
       s""","start_wait_s":$startWaitS""" +
       s""","cold_s":${r3(coldTotal)},"failed":$nFailed$contention""" +
       s""","xcpu_pct":${r3(runNonSelfPct)},"xcpu_contended":$cpuContended""" +
+      s""","steal_pct":${r3(runStealPct)}""" +
       s""","load1":[${r3(loadStart)},${r3(loadEnd)}]""" +
       s""","gc_ms":$gcMs,"codecache_mb":$ccUsedMb""" +
       s""","janino_n":$janinoN,"janino_mean_ms":$janinoMeanMs""" +
