@@ -1325,10 +1325,27 @@ object SimSearch {
     val cents: Seq[Seq[Double]] = c
       .orderBy(md5(col("item_id").cast("string")), col("item_id"))
       .limit(nCells).collect().map(_.getSeq[Double](1).toSeq).toSeq
-    // argmax/top-nProbe over literal centroids, zero shuffle — the
-    // native RankCells kernel (ORDER BY cosine DESC, cell; bit-pinned
-    // to the composed array_sort form by DotProductSpec, whose plan
-    // size would grow linearly with the auto-sized nCells)
+    ivfTopKWithCents(queries, corpus, qId, qVec, cId, cVec, k, cents,
+      nProbe)
+  }
+
+  /** IVF probe against an EXPLICIT centroid set — the serving face a
+    * maintenance loop needs: [[refitIfDrifted]] /
+    * [[pqRefitIfDistorted]] emit the index SOURCE their decisions
+    * mandate, and the server then probes with exactly those centroids
+    * (which may have been fitted on an OLDER corpus snapshot than the
+    * one being served — the staleness sim30 measures). Same plan as
+    * [[ivfTopKPortable]] minus the pull: argmax/top-nProbe over
+    * literal centroids, zero shuffle — the native RankCells kernel
+    * (ORDER BY cosine DESC, cell; bit-pinned to the composed
+    * array_sort form by DotProductSpec); the corpus side is assigned
+    * in one pass and never broadcast. */
+  def ivfTopKWithCents(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, cents: Seq[Seq[Double]], nProbe: Int): DataFrame = {
+    require(cents.nonEmpty, "need at least one centroid")
+    val c = corpus.select(col(cId).as("item_id"),
+      col(cVec).cast("array<double>").as("__cv"))
     import graft.functions.GraftFunctions.rankCells
     val assigned = c.withColumn("__cell",
       element_at(rankCells(col("__cv"), cents, 1), 1))

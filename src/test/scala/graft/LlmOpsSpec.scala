@@ -1557,6 +1557,42 @@ class LlmOpsSpec extends AnyFunSuite {
       "drift trigger must fire and force the refit")
   }
 
+  test("ivfTopKWithCents: explicit serving centroids route probes; md5-pull form ≡ ivfTopKPortable") {
+    // the maintenance-loop serving face: a refit decision emits the
+    // centroid set, and the server probes with exactly those centroids
+    // — which need not come from the served corpus snapshot at all
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.1, 0.9))).toDF("id", "v")
+    val queries = Seq((10L, Seq(1.0, 0.05)), (11L, Seq(0.05, 1.0)))
+      .toDF("id", "v")
+    // hand centroids: e1 and e2 — each query probes its own cell only
+    // (nProbe=1) and must see exactly the two corpus rows assigned there
+    val got = graft.llmops.SimSearch.ivfTopKWithCents(queries, corpus,
+        "id", "v", "id", "v", k = 2,
+        Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), nProbe = 1)
+      .select($"query_id", $"item_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (10L, 2L), (11L, 3L), (11L, 4L)))
+    // delegation identity: ivfTopKPortable is exactly the md5-pulled
+    // centroid set fed through ivfTopKWithCents
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val c = emb.where($"vec_id" >= 10)
+    val q = emb.where($"vec_id" < 5)
+    val viaPortable = graft.llmops.SimSearch.ivfTopKPortable(q, c,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3,
+        nCells = 4, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val cents = c.select($"vec_id",
+        $"embedding".cast("array<double>").as("v"))
+      .orderBy(md5($"vec_id".cast("string")), $"vec_id")
+      .limit(4).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val viaCents = graft.llmops.SimSearch.ivfTopKWithCents(q, c,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3,
+        cents, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(viaPortable == viaCents)
+  }
+
   test("IndexMaintenance.recallFloor: integer floor math on hand-computed overlap") {
     import graft.llmops.IndexMaintenance
     // truth = 3 pairs, approx covers 2 of them (plus a non-truth extra
