@@ -4879,6 +4879,56 @@ object SparkEntry {
       Seq("query_id", "item_id"), 80)
   }
 
+  /** SIM31: per-query recall profile — the drill-down under the
+    * aggregate floors (sim27-29 pin "recall ≥ X overall"; an operator
+    * triaging a serving index needs WHICH queries it fails): for each
+    * query, the sim5 IVF layout's top-5 against the brute top-5 truth
+    * (m1's plan), as exact integer (n_truth, hits) plus an integer
+    * recall_pct. The failure distribution routes fixes — uniform
+    * misses mean probe depth, clustered misses mean a cell boundary
+    * (the sim14 curve's per-query face). Both sides are established
+    * oracle-green plans (sim5 + m1), so the profile is hash-exact, and
+    * at corpus scale it costs one truth pass over the (sampled) query
+    * set — recall triage is per-query by definition. */
+  private val sim31PerQueryRecall: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.where(col("vec_id") < 10)
+    val c = emb.where(col("vec_id") >= 10)
+    val truth = SimSearch.bruteForceTopK(q, c,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("item_id"))
+    val approx = SimSearch.ivfTopKPortable(q, c,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 4)
+      .select(col("query_id"), col("item_id"), lit(1).as("__hit"))
+    truth.join(approx, Seq("query_id", "item_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("hits"))
+      .select(col("query_id"), col("n_truth"), col("hits"),
+        floor(col("hits") * 100 / col("n_truth")).cast("long")
+          .as("recall_pct"))
+  }
+
+  /** LLM-D45: dedup mass report — the cluster-size histogram a 100 TB
+    * curation run reads BEFORE committing to the rewrite: d7's exact
+    * near-dup clusters rolled up to (cluster_size, n_clusters, n_docs,
+    * n_removable), where n_removable = (size − 1) · n_clusters is the
+    * mass a keep-one-canonical pass deletes. Singletons (no near-dup
+    * edge) are not cluster members, so the histogram is exactly the
+    * affected-mass view; Σ n_removable / corpus size is the dedup
+    * rate the run's cost-benefit decision needs. Two bounded
+    * aggregates over the d7 component output — the histogram is ≤
+    * max-cluster-size rows at any corpus size. */
+  private val d45DupMassReport: Q = (s, dir) =>
+    Dedup.dupClusters(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, minJaccard = 0.6, maxBucket = 1000)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+
   /** LLM-D43: fast-MinHash recall floor (d26's comparison, ONE-SIDED)
     * — the xxhash64 production kernel's pair set against the exact
     * n-gram Jaccard ≥ 0.30 truth (the d4 inverted-index replay);
@@ -5774,6 +5824,8 @@ object SparkEntry {
     "sim27_lsh_recall_floor" -> sim27LshRecallFloor,
     "sim28_ivf_recall_floor" -> sim28IvfRecallFloor,
     "sim29_kmeans_recall_floor" -> sim29KmeansRecallFloor,
+    "sim31_per_query_recall" -> sim31PerQueryRecall,
+    "d45_dup_mass_report" -> d45DupMassReport,
     "d43_minhash_fast_floor" -> d43MinhashFastFloor,
     "d44_simhash_fast_floor" -> d44SimhashFastFloor,
     "v9_pq_trained_bound" -> v9PqTrainedBound,
@@ -8219,6 +8271,81 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    "sim31_per_query_recall" ->
+      """WITH corpus AS (SELECT vec_id AS item_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |queries AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |truth AS (SELECT query_id, item_id FROM (
+        |    SELECT q.query_id, c.item_id, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.item_id)
+        |      AS rank
+        |    FROM queries q CROSS JOIN corpus c) WHERE rank <= 5),
+        |cent AS (SELECT rn - 1 AS cell, v AS cv FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+        |    FROM corpus) WHERE rn <= 8),
+        |assigned AS (SELECT item_id, v, cell FROM (
+        |    SELECT c.item_id, c.v, ct.cell, row_number() OVER (
+        |      PARTITION BY c.item_id
+        |      ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+        |probed AS (SELECT query_id, v, cell FROM (
+        |    SELECT q.query_id, q.v, ct.cell, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM queries q CROSS JOIN cent ct) WHERE rn <= 4),
+        |approx AS (SELECT query_id, item_id FROM (
+        |    SELECT p.query_id, a.item_id, row_number() OVER (
+        |      PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(p.v, a.v) DESC, a.item_id)
+        |      AS rank
+        |    FROM probed p JOIN assigned a USING (cell)) WHERE rank <= 5)
+        |SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+        |  CAST(count(a.item_id) AS BIGINT) AS hits,
+        |  CAST(floor(count(a.item_id) * 100.0 / count(*)) AS BIGINT)
+        |    AS recall_pct
+        |FROM truth t LEFT JOIN approx a
+        |  ON t.query_id = a.query_id AND t.item_id = a.item_id
+        |GROUP BY t.query_id""".stripMargin,
+    "d45_dup_mass_report" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(0, len(toks) - 3),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS shingles FROM tk),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |capped AS (SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS c
+        |    FROM inv) WHERE c <= 1000),
+        |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS i
+        |  FROM capped l JOIN capped r
+        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes na ON na.doc_id = doc_a
+        |  JOIN sizes nb ON nb.doc_id = doc_b
+        |  WHERE i * 1.0 / (na.n + nb.n - i) >= 0.6),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+        |clusters AS (SELECT node AS doc_id, min(r) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |csizes AS (SELECT cluster_id, count(*) AS cluster_size
+        |  FROM clusters GROUP BY cluster_id)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+        |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+        |FROM csizes GROUP BY cluster_size""".stripMargin,
     "sim5_ivf_portable" ->
       """WITH corpus AS (SELECT vec_id AS item_id,
         |    CAST(embedding AS DOUBLE[]) AS v
