@@ -4879,6 +4879,22 @@ object SparkEntry {
       Seq("query_id", "item_id"), 80)
   }
 
+  /** G18: Adamic–Adar link prediction ([[Graph.adamicAdar]]) — the
+    * top-20 predicted part-part links from shared order baskets,
+    * inverse-log-weighted so a rare shared basket outweighs a hub
+    * (the model-free candidate generator between g6's raw
+    * co-occurrence and g7's swing). Global top-k lowers to
+    * `TakeOrderedAndProject` (per-partition heaps, no global sort);
+    * ranking is on the 6-dp rounded score with (item_a, item_b)
+    * tie-break, so the cut is engine-exact. */
+  private val g18LinkPrediction: Q = (s, dir) =>
+    TopK.global(
+      Graph.adamicAdar(
+        Tables.lineitem(s, dir).select(col("l_orderkey").as("b"),
+          col("l_partkey").as("i")),
+        "b", "i", maxBasket = 100),
+      Seq(col("aa_score").desc, col("item_a"), col("item_b")), 20)
+
   /** SIM31: per-query recall profile — the drill-down under the
     * aggregate floors (sim27-29 pin "recall ≥ X overall"; an operator
     * triaging a serving index needs WHICH queries it fails): for each
@@ -5826,6 +5842,7 @@ object SparkEntry {
     "sim29_kmeans_recall_floor" -> sim29KmeansRecallFloor,
     "sim31_per_query_recall" -> sim31PerQueryRecall,
     "d45_dup_mass_report" -> d45DupMassReport,
+    "g18_link_prediction" -> g18LinkPrediction,
     "d43_minhash_fast_floor" -> d43MinhashFastFloor,
     "d44_simhash_fast_floor" -> d44SimhashFastFloor,
     "v9_pq_trained_bound" -> v9PqTrainedBound,
@@ -8271,6 +8288,18 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    "g18_link_prediction" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |n AS (SELECT b, count(*) AS n FROM e GROUP BY b),
+        |w AS (SELECT e.b, e.i, round(1.0 / ln(n.n), 6) AS w
+        |  FROM e JOIN n USING (b) WHERE n.n BETWEEN 2 AND 100),
+        |p AS (SELECT x.i AS item_a, y.i AS item_b,
+        |    round(sum(x.w), 6) AS aa_score
+        |  FROM w x JOIN w y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, aa_score FROM p
+        |ORDER BY aa_score DESC, item_a, item_b LIMIT 20""".stripMargin,
     "sim31_per_query_recall" ->
       """WITH corpus AS (SELECT vec_id AS item_id,
         |    CAST(embedding AS DOUBLE[]) AS v
