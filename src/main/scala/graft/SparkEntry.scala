@@ -4895,6 +4895,22 @@ object SparkEntry {
         "b", "i", maxBasket = 100),
       Seq(col("aa_score").desc, col("item_a"), col("item_b")), 20)
 
+  /** SIM32: cosine range search ([[SimSearch.lshRangeSearchPortable]])
+    * — the vector-DB query shape top-k cannot express: every corpus
+    * item within cosine ≥ 0.15 of each query, result size
+    * data-dependent (a policy screen / radius-dedup probe, not a
+    * fixed-k recall list). Same md5-portable bucket structure as sim4,
+    * but the 6-dp threshold replaces the rank — no per-group shuffle
+    * at all, the bucket join is the only wide op. Oracle replays the
+    * plane signing, Hamming-1 probing and the rounded threshold. */
+  private val sim32RangeSearch: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.lshRangeSearchPortable(
+      emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+      "vec_id", "embedding", "vec_id", "embedding",
+      minCosine = 0.15, dim = 64, nBits = 8)
+  }
+
   /** SIM31: per-query recall profile — the drill-down under the
     * aggregate floors (sim27-29 pin "recall ≥ X overall"; an operator
     * triaging a serving index needs WHICH queries it fails): for each
@@ -5843,6 +5859,7 @@ object SparkEntry {
     "sim31_per_query_recall" -> sim31PerQueryRecall,
     "d45_dup_mass_report" -> d45DupMassReport,
     "g18_link_prediction" -> g18LinkPrediction,
+    "sim32_range_search" -> sim32RangeSearch,
     "d43_minhash_fast_floor" -> d43MinhashFastFloor,
     "d44_simhash_fast_floor" -> d44SimhashFastFloor,
     "v9_pq_trained_bound" -> v9PqTrainedBound,
@@ -8288,6 +8305,33 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    "sim32_range_search" ->
+      """WITH hyper AS (
+        |  SELECT b, list_transform(generate_series(0, 63), d ->
+        |    CASE WHEN substring(md5(d::VARCHAR || '§' || b::VARCHAR), 1, 1)
+        |      >= '8' THEN 1.0 ELSE -1.0 END) AS h
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS b)),
+        |corpus AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |queries AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |sigc AS (SELECT item_id, v,
+        |    CAST(sum(CASE WHEN list_dot_product(v, h) >= 0
+        |      THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM corpus CROSS JOIN hyper GROUP BY item_id, v),
+        |sigq AS (SELECT query_id, v,
+        |    CAST(sum(CASE WHEN list_dot_product(v, h) >= 0
+        |      THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS b0
+        |  FROM queries CROSS JOIN hyper GROUP BY query_id, v),
+        |probes AS (SELECT query_id, v, unnest(list_prepend(b0,
+        |    list_transform(generate_series(0, 7),
+        |      b -> xor(b0, 1::BIGINT << b)))) AS bucket
+        |  FROM sigq),
+        |scored AS (SELECT p.query_id, c.item_id,
+        |    round(list_cosine_similarity(p.v, c.v), 6) AS cosine
+        |  FROM probes p JOIN sigc c USING (bucket))
+        |SELECT query_id, item_id, cosine FROM scored
+        |WHERE cosine >= 0.15""".stripMargin,
     "g18_link_prediction" ->
       """WITH e AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |  FROM lineitem),

@@ -671,6 +671,50 @@ object SimSearch {
       Seq(col("cosine").desc, col("item_id")), k)
   }
 
+  /** LSH-bucketed cosine RANGE search — the vector-DB query shape
+    * top-k cannot express: ALL corpus items within `minCosine` of each
+    * query ("everything this similar", e.g. a policy screen or a
+    * radius dedup probe), result size data-dependent instead of k.
+    * Same candidate structure as [[lshTopK]] (query probes its bucket
+    * + Hamming-1 neighbors; the corpus side is bucketed in one pass
+    * and NEVER broadcast — the query batch is the build side), then a
+    * 6-dp-rounded cosine threshold replaces the rank: the cut is
+    * engine-exact, no per-group shuffle at all (the range form is
+    * cheaper than top-k — the only wide op is the bucket join).
+    * Recall trade is [[lshTopK]]'s, documented there; raise nBits
+    * coverage via bands for high-recall ranges (the d6/d22 family).
+    * Output: (query_id, item_id, cosine ≥ minCosine, 6 dp). */
+  def lshRangeSearch(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      minCosine: Double, dim: Int, nBits: Int = 8): DataFrame =
+    lshRangeImpl(queries, corpus, qId, qVec, cId, cVec, minCosine,
+      nBits, v => lshBucket(v, dim, nBits))
+
+  /** [[lshRangeSearch]] over the md5-portable planes (oracle twin). */
+  def lshRangeSearchPortable(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      minCosine: Double, dim: Int, nBits: Int = 8): DataFrame =
+    lshRangeImpl(queries, corpus, qId, qVec, cId, cVec, minCosine,
+      nBits, v => lshBucketPortable(v, dim, nBits))
+
+  private def lshRangeImpl(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      minCosine: Double, nBits: Int,
+      bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val c = corpus.select(col(cId).as("item_id"), col(cVec).as("__cv"),
+      bucketOf(col(cVec)).as("__bucket"))
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
+        bucketOf(col(qVec)).as("__b0"))
+      .withColumn("__bucket", explode(array(
+        col("__b0") +: (0 until nBits).map(b =>
+          col("__b0").bitwiseXOR(shiftleft(lit(1L), b))): _*)))
+    c.join(broadcast(q), Seq("__bucket"))
+      .withColumn("cosine", round(
+        graft.functions.GraftFunctions.cosine(col("__qv"), col("__cv")), 6))
+      .where(col("cosine") >= minCosine)
+      .select(col("query_id"), col("item_id"), col("cosine"))
+  }
+
   /** Portable IVF top-k: centroids are the `nCells` corpus rows with the
     * lexicographically smallest `md5(id)` — a deterministic pseudo-random
     * sample standing in for fitted k-means centers — and assignment/probing

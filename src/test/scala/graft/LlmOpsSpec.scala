@@ -1593,6 +1593,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(viaPortable == viaCents)
   }
 
+  test("lshRangeSearchPortable: ≡ the top-k probe at unbounded k, thresholded") {
+    // the range form shares the bucket/probe structure with lshTopK —
+    // pin that it returns EXACTLY the thresholded candidate set (no
+    // rank cut, no per-group shuffle)
+    import graft.llmops.SimSearch
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.where($"vec_id" < 5)
+    val c = emb.where($"vec_id" >= 10)
+    val range = SimSearch.lshRangeSearchPortable(q, c,
+        "vec_id", "embedding", "vec_id", "embedding",
+        minCosine = 0.15, dim = 64, nBits = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaTopk = SimSearch.lshTopKPortable(q, c,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 1000000, dim = 64, nBits = 8)
+      .select($"query_id", $"item_id", round($"cosine", 6).as("c"))
+      .where($"c" >= 0.15)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(range.nonEmpty && range == viaTopk)
+  }
+
   test("IndexMaintenance.recallFloor: integer floor math on hand-computed overlap") {
     import graft.llmops.IndexMaintenance
     // truth = 3 pairs, approx covers 2 of them (plus a non-truth extra
