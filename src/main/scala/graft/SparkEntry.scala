@@ -4879,22 +4879,6 @@ object SparkEntry {
       Seq("query_id", "item_id"), 80)
   }
 
-  /** G18: Adamic–Adar link prediction ([[Graph.adamicAdar]]) — the
-    * top-20 predicted part-part links from shared order baskets,
-    * inverse-log-weighted so a rare shared basket outweighs a hub
-    * (the model-free candidate generator between g6's raw
-    * co-occurrence and g7's swing). Global top-k lowers to
-    * `TakeOrderedAndProject` (per-partition heaps, no global sort);
-    * ranking is on the 6-dp rounded score with (item_a, item_b)
-    * tie-break, so the cut is engine-exact. */
-  private val g18LinkPrediction: Q = (s, dir) =>
-    TopK.global(
-      Graph.adamicAdar(
-        Tables.lineitem(s, dir).select(col("l_orderkey").as("b"),
-          col("l_partkey").as("i")),
-        "b", "i", maxBasket = 100),
-      Seq(col("aa_score").desc, col("item_a"), col("item_b")), 20)
-
   /** SIM32: cosine range search ([[SimSearch.lshRangeSearchPortable]])
     * — the vector-DB query shape top-k cannot express: every corpus
     * item within cosine ≥ 0.15 of each query, result size
@@ -4909,36 +4893,6 @@ object SparkEntry {
       emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
       "vec_id", "embedding", "vec_id", "embedding",
       minCosine = 0.15, dim = 64, nBits = 8)
-  }
-
-  /** SIM31: per-query recall profile — the drill-down under the
-    * aggregate floors (sim27-29 pin "recall ≥ X overall"; an operator
-    * triaging a serving index needs WHICH queries it fails): for each
-    * query, the sim5 IVF layout's top-5 against the brute top-5 truth
-    * (m1's plan), as exact integer (n_truth, hits) plus an integer
-    * recall_pct. The failure distribution routes fixes — uniform
-    * misses mean probe depth, clustered misses mean a cell boundary
-    * (the sim14 curve's per-query face). Both sides are established
-    * oracle-green plans (sim5 + m1), so the profile is hash-exact, and
-    * at corpus scale it costs one truth pass over the (sampled) query
-    * set — recall triage is per-query by definition. */
-  private val sim31PerQueryRecall: Q = (s, dir) => {
-    val emb = Tables.embeddings(s, dir)
-    val q = emb.where(col("vec_id") < 10)
-    val c = emb.where(col("vec_id") >= 10)
-    val truth = SimSearch.bruteForceTopK(q, c,
-        "vec_id", "embedding", "vec_id", "embedding", k = 5)
-      .select(col("query_id"), col("item_id"))
-    val approx = SimSearch.ivfTopKPortable(q, c,
-        "vec_id", "embedding", "vec_id", "embedding",
-        k = 5, nCells = 8, nProbe = 4)
-      .select(col("query_id"), col("item_id"), lit(1).as("__hit"))
-    truth.join(approx, Seq("query_id", "item_id"), "left")
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("hits"))
-      .select(col("query_id"), col("n_truth"), col("hits"),
-        floor(col("hits") * 100 / col("n_truth")).cast("long")
-          .as("recall_pct"))
   }
 
   /** LLM-D45: dedup mass report — the cluster-size histogram a 100 TB
@@ -5856,9 +5810,7 @@ object SparkEntry {
     "sim27_lsh_recall_floor" -> sim27LshRecallFloor,
     "sim28_ivf_recall_floor" -> sim28IvfRecallFloor,
     "sim29_kmeans_recall_floor" -> sim29KmeansRecallFloor,
-    "sim31_per_query_recall" -> sim31PerQueryRecall,
     "d45_dup_mass_report" -> d45DupMassReport,
-    "g18_link_prediction" -> g18LinkPrediction,
     "sim32_range_search" -> sim32RangeSearch,
     "d43_minhash_fast_floor" -> d43MinhashFastFloor,
     "d44_simhash_fast_floor" -> d44SimhashFastFloor,
@@ -8332,57 +8284,6 @@ object SparkEntry {
         |  FROM probes p JOIN sigc c USING (bucket))
         |SELECT query_id, item_id, cosine FROM scored
         |WHERE cosine >= 0.15""".stripMargin,
-    "g18_link_prediction" ->
-      """WITH e AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
-        |  FROM lineitem),
-        |n AS (SELECT b, count(*) AS n FROM e GROUP BY b),
-        |w AS (SELECT e.b, e.i, round(1.0 / ln(n.n), 6) AS w
-        |  FROM e JOIN n USING (b) WHERE n.n BETWEEN 2 AND 100),
-        |p AS (SELECT x.i AS item_a, y.i AS item_b,
-        |    round(sum(x.w), 6) AS aa_score
-        |  FROM w x JOIN w y ON x.b = y.b AND x.i < y.i
-        |  GROUP BY 1, 2)
-        |SELECT item_a, item_b, aa_score FROM p
-        |ORDER BY aa_score DESC, item_a, item_b LIMIT 20""".stripMargin,
-    "sim31_per_query_recall" ->
-      """WITH corpus AS (SELECT vec_id AS item_id,
-        |    CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings WHERE vec_id >= 10),
-        |queries AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings WHERE vec_id < 10),
-        |truth AS (SELECT query_id, item_id FROM (
-        |    SELECT q.query_id, c.item_id, row_number() OVER (
-        |      PARTITION BY q.query_id
-        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.item_id)
-        |      AS rank
-        |    FROM queries q CROSS JOIN corpus c) WHERE rank <= 5),
-        |cent AS (SELECT rn - 1 AS cell, v AS cv FROM (
-        |    SELECT v, row_number() OVER (
-        |      ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
-        |    FROM corpus) WHERE rn <= 8),
-        |assigned AS (SELECT item_id, v, cell FROM (
-        |    SELECT c.item_id, c.v, ct.cell, row_number() OVER (
-        |      PARTITION BY c.item_id
-        |      ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell) AS rn
-        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
-        |probed AS (SELECT query_id, v, cell FROM (
-        |    SELECT q.query_id, q.v, ct.cell, row_number() OVER (
-        |      PARTITION BY q.query_id
-        |      ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cell) AS rn
-        |    FROM queries q CROSS JOIN cent ct) WHERE rn <= 4),
-        |approx AS (SELECT query_id, item_id FROM (
-        |    SELECT p.query_id, a.item_id, row_number() OVER (
-        |      PARTITION BY p.query_id
-        |      ORDER BY list_cosine_similarity(p.v, a.v) DESC, a.item_id)
-        |      AS rank
-        |    FROM probed p JOIN assigned a USING (cell)) WHERE rank <= 5)
-        |SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
-        |  CAST(count(a.item_id) AS BIGINT) AS hits,
-        |  CAST(floor(count(a.item_id) * 100.0 / count(*)) AS BIGINT)
-        |    AS recall_pct
-        |FROM truth t LEFT JOIN approx a
-        |  ON t.query_id = a.query_id AND t.item_id = a.item_id
-        |GROUP BY t.query_id""".stripMargin,
     "d45_dup_mass_report" ->
       """WITH RECURSIVE tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),

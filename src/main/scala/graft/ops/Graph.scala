@@ -457,42 +457,4 @@ object Graph {
     if (rounds > 0) { Iterate.unpin(eByT); Iterate.unpin(eByS) }
     a.select(col("__t").as(dst), col("__x").as("authority"))
   }
-
-  /** Adamic–Adar link prediction over a bipartite basket graph
-    * (Adamic & Adar 2003): for every item pair sharing ≥ 1 basket,
-    * `AA(a,b) = Σ_{shared baskets o} 1 / ln |o|` — common-neighbor
-    * counting where a rare shared context (small basket) carries more
-    * evidence than a hub. The classic model-free candidate generator
-    * beside [[graft.recall.ItemCf.cooccurrence]] (raw counts) and
-    * `swingPairs` (user-pair overlap): AA's inverse-log weighting is
-    * the standard middle ground.
-    *
-    * Scale shape: one distinct + size aggregate keyed on the basket,
-    * the pair self-join keyed on the basket, the score aggregate keyed
-    * on the pair — all linear in Σ|basket|² which `maxBasket` bounds
-    * (the d4/g6 hot-bucket discipline: a degenerate 10⁶-item basket
-    * would otherwise cost 10¹² pairs and carry ~zero per-pair evidence
-    * anyway, 1/ln(10⁶) ≈ 0.07). Baskets of size 1 generate no pairs
-    * and `ln 1 = 0` never divides: the size filter starts at 2.
-    *
-    * Determinism: the per-basket weight is rounded to 6 dp BEFORE the
-    * sum (both engines round the SAME 1/ln(n) for the same integer n —
-    * the t9 ln() discipline) so the terminal `round(sum, 6)` is pure
-    * float-error correction over 6-dp multiples. Output:
-    * (item_a, item_b, aa_score) for item_a < item_b. */
-  def adamicAdar(edges: DataFrame, basket: String, item: String,
-      maxBasket: Int = 100): DataFrame = {
-    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
-    val e = edges.select(col(basket).as("__b"), col(item).as("__i"))
-      .distinct()
-    val sized = e.join(
-        e.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
-          .where(col("__n") >= 2 && col("__n") <= maxBasket),
-        "__b")
-      .withColumn("__w", round(lit(1.0) / log(col("__n")), 6))
-    sized.as("x").join(sized.as("y"), "__b")
-      .where(col("x.__i") < col("y.__i"))
-      .groupBy(col("x.__i").as("item_a"), col("y.__i").as("item_b"))
-      .agg(round(sum(col("x.__w")), 6).as("aa_score"))
-  }
 }

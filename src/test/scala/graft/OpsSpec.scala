@@ -647,26 +647,6 @@ class OpsSpec extends AnyFunSuite {
     assert(got(103L) == got(102L))
   }
 
-  test("adamicAdar: hand-computed inverse-log weights, singleton and cap drops") {
-    // baskets: b1={1,2,3} (w=1/ln3=0.910239), b2={1,2} (w=1/ln2=
-    // 1.442695), b3={2,3} (w=1.442695), b4={9} singleton (no pairs,
-    // ln 1 never divides). AA(1,2)=b1+b2=2.352934, AA(1,3)=b1,
-    // AA(2,3)=b1+b3 — 6-dp multiples, sums exact.
-    val e = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
-      (3L, 2L), (3L, 3L), (4L, 9L)).toDF("b", "i")
-    val got = graft.ops.Graph.adamicAdar(e, "b", "i")
-      .as[(Long, Long, Double)].collect()
-      .map { case (a, b2, s) => (a, b2) -> s }.toMap
-    assert(got == Map((1L, 2L) -> 2.352934, (1L, 3L) -> 0.910239,
-      (2L, 3L) -> 2.352934))
-    // maxBasket=2 drops the 3-wide basket entirely: only the ln2 pairs
-    // survive, and (1,3) — evidenced solely by b1 — disappears
-    val capped = graft.ops.Graph.adamicAdar(e, "b", "i", maxBasket = 2)
-      .as[(Long, Long, Double)].collect()
-      .map { case (a, b2, s) => (a, b2) -> s }.toMap
-    assert(capped == Map((1L, 2L) -> 1.442695, (2L, 3L) -> 1.442695))
-  }
-
   test("hits: broadcast-scores plan ≡ shuffling plan, value for value") {
     // the zero-|E|-exchange variant (scores broadcast into the
     // receiving-key edge pin) must reproduce the default plan's
